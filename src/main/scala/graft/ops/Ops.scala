@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relational building blocks (SURVEY.md §2.4, §2.5, §2.10): the dedup
+  * gates, watermark incremental reads, and dialect union the reference
+  * implements with Python set lookups and try/except row fallbacks —
+  * re-expressed as set-based Spark plans.
+  *
+  * Scale notes (100 TB): the "loaded keys" side of every dedup gate is a
+  * DISTINCT projection of one key column — small relative to the fact
+  * table — so we broadcast it explicitly and the anti/semi join stays
+  * shuffle-free on the big side. If the key set ever outgrows the
+  * broadcast threshold Spark falls back to a shuffled sort-merge
+  * anti-join automatically when the hint is dropped; `antiJoinLarge`
+  * exposes that path.
+  */
+object Ops {
+
+  /** J1/J2/J4 — anti-join dedup gate: keep rows of `incoming` whose key is
+    * NOT already in `loaded` (Python set lookup at load_data:54-66,
+    * 181-194 → BroadcastHashJoin LeftAnti). `loaded` is reduced to
+    * DISTINCT keys first, exactly like `SELECT DISTINCT id FROM …`
+    * (load_data:41-44, 168-171). */
+  def antiJoin(incoming: DataFrame, loaded: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(broadcast(loaded.select(keys.map(col): _*).distinct()), keys, "left_anti")
+
+  /** Same gate without the broadcast hint, for key sets too large to
+    * broadcast: Spark plans a shuffled anti-join; AQE may still convert
+    * it back to broadcast at runtime if the build side is small. */
+  def antiJoinLarge(incoming: DataFrame, loaded: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(loaded.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** J4 dual — existence probe as a semi-join (`head_object` check,
+    * extract_data_pdf:140-147). */
+  def semiJoin(incoming: DataFrame, loaded: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(broadcast(loaded.select(keys.map(col): _*).distinct()), keys, "left_semi")
+
+  /** A1/ST1 — incremental watermark: `MAX(dateCol)` over the loaded table
+    * (+1 day), applied as a pushdown filter on the new scan
+    * (extract_data_pdf:56-108). The aggregate collapses to a single row;
+    * the cross join broadcasts it, so the fact-side scan stays a simple
+    * filtered scan (Catalyst pushes `dateCol > wm` to parquet once AQE
+    * resolves the scalar). */
+  def watermarkAfter(newData: DataFrame, dateCol: String, loaded: DataFrame,
+                     loadedDate: Column, fallback: Column): DataFrame = {
+    // ST2 — late fallback when the loaded side is empty
+    // (extract_data_pdf:100-106, extract_data_bank_pay:129-135)
+    val wm = loaded.agg(coalesce(max(loadedDate), fallback).as("__wm"))
+    newData.crossJoin(broadcast(wm)).filter(col(dateCol) > col("__wm")).drop("__wm")
+  }
+
+  /** F5 + §2.7 — dialect union: rename the Spanish-header frame to the
+    * English schema, then strict `unionByName` (fails loudly on drift,
+    * unlike the reference's silent per-row try/except fallback,
+    * load_data:118-159). */
+  def dialectUnion(en: DataFrame, es: DataFrame, esToEn: Map[String, String]): DataFrame = {
+    val renamed = esToEn.foldLeft(es) { case (df, (from, to)) =>
+      if (df.columns.contains(from)) df.withColumnRenamed(from, to) else df
+    }
+    en.unionByName(renamed)
+  }
+
+  /** ST3 (batch form) — keep exactly one row per key, deterministically:
+    * the row with the minimal tiebreaker. groupBy+min_by rather than
+    * dropDuplicates so results are stable for the oracle; the streaming
+    * form lives in graft.streaming. */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String], tiebreak: String): DataFrame = {
+    val others = df.columns.filterNot(c => keys.contains(c) || c == tiebreak)
+    df.groupBy(keys.map(col): _*)
+      .agg(min(col(tiebreak)).as(tiebreak),
+        others.map(c => min_by(col(c), col(tiebreak)).as(c)): _*)
+      .select(df.columns.map(col): _*)
+  }
+}

@@ -1,0 +1,128 @@
+package graft.parsers
+
+/** U1 — the supermarket-ticket text grammar (SURVEY.md §2.9).
+  *
+  * The reference parses extracted PDF text with a stateful line scan
+  * (transform_data_pdf/lambda_function.py:35-115): locate the
+  * `Fecha .. Hora ..` / `Caja` / `P.V. .. Nro T.` / `TOTAL` / `AHORRO`
+  * anchor lines (:39-49), slice the item region (:75-78), track the
+  * current category from a fixed 7-value enum (:71-82), recognize the two
+  * amount-line forms — `<qty> x <unit> (<code>) <total>` for unit-priced
+  * items and `x <kg> x <unit> <total>` for weighted items (:89-101) —
+  * with comma-decimal cleanup (:93,97,101), and treat any non-matching
+  * line as the next item's name (:114-115).
+  *
+  * Here that grammar is a pure Scala function used via typed
+  * `Dataset.flatMap` — a generator ("UDTF") in Spark terms. `render`
+  * is the exact inverse, letting declared queries build ticket text from
+  * relational rows and assert parse∘render == identity against a SQL
+  * oracle (FIXTURES.md §B.1).
+  */
+object TicketParser {
+
+  /** The 7-value category enum, transform_data_pdf:71. */
+  val categories: Seq[String] = Seq(
+    "Almacen", "Bebidas", "Carniceria", "Frutas Y Verduras",
+    "Limpieza", "Perfumeria", "Hogar Bazar")
+  private val categorySet = categories.toSet
+
+  /** One parsed line item (warehouse column names, SURVEY.md §1.2 — the
+    * loader's `categ/prod/cant/...` names win over the transform's
+    * `categoria/producto/...` drift, load_data:22-27). */
+  final case class TicketItem(
+      nro_ticket: Long,
+      fecha: String, // dd/MM/yyyy (2-digit years already fixed up)
+      categ: String,
+      prod: String,
+      cant: Long,
+      peso: Double,
+      p_unit: Double,
+      p_total: Double,
+      total_ticket_bruto: Double,
+      total_ticket_meli: Double)
+
+  private val fechaRe = """Fecha\s+(\d{2}/\d{2}/\d{2,4})\s+Hora\s+\d{2}:\d{2}.*""".r
+  private val ticketRe = """P\.V\.\s+\d+\s+Nro\s+T\.\s+(\d+).*""".r
+  // unit-priced: "<qty> x <unit> (<code>) <total>"  (transform_data_pdf:89-95)
+  private val qtyRe = """(\d+)\s+x\s+([\d.,]+)\s*\([^)]*\)\s*([\d.,]+)""".r
+  // weighted: "x <kg> x <unit> <total>"             (transform_data_pdf:96-101)
+  private val pesoRe = """x\s+([\d.,]+)\s+x\s+([\d.,]+)\s+([\d.,]+)""".r
+  private val ahorroRe = """AHORRO\s+\$?\s*([\d.,]+)""".r
+  private val totalRe = """TOTAL\s+([\d.,]+)""".r
+
+  /** Comma-decimal cleanup (transform_data_pdf:93,97,101). */
+  private def num(s: String): Double = s.replace(".", "").replace(",", ".").toDouble
+
+  /** Two-digit-year fixup, Python twin of the watermark SQL
+    * (extract_data_pdf:89-91). */
+  private def fixYear(d: String): String = {
+    val parts = d.split("/")
+    if (parts(2).length == 2) s"${parts(0)}/${parts(1)}/20${parts(2)}" else d
+  }
+
+  /** Parse one ticket's text into line items. Pure; returns Nil when the
+    * anchors are missing (malformed ticket). */
+  def parse(text: String): Seq[TicketItem] = {
+    // \xa0/\xad cleanup, transform_data_pdf:32
+    val lines = text.replace(' ', ' ').replace("­", "")
+      .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+
+    val fecha = lines.collectFirst { case fechaRe(d) => fixYear(d) }
+    val nro = lines.collectFirst { case ticketRe(n) => n.toLong }
+    val ahorro = lines.collectFirst { case ahorroRe(a) => num(a) }.getOrElse(0.0)
+    if (fecha.isEmpty || nro.isEmpty) return Nil
+
+    var categ: String = null
+    var prod: String = null
+    val items = Seq.newBuilder[(String, String, Long, Double, Double, Double)]
+    val totalIdx = lines.indexWhere(l => totalRe.pattern.matcher(l).matches())
+    val body = if (totalIdx >= 0) lines.take(totalIdx) else lines
+    body.foreach {
+      case l if categorySet.contains(l) => categ = l; prod = null
+      case qtyRe(q, u, t) if categ != null && prod != null =>
+        items += ((categ, prod, q.toLong, 0.0, num(u), num(t))); prod = null
+      case pesoRe(kg, u, t) if categ != null && prod != null =>
+        items += ((categ, prod, 1L, num(kg), num(u), num(t))); prod = null
+      case l if categ != null && !l.startsWith("Fecha") && !l.startsWith("Caja") &&
+        !l.startsWith("P.V.") && !ahorroRe.pattern.matcher(l).matches() =>
+        prod = l // non-matching line names the next item, transform_data_pdf:114-115
+      case _ => ()
+    }
+    val parsed = items.result()
+    // ticket-level totals broadcast to every row (F6/F7,
+    // transform_data_pdf:117-126): bruto = sum(items) − ahorro,
+    // meli = round(bruto*0.3, 2)
+    val bruto = round2(parsed.map(_._6).sum - ahorro)
+    val meli = round2(bruto * 0.3)
+    parsed.map { case (c, p, q, kg, u, t) =>
+      TicketItem(nro.get, fecha.get, c, p, q, kg, u, t, bruto, meli)
+    }
+  }
+
+  private def round2(d: Double): Double =
+    BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Format a Double the way the ticket prints money: 2 decimals, comma
+    * separator. */
+  def money(d: Double): String = f"$d%.2f".replace(".", ",")
+
+  /** Exact inverse of [[parse]] for round-trip testing: render relational
+    * items (all same ticket) back to ticket text. */
+  def render(nro: Long, fecha: String, ahorro: Double,
+             items: Seq[(String, String, Long, Double, Double, Double)]): String = {
+    val sb = new StringBuilder
+    sb ++= s"Fecha $fecha Hora 12:00\n"
+    sb ++= "Caja 4\n"
+    sb ++= s"P.V. 001 Nro T. $nro\n"
+    var last: String = null
+    items.foreach { case (categ, prod, cant, peso, unit, total) =>
+      if (categ != last) { sb ++= categ + "\n"; last = categ }
+      sb ++= prod + "\n"
+      if (peso > 0) sb ++= s"x ${money(peso)} x ${money(unit)} ${money(total)}\n"
+      else sb ++= s"$cant x ${money(unit)} (090) ${money(total)}\n"
+    }
+    if (ahorro > 0) sb ++= s"AHORRO $$${money(ahorro)}\n"
+    sb ++= s"TOTAL ${money(items.map(_._6).sum - ahorro)}\n"
+    sb.result()
+  }
+}

@@ -1,0 +1,391 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.schemas.{Schemas, Tables}
+import graft.ops.Ops
+import graft.functions.Exprs
+
+/** Core relational query pack: scans, sinks, filters/projections, joins,
+  * aggregations, sorts, watermark/incremental semantics (SURVEY.md §2.1-2.7,
+  * §2.10 batch forms).
+  *
+  * Cross-engine exactness conventions (DuckDB oracle parity):
+  *  - monetary aggregates are summed as DECIMAL(18,2) (exact, order-
+  *    independent) and cast to DOUBLE only in the final projection;
+  *  - every query ends in a deterministic ORDER BY;
+  *  - averages are computed as exact-decimal-sum / count in double.
+  *
+  * Scale notes are inline per query — the driving concern is that each
+  * plan must survive 1000 executors × 100 TB: dimension joins broadcast,
+  * dedup gates broadcast their DISTINCT key side, aggregations are
+  * partial+final hash aggregates, and nothing but tiny listing ops ever
+  * touches the driver.
+  */
+object PackCore {
+  private val D = DecimalType(18, 2)
+  private def dec(c: Column): Column = c.cast(D)
+
+  private def tmpBase(sfDir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${new java.io.File(sfDir).getName}"
+
+  val queries: Seq[QDef] = Seq(
+
+    // ---------------------------------------------------------------- aggs
+
+    // A5 q1-style pricing summary: partial+final HashAggregate over a
+    // 3-column parquet scan (columns pruned at the reader).
+    QDef("q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum(dec($"l_quantity")).as("sq"),
+          sum(dec($"l_extendedprice")).as("sb"),
+          sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))).as("rev"),
+          count(lit(1)).as("n"))
+        .select($"l_returnflag", $"l_linestatus",
+          $"sq".cast("double").as("sum_qty"),
+          $"sb".cast("double").as("sum_base"),
+          $"rev".cast("double").as("revenue"),
+          ($"sq".cast("double") / $"n").as("avg_qty"),
+          $"n")
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // A5 — the ai_agent's "gastos por categoría" shape (ai_agent:214-222):
+    // groupBy + sum + ORDER BY DESC LIMIT 20 → HashAggregate +
+    // TakeOrderedAndProject. part is a dimension → broadcast join, no
+    // shuffle on the lineitem side beyond the aggregation itself.
+    QDef("agg_group_topk",
+      """SELECT p.p_type AS categoria,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS gasto,
+        |  count(*) AS n_items
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY p.p_type ORDER BY gasto DESC, categoria LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_type".as("categoria"))
+        .agg(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))).as("g"),
+          count(lit(1)).as("n_items"))
+        .select($"categoria", $"g".cast("double").as("gasto"), $"n_items")
+        .orderBy($"gasto".desc, $"categoria")
+        .limit(20)
+    },
+
+    // A2 + F6 — per-ticket item total joined back to the header
+    // (transform_data_pdf:117-126): aggregate then fact-fact equi-join on
+    // the group key; at scale both sides hash-partition on o_orderkey and
+    // AQE picks the join flavor.
+    QDef("agg_sum_group",
+      """SELECT o.o_orderkey, o.o_totalprice,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS item_total,
+        |  count(*) AS n_items
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderkey, o.o_totalprice
+        |ORDER BY o.o_orderkey""".stripMargin) { (s, d) =>
+      val items = Tables.lineitem(s, d).groupBy($"l_orderkey")
+        .agg(sum(dec($"l_extendedprice")).as("it"), count(lit(1)).as("n_items"))
+      Tables.orders(s, d)
+        .join(items, $"o_orderkey" === $"l_orderkey")
+        .select($"o_orderkey", $"o_totalprice",
+          $"it".cast("double").as("item_total"), $"n_items")
+        .orderBy($"o_orderkey")
+    },
+
+    // A1 + F10-F15 — incremental watermark: MAX over a dd/MM/yy string
+    // with the reference's CASE/SPLIT_PART/'20'||yy two-digit-year fixup
+    // (extract_data_pdf:56-93), +1 day. Collapses to one row.
+    QDef("agg_max_watermark",
+      """SELECT CAST(max(strptime(
+        |    CASE WHEN length(split_part(s,'/',3)) = 2
+        |         THEN split_part(s,'/',1) || '/' || split_part(s,'/',2) || '/20' || split_part(s,'/',3)
+        |         ELSE s END, '%d/%m/%Y')) AS DATE) + 1 AS wm
+        |FROM (SELECT strftime(o_orderdate, '%d/%m/%y') AS s FROM orders)""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select(date_format($"o_orderdate", "dd/MM/yy").as("s"))
+        .select(Exprs.fixTwoDigitYear($"s").as("f"))
+        .agg(max(Exprs.toDateDmy($"f")).as("m"))
+        .select(date_add($"m", 1).as("wm"))
+    },
+
+    // A3 — SELECT DISTINCT (load_data:41-44): hash-partitioned distinct.
+    QDef("agg_distinct",
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type") { (s, d) =>
+      Tables.events(s, d).select($"event_type").distinct().orderBy($"event_type")
+    },
+
+    // A4 — COUNT(*) (extract_data_pdf:114): partial counts, single final row.
+    QDef("agg_count",
+      "SELECT count(*) AS n FROM events") { (s, d) =>
+      Tables.events(s, d).agg(count(lit(1)).as("n"))
+    },
+
+    // §2.6 — ORDER BY … LIMIT top-k → TakeOrderedAndProject (no global
+    // sort: per-partition top-k then driver-side merge of k rows).
+    QDef("sort_topk",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(20)
+    },
+
+    // ---------------------------------------------------------------- joins
+
+    // J1 — batch-grain anti-join dedup gate (load_data:40-73): "reports"
+    // (users) already loaded are skipped entirely. Loaded side is a
+    // DISTINCT single column → broadcast; fact side never shuffles.
+    QDef("j1_dedup_anti_join_report",
+      """SELECT event_id, user_id, value FROM events e
+        |WHERE e.event_type = 'purchase' AND NOT EXISTS (
+        |  SELECT 1 FROM events s WHERE s.event_type = 'signup' AND s.user_id % 7 = 0 AND s.user_id = e.user_id)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      Ops.antiJoin(ev.filter($"event_type" === "purchase"),
+          ev.filter($"event_type" === "signup" && $"user_id" % 7 === 0), Seq("user_id"))
+        .select($"event_id", $"user_id", $"value")
+        .orderBy($"event_id")
+    },
+
+    // J2 + F23 — row-grain anti-join on the md5 surrogate id
+    // (load_data:166-200; id grammar transform_data_bank_pay:53-54).
+    QDef("j2_dedup_anti_join_row",
+      """SELECT event_id, md5(CAST(event_id AS VARCHAR) || '_' || event_type) AS id, value
+        |FROM events e
+        |WHERE md5(CAST(event_id AS VARCHAR) || '_' || event_type) NOT IN (
+        |  SELECT md5(CAST(event_id AS VARCHAR) || '_' || event_type)
+        |  FROM events WHERE event_id % 3 = 0)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val withId = Tables.events(s, d)
+        .withColumn("id", Exprs.md5Surrogate($"event_id".cast("string"), $"event_type"))
+      Ops.antiJoin(withId, withId.filter($"event_id" % 3 === 0), Seq("id"))
+        .select($"event_id", $"id", $"value")
+        .orderBy($"event_id")
+    },
+
+    // J3 + F30 — filename-grammar dedup (extract_data_mp:115-132): parse
+    // the report id out of every "listed file", skip ids already staged.
+    QDef("j3_dedup_anti_join_filename",
+      """SELECT path, rid FROM (
+        |  SELECT 'Report_' || strftime(ts, '%Y-%m-%d') || '_' || CAST(event_id AS VARCHAR) || '.csv' AS path,
+        |         CAST(regexp_extract('Report_' || strftime(ts, '%Y-%m-%d') || '_' || CAST(event_id AS VARCHAR) || '.csv',
+        |              '([^/]+)_(\d{4}-\d{2}-\d{2})_(\d+)\.(csv|xlsx)$', 3) AS BIGINT) AS rid
+        |  FROM events)
+        |WHERE rid NOT IN (SELECT event_id FROM events WHERE event_id % 5 = 0)
+        |ORDER BY rid""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val listing = ev.select(concat(lit("Report_"), date_format($"ts", "yyyy-MM-dd"),
+          lit("_"), $"event_id".cast("string"), lit(".csv")).as("path"))
+        .withColumn("rid", Exprs.regexFilename($"path", 3).cast("long"))
+      Ops.antiJoin(listing, ev.filter($"event_id" % 5 === 0).select($"event_id".as("rid")), Seq("rid"))
+        .select($"path", $"rid")
+        .orderBy($"rid")
+    },
+
+    // J4 — existence probe as LEFT SEMI (extract_data_pdf:140-147).
+    QDef("j4_dedup_exists_key",
+      """SELECT event_id, user_id, value FROM events e
+        |WHERE e.event_type = 'purchase' AND EXISTS (
+        |  SELECT 1 FROM events s WHERE s.event_type = 'signup' AND s.user_id = e.user_id)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      Ops.semiJoin(ev.filter($"event_type" === "purchase"),
+          ev.filter($"event_type" === "signup"), Seq("user_id"))
+        .select($"event_id", $"user_id", $"value")
+        .orderBy($"event_id")
+    },
+
+    // J5 — the ai_agent's ad-hoc multi-table equi-join surface
+    // (ai_agent:38-99): star join, dims broadcast, facts co-partitioned on
+    // the join keys; Catalyst reorders, AQE handles skew.
+    QDef("j5_join_equi_adhoc",
+      """SELECT r.r_name,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(DISTINCT o.o_orderkey) AS n_orders
+        |FROM region r
+        |JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin) { (s, d) =>
+      val dims = broadcast(Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .select($"c_custkey", $"r_name"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(dims, $"o_custkey" === $"c_custkey")
+        .groupBy($"r_name")
+        .agg(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))).as("rev"),
+          countDistinct($"o_orderkey").as("n_orders"))
+        .select($"r_name", $"rev".cast("double").as("revenue"), $"n_orders")
+        .orderBy($"r_name")
+    },
+
+    // --------------------------------------------- incremental / streaming-batch
+
+    // ST1/A1 — watermark incremental read: only rows newer than
+    // MAX(loaded date) − here "loaded" is the history and the watermark is
+    // max−30d so the slice is non-empty on any sf.
+    QDef("st1_incremental_watermark",
+      """SELECT o_orderkey, o_orderdate FROM orders
+        |WHERE o_orderdate > (SELECT max(o_orderdate) - INTERVAL 30 DAY FROM orders)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      Ops.watermarkAfter(o.select($"o_orderkey", $"o_orderdate"), "o_orderdate",
+          o, $"o_orderdate" - expr("INTERVAL 30 DAYS"),
+          lit(null).cast("timestamp"))
+        .select($"o_orderkey", $"o_orderdate")
+        .orderBy($"o_orderkey")
+    },
+
+    // ST2 — late/empty fallback: watermark query over an empty loaded set
+    // falls back to a fixed origin (extract_data_bank_pay:129-135).
+    QDef("st2_late_fallback",
+      """SELECT wm, CAST(sum(CASE WHEN o.o_orderdate > w.wm THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+        |FROM (SELECT coalesce(max(CASE WHEN o_totalprice < -1 THEN o_orderdate END),
+        |             TIMESTAMP '1996-10-01') AS wm FROM orders) w, orders o
+        |GROUP BY wm""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val wm = o.agg(coalesce(max(when($"o_totalprice" < -1, $"o_orderdate")),
+        lit(java.sql.Timestamp.valueOf("1996-10-01 00:00:00"))).as("wm"))
+      broadcast(wm).crossJoin(o)
+        .groupBy($"wm")
+        .agg(sum(when($"o_orderdate" > $"wm", 1).otherwise(0)).as("n_after"))
+    },
+
+    // ST3 (batch form) — deterministic keep-first dedup:
+    // groupBy + min/min_by instead of dropDuplicates so the result is
+    // stable; the true streaming dropDuplicates-with-state lives in
+    // graft.streaming (tested in StreamingSpec).
+    QDef("st3_dedup_state",
+      """SELECT user_id, event_type, min(event_id) AS event_id,
+        |       arg_min(value, event_id) AS value
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy($"user_id", $"event_type")
+        .agg(min($"event_id").as("event_id"), min_by($"value", $"event_id").as("value"))
+        .orderBy($"user_id", $"event_type")
+    },
+
+    // ---------------------------------------------------------------- scans
+
+    // S1/F1 — listing scan with suffix + size>0 filter
+    // (transform_data_pdf:174-181): metadata-only predicate, prunes before
+    // any payload read.
+    QDef("s1_scan_listing_filter",
+      """SELECT source || '/' || CAST(doc_id AS VARCHAR) ||
+        |       CASE WHEN doc_id % 2 = 0 THEN '.pdf' ELSE '.txt' END AS path,
+        |       n_chars AS size FROM documents
+        |WHERE doc_id % 2 = 0 AND n_chars > 0 ORDER BY path""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(concat($"source", lit("/"), $"doc_id".cast("string"),
+          when($"doc_id" % 2 === 0, ".pdf").otherwise(".txt")).as("path"),
+          $"n_chars".as("size"))
+        .filter($"path".endsWith(".pdf") && $"size" > 0)
+        .orderBy($"path")
+    },
+
+    // S2 — CSV scan (`;` delimiter, header, explicit schema;
+    // load_data:273-274, transform_data_mp:52): round-trips nation through
+    // a CSV sink (K1) and back.
+    QDef("s2_scan_csv",
+      "SELECT * FROM nation ORDER BY n_nationkey") { (s, d) =>
+      val out = tmpBase(d) + "/csv_nation"
+      Tables.nation(s, d).coalesce(1).write.mode("overwrite")
+        .option("header", "true").option("sep", ";").csv(out)
+      s.read.option("header", "true").option("sep", ";")
+        .schema(StructType(Seq(
+          StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType))))
+        .csv(out)
+        .orderBy($"n_nationkey")
+    },
+
+    // S4 + F31 — JSON scan + field access (transform_data_bank_pay:80-81):
+    // round-trips events through a JSON sink (K2) and extracts the props
+    // field from the raw JSON string.
+    QDef("s4_scan_json",
+      """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val out = tmpBase(d) + "/json_events"
+      Tables.events(s, d).select($"event_id", $"props")
+        .write.mode("overwrite").json(out)
+      s.read.schema(StructType(Seq(
+          StructField("event_id", LongType), StructField("props", StringType))))
+        .json(out)
+        .select($"event_id", Exprs.jsonGet($"props", "$.k").cast("long").as("k"))
+        .orderBy($"event_id")
+    },
+
+    // ---------------------------------------------------------------- sinks
+
+    // K1 — CSV sink + re-read (transform_data_pdf:151-160). Doubles
+    // round-trip exactly via shortest-representation text.
+    QDef("k1_sink_csv",
+      "SELECT * FROM customer ORDER BY c_custkey") { (s, d) =>
+      val out = tmpBase(d) + "/csv_customer"
+      Tables.customer(s, d).coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(out)
+      s.read.option("header", "true")
+        .schema(StructType(Seq(
+          StructField("c_custkey", LongType),
+          StructField("c_name", StringType),
+          StructField("c_nationkey", IntegerType),
+          StructField("c_acctbal", DoubleType),
+          StructField("c_mktsegment", StringType))))
+        .csv(out)
+        .orderBy($"c_custkey")
+    },
+
+    // K3 + J2 — idempotent warehouse append: bulk columnar writes replace
+    // the reference's row-at-a-time INSERT loop (load_data:16-36); the
+    // anti-join gate makes the re-append a no-op, so re-running the load
+    // leaves the warehouse unchanged (idempotence-by-construction).
+    QDef("k3_sink_warehouse_append",
+      "SELECT * FROM orders ORDER BY o_orderkey") { (s, d) =>
+      val out = tmpBase(d) + "/wh_orders"
+      val o = Tables.orders(s, d)
+      o.filter($"o_orderkey" % 2 === 0).write.mode("overwrite").parquet(out)
+      val loaded0 = s.read.parquet(out)
+      Ops.antiJoin(o.filter($"o_orderkey" % 2 === 1), loaded0, Seq("o_orderkey"))
+        .write.mode("append").parquet(out)
+      // second attempt: fully deduped away → append writes zero rows
+      val loaded1 = s.read.parquet(out)
+      Ops.antiJoin(o, loaded1, Seq("o_orderkey")).write.mode("append").parquet(out)
+      s.read.parquet(out).orderBy($"o_orderkey")
+    },
+
+    // §3.3 — the NL-analytics read path minus the LLM: catalog resolve
+    // (spark.catalog ≈ Glue get_tables, ai_agent:22-36) + spark.sql over a
+    // registered view (≈ Redshift execute, ai_agent:101-125).
+    QDef("sql_adhoc_catalog",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      require(s.catalog.tableExists("v_orders")) // catalog resolve step
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM v_orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }
+  )
+
+  // sugar for $"col" inside this object
+  private implicit class Str(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}

@@ -1,0 +1,132 @@
+package graft.schemas
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Explicit schemas for the engine's warehouse tables and intermediate
+  * documents (SURVEY.md §1.2).
+  *
+  * The three warehouse tables mirror the reference's Redshift tables:
+  *  - `carrefour_data`: column list from the INSERT at
+  *    load_data/lambda_function.py:19-30, types from the BQ mapping
+  *    redshift_to_bq/lambda_function.py:78-89.
+  *  - `mp_data`: load_data/lambda_function.py:78-93 +
+  *    redshift_to_bq/lambda_function.py:45-61.
+  *  - `bank_payments`: the one explicit DDL,
+  *    extract_data_bank_pay/lambda_function.py:61-74. Redshift TIME has no
+  *    Spark equivalent → normalized "HH:mm:ss" string (SURVEY.md §7.4).
+  */
+object Schemas {
+
+  val carrefourData: StructType = StructType(Seq(
+    StructField("nro_ticket", LongType),
+    StructField("fecha", DateType),
+    StructField("categ", StringType),
+    StructField("prod", StringType),
+    StructField("cant", LongType),
+    StructField("peso", DoubleType),
+    StructField("p_unit", DoubleType),
+    StructField("p_total", DoubleType),
+    StructField("total_ticket_bruto", DoubleType),
+    StructField("total_ticket_meli", DoubleType)
+  ))
+
+  val mpData: StructType = StructType(Seq(
+    StructField("source_id", StringType),
+    StructField("report_id", StringType),
+    StructField("report_date", TimestampType),
+    StructField("settlement_date", TimestampType),
+    StructField("payment_method_type", StringType),
+    StructField("transaction_type", StringType),
+    StructField("transaction_amount", DoubleType),
+    StructField("transaction_date", TimestampType),
+    StructField("real_amount", DoubleType),
+    StructField("pos_id", StringType),
+    StructField("store_id", StringType),
+    StructField("store_name", StringType),
+    StructField("payer_name", StringType),
+    StructField("business_unit", StringType),
+    StructField("sub_unit", StringType)
+  ))
+
+  val bankPayments: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false), // md5 surrogate, F23
+    StructField("message_id", StringType),
+    StructField("fecha_pago", DateType),
+    StructField("hora_pago", StringType), // Redshift TIME → "HH:mm:ss"
+    StructField("monto", DecimalType(12, 2)),
+    StructField("divisa", StringType),
+    StructField("tarjeta", StringType),
+    StructField("nro_tarjeta", StringType),
+    StructField("comercio", StringType),
+    StructField("cuotas", IntegerType),
+    StructField("extraido_en", TimestampType)
+  ))
+
+  /** Raw mail document staged as JSON
+    * (extract_data_bank_pay/lambda_function.py:185-192). */
+  val mailDoc: StructType = StructType(Seq(
+    StructField("message_id", StringType),
+    StructField("date", StringType), // ISO string, parsed downstream
+    StructField("sender", StringType),
+    StructField("subject", StringType),
+    StructField("html_body", StringType),
+    StructField("raw_text", StringType)
+  ))
+
+  /** MP settlement report, English header dialect
+    * (load_data/lambda_function.py:94-111). */
+  val mpReportEnColumns: Seq[String] = Seq(
+    "SOURCE_ID", "EXTERNAL_REFERENCE", "SETTLEMENT_DATE",
+    "PAYMENT_METHOD_TYPE", "TRANSACTION_TYPE", "TRANSACTION_AMOUNT",
+    "TRANSACTION_DATE", "REAL_AMOUNT", "POS_ID", "STORE_ID",
+    "STORE_NAME", "PAYER_NAME", "BUSINESS_UNIT", "SUB_UNIT")
+
+  /** Spanish dialect header → English, the rename/projection operator F5
+    * (load_data/lambda_function.py:137-151). */
+  val mpDialectEsToEn: Map[String, String] = Map(
+    "ID DE OPERACIÓN EN MERCADO PAGO" -> "SOURCE_ID",
+    "REFERENCIA EXTERNA" -> "EXTERNAL_REFERENCE",
+    "FECHA DE LIQUIDACIÓN" -> "SETTLEMENT_DATE",
+    "MEDIO DE PAGO" -> "PAYMENT_METHOD_TYPE",
+    "TIPO DE OPERACIÓN" -> "TRANSACTION_TYPE",
+    "VALOR DE LA OPERACIÓN" -> "TRANSACTION_AMOUNT",
+    "FECHA DE ORIGEN DE LA OPERACIÓN" -> "TRANSACTION_DATE",
+    "MONTO RECIBIDO" -> "REAL_AMOUNT",
+    "ID PUNTO DE VENTA" -> "POS_ID",
+    "ID TIENDA" -> "STORE_ID",
+    "NOMBRE DE LA TIENDA" -> "STORE_NAME",
+    "COMPRADOR" -> "PAYER_NAME",
+    "UNIDAD DE NEGOCIO" -> "BUSINESS_UNIT",
+    "SUBUNIDAD" -> "SUB_UNIT")
+}
+
+/** Readers over the driver's deterministic testdata (TESTDATA.md).
+  * Every declared query reads only `f"$sfDir/<table>.parquet"` so the
+  * DuckDB oracle sees identical bytes.
+  */
+object Tables {
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read it as raw nanos and truncate to a microsecond
+    * timestamp (what DuckDB's `CAST(ts AS TIMESTAMP)` does too, so oracle
+    * comparisons line up). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}
