@@ -48,10 +48,11 @@ def main():
             print(f"  ✗ {name}: SCHEMA spark={s_cols} oracle={o_cols}")
             n_fail += 1
             continue
+        key = lambda row: tuple((v is None, str(type(v)), v if v is not None else 0) for v in row)
         s_rows = sorted([tuple(norm(v) for v in r) for r in
-                         spark_rel.select(*s_cols).fetchall()])
+                         spark_rel.select(*s_cols).fetchall()], key=key)
         o_rows = sorted([tuple(norm(v) for v in r) for r in
-                         ora.select(*o_cols).fetchall()])
+                         ora.select(*o_cols).fetchall()], key=key)
         if len(s_rows) != len(o_rows):
             print(f"  ✗ {name}: ROWS spark={len(s_rows)} oracle={len(o_rows)}")
             n_fail += 1
