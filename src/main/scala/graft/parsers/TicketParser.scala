@@ -50,8 +50,10 @@ object TicketParser {
   private val ahorroRe = """AHORRO\s+\$?\s*([\d.,]+)""".r
   private val totalRe = """TOTAL\s+([\d.,]+)""".r
 
-  /** Comma-decimal cleanup (transform_data_pdf:93,97,101). */
-  private def num(s: String): Double = s.replace(".", "").replace(",", ".").toDouble
+  /** Comma-decimal cleanup (transform_data_pdf:93,97,101). Exact decimal —
+    * ticket totals must round identically to a decimal-arithmetic oracle,
+    * and double accumulation would drift at .xx5 boundaries. */
+  private def num(s: String): BigDecimal = BigDecimal(s.replace(".", "").replace(",", "."))
 
   /** Two-digit-year fixup, Python twin of the watermark SQL
     * (extract_data_pdf:89-91). */
@@ -69,18 +71,18 @@ object TicketParser {
 
     val fecha = lines.collectFirst { case fechaRe(d) => fixYear(d) }
     val nro = lines.collectFirst { case ticketRe(n) => n.toLong }
-    val ahorro = lines.collectFirst { case ahorroRe(a) => num(a) }.getOrElse(0.0)
+    val ahorro = lines.collectFirst { case ahorroRe(a) => num(a) }.getOrElse(BigDecimal(0))
     if (fecha.isEmpty || nro.isEmpty) return Nil
 
     var categ: String = null
     var prod: String = null
-    val items = Seq.newBuilder[(String, String, Long, Double, Double, Double)]
+    val items = Seq.newBuilder[(String, String, Long, BigDecimal, BigDecimal, BigDecimal)]
     val totalIdx = lines.indexWhere(l => totalRe.pattern.matcher(l).matches())
     val body = if (totalIdx >= 0) lines.take(totalIdx) else lines
     body.foreach {
       case l if categorySet.contains(l) => categ = l; prod = null
       case qtyRe(q, u, t) if categ != null && prod != null =>
-        items += ((categ, prod, q.toLong, 0.0, num(u), num(t))); prod = null
+        items += ((categ, prod, q.toLong, BigDecimal(0), num(u), num(t))); prod = null
       case pesoRe(kg, u, t) if categ != null && prod != null =>
         items += ((categ, prod, 1L, num(kg), num(u), num(t))); prod = null
       case l if categ != null && !l.startsWith("Fecha") && !l.startsWith("Caja") &&
@@ -91,16 +93,14 @@ object TicketParser {
     val parsed = items.result()
     // ticket-level totals broadcast to every row (F6/F7,
     // transform_data_pdf:117-126): bruto = sum(items) − ahorro,
-    // meli = round(bruto*0.3, 2)
-    val bruto = round2(parsed.map(_._6).sum - ahorro)
-    val meli = round2(bruto * 0.3)
+    // meli = round(bruto*0.3, 2) — exact decimal arithmetic, HALF_UP
+    val bruto = (parsed.map(_._6).sum - ahorro).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val meli = (bruto * BigDecimal("0.3")).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     parsed.map { case (c, p, q, kg, u, t) =>
-      TicketItem(nro.get, fecha.get, c, p, q, kg, u, t, bruto, meli)
+      TicketItem(nro.get, fecha.get, c, p, q, kg.toDouble, u.toDouble, t.toDouble,
+        bruto.toDouble, meli.toDouble)
     }
   }
-
-  private def round2(d: Double): Double =
-    BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Format a Double the way the ticket prints money: 2 decimals, comma
     * separator. */

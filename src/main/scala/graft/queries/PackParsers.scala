@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.schemas.Tables
+import graft.functions.Exprs
+import graft.parsers.{MailParser, TicketParser}
+
+/** Parser query pack (SURVEY.md §2.9): the two row-at-a-time grammars U1
+  * (supermarket-ticket text → line items) and U2 (bank-mail HTML → payment
+  * row), plus the binary-document scan S5/U3/F3.
+  *
+  * Oracle strategy: the declared queries *construct* grammar-conformant
+  * input text from relational testdata inside the plan, then parse it back
+  * with the real parsers — so the DuckDB oracle can state the expected
+  * output directly from the base tables (parse ∘ render ≡ the relational
+  * projection). This checks the full grammar distributively, not just on
+  * golden fixtures.
+  *
+  * Scale: construction + parse are narrow per-row/per-group transforms
+  * (one shuffle for the per-ticket groupBy); the flatMap parser is a typed
+  * Dataset transform that pipelines inside a single stage.
+  */
+object PackParsers {
+  private val D = DecimalType(18, 2)
+  private def dec(c: Column): Column = c.cast(D)
+  /** decimal → ticket money string ('1234.56' → '1234,56'). */
+  private def moneyS(c: Column): Column = regexp_replace(c.cast("string"), "\\.", ",")
+
+  private def tmpBase(sfDir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${new java.io.File(sfDir).getName}"
+
+  private val catCase =
+    """CASE CAST(l.l_linenumber % 7 AS INTEGER)
+      |    WHEN 0 THEN 'Almacen' WHEN 1 THEN 'Bebidas' WHEN 2 THEN 'Carniceria'
+      |    WHEN 3 THEN 'Frutas Y Verduras' WHEN 4 THEN 'Limpieza'
+      |    WHEN 5 THEN 'Perfumeria' ELSE 'Hogar Bazar' END""".stripMargin
+
+  val queries: Seq[QDef] = Seq(
+
+    // U1 — ticket-text generator round-trip
+    // (transform_data_pdf/lambda_function.py:35-115): render each order as
+    // ticket text (header anchors, per-item category/name/amount lines in
+    // both the qty and weighted grammar forms), then flatMap-parse back.
+    QDef("u1_udtf_ticket_items",
+      s"""WITH it AS (
+         |  SELECT l.l_orderkey AS nro_ticket,
+         |    CAST(strptime(strftime(o.o_orderdate,'%d/%m/') || '20' || strftime(o.o_orderdate,'%y'), '%d/%m/%Y') AS DATE) AS fecha,
+         |    $catCase AS categ,
+         |    p.p_name AS prod,
+         |    CASE WHEN l.l_linenumber % 3 = 0 THEN 1 ELSE CAST(l.l_quantity AS BIGINT) END AS cant,
+         |    CASE WHEN l.l_linenumber % 3 = 0 THEN CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 0.5 AS DOUBLE) ELSE 0.0 END AS peso,
+         |    CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS p_unit,
+         |    CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS p_total,
+         |    CAST(l.l_extendedprice AS DECIMAL(18,2)) AS tot_dec
+         |  FROM lineitem l
+         |  JOIN part p ON l.l_partkey = p.p_partkey
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |tot AS (
+         |  SELECT nro_ticket, CAST(sum(tot_dec) AS DOUBLE) AS total_ticket_bruto,
+         |         CAST(round(sum(tot_dec) * 0.3, 2) AS DOUBLE) AS total_ticket_meli
+         |  FROM it GROUP BY nro_ticket)
+         |SELECT it.nro_ticket, it.fecha, it.categ, it.prod, it.cant, it.peso,
+         |       it.p_unit, it.p_total, tot.total_ticket_bruto, tot.total_ticket_meli
+         |FROM it JOIN tot USING (nro_ticket)
+         |ORDER BY nro_ticket, prod, p_total, categ""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val cats = array(TicketParser.categories.map(lit): _*)
+      val items = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .select($"l_orderkey", $"l_linenumber",
+          date_format($"o_orderdate", "dd/MM/yy").as("fecha_s"),
+          element_at(cats, ($"l_linenumber" % 7 + 1).cast("int")).as("categ"),
+          $"p_name".as("prod"),
+          $"l_quantity".cast("long").as("cant"),
+          dec($"l_quantity") * lit(BigDecimal("0.5")) as "kg_dec",
+          dec($"p_retailprice").as("unit_dec"),
+          dec($"l_extendedprice").as("total_dec"),
+          ($"l_linenumber" % 3 === 0).as("weighted"))
+        .withColumn("line",
+          concat($"categ", lit("\n"), $"prod", lit("\n"),
+            when($"weighted",
+              concat(lit("x "), moneyS($"kg_dec"), lit(" x "), moneyS($"unit_dec"),
+                lit(" "), moneyS($"total_dec")))
+              .otherwise(concat($"cant".cast("string"), lit(" x "), moneyS($"unit_dec"),
+                lit(" (090) "), moneyS($"total_dec")))))
+      val tickets = items
+        .groupBy($"l_orderkey", $"fecha_s")
+        .agg(collect_list(struct($"l_linenumber", $"line")).as("lines"),
+          sum($"total_dec").as("sum_dec"))
+        .select(concat(
+          lit("Fecha "), $"fecha_s", lit(" Hora 12:00\nCaja 4\nP.V. 001 Nro T. "),
+          $"l_orderkey".cast("string"), lit("\n"),
+          array_join(transform(array_sort($"lines"), x => x.getField("line")), "\n"),
+          lit("\nTOTAL "), moneyS($"sum_dec")).as("text"))
+      tickets.select($"text").as[String]
+        .flatMap(TicketParser.parse _)
+        .toDF()
+        .select($"nro_ticket", to_date($"fecha", "dd/MM/yyyy").as("fecha"),
+          $"categ", $"prod", $"cant", $"peso", $"p_unit", $"p_total",
+          $"total_ticket_bruto", $"total_ticket_meli")
+        .orderBy($"nro_ticket", $"prod", $"p_total", $"categ")
+    },
+
+    // U2 — mail-HTML parser round-trip (transform_data_bank_pay:29-69):
+    // render each event as a notification mail (error events omit the
+    // required Monto label → dropped by the parser's null gate), tokenize
+    // + label-walk + money/currency/md5 grammar back to rows.
+    QDef("u2_udf_mail_fields",
+      """SELECT
+        |  md5(strftime(ts,'%d/%m/%Y') || '_' || strftime(ts,'%H:%M') || ':00_' ||
+        |      CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) || '_' || event_type ||
+        |      '_Tarjeta_Santander_ARS') AS id,
+        |  'msg-' || lpad(CAST(event_id AS VARCHAR), 8, '0') AS message_id,
+        |  CAST(ts AS DATE) AS fecha_pago,
+        |  strftime(ts,'%H:%M') || ':00' AS hora_pago,
+        |  CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS monto,
+        |  'ARS' AS divisa,
+        |  'Tarjeta_Santander' AS tarjeta,
+        |  lpad(CAST(user_id AS VARCHAR), 4, '0') AS nro_tarjeta,
+        |  event_type AS comercio,
+        |  CAST(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 5 + 1 AS INTEGER) AS cuotas
+        |FROM events WHERE event_type <> 'error'
+        |ORDER BY message_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.events(s, d)
+        .select(
+          concat(lit("msg-"), lpad($"event_id".cast("string"), 8, "0")).as("message_id"),
+          date_format($"ts", "yyyy-MM-dd'T'HH:mm:ss").as("date"),
+          lit("banco@santander.example").as("sender"),
+          lit("Pago con tarjeta").as("subject"),
+          concat(
+            lit("<html><body><p>Pago con Tarjeta_Santander terminada en "),
+            lpad($"user_id".cast("string"), 4, "0"), lit("</p>"),
+            when($"event_type" =!= "error",
+              concat(lit("<p>Monto $"), moneyS($"value".cast(DecimalType(12, 2))), lit("</p>")))
+              .otherwise(lit("")),
+            lit("<p>Fecha "), date_format($"ts", "dd/MM/yyyy"),
+            lit("</p><p>Hora "), date_format($"ts", "HH:mm"),
+            lit("</p><p>Comercio "), $"event_type",
+            lit("</p><p>Cuotas "),
+            (Exprs.jsonGet($"props", "$.k").cast("long") % 5 + 1).cast("string"),
+            lit("</p></body></html>")).as("html_body"),
+          lit("").as("raw_text"))
+        .as[MailParser.MailDoc]
+      docs.flatMap(MailParser.parse _)
+        .toDF()
+        .select($"id", $"message_id",
+          to_date($"fecha_pago", "dd/MM/yyyy").as("fecha_pago"), $"hora_pago",
+          $"monto".cast("double").as("monto"), $"divisa", $"tarjeta",
+          $"nro_tarjeta", $"comercio", $"cuotas")
+        .orderBy($"message_id")
+    },
+
+    // S5 + F3 + U3 + F24 — binary-document scan: stage documents as files
+    // (driver-side staging mirrors the reference's S7 fetch loop — the
+    // LISTING is driver-side, the data plane stays distributed), then
+    // `binaryFile` scan → %PDF magic + min-size filter → text extraction
+    // stub + sha-256 content hash (transform_data_pdf:138-143, 9-33).
+    QDef("s5_scan_binary_pdf",
+      """SELECT doc_id, text AS extracted,
+        |  sha256('%PDF-1.4' || chr(10) || text) AS sha,
+        |  CAST(9 + length(text) AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id < 64 AND doc_id % 2 = 0 AND length(text) > 32
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val stage = new java.io.File(tmpBase(d) + "/bin")
+      stage.mkdirs()
+      val rows = Tables.documents(s, d).filter($"doc_id" < 64)
+        .select($"doc_id",
+          when($"doc_id" % 2 === 0, concat(lit("%PDF-1.4\n"), $"text"))
+            .otherwise($"text").as("content"))
+        .collect() // 32 tiny staged files — the reference's per-object fetch loop
+      rows.foreach { r =>
+        java.nio.file.Files.write(
+          new java.io.File(stage, f"doc_${r.getLong(0)}%05d.bin").toPath,
+          r.getString(1).getBytes("UTF-8"))
+      }
+      s.read.format("binaryFile").load(stage.toString)
+        .select(regexp_extract($"path", "doc_(\\d+)\\.bin", 1)
+          .cast("long").as("doc_id"),
+          decode($"content", "UTF-8").as("txt"), $"length", $"content")
+        .filter($"txt".startsWith("%PDF-") && $"length" > 32 + 9) // F3 magic + min size
+        .select($"doc_id",
+          element_at(split($"txt", "\n", 2), 2).as("extracted"), // U3 stub
+          sha2($"content", 256).as("sha"), // F24 on raw bytes
+          $"length".as("n_bytes"))
+        .orderBy($"doc_id")
+    }
+  )
+
+}
