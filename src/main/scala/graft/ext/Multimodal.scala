@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column pattern (SURVEY.md §7.1 item 8): image/audio/video
+  * payloads ride as opaque `binary` columns with typed metadata; decode /
+  * feature-extraction runs batchwise over partitions so a real codec
+  * (pdfbox/javacv/etc.) can amortize per-batch setup. The decode step here
+  * is a clearly-marked deterministic STUB — the container ships no media
+  * codecs — but the Spark-side plumbing (schema, partition batching, typed
+  * row shapes, metadata projection) is the real production shape.
+  *
+  * Scale: per-partition map, no shuffle; binary payloads stay columnar in
+  * parquet and are never collected. Generalizes U1/U3's binaryFile+parser
+  * pattern (transform_data_pdf:14-33).
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, mime: String, content: Array[Byte])
+  final case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Long,
+                                 width: Int, height: Int, n_frames: Int, sha: String)
+
+  /** STUB decoder — stands in for a codec call. Deterministic features
+    * derived from the payload bytes so results are oracle-checkable;
+    * replace the body with pdfbox/ffmpeg bindings in production. */
+  def decodeStub(r: MediaRow): MediaFeatures = {
+    val n = r.content.length.toLong
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(r.content).map("%02x".format(_)).mkString
+    MediaFeatures(r.doc_id, r.mime, n,
+      width = (n % 640 + 32).toInt, height = (n * 7 % 480 + 32).toInt,
+      n_frames = (n % 30 + 1).toInt, sha = sha)
+  }
+
+  /** Attach a mime column and pack the payload as binary. */
+  def asMedia(df: DataFrame, id: String, payload: String): Dataset[MediaRow] = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(id).cast("long").as("doc_id"),
+        element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+          (col(id) % 3 + 1).cast("int")).as("mime"),
+        encode(col(payload), "UTF-8").as("content"))
+      .as[MediaRow]
+  }
+
+  /** Batchwise feature extraction: mapPartitions so decoder setup happens
+    * once per partition, mirroring a mapInPandas/Arrow-batch profile. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder init would go here (codec contexts, models)
+      it.map(decodeStub)
+    }
+  }
+}

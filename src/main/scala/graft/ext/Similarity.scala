@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`) — the
+  * approximate-nearest-neighbor surface a training-data pipeline needs
+  * (SURVEY.md §7.1 item 8; BASELINE.json north star).
+  *
+  * Design for 100 TB: `bruteTopK` is the exact baseline — O(|Q|·|N|) dot
+  * products with the query set broadcast, so the corpus side stays
+  * embarrassingly parallel and never shuffles. The scale path is
+  * `ivfTopK`: restrict each query to its coarse-quantizer bucket
+  * (here the precomputed `label` column; in production, argmin over k
+  * centroids — same plan shape), turning the cross join into a bucketed
+  * equi-join that prunes the candidate set by the bucket fanout.
+  *
+  * All arithmetic is double-precision sequential left folds so results are
+  * bit-comparable with the DuckDB `list_reduce` oracle.
+  */
+object Similarity {
+
+  /** Elementwise-double dot product via `zip_with` + sequential
+    * `aggregate` fold (codegen'd higher-order functions, no UDF). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Exact cosine similarity between two float-array columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force exact top-k: for every row of `queries` (small, broadcast)
+    * rank all of `corpus` by cosine. Deterministic tiebreak on neighbor id. */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    val scored = corpus.join(q, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(cosine(col("qe"), col("embedding")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF-style ANN: identical to [[bruteTopK]] but the candidate set is
+    * pruned to the query's coarse bucket (equi-join on `bucketCol`).
+    * probe=1; multi-probe = union over adjacent buckets, same shape. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, bucketCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qe"), col(bucketCol).as("qb")))
+    val scored = corpus.join(q, col(bucketCol) === col("qb") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(cosine(col("qe"), col("embedding")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schemas.Tables
+import graft.ext.{Multimodal, Similarity, TextAnalysis, TextDedup}
+
+/** Extension query pack — the training-data-pipeline operators
+  * (SURVEY.md §7.1 item 8; BASELINE.json north star): deduplication
+  * (exact / fingerprint / MinHash-LSH / SimHash / Jaccard), similarity
+  * search (brute-force + IVF ANN), text analysis, multimodal columns.
+  *
+  * Pairwise verification steps are bounded to fixed doc_id/vec_id ranges
+  * so their cost is constant across scale factors; the candidate
+  * *generation* (LSH banding, bucketed ANN) runs on the full table and is
+  * the part that must scale — see the Scaladoc in graft.ext. */
+object PackExt {
+
+  /** DuckDB-side sequential-double dot product matching Similarity.dot. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, length($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc,x) -> acc + x)"
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** SimHash signature CTE (shared by the two simhash queries). */
+  private def simhashCte(pred: String): String =
+    s"""words AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS w
+       |          FROM documents WHERE $pred),
+       |bits AS (SELECT doc_id, b,
+       |    ((strpos('0123456789abcdef', substr(md5(w), CAST(b//4 AS INTEGER) + 1, 1)) - 1)
+       |      >> CAST(3 - (b % 4) AS INTEGER)) & 1 AS bit
+       |  FROM words, range(63) t(b)),
+       |maj AS (SELECT doc_id, b, CASE WHEN 2*sum(bit) >= count(*) THEN 1 ELSE 0 END AS mbit
+       |        FROM bits GROUP BY doc_id, b),
+       |sh AS (SELECT doc_id,
+       |         CAST(sum(CASE WHEN mbit = 1 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+       |       FROM maj GROUP BY doc_id)""".stripMargin
+
+  val queries: Seq[QDef] = Seq(
+
+    // ------------------------------------------------------------- dedup
+
+    QDef("dedup_exact",
+      """SELECT h, min(doc_id) AS keep_id, count(*) AS n
+        |FROM (SELECT doc_id, md5(text) AS h FROM documents)
+        |GROUP BY h ORDER BY h""".stripMargin) { (s, d) =>
+      TextDedup.exact(Tables.documents(s, d), "doc_id", "text").orderBy(col("h"))
+    },
+
+    QDef("dedup_fingerprint",
+      """SELECT fp, min(doc_id) AS keep_id, count(*) AS n
+        |FROM (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fp
+        |      FROM documents)
+        |GROUP BY fp ORDER BY fp""".stripMargin) { (s, d) =>
+      TextDedup.fingerprint(Tables.documents(s, d), "doc_id", "text").orderBy(col("fp"))
+    },
+
+    QDef("dedup_minhash_lsh",
+      """WITH words AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS w FROM documents),
+        |sigs AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || w)) AS sig
+        |         FROM words, range(16) t(i) GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, i//4 AS band, md5(string_agg(sig, '' ORDER BY i)) AS bkey
+        |          FROM sigs GROUP BY doc_id, i//4)
+        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      TextDedup.lshCandidatePairs(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 16, rowsPerBand = 4).orderBy(col("d1"), col("d2"))
+    },
+
+    QDef("dedup_ngram_jaccard",
+      """WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS w
+        |           FROM documents WHERE doc_id < 200),
+        |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+        |sh AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |       FROM t a JOIN t b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT d1, d2, round(c*1.0/(s1.n + s2.n - c), 6) AS jaccard
+        |FROM sh JOIN sz s1 ON sh.d1 = s1.doc_id JOIN sz s2 ON sh.d2 = s2.doc_id
+        |WHERE c*1.0/(s1.n + s2.n - c) >= 0.8
+        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      TextDedup.jaccardPairs(Tables.documents(s, d).filter(col("doc_id") < 200),
+        "doc_id", "text", 0.8).orderBy(col("d1"), col("d2"))
+    },
+
+    QDef("dedup_simhash",
+      s"""WITH ${simhashCte("doc_id < 500")}
+         |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextDedup.simhash(Tables.documents(s, d).filter(col("doc_id") < 500),
+        "doc_id", "text").orderBy(col("doc_id"))
+    },
+
+    QDef("dedup_simhash_pairs",
+      s"""WITH ${simhashCte("doc_id < 128")}
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS ham
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
+         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      TextDedup.simhashPairs(
+        TextDedup.simhash(Tables.documents(s, d).filter(col("doc_id") < 128),
+          "doc_id", "text"), 16)
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    // ------------------------------------------------------ similarity search
+
+    QDef("ann_cosine_topk",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT q.qid, e.vec_id AS nid, round(${cosSql("q.qe", "e.embedding")}, 6) AS cos
+         |      FROM q, embeddings e WHERE e.vec_id <> q.qid),
+         |r AS (SELECT qid, nid, cos,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
+         |      FROM c)
+         |SELECT qid, nid, cos, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteTopK(e, e.filter(col("vec_id") < 10), 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    QDef("ann_ivf_topk",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qb FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT q.qid, e.vec_id AS nid, round(${cosSql("q.qe", "e.embedding")}, 6) AS cos
+         |      FROM q JOIN embeddings e ON e.label = q.qb AND e.vec_id <> q.qid),
+         |r AS (SELECT qid, nid, cos,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
+         |      FROM c)
+         |SELECT qid, nid, cos, rank FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), "label", 3)
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // embedding near-dup detection = top-1 neighbor + threshold flag
+    QDef("dedup_embed_cosine",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 100),
+         |c AS (SELECT q.qid, e.vec_id AS nid, round(${cosSql("q.qe", "e.embedding")}, 6) AS cos
+         |      FROM q, embeddings e WHERE e.vec_id <> q.qid),
+         |r AS (SELECT qid, nid, cos,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
+         |      FROM c)
+         |SELECT qid, nid, cos, cos >= 0.9 AS is_dup FROM r WHERE rank = 1
+         |ORDER BY qid""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteTopK(e, e.filter(col("vec_id") < 100), 1)
+        .select(col("qid"), col("nid"), col("cos"), (col("cos") >= 0.9).as("is_dup"))
+        .orderBy(col("qid"))
+    },
+
+    // ---------------------------------------------------------- text analysis
+
+    QDef("text_langid",
+      """SELECT doc_id, lang, n_markers, n_tokens,
+        |  CASE WHEN n_markers*1.0/n_tokens >= 0.05 THEN 'en' ELSE 'unk' END AS predicted
+        |FROM (SELECT doc_id, lang,
+        |        CAST(length(list_filter(string_split(text,' '),
+        |          t -> t IN ('the','a','of','and','to','is'))) AS BIGINT) AS n_markers,
+        |        CAST(length(string_split(text,' ')) AS BIGINT) AS n_tokens
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val (markers, n, predicted) = TextAnalysis.langId(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), markers.as("n_markers"),
+          n.as("n_tokens"), predicted.as("predicted"))
+        .orderBy(col("doc_id"))
+    },
+
+    QDef("text_quality_score",
+      """SELECT doc_id,
+        |  round(0.4 * (length(list_distinct(l))*1.0/length(l))
+        |      + 0.4 * (1.0 - length(list_filter(l, t -> t IN ('the','a','of','and','to','is')))*1.0/length(l))
+        |      + 0.2 * least(1.0, length(l)/50.0), 6) AS quality
+        |FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    QDef("text_token_count",
+      """SELECT doc_id,
+        |  CAST(length(string_split(text,' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(length(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
+        |  CAST(ceil(length(text)/4.0) AS BIGINT) AS approx_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val (ws, re, bpe) = TextAnalysis.tokenCounts(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), ws.as("ws_tokens"), re.as("re_tokens"), bpe.as("approx_bpe"))
+        .orderBy(col("doc_id"))
+    },
+
+    QDef("text_fingerprint_rolling",
+      """SELECT doc_id,
+        |  list_reduce(list_transform(string_split(text,' '),
+        |    w -> CAST(ascii(w) + length(w) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------ multimodal
+
+    QDef("multimodal_decode",
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+        |       ELSE 'video/mp4' END AS mime,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST(length(text) % 640 + 32 AS INTEGER) AS width,
+        |  CAST((length(text) * 7) % 480 + 32 AS INTEGER) AS height,
+        |  CAST(length(text) % 30 + 1 AS INTEGER) AS n_frames,
+        |  sha256(text) AS sha
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"))
+        .toDF()
+        .orderBy(col("doc_id"))
+    }
+  )
+}
