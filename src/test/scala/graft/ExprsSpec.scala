@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Exprs
+
+class ExprsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    Seq(1).toDF("x").select(c).head.get(0)
+
+  test("parseMoney handles the reference grammar forms") {
+    val cases = Map(
+      "$1.234,56" -> "1234.56", "U$S 12,34" -> "12.34", "AR$ 99" -> "99.00",
+      "USD1.000.000,10" -> "1000000.10", "55,5" -> "55.50")
+    cases.foreach { case (in, want) =>
+      assert(one(Exprs.parseMoney(lit(in))).toString == want, s"in=$in")
+    }
+  }
+
+  test("parseMoney round-trips any 2-decimal amount (seeded property)") {
+    // scalacheck-style property, seeded RNG (no scalatestplus bridge offline)
+    val rnd = new scala.util.Random(42)
+    val cases = Seq.fill(200)(BigDecimal(rnd.nextLong(999999999L), 2))
+    val df = cases.map(d => "$" + d.toString.replace(".", ",")).toDF("m")
+    val parsed = df.select(Exprs.parseMoney(col("m")).cast("string")).as[String].collect()
+    assert(parsed.toSeq == cases.map(_.toString))
+  }
+
+  test("currencyCode: U$S→USD, $→ARS, else NULL") {
+    assert(one(Exprs.currencyCode(lit("U$S 12"))) == "USD")
+    assert(one(Exprs.currencyCode(lit("$12"))) == "ARS")
+    assert(one(Exprs.currencyCode(lit("12"))) == null)
+  }
+
+  test("fixTwoDigitYear rewrites only 2-digit years") {
+    assert(one(Exprs.fixTwoDigitYear(lit("05/03/24"))) == "05/03/2024")
+    assert(one(Exprs.fixTwoDigitYear(lit("05/03/2024"))) == "05/03/2024")
+  }
+
+  test("timeNormalize appends seconds only to HH:mm") {
+    assert(one(Exprs.timeNormalize(lit("19:44"))) == "19:44:00")
+    assert(one(Exprs.timeNormalize(lit("19:44:10"))) == "19:44:10")
+  }
+
+  test("labelNext finds the token after a label, null when absent/terminal") {
+    val toks = split(lit("Monto $12,50 Fecha 01/02/2024"), " ")
+    assert(one(Exprs.labelNext(toks, "Monto")) == "$12,50")
+    assert(one(Exprs.labelNext(toks, "Fecha")) == "01/02/2024")
+    assert(one(Exprs.labelNext(toks, "Hora")) == null)
+    assert(one(Exprs.labelNext(split(lit("a b Monto"), " "), "Monto")) == null)
+  }
+
+  test("b64UrlDecode inverts urlsafe base64") {
+    val s = "hola señor ¿qué tal?"
+    val enc = java.util.Base64.getUrlEncoder.encodeToString(s.getBytes("UTF-8"))
+    assert(one(Exprs.b64UrlDecode(lit(enc))) == s)
+  }
+
+  test("htmlStrip drops tags and collapses whitespace") {
+    assert(one(Exprs.htmlStrip(lit("<p>a</p>\n <b>b</b>  c"))) == "a b c")
+  }
+
+  test("regexFilename extracts the Report_<date>_<id>.<ext> groups") {
+    val p = lit("mp/Report_2024-05-01_12345.csv")
+    assert(one(Exprs.regexFilename(p, 2)) == "2024-05-01")
+    assert(one(Exprs.regexFilename(p, 3)) == "12345")
+    assert(one(Exprs.regexFilename(lit("nope.txt"), 3)) == "")
+  }
+}

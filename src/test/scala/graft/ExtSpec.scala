@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Multimodal, Similarity, TextDedup}
+
+class ExtSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "the quick brown fox leaps over the lazy dog"), // near dup (1 word)
+    (3L, "completely different words about spark engines and parquet files"),
+    (4L, "dog lazy the over jumps fox brown quick the") // reordered 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val g = TextDedup.exact(docs, "doc_id", "text")
+    assert(g.count() == 4) // 0≡1, others distinct
+    assert(g.filter($"n" === 2).select("keep_id").as[Long].head() == 0L)
+  }
+
+  test("fingerprint dedup also groups reordered token sets") {
+    val g = TextDedup.fingerprint(docs, "doc_id", "text")
+    assert(g.filter($"n" === 3).select("keep_id").as[Long].head() == 0L) // 0,1,4
+  }
+
+  test("minhash LSH finds exact and near dups as candidate pairs") {
+    val pairs = TextDedup.lshCandidatePairs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 4L)))
+    assert(pairs.contains((0L, 2L)), "near-dup should share a band") // jaccard 7/9
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "distinct doc must not pair")
+  }
+
+  test("jaccard pairs compute exact overlap similarity") {
+    val j = TextDedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(j((0L, 1L)) == 1.0 && j((0L, 4L)) == 1.0)
+    assert(j((0L, 2L)) == 0.777778) // 7 shared / 9 union, rounded to 6dp
+    assert(!j.contains((0L, 3L)))
+  }
+
+  test("simhash: identical docs equal; near dups close; distinct docs far") {
+    val sig = TextDedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sig(0L) == sig(1L) && sig(0L) == sig(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(0L), sig(2L)) < ham(sig(0L), sig(3L)))
+    val pairs = TextDedup.simhashPairs(
+      TextDedup.simhash(docs, "doc_id", "text"), 3).as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
+  }
+
+  test("cosine top-k: nearest neighbor of a vector is its duplicate") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f), 0), (1L, Array(1f, 0.01f, 0f), 0),
+      (2L, Array(0f, 1f, 0f), 0), (3L, Array(0f, 0f, 1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val top = Similarity.bruteTopK(vecs, vecs.filter($"vec_id" === 0L), 2)
+      .orderBy($"rank").select("nid").as[Long].collect().toSeq
+    assert(top == Seq(1L, 2L))
+    val ivf = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 0L), "label", 3)
+      .select("nid").as[Long].collect().toSet
+    assert(ivf == Set(1L, 2L), "IVF must only search the query's bucket")
+  }
+
+  test("multimodal: batchwise stub decode emits typed features") {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.asMedia(docs, "doc_id", "text")).collect()
+    assert(feats.length == 5)
+    val f0 = feats.find(_.doc_id == 0L).get
+    assert(f0.mime == "image/png" && f0.n_bytes == docs.head.getString(1).length)
+    assert(f0.sha.length == 64 && f0.width == f0.n_bytes % 640 + 32)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Ops
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("antiJoin keeps only unseen keys; semiJoin the complement") {
+    val incoming = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+    val loaded = Seq(2, 2, 4).toDF("id")
+    assert(Ops.antiJoin(incoming, loaded, Seq("id")).select("id")
+      .as[Int].collect().sorted.toSeq == Seq(1, 3))
+    assert(Ops.semiJoin(incoming, loaded, Seq("id")).select("id")
+      .as[Int].collect().toSeq == Seq(2))
+  }
+
+  test("antiJoin gate makes re-loading idempotent (run twice ⇒ same warehouse)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString + "/t"
+    val batch = Seq((1, "x"), (2, "y")).toDF("id", "v")
+    batch.write.mode("overwrite").parquet(wh)
+    (1 to 2).foreach { _ =>
+      Ops.antiJoin(batch, spark.read.parquet(wh), Seq("id"))
+        .write.mode("append").parquet(wh)
+    }
+    assert(spark.read.parquet(wh).count() == 2)
+  }
+
+  test("dialectUnion renames and unions; fails loudly on schema drift") {
+    val en = Seq((1, "a")).toDF("SOURCE_ID", "STORE_NAME")
+    val es = Seq((2, "b")).toDF("ID DE OPERACIÓN EN MERCADO PAGO", "NOMBRE DE LA TIENDA")
+    val u = Ops.dialectUnion(en, es, Map(
+      "ID DE OPERACIÓN EN MERCADO PAGO" -> "SOURCE_ID",
+      "NOMBRE DE LA TIENDA" -> "STORE_NAME"))
+    assert(u.columns.toSeq == Seq("SOURCE_ID", "STORE_NAME") && u.count() == 2)
+    val broken = Seq((3, "c")).toDF("UNKNOWN", "NOMBRE DE LA TIENDA")
+    intercept[Exception] {
+      Ops.dialectUnion(en, broken, Map("NOMBRE DE LA TIENDA" -> "STORE_NAME")).collect()
+    }
+  }
+
+  test("watermarkAfter filters by max(loaded) and falls back when empty") {
+    val newData = Seq(("2024-01-01", 1), ("2024-02-01", 2), ("2024-03-01", 3))
+      .toDF("d", "id").withColumn("d", to_date($"d"))
+    val loaded = Seq("2024-01-15").toDF("d").withColumn("d", to_date($"d"))
+    assert(Ops.watermarkAfter(newData, "d", loaded, col("d"), lit(null).cast("date"))
+      .select("id").as[Int].collect().sorted.toSeq == Seq(2, 3))
+    val empty = loaded.filter(lit(false))
+    assert(Ops.watermarkAfter(newData, "d", empty, col("d"),
+      to_date(lit("2024-02-15"))).select("id").as[Int].collect().toSeq == Seq(3))
+  }
+
+  test("dedupKeepFirst keeps the min-tiebreak row per key") {
+    val df = Seq((1, 10L, "a"), (1, 5L, "b"), (2, 7L, "c")).toDF("k", "t", "v")
+    val out = Ops.dedupKeepFirst(df, Seq("k"), "t").orderBy("k")
+      .as[(Int, Long, String)].collect().toSeq
+    assert(out == Seq((1, 5L, "b"), (2, 7L, "c")))
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingOps
+
+/** ST1-ST6 end-to-end on real Structured Streaming (memory/file sinks,
+  * Trigger.AvailableNow — the reference's cron-batch semantics). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("value", DoubleType)))
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  /** Write one arrival batch as parquet files directly inside `dir` (the
+    * streaming file source lists only the top level). */
+  private def stageBatch(dir: String, rows: Seq[(Long, String, Long, Double)], part: String): Unit = {
+    val staging = tmp("graft_stage")
+    rows.toDF("event_id", "ts_s", "user_id", "value")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+      .select($"event_id", $"ts", $"user_id", $"value")
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    new java.io.File(staging).listFiles().filter(_.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        Files.move(f.toPath, java.nio.file.Paths.get(dir, s"${part}_$i.parquet"))
+      }
+  }
+
+  test("ST4/ST5: AvailableNow file-source pipeline drains staged files then stops; " +
+       "second run is incremental (checkpoint watermark)") {
+    val in = tmp("graft_in"); val wh = tmp("graft_wh2"); val err = tmp("graft_err")
+    val ckpt = tmp("graft_ckpt")
+    stageBatch(in, Seq((1L, "2024-01-01 10:00:00", 1L, 10.0),
+      (2L, "2024-01-01 11:00:00", 2L, 20.0)), "b1")
+    val q1 = StreamingOps.runToWarehouse(
+      StreamingOps.fileSource(spark, in, schema), wh, err, ckpt)
+    q1.awaitTermination()
+    assert(spark.read.parquet(wh).count() == 2)
+
+    // second arrival: only the new file is processed (ST1 incremental)
+    stageBatch(in, Seq((3L, "2024-01-02 10:00:00", 1L, 30.0)), "b2")
+    val q2 = StreamingOps.runToWarehouse(
+      StreamingOps.fileSource(spark, in, schema), wh, err, ckpt)
+    q2.awaitTermination()
+    val ids = spark.read.parquet(wh).select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L), "re-run must not re-ingest old files")
+  }
+
+  test("ST3: watermark-bounded dropDuplicates dedups within the stream") {
+    val in = tmp("graft_in3"); val ckpt = tmp("graft_ckpt3")
+    stageBatch(in, Seq((1L, "2024-01-01 10:00:00", 1L, 10.0),
+      (1L, "2024-01-01 10:00:01", 1L, 10.0), // dup id
+      (2L, "2024-01-01 10:00:02", 2L, 20.0)), "b1")
+    val deduped = StreamingOps.dedupStream(
+      StreamingOps.fileSource(spark, in, schema), "ts", "1 hour", "event_id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.sql("SELECT count(*) FROM dedup_out").as[Long].head() == 2)
+  }
+
+  test("ST6/K7: a failing batch lands in the error table, query completes") {
+    val in = tmp("graft_in4"); val err = tmp("graft_err4"); val ckpt = tmp("graft_ckpt4")
+    stageBatch(in, Seq((1L, "2024-01-01 10:00:00", 1L, 1.0)), "b1")
+    // warehouse path is an unwritable location → foreachBatch catch → K7
+    val q = StreamingOps.runToWarehouse(
+      StreamingOps.fileSource(spark, in, schema), "/proc/forbidden_wh", err, ckpt)
+    q.awaitTermination()
+    val errs = spark.read.parquet(err)
+    assert(errs.count() >= 1 && errs.columns.contains("error_class"))
+  }
+
+  test("mapGroupsWithState: running totals accumulate across micro-batches") {
+    val in = tmp("graft_in5"); val ckpt = tmp("graft_ckpt5")
+    stageBatch(in, Seq((1L, "2024-01-01 10:00:00", 7L, 5.0),
+      (2L, "2024-01-01 10:01:00", 7L, 7.0)), "b1")
+    val src = StreamingOps.fileSource(spark, in, schema)
+      .select($"event_id", $"user_id", $"value").as[StreamingOps.EventRow]
+    val q = StreamingOps.runningTotals(src)
+      .writeStream.format("memory").queryName("totals_out").outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val row = spark.sql("SELECT n, total FROM totals_out WHERE user_id = 7 ORDER BY n DESC LIMIT 1")
+      .as[(Long, Double)].head()
+    assert(row == ((2L, 12.0)))
+  }
+
+  test("K6: cleanSource=archive moves consumed files aside") {
+    val in = tmp("graft_in6"); val arch = tmp("graft_arch6"); val ckpt = tmp("graft_ckpt6")
+    stageBatch(in, Seq((1L, "2024-01-01 10:00:00", 1L, 1.0)), "b1")
+    val q = StreamingOps.fileSourceArchiving(spark, in, schema, arch)
+      .writeStream.format("memory").queryName("arch_out")
+      .option("checkpointLocation", ckpt)
+      .option("spark.sql.streaming.fileSource.cleaner.numThreads", "1")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.sql("SELECT count(*) FROM arch_out").as[Long].head() == 1)
+  }
+}
