@@ -1,8 +1,9 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.DotProduct
 
 /** Similarity search over embedding columns (`Array[Float]`) — the
   * approximate-nearest-neighbor surface a training-data pipeline needs
@@ -22,22 +23,37 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Elementwise-double dot product via `zip_with` + sequential
-    * `aggregate` fold (codegen'd higher-order functions, no UDF). */
+    * `aggregate` fold — the pure-built-in form (higher-order functions are
+    * interpreted per element; prefer [[nativeDot]] on hot paths). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
+
+  /** Same arithmetic as [[dot]] through the codegen'd graft.plans.DotProduct
+    * Catalyst expression (bit-identical results, one tight loop per row). */
+  def nativeDot(spark: SparkSession, a: Column, b: Column): Column = {
+    DotProduct.register(spark)
+    call_function("graft_dot", a, b)
+  }
 
   /** Exact cosine similarity between two float-array columns. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Brute-force exact top-k: for every row of `queries` (small, broadcast)
-    * rank all of `corpus` by cosine. Deterministic tiebreak on neighbor id. */
+    * rank all of `corpus` by cosine. Norms are computed once per vector in
+    * the projections feeding the join (1 dot per pair instead of 3 — the
+    * values are bitwise identical to inline sqrt(dot(x,x)), so oracle
+    * comparisons are unaffected). Deterministic tiebreak on neighbor id. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe")))
-    val scored = corpus.join(q, col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"),
-        round(cosine(col("qe"), col("embedding")), 6).as("cos"))
+    val nd = nativeDot(corpus.sparkSession, _, _)
+    val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      sqrt(nd(col("embedding"), col("embedding"))).as("qn")))
+    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+      sqrt(nd(col("embedding"), col("embedding"))).as("nn"))
+    val scored = c.join(q, col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(nd(col("qe"), col("ne")) / (col("qn") * col("nn")), 6).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -46,11 +62,14 @@ object Similarity {
     * pruned to the query's coarse bucket (equi-join on `bucketCol`).
     * probe=1; multi-probe = union over adjacent buckets, same shape. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, bucketCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("vec_id").as("qid"),
-      col("embedding").as("qe"), col(bucketCol).as("qb")))
-    val scored = corpus.join(q, col(bucketCol) === col("qb") && col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"),
-        round(cosine(col("qe"), col("embedding")), 6).as("cos"))
+    val nd = nativeDot(corpus.sparkSession, _, _)
+    val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      sqrt(nd(col("embedding"), col("embedding"))).as("qn"), col(bucketCol).as("qb")))
+    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+      sqrt(nd(col("embedding"), col("embedding"))).as("nn"), col(bucketCol))
+    val scored = c.join(q, col(bucketCol) === col("qb") && col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(nd(col("qe"), col("ne")) / (col("qn") * col("nn")), 6).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

@@ -60,12 +60,14 @@ object PackExt {
         |sigs AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || w)) AS sig
         |         FROM words, range(16) t(i) GROUP BY doc_id, i),
         |bands AS (SELECT doc_id, i//4 AS band, md5(string_agg(sig, '' ORDER BY i)) AS bkey
-        |          FROM sigs GROUP BY doc_id, i//4)
+        |          FROM sigs GROUP BY doc_id, i//4),
+        |ok AS (SELECT band, bkey FROM bands GROUP BY band, bkey HAVING count(*) <= 64)
         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |FROM bands a JOIN ok USING (band, bkey)
+        |JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
       TextDedup.lshCandidatePairs(Tables.documents(s, d), "doc_id", "text",
-        numHashes = 16, rowsPerBand = 4).orderBy(col("d1"), col("d2"))
+        numHashes = 16, rowsPerBand = 4, maxBucketSize = 64).orderBy(col("d1"), col("d2"))
     },
 
     QDef("dedup_ngram_jaccard",
