@@ -56,16 +56,20 @@ object PackExt {
     },
 
     QDef("dedup_minhash_lsh",
-      """WITH words AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS w FROM documents),
-        |sigs AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || w)) AS sig
-        |         FROM words, range(16) t(i) GROUP BY doc_id, i),
-        |bands AS (SELECT doc_id, i//4 AS band, md5(string_agg(sig, '' ORDER BY i)) AS bkey
-        |          FROM sigs GROUP BY doc_id, i//4),
+      ("""WITH words AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS w FROM documents),
+        |sigs AS (SELECT doc_id, """ +
+        (0 until 16).map(i => s"min(md5('$i|' || w)) AS s$i").mkString(", ") +
+        """ FROM words GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, md5(s0||s1||s2||s3) AS bkey FROM sigs
+        |  UNION ALL SELECT doc_id, 1, md5(s4||s5||s6||s7) FROM sigs
+        |  UNION ALL SELECT doc_id, 2, md5(s8||s9||s10||s11) FROM sigs
+        |  UNION ALL SELECT doc_id, 3, md5(s12||s13||s14||s15) FROM sigs),
         |ok AS (SELECT band, bkey FROM bands GROUP BY band, bkey HAVING count(*) <= 64)
         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         |FROM bands a JOIN ok USING (band, bkey)
         |JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+        |ORDER BY d1, d2""").stripMargin) { (s, d) =>
       TextDedup.lshCandidatePairs(Tables.documents(s, d), "doc_id", "text",
         numHashes = 16, rowsPerBand = 4, maxBucketSize = 64).orderBy(col("d1"), col("d2"))
     },
