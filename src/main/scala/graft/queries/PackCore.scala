@@ -314,6 +314,59 @@ object PackCore {
         .orderBy($"n_nationkey")
     },
 
+    // S3 — Excel ingestion seam (SURVEY.md §7.4 risk 3): no offline XLSX
+    // connector exists, so the reader models the workbook as its CSV
+    // export (`;`-separated, the transform_data_mp:60-62 path) behind the
+    // same explicit-schema reader used for S2 — a connector slots in here
+    // without touching downstream plans.
+    QDef("s3_scan_excel_as_csv",
+      "SELECT * FROM region ORDER BY r_regionkey") { (s, d) =>
+      val out = tmpBase(d) + "/xlsx_region"
+      Tables.region(s, d).coalesce(1).write.mode("overwrite")
+        .option("header", "true").option("sep", ";").csv(out)
+      s.read.option("header", "true").option("sep", ";")
+        .schema(StructType(Seq(
+          StructField("r_regionkey", IntegerType),
+          StructField("r_name", StringType))))
+        .csv(out)
+        .orderBy($"r_regionkey")
+    },
+
+    // S6 — Gmail incremental source, engine-side model (extract_data_pdf:
+    // 110-117): the connector fetch is out of scope; what the engine owns
+    // is the pushed-down `ts > watermark` predicate over the staged
+    // mail/event store, with the watermark derived from what's loaded.
+    QDef("s6_source_incremental",
+      """SELECT event_id, user_id, value FROM events
+        |WHERE CAST(ts AS TIMESTAMP) > (SELECT max(CAST(ts AS TIMESTAMP)) FROM events WHERE event_id % 4 = 0)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      Ops.watermarkAfter(ev, "ts", ev.filter($"event_id" % 4 === 0), $"ts",
+          lit(null).cast("timestamp"))
+        .select($"event_id", $"user_id", $"value")
+        .orderBy($"event_id")
+    },
+
+    // K5 + F18 — bulk replication (redshift_to_bq:133-182): read the
+    // warehouse table, conform types through the cast matrix, bulk-write
+    // columnar, re-read. Set-based copy replacing the row-decode loop.
+    QDef("k5_sink_bulk_copy",
+      """SELECT o_orderkey, CAST(o_custkey AS INTEGER) AS o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val out = tmpBase(d) + "/bq_orders"
+      val target = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_custkey", IntegerType),
+        StructField("o_totalprice", DecimalType(18, 2)),
+        StructField("o_orderdate", DateType), StructField("o_orderpriority", StringType)))
+      Exprs.conformTo(Tables.orders(s, d), target)
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .withColumn("o_totalprice", $"o_totalprice".cast("double"))
+        .orderBy($"o_orderkey")
+    },
+
     // S4 + F31 — JSON scan + field access (transform_data_bank_pay:80-81):
     // round-trips events through a JSON sink (K2) and extracts the props
     // field from the raw JSON string.

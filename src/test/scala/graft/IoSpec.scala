@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** K4 — DDL bootstrap + catalog resolve (extract_data_bank_pay:60-81;
+  * ai_agent:22-36): CREATE TABLE ... USING parquet against the session
+  * catalog, idempotent IF NOT EXISTS, schema visible via spark.catalog. */
+class IoSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("K4: CREATE TABLE USING parquet is idempotent and catalog-visible") {
+    val loc = java.nio.file.Files.createTempDirectory("graft_ddl").toString
+    val ddl =
+      s"""CREATE TABLE IF NOT EXISTS bank_payments (
+         |  id STRING, message_id STRING, fecha_pago DATE, hora_pago STRING,
+         |  monto DECIMAL(12,2), divisa STRING, tarjeta STRING,
+         |  nro_tarjeta STRING, comercio STRING, cuotas INT, extraido_en TIMESTAMP)
+         |USING parquet LOCATION '$loc'""".stripMargin
+    spark.sql(ddl)
+    spark.sql(ddl) // idempotent re-run (the reference re-issues the DDL every batch)
+    assert(spark.catalog.tableExists("bank_payments"))
+    val cols = spark.catalog.listColumns("bank_payments").collect().map(_.name).toSeq
+    assert(cols == graft.schemas.Schemas.bankPayments.fields.map(_.name).toSeq)
+    spark.sql("INSERT INTO bank_payments VALUES " +
+      "('id1','m1',DATE'2024-03-05','19:44:00',1234.56,'ARS','Tarjeta','9876','C',1,TIMESTAMP'2024-03-05 19:44:00')")
+    assert(spark.sql("SELECT count(*) FROM bank_payments").head().getLong(0) == 1)
+    spark.sql("DROP TABLE bank_payments")
+  }
+}
