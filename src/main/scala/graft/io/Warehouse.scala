@@ -1,0 +1,40 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Warehouse layout conventions (SURVEY.md §7.1 item 6).
+  *
+  * The reference's warehouse is three Redshift tables loaded row-by-row;
+  * ours is columnar parquet with layout chosen for the read patterns:
+  *
+  *  - **Partitioned** by a low-cardinality pruning column (e.g. load date)
+  *    so incremental readers (A1/ST1) touch only new partitions —
+  *    Catalyst turns the watermark filter into partition pruning.
+  *  - **Bucketed** by the join/dedup key so the J1/J2 anti-join gates and
+  *    the A2 group-join co-locate without shuffling either side: two
+  *    tables bucketed the same way join shuffle-free at any scale.
+  *
+  * JDBC variants are the same calls with `.format("jdbc")`; the bulk
+  * columnar write replaces the reference's per-row INSERT ceiling
+  * (load_data:32-36, BASELINE.md). */
+object Warehouse {
+
+  /** Append a batch under hive-style partition dirs (raw/processed
+    * lifecycle becomes partition values, not prefix renames). */
+  def appendPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Create-or-append a bucketed warehouse table (bucketing requires the
+    * session catalog, i.e. saveAsTable). Readers joining on `bucketCol`
+    * with matching bucketing skip the shuffle entirely. */
+  def appendBucketed(df: DataFrame, table: String, bucketCol: String,
+                     numBuckets: Int, location: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+      .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
+      .format("parquet")
+    location.fold(w.saveAsTable(table))(loc =>
+      w.option("path", loc).saveAsTable(table))
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+}

@@ -62,6 +62,23 @@ object Ops {
     en.unionByName(renamed)
   }
 
+  /** Skew-salted inner equi-join: when a handful of hot keys would
+    * overload single reducers in a shuffled join (and the small side is
+    * too big to broadcast), explode the small side `saltFactor` ways and
+    * scatter the big side's rows uniformly across the salts. AQE's skew
+    * handling covers sort-merge joins automatically; this is the explicit
+    * form for when the skew is known up front (e.g. a null-heavy or
+    * power-law key at 100 TB). Result equals a plain inner join on `keys`. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltFactor: Int = 8): DataFrame = {
+    val salts = explode(array((0 until saltFactor).map(lit): _*)).as("__salt")
+    val smallExpanded = small.select(col("*"), salts)
+    // deterministic uniform scatter: stable hash of the whole key tuple
+    val bigSalted = big.withColumn("__salt",
+      pmod(xxhash64(keys.map(col): _*), lit(saltFactor)).cast("int"))
+    bigSalted.join(smallExpanded, keys :+ "__salt").drop("__salt")
+  }
+
   /** ST3 (batch form) — keep exactly one row per key, deterministically:
     * the row with the minimal tiebreaker. groupBy+min_by rather than
     * dropDuplicates so results are stable for the oracle; the streaming

@@ -63,33 +63,51 @@ object TicketParser {
   }
 
   /** Parse one ticket's text into line items. Pure; returns Nil when the
-    * anchors are missing (malformed ticket). */
+    * anchors are missing (malformed ticket).
+    *
+    * Single pass over the lines (this runs per ticket inside a flatMap
+    * over the whole corpus, so constant factors matter): anchor lines
+    * dispatch on their literal prefixes and the amount regexes only run
+    * on lines containing the " x " grammar marker. */
   def parse(text: String): Seq[TicketItem] = {
     // \xa0/\xad cleanup, transform_data_pdf:32
-    val lines = text.replace(' ', ' ').replace("­", "")
-      .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    val lines = text.replace('\u00a0', ' ').replace("\u00ad", "").split("\n")
 
-    val fecha = lines.collectFirst { case fechaRe(d) => fixYear(d) }
-    val nro = lines.collectFirst { case ticketRe(n) => n.toLong }
-    val ahorro = lines.collectFirst { case ahorroRe(a) => num(a) }.getOrElse(BigDecimal(0))
-    if (fecha.isEmpty || nro.isEmpty) return Nil
-
+    var fecha: String = null
+    var nro = -1L
+    var ahorro = BigDecimal(0)
     var categ: String = null
     var prod: String = null
     val items = Seq.newBuilder[(String, String, Long, BigDecimal, BigDecimal, BigDecimal)]
-    val totalIdx = lines.indexWhere(l => totalRe.pattern.matcher(l).matches())
-    val body = if (totalIdx >= 0) lines.take(totalIdx) else lines
-    body.foreach {
-      case l if categorySet.contains(l) => categ = l; prod = null
-      case qtyRe(q, u, t) if categ != null && prod != null =>
-        items += ((categ, prod, q.toLong, BigDecimal(0), num(u), num(t))); prod = null
-      case pesoRe(kg, u, t) if categ != null && prod != null =>
-        items += ((categ, prod, 1L, num(kg), num(u), num(t))); prod = null
-      case l if categ != null && !l.startsWith("Fecha") && !l.startsWith("Caja") &&
-        !l.startsWith("P.V.") && !ahorroRe.pattern.matcher(l).matches() =>
-        prod = l // non-matching line names the next item, transform_data_pdf:114-115
-      case _ => ()
+    var i = 0
+    var done = false
+    while (i < lines.length && !done) {
+      val l = lines(i).trim
+      if (l.nonEmpty) {
+        if (categorySet.contains(l)) { categ = l; prod = null }
+        else if (l.startsWith("TOTAL") && totalRe.pattern.matcher(l).matches()) done = true
+        else if (l.startsWith("Fecha")) { if (fecha == null) l match {
+          case fechaRe(d) => fecha = fixYear(d)
+          case _ => () } }
+        else if (l.startsWith("P.V.")) { if (nro < 0) l match {
+          case ticketRe(n) => nro = n.toLong
+          case _ => () } }
+        else if (l.startsWith("AHORRO")) l match {
+          case ahorroRe(a) => ahorro = num(a)
+          case _ => () }
+        else if (l.startsWith("Caja")) ()
+        else if (categ != null && prod != null && l.contains(" x ")) l match {
+          case qtyRe(q, u, t) =>
+            items += ((categ, prod, q.toLong, BigDecimal(0), num(u), num(t))); prod = null
+          case pesoRe(kg, u, t) =>
+            items += ((categ, prod, 1L, num(kg), num(u), num(t))); prod = null
+          case _ => prod = l // amount-looking line that isn't one → item name
+        }
+        else if (categ != null) prod = l // names the next item, transform_data_pdf:114-115
+      }
+      i += 1
     }
+    if (fecha == null || nro < 0) return Nil
     val parsed = items.result()
     // ticket-level totals broadcast to every row (F6/F7,
     // transform_data_pdf:117-126): bruto = sum(items) − ahorro,
@@ -97,7 +115,7 @@ object TicketParser {
     val bruto = (parsed.map(_._6).sum - ahorro).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     val meli = (bruto * BigDecimal("0.3")).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     parsed.map { case (c, p, q, kg, u, t) =>
-      TicketItem(nro.get, fecha.get, c, p, q, kg.toDouble, u.toDouble, t.toDouble,
+      TicketItem(nro, fecha, c, p, q, kg.toDouble, u.toDouble, t.toDouble,
         bruto.toDouble, meli.toDouble)
     }
   }

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.Warehouse
+import graft.ops.Ops
+import graft.plans.{DotProduct, GraftExtensions}
+
+/** The explicit scale tools: salted skew join, bucketed warehouse layout,
+  * custom-function registration. */
+class ScaleOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("saltedJoin equals the plain inner join under heavy key skew") {
+    // 10k rows all sharing one hot key + a uniform tail
+    val big = (1 to 10000).map(i => (if (i % 2 == 0) 1L else i.toLong, i))
+      .toDF("k", "v")
+    val small = Seq((1L, "hot"), (3L, "cold"), (5L, "cold")).toDF("k", "tag")
+    val plain = big.join(small, Seq("k")).agg(count(lit(1)), sum($"v")).head()
+    val salted = Ops.saltedJoin(big, small, Seq("k")).agg(count(lit(1)), sum($"v")).head()
+    assert(salted == plain)
+  }
+
+  test("bucketed warehouse tables join without exchanging the bucketed side") {
+    val loc1 = java.nio.file.Files.createTempDirectory("graft_b1").toString
+    val loc2 = java.nio.file.Files.createTempDirectory("graft_b2").toString
+    spark.sql("DROP TABLE IF EXISTS wh_orders_b")
+    spark.sql("DROP TABLE IF EXISTS wh_items_b")
+    val o = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "o")
+    val i = Seq((1L, 10.0), (1L, 11.0), (3L, 30.0)).toDF("k", "amt")
+    Warehouse.appendBucketed(o, "wh_orders_b", "k", 4, Some(loc1))
+    Warehouse.appendBucketed(i, "wh_items_b", "k", 4, Some(loc2))
+    val joined = spark.table("wh_orders_b").join(spark.table("wh_items_b"), Seq("k"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle either side:\n$plan")
+    assert(joined.count() == 3)
+    spark.sql("DROP TABLE wh_orders_b")
+    spark.sql("DROP TABLE wh_items_b")
+  }
+
+  test("graft_dot is callable from SQL after registration; extension class applies cleanly") {
+    DotProduct.register(spark)
+    val v = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(v == 11.0)
+    // extension wiring for fresh sessions (spark.sql.extensions path)
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+}
