@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational building blocks (SURVEY.md §2.4, §2.5, §2.10): the dedup
@@ -60,6 +61,39 @@ object Ops {
       if (df.columns.contains(from)) df.withColumnRenamed(from, to) else df
     }
     en.unionByName(renamed)
+  }
+
+  /** As-of join (point-in-time lookup): for every left row, attach the
+    * right row with the greatest `rightTime <= leftTime` for the same
+    * keys — the temporal-join primitive Spark SQL lacks (feature lookups,
+    * latest-snapshot enrichment). Set-based, no custom physical node
+    * needed: union both sides tagged, one window pass per key ordered by
+    * (time, tag) propagates the latest right payload onto left rows via
+    * `last(_, ignoreNulls)`. Cost = one shuffle on `keys` + a sort within
+    * partitions — the same lower bound a dedicated merge-join
+    * implementation would pay on unsorted input, and it inherits AQE/skew
+    * handling for free. Right rows at exactly leftTime match (>=). */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String): DataFrame = {
+    val payload = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
+    val leftCols = left.columns.toSeq
+    val l2 = left.withColumn("__t", col(leftTime)).withColumn("__tag", lit(1))
+    val lTagged = payload.foldLeft(l2)((df, c) => df.withColumn(c, lit(null)))
+    val r2 = right.withColumnRenamed(rightTime, "__rt")
+      .withColumn("__t", col("__rt")).withColumn("__tag", lit(0)).drop("__rt")
+    val rTagged = leftCols.filterNot(keys.contains)
+      .foldLeft(r2)((df, c) => df.withColumn(c, lit(null)))
+    val unioned = lTagged.select((keys ++ Seq("__t", "__tag") ++
+        leftCols.filterNot(keys.contains) ++ payload).map(col): _*)
+      .unionByName(rTagged.select((keys ++ Seq("__t", "__tag") ++
+        leftCols.filterNot(keys.contains) ++ payload).map(col): _*))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned)((df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    carried.filter(col("__tag") === 1).drop("__t", "__tag")
+      .select((leftCols ++ payload).map(col): _*)
   }
 
   /** Skew-salted inner equi-join: when a handful of hot keys would

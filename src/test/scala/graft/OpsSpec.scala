@@ -58,4 +58,14 @@ class OpsSpec extends AnyFunSuite {
       .as[(Int, Long, String)].collect().toSeq
     assert(out == Seq((1, 5L, "b"), (2, 7L, "c")))
   }
+
+  test("asofJoin attaches latest right row at-or-before left time; null when none") {
+    val left = Seq((1, 10L, "p1"), (1, 20L, "p2"), (2, 5L, "p3"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1, 8L, "x"), (1, 15L, "y"), (1, 20L, "z"), (3, 1L, "w"))
+      .toDF("k", "t", "rv")
+    val out = Ops.asofJoin(left, right, Seq("k"), "t", "t")
+      .orderBy("k", "t").as[(Int, Long, String, String)].collect().toSeq
+    assert(out == Seq((1, 10L, "p1", "x"), (1, 20L, "p2", "z"), (2, 5L, "p3", null)))
+  }
 }
