@@ -58,6 +58,31 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Learn coarse-quantizer centroids as the element-wise mean embedding
+    * per bucket (k-means step with assignments given; iterate with
+    * [[assignToCentroids]] for full Lloyd's). Output long form
+    * (bucket, dim, mean) — shuffle is bounded by buckets × dims. */
+  def centroids(corpus: DataFrame, bucketCol: String): DataFrame =
+    corpus.select(col(bucketCol), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col(bucketCol), (col("pos") + 1).as("i"))
+      .agg(round(avg(col("v").cast("double")), 6).as("mean"))
+
+  /** Assign each vector to its max-dot-product centroid (centroids in
+    * long form as produced by [[centroids]], collected + broadcast as an
+    * array literal — k × dims doubles, driver-safe by construction). */
+  def assignToCentroids(vecs: DataFrame, cents: DataFrame, bucketCol: String): DataFrame = {
+    val byBucket = cents.groupBy(col(bucketCol))
+      .agg(array_sort(collect_list(struct(col("i"), col("mean")))).as("c"))
+      .select(col(bucketCol).as("__bucket"),
+        transform(col("c"), x => x.getField("mean")).as("__centroid"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("__score").desc, col("__bucket"))
+    vecs.crossJoin(broadcast(byBucket))
+      .withColumn("__score", nativeDot(vecs.sparkSession, col("embedding"), col("__centroid")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(vecs.columns.map(col) :+ col("__bucket").as("assigned"): _*)
+  }
+
   /** IVF-style ANN: identical to [[bruteTopK]] but the candidate set is
     * pruned to the query's coarse bucket (equi-join on `bucketCol`).
     * probe=1; multi-probe = union over adjacent buckets, same shape. */

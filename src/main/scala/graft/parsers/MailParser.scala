@@ -28,9 +28,15 @@ object MailParser {
       monto: BigDecimal, divisa: String, tarjeta: String, nro_tarjeta: String,
       comercio: String, cuotas: Int)
 
+  // precompiled — these run once per mail across the whole corpus
+  private val tagRe = java.util.regex.Pattern.compile("<[^>]*>")
+  private val wsRe = java.util.regex.Pattern.compile("\\s+")
+  private val moneyMarkRe = java.util.regex.Pattern.compile("(U\\$S|US\\$|USD|ARS\\$|AR\\$|\\$|\\s)")
+  private val thousandsRe = java.util.regex.Pattern.compile("\\.(?=\\d{3})")
+
   /** F26b — HTML → visible-text token list (stripped_strings analog). */
   def tokens(html: String): Vector[String] =
-    html.replaceAll("<[^>]*>", " ").replaceAll("\\s+", " ").trim
+    wsRe.matcher(tagRe.matcher(html).replaceAll(" ")).replaceAll(" ").trim
       .split(" ").filter(_.nonEmpty).toVector
 
   /** F28 — token after a label token. */
@@ -42,8 +48,8 @@ object MailParser {
   /** F19 — money-string grammar (strip currency marks, `.` thousands,
     * `,` decimal). */
   def parseMoney(s: String): Option[BigDecimal] = {
-    val cleaned = s.replaceAll("(U\\$S|US\\$|USD|ARS\\$|AR\\$|\\$|\\s)", "")
-      .replaceAll("\\.(?=\\d{3})", "").replace(',', '.')
+    val cleaned = thousandsRe.matcher(moneyMarkRe.matcher(s).replaceAll(""))
+      .replaceAll("").replace(',', '.')
     try Some(BigDecimal(cleaned).setScale(2, BigDecimal.RoundingMode.HALF_UP))
     catch { case _: NumberFormatException => None }
   }

@@ -152,6 +152,29 @@ object PackExt {
         .orderBy(col("qid"))
     },
 
+    // IVF coarse-quantizer learning: per-bucket element-wise mean
+    // embedding (the k-means update step; assignments here are the label
+    // column, Similarity.assignToCentroids closes the Lloyd's loop).
+    QDef("ann_ivf_centroids",
+      """SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean
+        |FROM embeddings, range(1, 65) t(i)
+        |GROUP BY label, i ORDER BY label, i""".stripMargin) { (s, d) =>
+      Similarity.centroids(Tables.embeddings(s, d), "label")
+        .orderBy(col("label"), col("i"))
+    },
+
+    // approx distinct (HLL) beside the exact count — the sketch side has
+    // no cross-engine oracle (HLL implementations differ), so the exact
+    // column carries the check and the test suite bounds the sketch error.
+    QDef("agg_approx_distinct",
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+        .orderBy(col("event_type"))
+    },
+
     // ---------------------------------------------------------- text analysis
 
     QDef("text_langid",

@@ -75,4 +75,23 @@ class ExtSpec extends AnyFunSuite {
     assert(f0.mime == "image/png" && f0.n_bytes == docs.head.getString(1).length)
     assert(f0.sha.length == 64 && f0.width == f0.n_bytes % 640 + 32)
   }
+
+  test("approx_count_distinct within 5% of exact; centroid assignment recovers buckets") {
+    val ev = graft.schemas.Tables.events(spark, TestSpark.sf0001)
+    val (approx, exact) = ev.select(
+      approx_count_distinct("user_id"), countDistinct("user_id"))
+      .as[(Long, Long)].head()
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05, s"approx=$approx exact=$exact")
+
+    // clearly separated clusters: assignment must recover the bucket
+    val vecs = Seq(
+      (0L, Array(10f, 0f), 0), (1L, Array(11f, 1f), 0),
+      (2L, Array(0f, 10f), 1), (3L, Array(1f, 11f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val cents = graft.ext.Similarity.centroids(vecs, "label")
+    assert(cents.count() == 4) // 2 buckets x 2 dims
+    val assigned = graft.ext.Similarity.assignToCentroids(vecs, cents, "label")
+      .select("vec_id", "assigned").as[(Long, Int)].collect().toMap
+    assert(assigned == Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1))
+  }
 }

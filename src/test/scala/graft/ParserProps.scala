@@ -1,0 +1,57 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import graft.parsers.{MailParser, TicketParser}
+
+/** ScalaCheck properties for the parser grammars (SURVEY.md §5.3) — run
+  * natively by sbt's ScalaCheck framework. */
+object ParserProps extends Properties("parsers") {
+
+  private val cents = Gen.choose(1L, 99999999L)
+  private def money(c: Long) = BigDecimal(c, 2)
+
+  property("parseMoney inverts every currency formatting") = Prop.forAll(
+    cents, Gen.oneOf("$", "U$S ", "US$", "AR$ ", "")) { (c, prefix) =>
+    val d = money(c)
+    MailParser.parseMoney(prefix + d.toString.replace(".", ",")).contains(d)
+  }
+
+  property("parseMoney handles thousands separators") = Prop.forAll(
+    Gen.choose(1000L, 999999L)) { n =>
+    // "1.234.567,89"-style grouping
+    val whole = n.toString.reverse.grouped(3).mkString(".").reverse
+    MailParser.parseMoney(s"$$$whole,50").contains(BigDecimal(s"$n.50"))
+  }
+
+  private val itemGen: Gen[(String, String, Long, Double, Double, Double)] = for {
+    cat <- Gen.oneOf(TicketParser.categories)
+    prod <- Gen.identifier.map("P" + _.take(12))
+    weighted <- Gen.oneOf(true, false)
+    cant <- Gen.choose(1L, 9L)
+    kg <- cents.map(c => money(c % 9999 + 1).toDouble)
+    unit <- cents.map(money(_).toDouble)
+    total <- cents.map(money(_).toDouble)
+  } yield if (weighted) (cat, prod, 1L, kg, unit, total)
+          else (cat, prod, cant, 0.0, unit, total)
+
+  property("ticket render∘parse is identity on item fields") = Prop.forAll(
+    Gen.choose(1L, 99999L), Gen.nonEmptyListOf(itemGen).map(_.take(10))) { (nro, items) =>
+    val text = TicketParser.render(nro, "07/11/2024", 0.0, items)
+    val parsed = TicketParser.parse(text)
+    parsed.map(p => (p.categ, p.prod, p.cant, p.peso, p.p_unit, p.p_total)) == items &&
+      parsed.forall(_.nro_ticket == nro)
+  }
+
+  property("ticket bruto invariant: sum(p_total) − ahorro, meli = 30% HALF_UP") = Prop.forAll(
+    Gen.nonEmptyListOf(itemGen).map(_.take(8)), Gen.choose(0L, 9999L)) { (items, ahorroCents) =>
+    val ahorro = money(ahorroCents)
+    val text = TicketParser.render(1L, "07/11/2024", ahorro.toDouble, items)
+    val parsed = TicketParser.parse(text)
+    val expected = (items.map(i => BigDecimal(i._6)).sum - ahorro)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    parsed.forall(p =>
+      p.total_ticket_bruto == expected.toDouble &&
+      p.total_ticket_meli == (expected * BigDecimal("0.3"))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+}
