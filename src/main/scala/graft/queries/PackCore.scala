@@ -421,6 +421,19 @@ object PackCore {
       s.read.parquet(out).orderBy($"o_orderkey")
     },
 
+    // A5 surface — "¿cuánto gasté este mes?" (ai_agent:214-222): calendar-
+    // period filter via date_trunc, the only "window" the reference's NL
+    // surface needs (SURVEY §2.10 note).
+    QDef("agg_month_filter",
+      """SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gasto,
+        |       count(*) AS n
+        |FROM orders WHERE date_trunc('month', o_orderdate) = TIMESTAMP '1996-06-01'""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(date_trunc("month", $"o_orderdate") ===
+          lit(java.sql.Timestamp.valueOf("1996-06-01 00:00:00")))
+        .agg(sum(dec($"o_totalprice")).cast("double").as("gasto"), count(lit(1)).as("n"))
+    },
+
     // §3.3 — the NL-analytics read path minus the LLM: catalog resolve
     // (spark.catalog ≈ Glue get_tables, ai_agent:22-36) + spark.sql over a
     // registered view (≈ Redshift execute, ai_agent:101-125).

@@ -48,4 +48,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     // extension wiring for fresh sessions (spark.sql.extensions path)
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
+
+  test("graft_minhash typed aggregate equals the wide groupBy signature form") {
+    graft.plans.MinHashAgg.register(spark)
+    val docs = Seq((0L, "the quick brown fox"), (1L, "spark parquet engines"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("mh_docs")
+    val agg = spark.sql(
+      """SELECT doc_id, graft_minhash(array_distinct(split(text, ' '))) AS sig
+        |FROM mh_docs GROUP BY doc_id""".stripMargin)
+      .as[(Long, Seq[String])].collect().toMap
+    val wide = graft.ext.TextDedup.minhashSignatures(docs, "doc_id", "text", 16)
+    val wideMap = wide.collect().map(r =>
+      r.getLong(0) -> (1 to 16).map(i => r.getString(i)).toSeq).toMap
+    assert(agg == wideMap)
+  }
 }
