@@ -104,4 +104,25 @@ class StreamingSpec extends AnyFunSuite {
     q.awaitTermination()
     assert(spark.sql("SELECT count(*) FROM arch_out").as[Long].head() == 1)
   }
+
+  test("windowed aggregation with watermark over the file stream") {
+    val in = tmp("graft_in7"); val ckpt = tmp("graft_ckpt7")
+    stageBatch(in, Seq(
+      (1L, "2024-01-01 10:01:00", 1L, 10.0), (2L, "2024-01-01 10:04:00", 2L, 20.0),
+      (3L, "2024-01-01 10:07:00", 1L, 30.0), (4L, "2024-01-01 11:00:00", 1L, 5.0)), "b1")
+    val agg = StreamingOps.fileSource(spark, in, schema)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"), $"user_id")
+      .agg(count("*").as("n"), sum($"value").as("total"))
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.sql(
+      "SELECT CAST(window.start AS STRING), user_id, n, total FROM win_out ORDER BY 1, 2")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(rows == Seq(
+      ("2024-01-01 10:00:00", 1L, 1L, 10.0), ("2024-01-01 10:00:00", 2L, 1L, 20.0),
+      ("2024-01-01 10:05:00", 1L, 1L, 30.0), ("2024-01-01 11:00:00", 1L, 1L, 5.0)))
+  }
 }
