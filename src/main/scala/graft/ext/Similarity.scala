@@ -83,6 +83,22 @@ object Similarity {
       .select(vecs.columns.map(col) :+ col("__bucket").as("assigned"): _*)
   }
 
+  /** Full Lloyd's k-means for the IVF coarse quantizer: deterministic
+    * init (bucket = vec_id % k), then alternate [[centroids]] /
+    * [[assignToCentroids]]. Each iteration is one shuffle (k×dims partial
+    * means) plus a broadcast assignment pass — no driver-side math beyond
+    * holding k centroids. Returns (assignments, centroids). */
+  def kmeansFit(corpus: DataFrame, k: Int, iterations: Int): (DataFrame, DataFrame) = {
+    var assigned = corpus.withColumn("bucket", pmod(col("vec_id"), lit(k)).cast("int"))
+    var cents: DataFrame = null
+    for (_ <- 1 to iterations) {
+      cents = centroids(assigned, "bucket")
+      assigned = assignToCentroids(corpus, cents, "bucket")
+        .withColumnRenamed("assigned", "bucket")
+    }
+    (assigned, cents)
+  }
+
   /** IVF-style ANN: identical to [[bruteTopK]] but the candidate set is
     * pruned to the query's coarse bucket (equi-join on `bucketCol`).
     * probe=1; multi-probe = union over adjacent buckets, same shape. */

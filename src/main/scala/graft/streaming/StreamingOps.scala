@@ -78,6 +78,51 @@ object StreamingOps {
   final case class EventRow(event_id: Long, user_id: Long, value: Double)
   final case class UserTotal(user_id: Long, n: Long, total: Double)
 
+  /** Session windows with gap timeout via flatMapGroupsWithState: a
+    * session closes when `gapMs` elapses without events for the key (or
+    * at end-of-input for AvailableNow runs via the final state timeout).
+    * Emits one row per CLOSED session — the custom-window shape the
+    * built-in tumbling/sliding windows can't express. State per key =
+    * (session start, last-seen, count, sum). */
+  final case class TimedEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class Session(user_id: Long, start: java.sql.Timestamp,
+                           end: java.sql.Timestamp, n: Long, total: Double)
+  final case class SessState(start: Long, last: Long, n: Long, acc: Double)
+
+  def sessionWindows(ds: Dataset[TimedEvent], gapMs: Long): Dataset[Session] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[TimedEvent], state: GroupState[SessState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          val closed = Seq.newBuilder[Session]
+          var st = state.getOption.orNull
+          if (state.hasTimedOut && st != null) {
+            closed += Session(uid, new java.sql.Timestamp(st.start),
+              new java.sql.Timestamp(st.last), st.n, st.acc)
+            st = null
+          }
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            st match {
+              case null => st = SessState(t, t, 1L, e.value)
+              case s if t - s.last > gapMs =>
+                closed += Session(uid, new java.sql.Timestamp(s.start),
+                  new java.sql.Timestamp(s.last), s.n, s.acc)
+                st = SessState(t, t, 1L, e.value)
+              case s => st = SessState(s.start, t, s.n + 1, s.acc + e.value)
+            }
+          }
+          if (st != null) {
+            state.update(st)
+            state.setTimeoutTimestamp(st.last + gapMs)
+          } else state.remove()
+          closed.result().iterator
+      }
+  }
+
   def runningTotals(ds: Dataset[EventRow]): Dataset[UserTotal] = {
     val spark = ds.sparkSession
     import spark.implicits._

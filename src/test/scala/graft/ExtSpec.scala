@@ -94,4 +94,22 @@ class ExtSpec extends AnyFunSuite {
       .select("vec_id", "assigned").as[(Long, Int)].collect().toMap
     assert(assigned == Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1))
   }
+
+  test("n-gram shingles and kmeansFit recover structure") {
+    val sh = docs.select($"doc_id", graft.ext.TextDedup.shingles($"text", 3).as("s"))
+      .filter($"doc_id" === 0L).select(explode($"s")).as[String].collect().toSeq
+    assert(sh.contains("the quick brown") && sh.contains("quick brown fox"))
+    assert(sh.forall(_.split(" ").length == 3))
+
+    val vecs = Seq(
+      (0L, Array(10f, 0f)), (1L, Array(11f, 1f)), (2L, Array(12f, 0.5f)),
+      (3L, Array(0f, 10f)), (4L, Array(1f, 11f)), (5L, Array(0.5f, 12f))
+    ).toDF("vec_id", "embedding")
+    val (assigned, cents) = graft.ext.Similarity.kmeansFit(vecs, k = 2, iterations = 3)
+    val byBucket = assigned.select("vec_id", "bucket").as[(Long, Int)].collect()
+      .groupBy(_._2).map { case (_, g) => g.map(_._1).toSet }.toSet
+    assert(byBucket == Set(Set(0L, 1L, 2L), Set(3L, 4L, 5L)),
+      s"clusters must separate the two groups: $byBucket")
+    assert(cents.count() == 4) // 2 buckets x 2 dims
+  }
 }

@@ -125,4 +125,23 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 10:00:00", 1L, 1L, 10.0), ("2024-01-01 10:00:00", 2L, 1L, 20.0),
       ("2024-01-01 10:05:00", 1L, 1L, 30.0), ("2024-01-01 11:00:00", 1L, 1L, 5.0)))
   }
+
+  test("flatMapGroupsWithState session windows close on the inactivity gap") {
+    val in = tmp("graft_in8"); val ckpt = tmp("graft_ckpt8")
+    stageBatch(in, Seq(
+      (1L, "2024-01-01 10:00:00", 7L, 1.0), (2L, "2024-01-01 10:05:00", 7L, 2.0),
+      (3L, "2024-01-01 12:00:00", 7L, 4.0)), "b1") // 2h gap closes the first session
+    val src = StreamingOps.fileSource(spark, in, schema)
+      .withWatermark("ts", "0 seconds")
+      .select($"user_id", $"ts", $"value").as[StreamingOps.TimedEvent]
+    val q = StreamingOps.sessionWindows(src, gapMs = 10 * 60 * 1000)
+      .writeStream.format("memory").queryName("sess_out").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.sql(
+      "SELECT user_id, CAST(start AS STRING), CAST(end AS STRING), n, total FROM sess_out")
+      .as[(Long, String, String, Long, Double)].collect().toSeq
+    assert(rows == Seq((7L, "2024-01-01 10:00:00", "2024-01-01 10:05:00", 2L, 3.0)))
+  }
 }
