@@ -75,17 +75,18 @@ object PackExt {
     },
 
     QDef("dedup_ngram_jaccard",
-      """WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS w
-        |           FROM documents WHERE doc_id < 200),
+      """WITH base AS (SELECT doc_id, string_split(text,' ') AS l FROM documents WHERE doc_id < 200),
+        |t AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, length(l)),
+        |        i -> array_to_string(l[i:i+1], ' ')))) AS w FROM base),
         |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
         |sh AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
         |       FROM t a JOIN t b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT d1, d2, round(c*1.0/(s1.n + s2.n - c), 6) AS jaccard
         |FROM sh JOIN sz s1 ON sh.d1 = s1.doc_id JOIN sz s2 ON sh.d2 = s2.doc_id
-        |WHERE c*1.0/(s1.n + s2.n - c) >= 0.8
+        |WHERE c*1.0/(s1.n + s2.n - c) >= 0.35
         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
       TextDedup.jaccardPairs(Tables.documents(s, d).filter(col("doc_id") < 200),
-        "doc_id", "text", 0.8).orderBy(col("d1"), col("d2"))
+        "doc_id", "text", 0.35, n = 2).orderBy(col("d1"), col("d2"))
     },
 
     QDef("dedup_simhash",
