@@ -40,6 +40,21 @@ object TextAnalysis {
     size(regexp_extract_all(text, lit("[a-z0-9]+"), lit(0))).cast("long"),
     ceil(length(text) / 4.0).cast("long"))
 
+  /** Unicode/punctuation normalization: lowercase, strip non-alphanumerics,
+    * collapse whitespace — the canonical pre-tokenization step. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), "\\s+", " "))
+
+  /** All n-gram occurrences (non-distinct, for frequency counting;
+    * TextDedup.shingles is the distinct-set variant for similarity). */
+  def ngrams(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    filter(
+      transform(words, (_, i) =>
+        when(i <= size(words) - n, array_join(slice(words, i + 1, lit(n)), " "))),
+      s => s.isNotNull)
+  }
+
   /** Rolling polynomial fingerprint over the token stream
     * (h = (h*31 + ascii(w) + len(w)) mod 1e9+7): order-sensitive, unlike
     * the canonical set fingerprint in TextDedup. */

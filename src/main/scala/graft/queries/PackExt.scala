@@ -218,6 +218,67 @@ object PackExt {
         .orderBy(col("doc_id"))
     },
 
+    // canonical text normalization (lowercase / strip punct / collapse ws)
+    QDef("text_normalize",
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower('¡' || text || '!?'), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.normalize(concat(lit("¡"), col("text"), lit("!?"))).as("norm"))
+        .orderBy(col("doc_id"))
+    },
+
+    // corpus term frequency + document frequency, top 20
+    QDef("text_term_freq",
+      """SELECT w, count(*) AS df, CAST(sum(cnt) AS BIGINT) AS tf
+        |FROM (SELECT doc_id, w, count(*) AS cnt
+        |      FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+        |      GROUP BY doc_id, w)
+        |GROUP BY w ORDER BY tf DESC, w LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("w")).agg(count(lit(1)).as("df"), sum(col("cnt")).as("tf"))
+        .orderBy(col("tf").desc, col("w")).limit(20)
+    },
+
+    // corpus bigram frequency, top 20
+    QDef("text_ngram_freq",
+      """SELECT g, count(*) AS n
+        |FROM (SELECT unnest(list_transform(range(1, length(l)), i -> array_to_string(l[i:i+1], ' '))) AS g
+        |      FROM (SELECT string_split(text,' ') AS l FROM documents))
+        |GROUP BY g ORDER BY n DESC, g LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextAnalysis.ngrams(col("text"), 2)).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("g")).limit(20)
+    },
+
+    // the composed C4-style keep/drop filter over quality + langid +
+    // length — what a training-data ingest actually runs per document
+    QDef("text_filter_pipeline",
+      """SELECT doc_id, quality, predicted, n_tokens,
+        |  (quality >= 0.5 AND predicted = 'en' AND n_tokens >= 10) AS keep
+        |FROM (
+        |  SELECT doc_id,
+        |    round(0.4 * (length(list_distinct(l))*1.0/length(l))
+        |        + 0.4 * (1.0 - length(list_filter(l, t -> t IN ('the','a','of','and','to','is')))*1.0/length(l))
+        |        + 0.2 * least(1.0, length(l)/50.0), 6) AS quality,
+        |    CASE WHEN length(list_filter(l, t -> t IN ('the','a','of','and','to','is')))*1.0/length(l) >= 0.05
+        |         THEN 'en' ELSE 'unk' END AS predicted,
+        |    CAST(length(l) AS BIGINT) AS n_tokens
+        |  FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents))
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val (_, n, predicted) = TextAnalysis.langId(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"),
+          predicted.as("predicted"), n.as("n_tokens"))
+        .withColumn("keep",
+          col("quality") >= 0.5 && col("predicted") === "en" && col("n_tokens") >= 10)
+        .orderBy(col("doc_id"))
+    },
+
     QDef("text_fingerprint_rolling",
       """SELECT doc_id,
         |  list_reduce(list_transform(string_split(text,' '),
