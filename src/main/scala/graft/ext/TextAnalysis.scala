@@ -46,13 +46,21 @@ object TextAnalysis {
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), "\\s+", " "))
 
   /** All n-gram occurrences (non-distinct, for frequency counting;
-    * TextDedup.shingles is the distinct-set variant for similarity). */
+    * TextDedup.shingles is the distinct-set variant for similarity).
+    * Bigrams zip the array against its own shift — one slice per row;
+    * the general case pays a slice per position. */
   def ngrams(text: Column, n: Int): Column = {
     val words = split(text, " ")
-    filter(
-      transform(words, (_, i) =>
-        when(i <= size(words) - n, array_join(slice(words, i + 1, lit(n)), " "))),
-      s => s.isNotNull)
+    if (n == 2)
+      zip_with(
+        slice(words, lit(1), greatest(size(words) - 1, lit(0))),
+        slice(words, lit(2), greatest(size(words) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    else
+      filter(
+        transform(words, (_, i) =>
+          when(i <= size(words) - n, array_join(slice(words, i + 1, lit(n)), " "))),
+        s => s.isNotNull)
   }
 
   /** Rolling polynomial fingerprint over the token stream
