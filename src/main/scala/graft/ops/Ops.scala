@@ -63,6 +63,14 @@ object Ops {
     en.unionByName(renamed)
   }
 
+  /** K8 — set-based upsert (the rollback UPDATE, compensation_flow:34-56,
+    * done as a merge): rows of `updates` replace same-key rows of `base`,
+    * other base rows pass through. Equivalent to MERGE WHEN MATCHED THEN
+    * UPDATE; with partitioned tables this rewrites only the touched
+    * partitions. Updates side is typically tiny → broadcast anti-join. */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    updates.unionByName(antiJoin(base, updates, keys))
+
   /** As-of join (point-in-time lookup): for every left row, attach the
     * right row with the greatest `rightTime <= leftTime` for the same
     * keys — the temporal-join primitive Spark SQL lacks (feature lookups,

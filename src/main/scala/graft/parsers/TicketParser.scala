@@ -55,6 +55,11 @@ object TicketParser {
     * and double accumulation would drift at .xx5 boundaries. */
   private def num(s: String): BigDecimal = BigDecimal(s.replace(".", "").replace(",", "."))
 
+  /** Double variant for amounts that are never summed (unit price, kg):
+    * ≤2-decimal values convert exactly, and skipping BigDecimal halves the
+    * per-amount parse cost. */
+  private def numD(s: String): Double = s.replace(".", "").replace(",", ".").toDouble
+
   /** Two-digit-year fixup, Python twin of the watermark SQL
     * (extract_data_pdf:89-91). */
   private def fixYear(d: String): String = {
@@ -78,7 +83,7 @@ object TicketParser {
     var ahorro = BigDecimal(0)
     var categ: String = null
     var prod: String = null
-    val items = Seq.newBuilder[(String, String, Long, BigDecimal, BigDecimal, BigDecimal)]
+    val items = Seq.newBuilder[(String, String, Long, Double, Double, BigDecimal)]
     var i = 0
     var done = false
     while (i < lines.length && !done) {
@@ -96,12 +101,17 @@ object TicketParser {
           case ahorroRe(a) => ahorro = num(a)
           case _ => () }
         else if (l.startsWith("Caja")) ()
-        else if (categ != null && prod != null && l.contains(" x ")) l match {
-          case qtyRe(q, u, t) =>
-            items += ((categ, prod, q.toLong, BigDecimal(0), num(u), num(t))); prod = null
-          case pesoRe(kg, u, t) =>
-            items += ((categ, prod, 1L, num(kg), num(u), num(t))); prod = null
-          case _ => prod = l // amount-looking line that isn't one → item name
+        else if (categ != null && prod != null && l.contains(" x ")) {
+          // dispatch on the first char: weighted lines start with the 'x'
+          // marker, unit-priced with the quantity digits — one regex try
+          val m = (if (l.charAt(0) == 'x') pesoRe else qtyRe).pattern.matcher(l)
+          if (m.matches()) {
+            if (l.charAt(0) == 'x')
+              items += ((categ, prod, 1L, numD(m.group(1)), numD(m.group(2)), num(m.group(3))))
+            else
+              items += ((categ, prod, m.group(1).toLong, 0.0, numD(m.group(2)), num(m.group(3))))
+            prod = null
+          } else prod = l // amount-looking line that isn't one → item name
         }
         else if (categ != null) prod = l // names the next item, transform_data_pdf:114-115
       }
@@ -115,7 +125,7 @@ object TicketParser {
     val bruto = (parsed.map(_._6).sum - ahorro).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     val meli = (bruto * BigDecimal("0.3")).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     parsed.map { case (c, p, q, kg, u, t) =>
-      TicketItem(nro, fecha, c, p, q, kg.toDouble, u.toDouble, t.toDouble,
+      TicketItem(nro, fecha, c, p, q, kg, u, t.toDouble,
         bruto.toDouble, meli.toDouble)
     }
   }

@@ -421,6 +421,20 @@ object PackCore {
       s.read.parquet(out).orderBy($"o_orderkey")
     },
 
+    // K8 — the compensation UPDATE as a set-based merge: failed-batch
+    // rows get status 'X', everything else passes through unchanged
+    // (compensation_flow:34-56; idempotent by construction).
+    QDef("k8_upsert_rollback",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val base = Tables.orders(s, d).select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val failed = base.filter($"o_orderkey" % 10 === 0)
+        .withColumn("o_orderstatus", lit("X"))
+      Ops.upsert(base, failed, Seq("o_orderkey")).orderBy($"o_orderkey")
+    },
+
     // A5 surface — "¿cuánto gasté este mes?" (ai_agent:214-222): calendar-
     // period filter via date_trunc, the only "window" the reference's NL
     // surface needs (SURVEY §2.10 note).
