@@ -123,6 +123,25 @@ object StreamingOps {
       }
   }
 
+  /** ST6 (alerting half) — the CloudWatch-alarm → SNS-email path
+    * (main.tf:1124-1187) as a StreamingQueryListener: query lifecycle and
+    * failure events land in an in-memory alert log (swap `record` for a
+    * pager/webhook call in production). Register via
+    * `spark.streams.addListener(new AlertListener)`. */
+  final class AlertListener extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val log = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def alerts: Seq[String] = { import scala.jdk.CollectionConverters._; log.asScala.toSeq }
+    private def record(kind: String, detail: String): Unit = { log.add(s"$kind: $detail"); () }
+    override def onQueryStarted(e: QueryStartedEvent): Unit =
+      record("started", e.id.toString)
+    override def onQueryProgress(e: QueryProgressEvent): Unit =
+      record("progress", s"${e.progress.id} rows=${e.progress.numInputRows}")
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+      record(if (e.exception.isDefined) "ALERT-failure" else "terminated",
+        s"${e.id} ${e.exception.getOrElse("")}")
+  }
+
   def runningTotals(ds: Dataset[EventRow]): Dataset[UserTotal] = {
     val spark = ds.sparkSession
     import spark.implicits._

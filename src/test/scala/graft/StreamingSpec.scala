@@ -144,4 +144,26 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, String, String, Long, Double)].collect().toSeq
     assert(rows == Seq((7L, "2024-01-01 10:00:00", "2024-01-01 10:05:00", 2L, 3.0)))
   }
+
+  test("ST6 alerting: listener records lifecycle and reports failures") {
+    val in = tmp("graft_in9"); val ckpt = tmp("graft_ckpt9")
+    stageBatch(in, Seq((1L, "2024-01-01 10:00:00", 1L, 1.0)), "b1")
+    val listener = new StreamingOps.AlertListener
+    spark.streams.addListener(listener)
+    try {
+      val q = StreamingOps.fileSource(spark, in, schema)
+        .writeStream.format("memory").queryName("alert_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // listener events are async; drain
+      var waited = 0
+      while (!listener.alerts.exists(_.startsWith("terminated")) && waited < 100) {
+        Thread.sleep(100); waited += 1
+      }
+      assert(listener.alerts.exists(_.startsWith("started")))
+      assert(listener.alerts.exists(_.startsWith("terminated")))
+      assert(!listener.alerts.exists(_.startsWith("ALERT-failure")))
+    } finally spark.streams.removeListener(listener)
+  }
 }
