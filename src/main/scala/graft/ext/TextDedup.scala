@@ -79,8 +79,13 @@ object TextDedup {
       val bandSigs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"s$i"))
       struct(lit(b).as("band"), md5(concat(bandSigs: _*)).as("bkey"))
     }
+    // the band frame is referenced three times below (both join sides +
+    // the bucket-size guard); persist it or the whole signature pipeline
+    // — explode, 16 string-min aggregates, shuffle — runs three times.
+    // docs × numBands rows: small at any corpus size.
     val bands = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .persist()
     val ok = bands.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("bn")).filter(col("bn") <= maxBucketSize)
       .select(col("band"), col("bkey"))
@@ -130,10 +135,12 @@ object TextDedup {
         .otherwise(0L)).as("simhash"))
   }
 
-  /** Hamming-distance pairs over SimHash signatures. */
+  /** Hamming-distance pairs over SimHash signatures. Persists the
+    * signature frame — both sides of the self-join reference it. */
   def simhashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
-    val a = sigs.select(col("doc_id").as("d1"), col("simhash").as("s1"))
-    val b = sigs.select(col("doc_id").as("d2"), col("simhash").as("s2"))
+    val cached = sigs.persist()
+    val a = cached.select(col("doc_id").as("d1"), col("simhash").as("s1"))
+    val b = cached.select(col("doc_id").as("d2"), col("simhash").as("s2"))
     a.crossJoin(b).filter(col("d1") < col("d2"))
       .withColumn("ham", bit_count(col("s1").bitwiseXOR(col("s2"))))
       .filter(col("ham") <= maxHamming)
