@@ -26,4 +26,17 @@ class IoSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM bank_payments").head().getLong(0) == 1)
     spark.sql("DROP TABLE bank_payments")
   }
+
+  test("agent support: catalog schema block + markdown rendering (ai_agent read path)") {
+    import graft.io.AgentSupport
+    graft.schemas.Tables.orders(spark, TestSpark.sf0001).createOrReplaceTempView("ag_orders")
+    graft.schemas.Tables.nation(spark, TestSpark.sf0001).createOrReplaceTempView("ag_nation")
+    val schemas = AgentSupport.describeSchemas(spark, "ag_")
+    assert(schemas.contains("ag_orders(o_orderkey bigint"))
+    assert(schemas.contains("ag_nation(n_nationkey int"))
+    val md = AgentSupport.answer(spark,
+      "SELECT o_orderpriority, count(*) AS n FROM ag_orders GROUP BY 1 ORDER BY 1", limit = 3)
+    val lines = md.split("\n")
+    assert(lines(0) == "| o_orderpriority | n |" && lines.length == 5)
+  }
 }
