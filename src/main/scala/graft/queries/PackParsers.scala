@@ -37,6 +37,43 @@ object PackParsers {
       |    WHEN 3 THEN 'Frutas Y Verduras' WHEN 4 THEN 'Limpieza'
       |    WHEN 5 THEN 'Perfumeria' ELSE 'Hogar Bazar' END""".stripMargin
 
+  /** U1 input construction: render every order as ticket text from the
+    * relational testdata (header anchors + per-item category/name/amount
+    * lines in both grammar forms). Shared by the declared query and the
+    * generator-vs-flatMap benchmarks. */
+  def ticketTexts(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val cats = array(TicketParser.categories.map(lit): _*)
+    val items = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
+      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_linenumber",
+        date_format($"o_orderdate", "dd/MM/yy").as("fecha_s"),
+        element_at(cats, ($"l_linenumber" % 7 + 1).cast("int")).as("categ"),
+        $"p_name".as("prod"),
+        $"l_quantity".cast("long").as("cant"),
+        dec($"l_quantity") * lit(BigDecimal("0.5")) as "kg_dec",
+        dec($"p_retailprice").as("unit_dec"),
+        dec($"l_extendedprice").as("total_dec"),
+        ($"l_linenumber" % 3 === 0).as("weighted"))
+      .withColumn("line",
+        concat($"categ", lit("\n"), $"prod", lit("\n"),
+          when($"weighted",
+            concat(lit("x "), moneyS($"kg_dec"), lit(" x "), moneyS($"unit_dec"),
+              lit(" "), moneyS($"total_dec")))
+            .otherwise(concat($"cant".cast("string"), lit(" x "), moneyS($"unit_dec"),
+              lit(" (090) "), moneyS($"total_dec")))))
+    items
+      .groupBy($"l_orderkey", $"fecha_s")
+      .agg(collect_list(struct($"l_linenumber", $"line")).as("lines"),
+        sum($"total_dec").as("sum_dec"))
+      .select(concat(
+        lit("Fecha "), $"fecha_s", lit(" Hora 12:00\nCaja 4\nP.V. 001 Nro T. "),
+        $"l_orderkey".cast("string"), lit("\n"),
+        array_join(transform(array_sort($"lines"), x => x.getField("line")), "\n"),
+        lit("\nTOTAL "), moneyS($"sum_dec")).as("text"))
+  }
+
   val queries: Seq[QDef] = Seq(
 
     // U1 — ticket-text generator round-trip
@@ -66,36 +103,7 @@ object PackParsers {
          |FROM it JOIN tot USING (nro_ticket)
          |ORDER BY nro_ticket, prod, p_total, categ""".stripMargin) { (s, d) =>
       import s.implicits._
-      val cats = array(TicketParser.categories.map(lit): _*)
-      val items = Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
-        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
-        .select($"l_orderkey", $"l_linenumber",
-          date_format($"o_orderdate", "dd/MM/yy").as("fecha_s"),
-          element_at(cats, ($"l_linenumber" % 7 + 1).cast("int")).as("categ"),
-          $"p_name".as("prod"),
-          $"l_quantity".cast("long").as("cant"),
-          dec($"l_quantity") * lit(BigDecimal("0.5")) as "kg_dec",
-          dec($"p_retailprice").as("unit_dec"),
-          dec($"l_extendedprice").as("total_dec"),
-          ($"l_linenumber" % 3 === 0).as("weighted"))
-        .withColumn("line",
-          concat($"categ", lit("\n"), $"prod", lit("\n"),
-            when($"weighted",
-              concat(lit("x "), moneyS($"kg_dec"), lit(" x "), moneyS($"unit_dec"),
-                lit(" "), moneyS($"total_dec")))
-              .otherwise(concat($"cant".cast("string"), lit(" x "), moneyS($"unit_dec"),
-                lit(" (090) "), moneyS($"total_dec")))))
-      val tickets = items
-        .groupBy($"l_orderkey", $"fecha_s")
-        .agg(collect_list(struct($"l_linenumber", $"line")).as("lines"),
-          sum($"total_dec").as("sum_dec"))
-        .select(concat(
-          lit("Fecha "), $"fecha_s", lit(" Hora 12:00\nCaja 4\nP.V. 001 Nro T. "),
-          $"l_orderkey".cast("string"), lit("\n"),
-          array_join(transform(array_sort($"lines"), x => x.getField("line")), "\n"),
-          lit("\nTOTAL "), moneyS($"sum_dec")).as("text"))
-      tickets.select($"text").as[String]
+      ticketTexts(s, d).select($"text").as[String]
         .flatMap(TicketParser.parse _)
         .toDF()
         .select($"nro_ticket", to_date($"fecha", "dd/MM/yyyy").as("fecha"),

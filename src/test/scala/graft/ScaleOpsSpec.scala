@@ -63,4 +63,19 @@ class ScaleOpsSpec extends AnyFunSuite {
       r.getLong(0) -> (1 to 16).map(i => r.getString(i)).toSeq).toMap
     assert(agg == wideMap)
   }
+
+  test("graft_parse_ticket generator equals the typed-flatMap parser via LATERAL VIEW") {
+    graft.plans.TicketItemsGenerator.register(spark)
+    val text = graft.parsers.TicketParser.render(42L, "05/03/24", 100.0, Seq(
+      ("Bebidas", "Agua", 2L, 0.0, 850.50, 1701.00),
+      ("Carniceria", "Lomo", 1L, 1.25, 8000.00, 10000.00)))
+    Seq(text).toDF("text").createOrReplaceTempView("gen_tickets")
+    val viaSql = spark.sql(
+      "SELECT t.* FROM gen_tickets LATERAL VIEW graft_parse_ticket(text) t")
+      .collect().map(_.toSeq).toSeq
+    val direct = graft.parsers.TicketParser.parse(text)
+      .map(i => Seq(i.nro_ticket, i.fecha, i.categ, i.prod, i.cant, i.peso,
+        i.p_unit, i.p_total, i.total_ticket_bruto, i.total_ticket_meli))
+    assert(viaSql == direct && direct.size == 2)
+  }
 }
