@@ -80,7 +80,7 @@ object Similarity {
       .withColumn("__score", nativeDot(vecs.sparkSession, col("embedding"), col("__centroid")))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .select(vecs.columns.map(col) :+ col("__bucket").as("assigned"): _*)
+      .select(vecs.columns.toIndexedSeq.map(col) :+ col("__bucket").as("assigned"): _*)
   }
 
   /** Full Lloyd's k-means for the IVF coarse quantizer: deterministic

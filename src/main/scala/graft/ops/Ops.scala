@@ -129,7 +129,7 @@ object Ops {
     val others = df.columns.filterNot(c => keys.contains(c) || c == tiebreak)
     df.groupBy(keys.map(col): _*)
       .agg(min(col(tiebreak)).as(tiebreak),
-        others.map(c => min_by(col(c), col(tiebreak)).as(c)): _*)
-      .select(df.columns.map(col): _*)
+        others.toIndexedSeq.map(c => min_by(col(c), col(tiebreak)).as(c)): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
   }
 }

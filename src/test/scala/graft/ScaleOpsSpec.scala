@@ -78,4 +78,17 @@ class ScaleOpsSpec extends AnyFunSuite {
         i.p_unit, i.p_total, i.total_ticket_bruto, i.total_ticket_meli))
     assert(viaSql == direct && direct.size == 2)
   }
+
+  test("partitioned warehouse prunes partitions at the scan") {
+    val loc = java.nio.file.Files.createTempDirectory("graft_part").toString + "/t"
+    val o = graft.schemas.Tables.orders(spark, TestSpark.sf0001)
+      .withColumn("month", date_format($"o_orderdate", "yyyy-MM"))
+    graft.io.Warehouse.appendPartitioned(o, loc, Seq("month"))
+    val read = spark.read.parquet(loc).filter($"month" === "1995-03")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(month"),
+      s"month filter must prune partitions, not scan rows:\n$plan")
+    val expected = o.filter($"month" === "1995-03").count()
+    assert(read.count() == expected && expected > 0)
+  }
 }
