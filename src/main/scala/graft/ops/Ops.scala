@@ -38,18 +38,22 @@ object Ops {
   def semiJoin(incoming: DataFrame, loaded: DataFrame, keys: Seq[String]): DataFrame =
     incoming.join(broadcast(loaded.select(keys.map(col): _*).distinct()), keys, "left_semi")
 
-  /** A1/ST1 — incremental watermark: `MAX(dateCol)` over the loaded table
-    * (+1 day), applied as a pushdown filter on the new scan
-    * (extract_data_pdf:56-108). The aggregate collapses to a single row;
-    * the cross join broadcasts it, so the fact-side scan stays a simple
-    * filtered scan (Catalyst pushes `dateCol > wm` to parquet once AQE
-    * resolves the scalar). */
+  /** A1/ST1 — incremental watermark: `MAX(dateCol)` over the loaded table,
+    * applied as a pushdown filter on the new scan (extract_data_pdf:56-108).
+    * Two-phase like the reference itself (watermark query first, then the
+    * incremental fetch): the single-row aggregate is resolved eagerly and
+    * the filter becomes a LITERAL comparison — the only formulation that
+    * actually reaches the parquet reader as a PushedFilter (a cross-joined
+    * scalar column never pushes; row-group/page skipping on the date column
+    * is the entire point of incremental reads at 100 TB). Asserted by
+    * PlanSpec. */
   def watermarkAfter(newData: DataFrame, dateCol: String, loaded: DataFrame,
                      loadedDate: Column, fallback: Column): DataFrame = {
     // ST2 — late fallback when the loaded side is empty
     // (extract_data_pdf:100-106, extract_data_bank_pay:129-135)
-    val wm = loaded.agg(coalesce(max(loadedDate), fallback).as("__wm"))
-    newData.crossJoin(broadcast(wm)).filter(col(dateCol) > col("__wm")).drop("__wm")
+    val wm = loaded.agg(coalesce(max(loadedDate), fallback).as("__wm")).head().get(0)
+    if (wm == null) newData.filter(lit(false))
+    else newData.filter(col(dateCol) > lit(wm))
   }
 
   /** F5 + §2.7 — dialect union: rename the Spanish-header frame to the

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Pack
+
+/** Physical-plan regression guards: the scale properties the perf work
+  * established must survive future edits — broadcasts on dim joins, anti
+  * joins on dedup gates, top-k instead of global sorts, column-pruned
+  * scans, no cross products outside the intentionally-bounded ANN
+  * broadcast. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String = {
+    val df = Pack.byName(name).fn(spark, TestSpark.sf0001)
+    df.count()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("agg_group_topk: broadcast dim join + TakeOrderedAndProject, pruned lineitem scan") {
+    val p = plan("agg_group_topk")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_extendedprice:double,l_discount:double>"),
+      "lineitem scan must read only the three needed columns")
+  }
+
+  test("j2 dedup gate: broadcast LEFT ANTI with DISTINCT build side") {
+    val p = plan("j2_dedup_anti_join_row")
+    assert(p.contains("LeftAnti") && p.contains("BroadcastExchange"))
+  }
+
+  test("j4 existence probe: LEFT SEMI") {
+    assert(plan("j4_dedup_exists_key").contains("LeftSemi"))
+  }
+
+  test("sort_topk avoids a global sort") {
+    val p = plan("sort_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"), "top-k must not range-shuffle")
+  }
+
+  test("st1 watermark filter is pushed to the scan after AQE resolves the scalar") {
+    val p = plan("st1_incremental_watermark")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThan(o_orderdate"),
+      s"watermark must reach the parquet reader:\n$p")
+  }
+
+  test("minhash LSH has no cross product (band-key equi-join only)") {
+    val p = plan("dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q1 aggregation is partial+final hash aggregate") {
+    val p = plan("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(!p.contains("SortAggregate"))
+  }
+}
