@@ -441,10 +441,14 @@ object PackCore {
     QDef("agg_month_filter",
       """SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gasto,
         |       count(*) AS n
-        |FROM orders WHERE date_trunc('month', o_orderdate) = TIMESTAMP '1996-06-01'""".stripMargin) { (s, d) =>
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1996-06-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'""".stripMargin) { (s, d) =>
+      // "this month" as a half-open range, not date_trunc(col) = ts — a
+      // function over the column blocks parquet predicate pushdown; the
+      // range form row-group-skips (PlanSpec guards this).
       Tables.orders(s, d)
-        .filter(date_trunc("month", $"o_orderdate") ===
-          lit(java.sql.Timestamp.valueOf("1996-06-01 00:00:00")))
+        .filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1996-06-01 00:00:00")) &&
+          $"o_orderdate" < lit(java.sql.Timestamp.valueOf("1996-07-01 00:00:00")))
         .agg(sum(dec($"o_totalprice")).cast("double").as("gasto"), count(lit(1)).as("n"))
     },
 

@@ -57,4 +57,10 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
     assert(!p.contains("SortAggregate"))
   }
+
+  test("agg_month_filter pushes the calendar range to the scan") {
+    val p = plan("agg_month_filter")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") && p.contains("LessThan(o_orderdate"),
+      s"month range must be pushed:\n$p")
+  }
 }
