@@ -72,6 +72,36 @@ object StreamingOps {
       }
       .start()
 
+  /** K3+K8 streaming variant — merge sink: each micro-batch UPSERTs into
+    * the warehouse on `keys` (late re-deliveries overwrite instead of
+    * duplicating — CDC semantics) by rewriting the table through
+    * Ops.upsert. Parquet has no row-level merge, so the rewrite is
+    * whole-table here; with the partitioned layout (graft.io.Warehouse)
+    * production narrows the rewrite to touched partitions, and a
+    * table format with merge (e.g. Delta/Iceberg) slots into this same
+    * foreachBatch body. */
+  def runMergeToWarehouse(stream: DataFrame, warehouseDir: String, keys: Seq[String],
+                          checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val dir = new java.io.File(warehouseDir)
+        val merged =
+          if (dir.exists()) graft.ops.Ops.upsert(spark.read.parquet(warehouseDir), batch.toDF(), keys)
+          else batch.toDF()
+        val tmp = warehouseDir + "__staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        // atomic-ish swap: parquet re-read happens from the new directory
+        val bak = new java.io.File(warehouseDir + "__old")
+        if (dir.exists()) { dir.renameTo(bak); () }
+        new java.io.File(tmp).renameTo(dir)
+        if (bak.exists()) { bak.listFiles().foreach(_.delete()); bak.delete() }
+        ()
+      }
+      .start()
+
   /** Per-user running state via mapGroupsWithState — the custom-state
     * surface (KeyValueGroupedDataset) for aggregations the built-in
     * operators can't express. State: (count, sum) per key. */

@@ -91,4 +91,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     val expected = o.filter($"month" === "1995-03").count()
     assert(read.count() == expected && expected > 0)
   }
+
+  test("antiJoinLarge plans a shuffled anti-join when broadcast is off (big-key-set path)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val big = spark.range(1000).toDF("id")
+      val loaded = spark.range(0, 1000, 2).toDF("id")
+      val gated = graft.ops.Ops.antiJoinLarge(big, loaded, Seq("id"))
+      gated.count()
+      val plan = gated.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftAnti") && !plan.contains("BroadcastHashJoin"),
+        s"must fall back to a shuffled anti-join:\n$plan")
+      assert(gated.count() == 500)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -166,4 +166,22 @@ class StreamingSpec extends AnyFunSuite {
       assert(!listener.alerts.exists(_.startsWith("ALERT-failure")))
     } finally spark.streams.removeListener(listener)
   }
+
+  test("streaming merge sink: re-delivered keys overwrite instead of duplicating") {
+    val in = tmp("graft_in10"); val wh = tmp("graft_wh10") + "/t"; val ckpt = tmp("graft_ckpt10")
+    stageBatch(in, Seq((1L, "2024-01-01 10:00:00", 1L, 10.0),
+      (2L, "2024-01-01 10:01:00", 2L, 20.0)), "b1")
+    val q1 = StreamingOps.runMergeToWarehouse(
+      StreamingOps.fileSource(spark, in, schema), wh, Seq("event_id"), ckpt)
+    q1.awaitTermination()
+    // re-delivery of id 2 with a corrected value + a new id 3
+    stageBatch(in, Seq((2L, "2024-01-01 10:01:00", 2L, 99.0),
+      (3L, "2024-01-01 10:02:00", 3L, 30.0)), "b2")
+    val q2 = StreamingOps.runMergeToWarehouse(
+      StreamingOps.fileSource(spark, in, schema), wh, Seq("event_id"), ckpt)
+    q2.awaitTermination()
+    val rows = spark.read.parquet(wh).select("event_id", "value")
+      .as[(Long, Double)].collect().toMap
+    assert(rows == Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0))
+  }
 }
