@@ -54,4 +54,27 @@ object Multimodal {
       it.map(decodeStub)
     }
   }
+
+  /** One sampled frame of a media payload (video/audio frame-sample
+    * pattern: one binary row explodes into per-frame rows carrying the
+    * byte window a real codec would decode). */
+  final case class FrameRow(doc_id: Long, frame_idx: Long, offset: Long,
+                            frame_len: Long, first_byte: Int)
+
+  /** Evenly-spaced frame sampling — generator-shaped flatMap over the
+    * payload: n_frames windows of len/n_frames bytes each. The window
+    * arithmetic is the real plumbing; a codec replaces the byte peek. */
+  def sampleFrames(media: Dataset[MediaRow]): Dataset[FrameRow] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.flatMap { r =>
+      val n = r.content.length.toLong
+      val f = (n % 30 + 1).toInt
+      val step = n / f
+      (0 until f).map { i =>
+        val off = i * step
+        FrameRow(r.doc_id, i.toLong, off, step, r.content(off.toInt) & 0xff)
+      }
+    }
+  }
 }

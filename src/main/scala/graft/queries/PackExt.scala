@@ -292,6 +292,23 @@ object PackExt {
 
     // ------------------------------------------------------------ multimodal
 
+    // frame sampling: one payload row → per-frame rows (video/audio
+    // pattern); window arithmetic oracle-checked, codec stubbed
+    QDef("multimodal_frames",
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  CAST(i * (n // f) AS BIGINT) AS offset,
+        |  CAST(n // f AS BIGINT) AS frame_len,
+        |  ascii(substr(text, CAST(i * (n // f) AS INTEGER) + 1, 1)) AS first_byte
+        |FROM (SELECT doc_id, text, length(text) AS n, length(text) % 30 + 1 AS f
+        |      FROM documents WHERE doc_id < 100), unnest(range(f)) t(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      Multimodal.sampleFrames(
+        Multimodal.asMedia(Tables.documents(s, d).filter(col("doc_id") < 100),
+          "doc_id", "text"))
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
     QDef("multimodal_decode",
       """SELECT doc_id,
         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
