@@ -54,4 +54,20 @@ object ParserProps extends Properties("parsers") {
       p.total_ticket_meli == (expected * BigDecimal("0.3"))
         .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  private val garbage: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.asciiPrintableStr, Gen.oneOf("Fecha", "TOTAL", "x 1,5 x", "AHORRO $",
+      "P.V.", "Bebidas", "\u00a0\u00ad", "12 x 3,4 (0) 5,6", "\n\n")))
+    .map(_.mkString("\n"))
+
+  property("ticket parse never throws on arbitrary input") = Prop.forAll(garbage) { txt =>
+    TicketParser.parse(txt)
+    true
+  }
+
+  property("mail parse never throws on arbitrary html") = Prop.forAll(garbage) { html =>
+    MailParser.parse(MailParser.MailDoc("m", "2024-01-01", "s", "subj", html, ""))
+    true
+  }
+
 }
