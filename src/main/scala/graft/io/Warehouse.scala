@@ -36,5 +36,17 @@ object Warehouse {
       w.option("path", loc).saveAsTable(table))
   }
 
+  /** Range-clustered write: repartitionByRange + sortWithinPartitions on
+    * the clustering column gives each output file a disjoint value range,
+    * so parquet row-group/file min-max statistics turn point/range
+    * predicates into data skipping even without hive partitions — the
+    * right layout for high-cardinality columns (timestamps, ids) where
+    * partitionBy would explode the directory count. */
+  def appendClustered(df: DataFrame, path: String, clusterCol: String,
+                      numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, org.apache.spark.sql.functions.col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode(SaveMode.Append).parquet(path)
+
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 }

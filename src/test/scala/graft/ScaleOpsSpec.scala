@@ -106,4 +106,22 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert(gated.count() == 500)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("range-clustered write produces files with disjoint value ranges (data skipping)") {
+    val loc = java.nio.file.Files.createTempDirectory("graft_clust").toString + "/t"
+    val o = graft.schemas.Tables.orders(spark, TestSpark.sf0001)
+    graft.io.Warehouse.appendClustered(o, loc, "o_orderdate", 4)
+    val files = new java.io.File(loc).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.toString)
+        .agg(min(unix_micros($"o_orderdate".cast("timestamp"))),
+          max(unix_micros($"o_orderdate".cast("timestamp")))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, aMax), (bMin, _)) =>
+      assert(aMax <= bMin, s"file ranges must be disjoint: ${ranges.toSeq}")
+    }
+    assert(spark.read.parquet(loc).count() == o.count())
+  }
 }
