@@ -29,15 +29,34 @@ object MailParser {
       comercio: String, cuotas: Int)
 
   // precompiled — these run once per mail across the whole corpus
-  private val tagRe = java.util.regex.Pattern.compile("<[^>]*>")
-  private val wsRe = java.util.regex.Pattern.compile("\\s+")
   private val moneyMarkRe = java.util.regex.Pattern.compile("(U\\$S|US\\$|USD|ARS\\$|AR\\$|\\$|\\s)")
   private val thousandsRe = java.util.regex.Pattern.compile("\\.(?=\\d{3})")
 
-  /** F26b — HTML → visible-text token list (stripped_strings analog). */
-  def tokens(html: String): Vector[String] =
-    wsRe.matcher(tagRe.matcher(html).replaceAll(" ")).replaceAll(" ").trim
-      .split(" ").filter(_.nonEmpty).toVector
+  /** F26b — HTML → visible-text token list (stripped_strings analog).
+    * Single character scan (tag-state machine + whitespace split) — this
+    * runs once per mail over the whole corpus, so it avoids the two full
+    * regex passes + re-split of the naive form. Semantics identical:
+    * tags count as separators, whitespace runs collapse. */
+  def tokens(html: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val sb = new java.lang.StringBuilder(24)
+    var inTag = false
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      val c = html.charAt(i)
+      if (inTag) { if (c == '>') inTag = false }
+      else if (c == '<') {
+        inTag = true
+        if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      } else if (Character.isWhitespace(c)) {
+        if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      } else sb.append(c)
+      i += 1
+    }
+    if (sb.length > 0) out += sb.toString
+    out.result()
+  }
 
   /** F28 — token after a label token. */
   def findVal(toks: Vector[String], label: String): Option[String] = {
@@ -60,9 +79,26 @@ object MailParser {
     else if (s.contains("$")) Some("ARS")
     else None
 
-  def md5Hex(s: String): String =
-    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+  // one digest instance per executor thread — JCA provider lookup per row
+  // would dominate the parse at corpus scale
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  def md5Hex(s: String): String = {
+    val md = md5Local.get()
+    md.reset()
+    val bytes = md.digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(i * 2) = hexChars((bytes(i) >> 4) & 0xf)
+      out(i * 2 + 1) = hexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
 
   /** Parse one mail document; None when a required field is missing
     * (the null gate, transform_data_bank_pay:49-51). */

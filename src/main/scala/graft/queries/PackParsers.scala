@@ -25,8 +25,10 @@ import graft.parsers.{MailParser, TicketParser}
 object PackParsers {
   private val D = DecimalType(18, 2)
   private def dec(c: Column): Column = c.cast(D)
-  /** decimal → ticket money string ('1234.56' → '1234,56'). */
-  private def moneyS(c: Column): Column = regexp_replace(c.cast("string"), "\\.", ",")
+  /** decimal → ticket money string ('1234.56' → '1234,56'). `translate`
+    * is a plain char map — no regex engine on the hot path (~3 money
+    * strings per line item). */
+  private def moneyS(c: Column): Column = translate(c.cast("string"), ".", ",")
 
   private def tmpBase(sfDir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_${new java.io.File(sfDir).getName}"
@@ -72,6 +74,33 @@ object PackParsers {
         $"l_orderkey".cast("string"), lit("\n"),
         array_join(transform(array_sort($"lines"), x => x.getField("line")), "\n"),
         lit("\nTOTAL "), moneyS($"sum_dec")).as("text"))
+  }
+
+  /** U2 input construction: render every event as a notification mail
+    * (error events omit the required Monto label → dropped by the parser's
+    * null gate). Shared by the declared query and the profiler. */
+  def mailDocs(s: SparkSession, d: String): org.apache.spark.sql.Dataset[MailParser.MailDoc] = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(
+        concat(lit("msg-"), lpad($"event_id".cast("string"), 8, "0")).as("message_id"),
+        date_format($"ts", "yyyy-MM-dd'T'HH:mm:ss").as("date"),
+        lit("banco@santander.example").as("sender"),
+        lit("Pago con tarjeta").as("subject"),
+        concat(
+          lit("<html><body><p>Pago con Tarjeta_Santander terminada en "),
+          lpad($"user_id".cast("string"), 4, "0"), lit("</p>"),
+          when($"event_type" =!= "error",
+            concat(lit("<p>Monto $"), moneyS($"value".cast(DecimalType(12, 2))), lit("</p>")))
+            .otherwise(lit("")),
+          lit("<p>Fecha "), date_format($"ts", "dd/MM/yyyy"),
+          lit("</p><p>Hora "), date_format($"ts", "HH:mm"),
+          lit("</p><p>Comercio "), $"event_type",
+          lit("</p><p>Cuotas "),
+          (Exprs.jsonGet($"props", "$.k").cast("long") % 5 + 1).cast("string"),
+          lit("</p></body></html>")).as("html_body"),
+        lit("").as("raw_text"))
+      .as[MailParser.MailDoc]
   }
 
   val queries: Seq[QDef] = Seq(
@@ -133,27 +162,7 @@ object PackParsers {
         |FROM events WHERE event_type <> 'error'
         |ORDER BY message_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      val docs = Tables.events(s, d)
-        .select(
-          concat(lit("msg-"), lpad($"event_id".cast("string"), 8, "0")).as("message_id"),
-          date_format($"ts", "yyyy-MM-dd'T'HH:mm:ss").as("date"),
-          lit("banco@santander.example").as("sender"),
-          lit("Pago con tarjeta").as("subject"),
-          concat(
-            lit("<html><body><p>Pago con Tarjeta_Santander terminada en "),
-            lpad($"user_id".cast("string"), 4, "0"), lit("</p>"),
-            when($"event_type" =!= "error",
-              concat(lit("<p>Monto $"), moneyS($"value".cast(DecimalType(12, 2))), lit("</p>")))
-              .otherwise(lit("")),
-            lit("<p>Fecha "), date_format($"ts", "dd/MM/yyyy"),
-            lit("</p><p>Hora "), date_format($"ts", "HH:mm"),
-            lit("</p><p>Comercio "), $"event_type",
-            lit("</p><p>Cuotas "),
-            (Exprs.jsonGet($"props", "$.k").cast("long") % 5 + 1).cast("string"),
-            lit("</p></body></html>")).as("html_body"),
-          lit("").as("raw_text"))
-        .as[MailParser.MailDoc]
-      docs.flatMap(MailParser.parse _)
+      mailDocs(s, d).flatMap(MailParser.parse _)
         .toDF()
         .select($"id", $"message_id",
           to_date($"fecha_pago", "dd/MM/yyyy").as("fecha_pago"), $"hora_pago",
