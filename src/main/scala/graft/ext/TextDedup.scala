@@ -135,6 +135,45 @@ object TextDedup {
         .otherwise(0L)).as("simhash"))
   }
 
+  /** Connected components over an undirected near-dup pair graph —
+    * the clustering pass that turns pairwise candidates (LSH / SimHash /
+    * Jaccard output) into dedup groups with a canonical representative
+    * (min id) per group.
+    *
+    * Algorithm: min-label propagation. Each superstep sends every
+    * vertex's current label to its neighbors and keeps the minimum; the
+    * loop ends when no label changes. Each superstep is one equi-join +
+    * one aggregation, both hash-partitioned on vertex id — no driver-side
+    * graph state, and `localCheckpoint` truncates the growing lineage so
+    * superstep N does not replay supersteps 1..N-1. Converges in
+    * O(cluster diameter) supersteps; near-dup graphs are shallow (dup
+    * groups are quasi-cliques), so 2-3 supersteps is typical. For
+    * adversarially deep graphs swap in large-star/small-star (Kiveris et
+    * al., "Connected Components in MapReduce") — same join primitives.
+    *
+    * @return (id, label) — label is the min vertex id reachable from id,
+    *         i.e. the cluster id; a vertex with no edges keeps its own id.
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
+      .persist()
+    var lab = vertices.select(col("id"), col("id").as("label")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbor = sym.join(lab, sym("src") === lab("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = lab.union(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = next.join(lab.withColumnRenamed("label", "prev"), Seq("id"))
+        .filter(col("label") =!= col("prev")).count()
+      lab = next
+    }
+    sym.unpersist()
+    lab
+  }
+
   /** Hamming-distance pairs over SimHash signatures. Persists the
     * signature frame — both sides of the self-join reference it. */
   def simhashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {

@@ -4,7 +4,7 @@ package graft.queries
 object Pack {
   lazy val all: Seq[QDef] =
     PackCore.queries ++ PackFunctions.queries ++ PackParsers.queries ++
-      PackExt.queries ++ PackAnalytics.queries
+      PackExt.queries ++ PackAnalytics.queries ++ PackScale.queries
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
 }

@@ -107,6 +107,114 @@ object PackAnalytics {
       Ops.asofJoin(purchases, signups, Seq("user_id"), "ts", "ts")
         .select(col("event_id"), col("user_id"), col("signup_id"))
         .orderBy(col("event_id"))
+    },
+
+    // Ranking window family: rank / dense_rank / row_number / ntile /
+    // percent_rank in one pass. All windows share one partitioning
+    // (priority) and one sort — a single Exchange + Sort in the plan.
+    // Ties on o_totalprice are broken by o_orderkey so row_number/ntile
+    // are deterministic cross-engine.
+    QDef("window_rank_family",
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS prank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          row_number().over(w).cast("long").as("rn"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("prank"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // GROUPING SETS: the explicit multi-level aggregate (finer than
+    // rollup/cube) — per (priority,status), per priority, and grand total,
+    // one shuffle via Expand.
+    QDef("agg_grouping_sets",
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+            Seq(col("o_orderpriority")), Seq()),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+    },
+
+    // Exact distribution stats: interpolated quartiles + median per group
+    // (Spark `percentile` ≡ DuckDB `quantile_cont`: both interpolate at
+    // p*(n-1)). Rounded at 6dp on both sides — the interpolation arithmetic
+    // is double and may differ in the last ulp across engines.
+    QDef("agg_percentiles",
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 6) AS median,
+        |  round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+        |  round(avg(o_totalprice), 6) AS mean
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(round(expr("percentile(o_totalprice, 0.25)"), 6).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("median"),
+          round(expr("percentile(o_totalprice, 0.75)"), 6).as("p75"),
+          round(avg(col("o_totalprice")), 6).as("mean"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Banded (non-equi range) join: price-band dimension joined on
+    // lo <= price < hi. The band table is tiny and literal →
+    // BroadcastNestedLoopJoin, the correct physical shape for a small
+    // range dimension at any scale.
+    QDef("join_range_bands",
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('A', 0.0, 925.0), ('B', 925.0, 950.0), ('C', 950.0, 975.0),
+        |  ('D', 975.0, 990.0), ('E', 990.0, 1e18)),
+        |j AS (SELECT b.band, p.p_retailprice
+        |      FROM part p JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi)
+        |SELECT band, count(*) AS n,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM j GROUP BY band ORDER BY band""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val bands = Seq(("A", 0.0, 925.0), ("B", 925.0, 950.0), ("C", 950.0, 975.0),
+        ("D", 975.0, 990.0), ("E", 990.0, 1e18)).toDF("band", "lo", "hi")
+      Tables.part(s, d)
+        .join(broadcast(bands),
+          col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("p_retailprice"))).cast("double").as("total"))
+        .orderBy(col("band"))
+    },
+
+    // Set operations in one surface: nations present in both customer and
+    // supplier bases (INTERSECT), and customer-only nations (EXCEPT),
+    // tagged and unioned. Spark intersect/except = SQL DISTINCT semantics.
+    QDef("setop_nations",
+      """SELECT 'both' AS tag, * FROM
+        |  (SELECT c_nationkey AS nationkey FROM customer
+        |   INTERSECT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'cust_only' AS tag, * FROM
+        |  (SELECT c_nationkey FROM customer
+        |   EXCEPT SELECT s_nationkey FROM supplier)
+        |ORDER BY tag, nationkey""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val su = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      c.intersect(su).select(lit("both").as("tag"), col("nationkey"))
+        .unionByName(c.except(su).select(lit("cust_only").as("tag"), col("nationkey")))
+        .orderBy(col("tag"), col("nationkey"))
     }
   )
 }

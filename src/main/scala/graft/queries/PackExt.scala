@@ -109,6 +109,29 @@ object PackExt {
         .orderBy(col("d1"), col("d2"))
     },
 
+    // Dedup clustering: near-dup pairs → connected components → canonical
+    // doc per cluster (the pass that turns pairwise LSH/SimHash output into
+    // actual dedup decisions). Oracle: recursive transitive closure over
+    // the same pair graph, min reachable id per vertex.
+    QDef("dedup_cluster_cc",
+      s"""WITH RECURSIVE ${simhashCte("doc_id < 128")},
+         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |          WHERE bit_count(xor(a.simhash, b.simhash)) <= 12),
+         |sym AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+         |reach(a, b) AS (SELECT doc_id, doc_id FROM sh
+         |                UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+         |SELECT a AS doc_id, min(b) AS cluster_id, a = min(b) AS is_canonical
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 128)
+      val pairs = TextDedup.simhashPairs(
+        TextDedup.simhash(docs, "doc_id", "text"), 12).select(col("d1"), col("d2"))
+      TextDedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+          (col("id") === col("label")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    },
+
     // ------------------------------------------------------ similarity search
 
     QDef("ann_cosine_topk",
@@ -161,6 +184,26 @@ object PackExt {
         |FROM embeddings, range(1, 65) t(i)
         |GROUP BY label, i ORDER BY label, i""".stripMargin) { (s, d) =>
       Similarity.centroids(Tables.embeddings(s, d), "label")
+        .orderBy(col("label"), col("i"))
+    },
+
+    // Mean pooling over L2-normalized embeddings per bucket — the standard
+    // way to build a group/cluster representative vector when raw
+    // magnitudes differ. Norms come from the codegen'd dot expression
+    // (bit-equal to the oracle's list_reduce fold); shuffle is bounded by
+    // buckets × dims after partial aggregation.
+    QDef("emb_pool_normalized",
+      s"""WITH nv AS (SELECT label, embedding,
+         |             sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)
+         |SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE) / nrm), 6) AS pooled
+         |FROM nv, range(1, 65) t(i)
+         |GROUP BY label, i ORDER BY label, i""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      e.select(col("label"),
+          sqrt(Similarity.nativeDot(s, col("embedding"), col("embedding"))).as("nrm"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), (col("pos") + 1).as("i"))
+        .agg(round(avg(col("v").cast("double") / col("nrm")), 6).as("pooled"))
         .orderBy(col("label"), col("i"))
     },
 
@@ -241,6 +284,32 @@ object PackExt {
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("w")).agg(count(lit(1)).as("df"), sum(col("cnt")).as("tf"))
         .orderBy(col("tf").desc, col("w")).limit(20)
+    },
+
+    // TF-IDF document-term scoring: per-doc term frequency × corpus-wide
+    // inverse document frequency. Both aggregates shrink map-side; the
+    // doc-count scalar joins in as a broadcast. idf = ln((N+1)/(df+1))
+    // (smoothed), rounded at 6dp on both sides (double ln).
+    QDef("text_tfidf",
+      """WITH words AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w),
+        |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY w),
+        |n AS (SELECT count(*) AS total FROM documents)
+        |SELECT t.doc_id, t.w, t.tf, d.df,
+        |  round(t.tf * ln((n.total + 1.0) / (d.df + 1.0)), 6) AS tfidf
+        |FROM tf t JOIN df d USING (w) CROSS JOIN n
+        |WHERE t.doc_id < 50 ORDER BY doc_id, w""".stripMargin) { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val df = words.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("total"))
+      tf.filter(col("doc_id") < 50)
+        .join(df, Seq("w"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("w"), col("tf"), col("df"),
+          round(col("tf") * log((col("total") + 1.0) / (col("df") + 1.0)), 6).as("tfidf"))
+        .orderBy(col("doc_id"), col("w"))
     },
 
     // corpus bigram frequency, top 20

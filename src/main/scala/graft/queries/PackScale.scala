@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.schemas.Tables
+
+/** Scale-pattern query pack: each query is the distributed-systems shape a
+  * 100 TB pipeline actually needs — skew-salted aggregation, deterministic
+  * hash splits, runtime-filter-pruned joins, time-series gap fill — while
+  * staying value-equal to a simple relational oracle, so the exactness gate
+  * still covers them.
+  *
+  * These patterns are demonstrated explicitly even where AQE could do an
+  * equivalent rewrite at runtime (skew-join split, runtime bloom filters):
+  * the explicit forms work on any plan shape, including aggregations,
+  * which AQE's skew handling does not cover.
+  */
+object PackScale {
+  private val D = DecimalType(18, 2)
+  private def dec(c: Column): Column = c.cast(D)
+
+  val queries: Seq[QDef] = Seq(
+
+    // Two-phase salted aggregation: the skew-proof form of a low-cardinality
+    // GROUP BY. Phase 1 fans each hot key across 16 salted sub-keys (partial
+    // sums shrink the shuffle to |keys|×16 rows); phase 2 folds the salts
+    // out. Decimal partials make the result order-free ⇒ identical to the
+    // plain GROUP BY oracle. At 100 TB a returnflag-style 3-group aggregate
+    // without salting would route a third of the table through one reducer.
+    QDef("agg_salted_skew",
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(count(lit(1)).as("pn"), sum(dec(col("l_extendedprice"))).as("ps"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("pn")).cast("long").as("n"), sum(col("ps")).cast("double").as("total"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Deterministic train/test split: bucket = first hex nibble of
+    // md5(doc_id), train = buckets 0-12 (~81%). Content-addressed splits
+    // survive re-partitioning, re-ingestion, and engine changes — unlike
+    // rand()-based sampling, the same row lands in the same split on every
+    // engine and every run.
+    QDef("split_train_test",
+      """SELECT doc_id,
+        |  CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INTEGER) AS bucket,
+        |  CASE WHEN strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 13
+        |       THEN 'train' ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+        .cast("int")
+      Tables.documents(s, d)
+        .select(col("doc_id"), bucket.as("bucket"),
+          when(bucket < 13, "train").otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Runtime-filter-pruned semi join: a Bloom filter built from the small
+    // (filtered) build side prunes the probe scan before the exact semi
+    // join — the explicit form of Spark's runtime bloom-filter pushdown.
+    // The Bloom pass admits false positives only, and the exact semi join
+    // removes them ⇒ value-equal to the plain EXISTS oracle. At scale this
+    // turns "shuffle 100 TB of lineitem" into "shuffle the ~0.2% that might
+    // match".
+    QDef("join_semi_bloom",
+      """SELECT l.l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 400000)
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin) { (s, d) =>
+      val build = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 400000).select(col("o_orderkey"))
+      val bloom = build.stat.bloomFilter("o_orderkey", 100000, 0.01)
+      val bloomBc = s.sparkContext.broadcast(bloom)
+      val mightContain = udf((k: Long) => bloomBc.value.mightContain(k))
+      Tables.lineitem(s, d)
+        .filter(mightContain(col("l_orderkey")))
+        .join(build, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("l_extendedprice"))).cast("double").as("total"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Time-series resample with gap fill: per-user daily activity, missing
+    // days materialized as zero over each user's own [first, last] span.
+    // sequence+explode generates days *per user* (data-proportional, no
+    // driver-side calendar), and the left join back is keyed on
+    // (user, day) — partition-parallel at any scale.
+    QDef("resample_gapfill",
+      """WITH daily AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS cnt
+        |               FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id),
+        |days AS (SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |         FROM span)
+        |SELECT d.user_id, d.day, COALESCE(daily.cnt, 0) AS n
+        |FROM days d LEFT JOIN daily USING (user_id, day)
+        |ORDER BY user_id, day""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("cnt"))
+      val days = daily
+        .groupBy(col("user_id")).agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      days.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"), coalesce(col("cnt"), lit(0L)).as("n"))
+        .orderBy(col("user_id"), col("day"))
+    }
+  )
+}

@@ -112,4 +112,23 @@ class ExtSpec extends AnyFunSuite {
       s"clusters must separate the two groups: $byBucket")
     assert(cents.count() == 4) // 2 buckets x 2 dims
   }
+
+  test("connected components cluster near-dup pairs with canonical min id") {
+    // graph: 1-2, 2-3 chained (one component {1,2,3}), 5-6 (component {5,6}),
+    // 9 isolated — a chain forces >1 label-propagation superstep
+    val vertices = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("d1", "d2")
+    val labels = graft.ext.TextDedup.connectedComponents(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
+  }
+
+  test("connected components on a long chain (diameter > supersteps heuristic)") {
+    val n = 12
+    val vertices = (0L until n.toLong).toDF("id")
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("d1", "d2")
+    val labels = graft.ext.TextDedup.connectedComponents(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet == Set(0L), s"chain must collapse to one cluster: $labels")
+  }
 }
