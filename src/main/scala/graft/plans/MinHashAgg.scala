@@ -37,22 +37,41 @@ case class MinHashAgg(
 
   override def createAggregationBuffer(): Array[String] = Array.fill(numHashes)(null)
 
-  private def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-    val sb = new StringBuilder(32)
-    d.foreach(b => sb.append("%02x".format(b)))
-    sb.toString
+  // one digest per executor thread; seed prefixes ("0|", "1|", …) as
+  // pre-encoded bytes — the per-(token, seed) work is two digest updates
+  // and one hex render, no string concat or JCA lookup on the hot path
+  @transient private lazy val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  @transient private lazy val seedPrefixes: Array[Array[Byte]] =
+    Array.tabulate(numHashes)(i => s"$i|".getBytes("UTF-8"))
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(i * 2) = hexChars((bytes(i) >> 4) & 0xf)
+      out(i * 2 + 1) = hexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   override def update(buf: Array[String], input: InternalRow): Array[String] = {
     val arr = child.eval(input).asInstanceOf[ArrayData]
     if (arr != null) {
+      val md = md5Local.get()
       var t = 0
       while (t < arr.numElements()) {
-        val tok = arr.getUTF8String(t).toString
+        val tokBytes = arr.getUTF8String(t).getBytes
         var i = 0
         while (i < numHashes) {
-          val h = md5Hex(s"$i|$tok")
+          md.reset()
+          md.update(seedPrefixes(i))
+          md.update(tokBytes)
+          val h = hex(md.digest())
           if (buf(i) == null || h < buf(i)) buf(i) = h
           i += 1
         }

@@ -55,6 +55,18 @@ object Profile {
     if (names.isEmpty || names.contains("minhash")) {
       val full = graft.queries.Pack.byName("dedup_minhash_lsh").fn
       time("minhash_declared")(full(spark, d).count())
+      val docs = graft.schemas.Tables.documents(spark, d)
+      time("minhash_sigs_groupby") {
+        graft.ext.TextDedup.minhashSignatures(docs, "doc_id", "text", 16)
+          .agg(count(lit(1))).as[Long].head()
+      }
+      time("minhash_sigs_typedagg") {
+        graft.plans.MinHashAgg.register(spark)
+        docs.select($"doc_id", graft.ext.TextDedup.tokens($"text").as("toks"))
+          .groupBy($"doc_id")
+          .agg(call_function("graft_minhash", $"toks").as("sig"))
+          .agg(count(lit(1))).as[Long].head()
+      }
     }
 
     if (names.isEmpty || names.contains("j5")) {
