@@ -215,6 +215,99 @@ object PackAnalytics {
       c.intersect(su).select(lit("both").as("tag"), col("nationkey"))
         .unionByName(c.except(su).select(lit("cust_only").as("tag"), col("nationkey")))
         .orderBy(col("tag"), col("nationkey"))
+    },
+
+    // Time-based RANGE frame: trailing 1-hour activity per user (count +
+    // exact decimal sum). RANGE frames bound by interval are the sliding-
+    // window aggregate that ROWS frames can't express when event spacing
+    // varies. One Exchange + Sort per user partition.
+    QDef("window_range_frame",
+      """WITH e AS (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d).selectExpr(
+          "event_id", "user_id",
+          """CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+            |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS n_1h""".stripMargin,
+          """CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts
+            |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_1h""".stripMargin)
+        .orderBy(col("event_id"))
+    },
+
+    // Value-window family: cume_dist + nth_value + last_value (full frame).
+    // Same single partitioning/sort as the ranking family.
+    QDef("window_value_family",
+      """SELECT o_orderkey,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key,
+        |  last_value(o_orderkey) OVER w2 AS last_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+        |  w2 AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val w2 = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d).select(col("o_orderkey"),
+          round(cume_dist().over(w), 6).as("cd"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_key"),
+          last(col("o_orderkey")).over(w2).as("last_key"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // Equi-width histogram: fixed [0, 500k) domain in 10 buckets, open-top.
+    // Pure arithmetic bucketing — a single partial+final aggregate, no
+    // sort, no sketch; the profile query every column-stats pass runs.
+    QDef("agg_histogram",
+      """SELECT CAST(least(9, floor(o_totalprice / 50000)) AS INTEGER) AS bucket,
+        |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(least(lit(9), floor(col("o_totalprice") / 50000)).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy(col("bucket"))
+    },
+
+    // UNPIVOT/melt: wide measure columns → long (entity, measure, value)
+    // rows — the inverse of pivot, and the shape feature stores ingest.
+    // Spark's unpivot is a zero-shuffle Expand, linear in rows × measures.
+    QDef("reshape_unpivot",
+      """WITH b AS (SELECT * FROM lineitem WHERE l_orderkey < 100)
+        |SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM b
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM b
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM b
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM b
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).filter(col("l_orderkey") < 100)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+    },
+
+    // Deterministic stratified sampling: every 20th row per stratum in a
+    // stable order. Content-deterministic like the md5 split (same sample
+    // on every engine/run), uniform within each stratum by construction.
+    QDef("sample_stratified",
+      """WITH r AS (SELECT event_id, event_type,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+        |           FROM events)
+        |SELECT event_id, event_type, rn FROM r WHERE rn % 20 = 1
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") % 20 === 1)
+        .orderBy(col("event_id"))
     }
   )
 }

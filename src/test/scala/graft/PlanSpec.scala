@@ -63,4 +63,47 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("GreaterThanOrEqual(o_orderdate") && p.contains("LessThan(o_orderdate"),
       s"month range must be pushed:\n$p")
   }
+
+  test("salted skew aggregate is two cascaded partial+final hash aggregates") {
+    val p = plan("agg_salted_skew")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial+final at both the salted and fold-out level:\n$p")
+    assert(!p.contains("SortAggregate"))
+  }
+
+  test("range-band join broadcasts the band dim (BNLJ, no cartesian)") {
+    val p = plan("join_range_bands")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"band dim must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("bloom semi join filters the probe before the exact LeftSemi") {
+    val p = plan("join_semi_bloom")
+    assert(p.contains("LeftSemi"))
+    val filterIdx = p.indexOf("UDF(knownnotnull(l_orderkey")
+    val joinIdx = p.indexOf("LeftSemi")
+    assert(filterIdx >= 0, s"bloom prefilter must appear in the plan:\n$p")
+    assert(filterIdx > joinIdx,
+      "bloom filter must sit below (after, in toString order) the semi join it feeds")
+  }
+
+  test("gap-fill join is an equi-join on (user, day), no cartesian") {
+    val p = plan("resample_gapfill")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Generate explode"), s"day spine must come from explode(sequence):\n$p")
+  }
+
+  test("ranking window family computes all five functions over one exchange") {
+    val p = plan("window_rank_family")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"all window functions must share one partitioning:\n$p")
+    assert("Window".r.findAllIn(p).size <= 2,
+      "rank/dense_rank/row_number/ntile/percent_rank should fuse into few Window ops")
+  }
+
+  test("unpivot lowers to Expand (zero-shuffle melt)") {
+    val p = plan("reshape_unpivot")
+    assert(p.contains("Expand"), s"unpivot must be an Expand, not a union of scans:\n$p")
+    assert("FileScan".r.findAllIn(p).size == 1, "melt must scan lineitem once")
+  }
 }
