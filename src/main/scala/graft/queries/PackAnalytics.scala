@@ -293,6 +293,30 @@ object PackAnalytics {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
     },
 
+    // Batch form of the stream-stream interval join (StreamingOps
+    // .intervalJoin): views attributed to each purchase within the
+    // trailing hour, per user. Equi-key + two-sided time bound — the
+    // exact condition that makes the streaming version's state expirable.
+    QDef("j6_join_interval",
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts FROM e WHERE event_type = 'view')
+        |SELECT p.event_id, CAST(count(v.ts) AS BIGINT) AS n_views_1h
+        |FROM p LEFT JOIN v ON p.user_id = v.user_id
+        |  AND v.ts > p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      p.join(v, col("user_id") === col("v_user") &&
+          col("v_ts") > col("ts") - expr("INTERVAL 1 HOUR") && col("v_ts") <= col("ts"),
+          "left")
+        .groupBy(col("event_id")).agg(count(col("v_ts")).as("n_views_1h"))
+        .orderBy(col("event_id"))
+    },
+
     // Deterministic stratified sampling: every 20th row per stratum in a
     // stable order. Content-deterministic like the md5 split (same sample
     // on every engine/run), uniform within each stratum by construction.

@@ -421,6 +421,26 @@ object PackCore {
       s.read.parquet(out).orderBy($"o_orderkey")
     },
 
+    // S10/K3'' — partition-pruned scan over a hive-layout warehouse: the
+    // table is written partitioned by status, and the status-filtered
+    // read-back must touch ONLY that partition's directory (PartitionFilters
+    // in the scan, guarded by PlanSpec). At 100 TB this is the difference
+    // between reading the table and reading 1/k of it before any I/O.
+    QDef("s10_scan_partition_pruned",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val out = tmpBase(d) + "/wh_orders_by_status"
+      Tables.orders(s, d).write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(out)
+      s.read.parquet(out).filter($"o_orderstatus" === "F")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast(DecimalType(18, 2))).cast("double").as("total"))
+        .orderBy($"o_orderpriority")
+    },
+
     // K8 — the compensation UPDATE as a set-based merge: failed-batch
     // rows get status 'X', everything else passes through unchanged
     // (compensation_flow:34-56; idempotent by construction).

@@ -102,6 +102,21 @@ object StreamingOps {
       }
       .start()
 
+  /** Stream-stream interval join: each left event joins right events for
+    * the same key whose event time falls in (leftTs - lag, leftTs].
+    * Watermarks on BOTH inputs plus the two-sided time bound are what let
+    * the engine expire join state — without them a stream-stream join
+    * buffers forever. State is hash-partitioned by key; per-key state
+    * size is bounded by (rate × lag). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String, lag: String,
+                   watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r, expr(
+      s"l.$key = r.$key AND r.$rightTs > l.$leftTs - INTERVAL $lag AND r.$rightTs <= l.$leftTs"))
+  }
+
   /** Per-user running state via mapGroupsWithState — the custom-state
     * surface (KeyValueGroupedDataset) for aggregations the built-in
     * operators can't express. State: (count, sum) per key. */

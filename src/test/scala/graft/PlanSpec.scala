@@ -101,6 +101,14 @@ class PlanSpec extends AnyFunSuite {
       "rank/dense_rank/row_number/ntile/percent_rank should fuse into few Window ops")
   }
 
+  test("partitioned warehouse read prunes to the filtered partition") {
+    val p = plan("s10_scan_partition_pruned")
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"status filter must prune partitions, not scan+filter:\n$p")
+    assert(!p.contains("PushedFilters: [IsNotNull(o_orderstatus"),
+      "partition column must not degrade to a data filter")
+  }
+
   test("unpivot lowers to Expand (zero-shuffle melt)") {
     val p = plan("reshape_unpivot")
     assert(p.contains("Expand"), s"unpivot must be an Expand, not a union of scans:\n$p")

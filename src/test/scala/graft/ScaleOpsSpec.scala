@@ -107,6 +107,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("approx_percentile tracks the exact interpolated percentile (sketch beside exact)") {
+    // the quantile-sketch analog of the HLL-beside-exact pattern: the
+    // sketch has no cross-engine oracle, so the suite bounds its error
+    // against the exact percentile instead
+    val o = graft.schemas.Tables.orders(spark, TestSpark.sf0001)
+    val r = o.agg(
+      expr("percentile(o_totalprice, 0.5)").as("exact"),
+      expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx")).head()
+    val (exact, approx) = (r.getDouble(0), r.getDouble(1))
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"sketch median $approx must sit within 5% of exact $exact")
+  }
+
   test("range-clustered write produces files with disjoint value ranges (data skipping)") {
     val loc = java.nio.file.Files.createTempDirectory("graft_clust").toString + "/t"
     val o = graft.schemas.Tables.orders(spark, TestSpark.sf0001)

@@ -126,6 +126,30 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 10:05:00", 1L, 1L, 30.0), ("2024-01-01 11:00:00", 1L, 1L, 5.0)))
   }
 
+  test("stream-stream interval join attributes right events within the lag window") {
+    val pin = tmp("graft_inP"); val vin = tmp("graft_inV"); val ckpt = tmp("graft_ckptIJ")
+    // purchases: u1@12:00, u2@12:00. views: u1@11:10 (inside 1h), u1@10:30
+    // (outside), u2 has none → exactly one joined row
+    stageBatch(pin, Seq((100L, "2024-01-01 12:00:00", 1L, 0.0),
+      (101L, "2024-01-01 12:00:00", 2L, 0.0)), "p")
+    stageBatch(vin, Seq((1L, "2024-01-01 11:10:00", 1L, 0.0),
+      (2L, "2024-01-01 10:30:00", 1L, 0.0)), "v")
+    val purchases = StreamingOps.fileSource(spark, pin, schema)
+      .select($"event_id".as("p_id"), $"ts".as("p_ts"), $"user_id")
+    val views = StreamingOps.fileSource(spark, vin, schema)
+      .select($"event_id".as("v_id"), $"ts".as("v_ts"), $"user_id")
+    val joined = StreamingOps.intervalJoin(
+      purchases, views, "user_id", "p_ts", "v_ts", "1 HOUR", "2 hours")
+      .select($"p_id", $"v_id")
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.sql("SELECT p_id, v_id FROM ij_out ORDER BY p_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(rows == Seq((100L, 1L)))
+  }
+
   test("flatMapGroupsWithState session windows close on the inactivity gap") {
     val in = tmp("graft_in8"); val ckpt = tmp("graft_ckpt8")
     stageBatch(in, Seq(
