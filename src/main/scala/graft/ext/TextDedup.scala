@@ -159,16 +159,23 @@ object TextDedup {
       .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
       .persist()
     var lab = vertices.select(col("id"), col("id").as("label")).localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    // labels only ever decrease, so sum(label) strictly decreases until the
+    // fixpoint — one scalar aggregate per superstep replaces a
+    // compare-to-previous join as the convergence check
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head().getDecimal(0) // decimal: no overflow ambiguity at any id scale
+    var prevSum = labelSum(lab)
+    var converged = false
+    while (!converged) {
       val viaNeighbor = sym.join(lab, sym("src") === lab("id"))
         .select(col("dst").as("id"), col("label"))
-      val next = lab.union(viaNeighbor)
+      lab = lab.union(viaNeighbor)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint()
-      changed = next.join(lab.withColumnRenamed("label", "prev"), Seq("id"))
-        .filter(col("label") =!= col("prev")).count()
-      lab = next
+      val s = labelSum(lab)
+      converged = s == prevSum
+      prevSum = s
     }
     sym.unpersist()
     lab

@@ -111,6 +111,42 @@ object PackScale {
       days.join(daily, Seq("user_id", "day"), "left")
         .select(col("user_id"), col("day"), coalesce(col("cnt"), lit(0L)).as("n"))
         .orderBy(col("user_id"), col("day"))
+    },
+
+    // Column-stats profile (the ANALYZE TABLE surface): count / non-null /
+    // exact distinct / min / max for several columns in ONE scan — the
+    // multi-distinct aggregate lowers to a single Expand pass, and stack()
+    // reshapes the one-row result without rescanning. The oracle pays three
+    // scans for the same numbers.
+    QDef("stats_column_profile",
+      """SELECT 'o_orderkey' AS col, count(*) AS n, count(o_orderkey) AS non_null,
+        |  count(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(min(o_orderkey) AS DOUBLE) AS min_v, CAST(max(o_orderkey) AS DOUBLE) AS max_v
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*), count(o_custkey), count(DISTINCT o_custkey),
+        |  CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE) FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*), count(o_totalprice), count(DISTINCT o_totalprice),
+        |  min(o_totalprice), max(o_totalprice) FROM orders
+        |ORDER BY col""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .agg(count(lit(1)).as("n"),
+          count(col("o_orderkey")).as("nn1"), countDistinct(col("o_orderkey")).as("nd1"),
+          min(col("o_orderkey")).cast("double").as("mn1"),
+          max(col("o_orderkey")).cast("double").as("mx1"),
+          count(col("o_custkey")).as("nn2"), countDistinct(col("o_custkey")).as("nd2"),
+          min(col("o_custkey")).cast("double").as("mn2"),
+          max(col("o_custkey")).cast("double").as("mx2"),
+          count(col("o_totalprice")).as("nn3"), countDistinct(col("o_totalprice")).as("nd3"),
+          min(col("o_totalprice")).as("mn3"), max(col("o_totalprice")).as("mx3"))
+        .selectExpr(
+          """stack(3,
+            |  'o_orderkey',   n, nn1, nd1, mn1, mx1,
+            |  'o_custkey',    n, nn2, nd2, mn2, mx2,
+            |  'o_totalprice', n, nn3, nd3, mn3, mx3)
+            |AS (col, n, non_null, n_distinct, min_v, max_v)""".stripMargin)
+        .orderBy(col("col"))
     }
   )
 }
