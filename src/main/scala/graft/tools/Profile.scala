@@ -38,6 +38,12 @@ object Profile {
       }
       val full = graft.queries.Pack.byName("u1_udtf_ticket_items").fn
       time("u1_declared")(full(spark, d).count())
+      val sorted = graft.queries.PackParsers.ticketTextsSorted(spark, d)
+      time("u1_sorted_construct")(sorted.select(sum(length($"text"))).as[Long].head())
+      time("u1_sorted_full") {
+        sorted.select($"text").as[String]
+          .flatMap(graft.parsers.TicketParser.parse _).count()
+      }
     }
 
     if (names.isEmpty || names.contains("u2")) {

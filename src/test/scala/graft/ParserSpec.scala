@@ -103,4 +103,14 @@ class ParserSpec extends AnyFunSuite {
     val html = "<p>Monto $10</p><p>Fecha 01/01/2024</p><p>Hora 09:00</p><p>Comercio C</p>"
     assert(MailParser.parse(doc(html)).get.cuotas == 1)
   }
+
+  test("ticket constructions are value-equal: collect_list vs secondary sort") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val a = graft.queries.PackParsers.ticketTexts(spark, TestSpark.sf0001)
+      .select($"text").as[String].collect().sorted.toSeq
+    val b = graft.queries.PackParsers.ticketTextsSorted(spark, TestSpark.sf0001)
+      .select($"text").as[String].collect().sorted.toSeq
+    assert(a == b, "both construction plans must render identical ticket corpora")
+  }
 }
