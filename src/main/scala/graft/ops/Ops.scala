@@ -125,6 +125,31 @@ object Ops {
     bigSalted.join(smallExpanded, keys :+ "__salt").drop("__salt")
   }
 
+  /** Incremental maintenance of a keyed aggregate table
+    * (count/sum/min/max): fold a new batch into the existing aggregate by
+    * aggregating ONLY the batch and combining — history is never
+    * rescanned. All four aggregates are decomposable (count/sum merge by
+    * +, min/max by min/max), so the maintained table is exactly equal to
+    * re-aggregating everything from scratch — the materialized-view
+    * update that turns an O(history) nightly job into O(batch).
+    * Aggregate schema: keys :+ (n, total, mn, mx); `total` is summed as
+    * DECIMAL so maintenance order cannot perturb it. */
+  def incrementalAgg(prev: Option[DataFrame], batch: DataFrame, keys: Seq[String],
+                     valueCol: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(28, 2)
+    val bAgg = batch.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col(valueCol).cast(D)).cast(D).as("total"),
+        min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
+    prev match {
+      case None => bAgg
+      case Some(p) =>
+        p.unionByName(bAgg)
+          .groupBy(keys.map(col): _*)
+          .agg(sum(col("n")).cast("long").as("n"), sum(col("total")).cast(D).as("total"),
+            min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+    }
+  }
+
   /** ST3 (batch form) — keep exactly one row per key, deterministically:
     * the row with the minimal tiebreaker. groupBy+min_by rather than
     * dropDuplicates so results are stable for the oracle; the streaming

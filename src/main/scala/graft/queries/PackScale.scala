@@ -113,6 +113,30 @@ object PackScale {
         .orderBy(col("user_id"), col("day"))
     },
 
+    // Incremental aggregate maintenance (materialized-view update): the
+    // orders aggregate is maintained by folding three arrival batches
+    // through Ops.incrementalAgg — history is never rescanned, yet the
+    // result must equal the one-shot GROUP BY oracle exactly
+    // (count/sum/min/max are decomposable; the sum is decimal so
+    // maintenance order cannot perturb it).
+    QDef("agg_incremental_maintenance",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val batches = Seq(
+        o.filter(col("o_orderkey") % 3 === 0),
+        o.filter(col("o_orderkey") % 3 === 1),
+        o.filter(col("o_orderkey") % 3 === 2))
+      batches.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) { (prev, b) =>
+          Some(graft.ops.Ops.incrementalAgg(prev, b, Seq("o_orderpriority"), "o_totalprice"))
+        }.get
+        .select(col("o_orderpriority"), col("n"), col("total").cast("double").as("total"),
+          col("mn"), col("mx"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // Column-stats profile (the ANALYZE TABLE surface): count / non-null /
     // exact distinct / min / max for several columns in ONE scan — the
     // multi-distinct aggregate lowers to a single Expand pass, and stack()

@@ -59,6 +59,22 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Seq((1, 5L, "b"), (2, 7L, "c")))
   }
 
+  test("incrementalAgg folded over batches equals aggregating everything at once") {
+    val o = graft.schemas.Tables.orders(spark, TestSpark.sf0001)
+    val batches = Seq(
+      o.filter($"o_orderkey" % 3 === 0), o.filter($"o_orderkey" % 3 === 1),
+      o.filter($"o_orderkey" % 3 === 2))
+    val maintained = batches.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+      (prev, b) => Some(Ops.incrementalAgg(prev, b, Seq("o_orderpriority"), "o_totalprice"))
+    }.get
+    val full = Ops.incrementalAgg(None, o, Seq("o_orderpriority"), "o_totalprice")
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.orderBy("o_orderpriority")
+        .as[(String, Long, java.math.BigDecimal, Double, Double)].collect().toSeq
+        .map { case (k, n, t, mn, mx) => (k, n, t.stripTrailingZeros, mn, mx) }
+    assert(key(maintained) == key(full))
+  }
+
   test("asofJoin attaches latest right row at-or-before left time; null when none") {
     val left = Seq((1, 10L, "p1"), (1, 20L, "p2"), (2, 5L, "p3"))
       .toDF("k", "t", "lv")

@@ -107,6 +107,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("count-min sketch overestimates-only within eps·N of exact frequencies") {
+    val ev = graft.schemas.Tables.events(spark, TestSpark.sf0001)
+    val cms = ev.stat.countMinSketch($"event_type", eps = 0.01, confidence = 0.99, seed = 42)
+    val total = ev.count()
+    val exact = ev.groupBy($"event_type").count()
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      val est = cms.estimateCount(k)
+      assert(est >= n, s"CMS never underestimates: $k est=$est exact=$n")
+      assert(est <= n + (0.01 * total).toLong + 1,
+        s"CMS error bound: $k est=$est exact=$n total=$total")
+    }
+  }
+
   test("approx_percentile tracks the exact interpolated percentile (sketch beside exact)") {
     // the quantile-sketch analog of the HLL-beside-exact pattern: the
     // sketch has no cross-engine oracle, so the suite bounds its error
