@@ -49,4 +49,45 @@ object Warehouse {
       .write.mode(SaveMode.Append).parquet(path)
 
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  /** Small-files compaction: rewrite a directory into ~`targetFiles`
+    * right-sized files. Micro-batch appends (streaming sinks, incremental
+    * loads) accrete thousands of small files whose per-file open/footer
+    * cost eventually dominates scans; periodic compaction is the
+    * counterpart every append-only warehouse needs. Rewrite goes through
+    * a staging dir + rename so a concurrent reader sees either the old or
+    * the new file set, never a mix. */
+  def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
+    val staged = path + "__compacting"
+    spark.read.parquet(path).repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(staged)
+    val dir = new java.io.File(path)
+    val bak = new java.io.File(path + "__precompact")
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRf)
+      f.delete(); ()
+    }
+    if (dir.exists()) { dir.renameTo(bak); () }
+    new java.io.File(staged).renameTo(dir)
+    if (bak.exists()) rmRf(bak)
+  }
+
+  /** Retention expiry over a hive-partitioned layout: drop whole partition
+    * directories whose partition value sorts below `cutoff` — a pure
+    * metadata/file operation, no data read or rewritten (the reference
+    * expires logs after 14 days, main.tf:843-846; at 100 TB retention must
+    * be partition-level deletes, not row filters). Values compare as
+    * strings, which is correct for ISO dates and zero-padded keys. */
+  def expirePartitions(path: String, partitionCol: String, cutoff: String): Seq[String] = {
+    val prefix = partitionCol + "="
+    val dirs = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+    val expired = dirs.filter(_.getName.stripPrefix(prefix) < cutoff)
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRf)
+      f.delete(); ()
+    }
+    expired.foreach(rmRf)
+    expired.map(_.getName.stripPrefix(prefix)).toSeq.sorted
+  }
 }

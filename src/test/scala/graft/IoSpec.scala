@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** K4 — DDL bootstrap + catalog resolve (extract_data_bank_pay:60-81;
@@ -25,6 +26,32 @@ class IoSpec extends AnyFunSuite {
       "('id1','m1',DATE'2024-03-05','19:44:00',1234.56,'ARS','Tarjeta','9876','C',1,TIMESTAMP'2024-03-05 19:44:00')")
     assert(spark.sql("SELECT count(*) FROM bank_payments").head().getLong(0) == 1)
     spark.sql("DROP TABLE bank_payments")
+  }
+
+  test("corrupt JSON records: PERMISSIVE captures them, DROPMALFORMED drops them") {
+    // ingestion robustness (the reference's try/except row fallback,
+    // load_data:118-159, as reader policy instead of per-row code)
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "a.jsonl"),
+      """{"id": 1, "v": "ok"}
+        |{"id": 2, "v": oops not json
+        |{"id": 3, "v": "fine"}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_bad", org.apache.spark.sql.types.StringType)))
+    // cache: Spark refuses corrupt-column-only queries on the raw source
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_bad")
+      .json(dir).cache()
+    assert(permissive.filter(col("_bad").isNull).count() == 2)
+    assert(permissive.filter(col("_bad").isNotNull).select(col("id")).head().isNullAt(0))
+    val dropped = spark.read
+      .schema(org.apache.spark.sql.types.StructType(schema.fields.dropRight(1)))
+      .option("mode", "DROPMALFORMED").json(dir)
+    assert(dropped.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "ok"), (3L, "fine")))
   }
 
   test("agent support: catalog schema block + markdown rendering (ai_agent read path)") {
