@@ -75,6 +75,16 @@ object Profile {
       }
     }
 
+    if (names.isEmpty || names.contains("cc")) {
+      val full = graft.queries.Pack.byName("dedup_cluster_cc").fn
+      time("cc_declared")(full(spark, d).count())
+      val docs = graft.schemas.Tables.documents(spark, d).filter($"doc_id" < 128)
+      time("cc_pairs_only") {
+        graft.ext.TextDedup.simhashPairs(
+          graft.ext.TextDedup.simhash(docs, "doc_id", "text"), 12).count()
+      }
+    }
+
     if (names.isEmpty || names.contains("j5")) {
       val full = graft.queries.Pack.byName("j5_join_equi_adhoc").fn
       time("j5_declared")(full(spark, d).count())
