@@ -70,4 +70,19 @@ object TextAnalysis {
     aggregate(
       transform(split(text, " "), w => (ascii(w) + length(w)).cast("long")),
       lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L)
+
+  /** Sliding-window document chunking (the context-window prep step:
+    * every LLM ingest chops documents into fixed-token chunks with
+    * overlap). Chunk i covers tokens [i·stride, i·stride + chunkTokens);
+    * windows start while i·stride < n, so every token lands in ≥1 chunk
+    * and consecutive chunks overlap by chunkTokens - stride tokens.
+    * Pure array program — no explode until the caller asks for rows. */
+  def chunks(text: Column, chunkTokens: Int, stride: Int): Column = {
+    require(stride > 0 && chunkTokens >= stride, "need 0 < stride <= chunkTokens")
+    val words = split(text, " ")
+    val n = size(words)
+    val nChunks = floor((n - 1) / stride) + 1
+    transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(words, i * stride + 1, lit(chunkTokens)), " "))
+  }
 }

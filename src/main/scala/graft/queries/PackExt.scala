@@ -359,6 +359,72 @@ object PackExt {
         .orderBy(col("doc_id"))
     },
 
+    // Sliding-window chunking: 20-token chunks, stride 15 (5-token
+    // overlap) — the context-window prep step of every LLM ingest.
+    // posexplode over a pure array program; one row per (doc, chunk).
+    QDef("text_chunk_windows",
+      """WITH base AS (SELECT doc_id, string_split(text,' ') AS l FROM documents WHERE doc_id < 100),
+        |c AS (SELECT doc_id,
+        |        unnest(list_transform(range(CAST((length(l)-1)//15 AS INTEGER) + 1),
+        |          i -> struct_pack(idx := i, chunk := array_to_string(l[i*15+1 : i*15+20], ' ')))) AS s
+        |      FROM base)
+        |SELECT doc_id, CAST(s.idx AS INTEGER) AS chunk_idx, s.chunk AS chunk,
+        |  CAST(length(string_split(s.chunk,' ')) AS BIGINT) AS chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunks(col("text"), 20, 15)).as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx"), col("chunk"),
+          size(split(col("chunk"), " ")).cast("long").as("chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // Dedup cluster summary: the clustering output rolled up to
+    // (cluster, size, sorted member list) — the shape a dedup report/
+    // canonical-selection job consumes.
+    QDef("dedup_cluster_summary",
+      s"""WITH RECURSIVE ${simhashCte("doc_id < 128")},
+         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |          WHERE bit_count(xor(a.simhash, b.simhash)) <= 12),
+         |sym AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+         |reach(a, b) AS (SELECT doc_id, doc_id FROM sh
+         |                UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         |lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+         |SELECT cluster_id, count(*) AS n, list(doc_id ORDER BY doc_id) AS members
+         |FROM lab GROUP BY cluster_id ORDER BY cluster_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 128)
+      val pairs = TextDedup.simhashPairs(
+        TextDedup.simhash(docs, "doc_id", "text"), 12).select(col("d1"), col("d2"))
+      TextDedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+        .groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("n"), sort_array(collect_list(col("id"))).as("members"))
+        .orderBy(col("cluster_id"))
+    },
+
+    // Scalar int8 quantization of embeddings (the memory-side of ANN at
+    // scale: 4× smaller vectors, dot products in integer arithmetic).
+    // Per-vector absmax scale; exploded long form so the oracle checks
+    // every quantized component. Deterministic IEEE double ops on both
+    // engines; round = half-away-from-zero in both.
+    QDef("emb_quantize_int8",
+      """WITH q AS (SELECT vec_id, embedding,
+        |             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |           FROM embeddings WHERE vec_id < 50)
+        |SELECT vec_id, CAST(i AS INTEGER) AS i, round(mx, 6) AS scale,
+        |  CAST(round(CAST(embedding[i] AS DOUBLE) / mx * 127) AS INTEGER) AS q
+        |FROM q, range(1, 65) t(i)
+        |ORDER BY vec_id, i""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d).filter(col("vec_id") < 50)
+        .select(col("vec_id"),
+          array_max(transform(col("embedding"), x => abs(x.cast("double")))).as("mx"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), (col("pos") + 1).cast("int").as("i"),
+          round(col("mx"), 6).as("scale"),
+          round(col("v").cast("double") / col("mx") * 127, 0).cast("int").as("q"))
+        .orderBy(col("vec_id"), col("i"))
+    },
+
     // ------------------------------------------------------------ multimodal
 
     // frame sampling: one payload row → per-frame rows (video/audio
