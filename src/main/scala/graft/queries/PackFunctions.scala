@@ -379,6 +379,49 @@ object PackFunctions {
         .groupBy($"user_id")
         .agg(min($"event_id").as("first_id"), min_by($"event_type", $"event_id").as("first_type"))
         .orderBy($"user_id")
+    },
+
+    // F35 — edit-distance fuzzy matching (the string analog of the
+    // near-dup detectors): name pairs within levenshtein ≤ 4 over a
+    // bounded id window. The pair join is non-equi → broadcast nested
+    // loop on an intentionally bounded side, the same shape as the ANN
+    // verification step; at corpus scale the candidate pairs come from
+    // LSH first and this distance is the verifier.
+    QDef("f35_levenshtein",
+      """SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        |WHERE a.p_partkey < 60 AND b.p_partkey < 60
+        |  AND levenshtein(a.p_name, b.p_name) <= 4
+        |ORDER BY k1, k2""".stripMargin) { (s, d) =>
+      val p = Tables.part(s, d).filter($"p_partkey" < 60)
+        .select($"p_partkey", $"p_name")
+      val a = p.select($"p_partkey".as("k1"), $"p_name".as("n1"))
+      val b = p.select($"p_partkey".as("k2"), $"p_name".as("n2"))
+      a.join(broadcast(b), $"k1" < $"k2")
+        .withColumn("dist", levenshtein($"n1", $"n2"))
+        .filter($"dist" <= 4)
+        .select($"k1", $"k2", $"dist")
+        .orderBy($"k1", $"k2")
+    },
+
+    // F36 — calendar part extraction (year/quarter/month/ISO week/day of
+    // week). Spark's dayofweek is Sunday=1, DuckDB's Sunday=0 — the
+    // engine normalizes to the 0-based convention.
+    QDef("f36_date_parts",
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(weekofyear(o_orderdate) AS INTEGER) AS wk,
+        |  CAST(dayofweek(o_orderdate) AS INTEGER) AS dow0
+        |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).filter($"o_orderkey" < 1000)
+        .select($"o_orderkey",
+          year($"o_orderdate").as("y"), quarter($"o_orderdate").as("q"),
+          month($"o_orderdate").as("m"), weekofyear($"o_orderdate").as("wk"),
+          (dayofweek($"o_orderdate") - 1).as("dow0"))
+        .orderBy($"o_orderkey")
     }
   )
 
