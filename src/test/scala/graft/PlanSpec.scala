@@ -109,6 +109,16 @@ class PlanSpec extends AnyFunSuite {
       "partition column must not degrade to a data filter")
   }
 
+  test("levenshtein predicate gains the length-difference guard (custom rule)") {
+    val p = Pack.byName("f35_levenshtein").fn(spark, TestSpark.sf0001)
+    val optimized = p.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("abs((length(") || optimized.contains("abs(length("),
+      s"LevenshteinPrefilter must inject the cheap guard:\n$optimized")
+    // value preservation is covered by the DuckDB oracle, which compares
+    // the rule-on result against plain SQL levenshtein
+    assert(p.count() > 0)
+  }
+
   test("unpivot lowers to Expand (zero-shuffle melt)") {
     val p = plan("reshape_unpivot")
     assert(p.contains("Expand"), s"unpivot must be an Expand, not a union of scans:\n$p")
