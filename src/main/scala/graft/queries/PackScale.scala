@@ -137,6 +137,45 @@ object PackScale {
         .orderBy(col("o_orderpriority"))
     },
 
+    // Data-quality report (the dbt-test / expectations surface): range,
+    // referential-integrity, null, and uniqueness rules evaluated in one
+    // pass each — violations counted, never materialized. The orphan
+    // check is an anti join (broadcastable key set); the dup check is a
+    // group-count. A real deployment gates the load on `violations = 0`.
+    QDef("dq_report",
+      """SELECT 'lineitem_dup_key' AS rule, CAST(count(*) AS BIGINT) AS violations FROM (
+        |  SELECT l_orderkey, l_linenumber, count(*) AS c FROM lineitem
+        |  GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'lineitem_orphan_order', count(*) FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'lineitem_qty_range', count(*) FROM lineitem
+        |WHERE l_quantity < 1 OR l_quantity > 50
+        |UNION ALL
+        |SELECT 'orders_null_date', count(*) FROM orders WHERE o_orderdate IS NULL
+        |ORDER BY rule""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val dupKey = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("lineitem_dup_key").as("rule"), col("violations"))
+      val orphans = graft.ops.Ops
+        .antiJoinLarge(li.select(col("l_orderkey")), o.select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"))
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("lineitem_orphan_order").as("rule"), col("violations"))
+      val qtyRange = li.filter(col("l_quantity") < 1 || col("l_quantity") > 50)
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("lineitem_qty_range").as("rule"), col("violations"))
+      val nullDate = o.filter(col("o_orderdate").isNull)
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("orders_null_date").as("rule"), col("violations"))
+      dupKey.unionByName(orphans).unionByName(qtyRange).unionByName(nullDate)
+        .orderBy(col("rule"))
+    },
+
     // Column-stats profile (the ANALYZE TABLE surface): count / non-null /
     // exact distinct / min / max for several columns in ONE scan — the
     // multi-distinct aggregate lowers to a single Expand pass, and stack()
