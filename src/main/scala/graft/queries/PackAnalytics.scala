@@ -317,6 +317,43 @@ object PackAnalytics {
         .orderBy(col("event_id"))
     },
 
+    // Native session windows: the built-in session_window operator (batch
+    // form of the streaming session aggregate). Spark opens a new session
+    // when the gap is >= the timeout (half-open [ts, ts+gap) windows), so
+    // the oracle's lag-based sessionizer uses >=.
+    QDef("window_session_native",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |d AS (SELECT user_id, ts,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |             THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts,
+        |        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM d)
+        |SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("session_window.start").as("session_start"), col("n"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+
+    // Geometric mean through the typed Aggregator (UDAF) API
+    // (graft.plans.GeoMeanAgg): decomposable (Σln, n) buffer → partial
+    // aggregation preserved; rounded at 6dp (double sum order).
+    QDef("agg_geomean_udaf",
+      """SELECT o_orderpriority, round(exp(avg(ln(o_totalprice))), 6) AS geomean
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val geo = udaf(graft.plans.GeoMeanAgg, org.apache.spark.sql.Encoders.scalaDouble)
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(round(geo(col("o_totalprice")), 6).as("geomean"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // Deterministic stratified sampling: every 20th row per stratum in a
     // stable order. Content-deterministic like the md5 split (same sample
     // on every engine/run), uniform within each stratum by construction.
