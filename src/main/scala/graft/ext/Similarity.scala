@@ -99,6 +99,38 @@ object Similarity {
     (assigned, cents)
   }
 
+  /** Multi-probe IVF ANN: each query is scored against every bucket
+    * centroid (k×dims doubles, broadcast), probes its top-`nprobe`
+    * buckets, and reranks exactly within the probed candidates — the
+    * standard recall/cost dial between [[ivfTopK]] (nprobe=1) and
+    * [[bruteTopK]] (nprobe=k). Candidate generation stays a bucket
+    * equi-join: the corpus side never shuffles and scans only the probed
+    * fraction. Centroid means are rounded at 6dp (as [[centroids]]
+    * emits them), making probe selection reproducible cross-engine. */
+  def ivfMultiProbeTopK(corpus: DataFrame, queries: DataFrame, bucketCol: String,
+                        k: Int, nprobe: Int): DataFrame = {
+    val nd = nativeDot(corpus.sparkSession, _, _)
+    val byBucket = centroids(corpus, bucketCol)
+      .groupBy(col(bucketCol))
+      .agg(array_sort(collect_list(struct(col("i"), col("mean")))).as("c"))
+      .select(col(bucketCol).as("pb"), transform(col("c"), x => x.getField("mean")).as("cvec"))
+    val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      sqrt(nd(col("embedding"), col("embedding"))).as("qn")))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("pb"))
+    val probes = q.crossJoin(broadcast(byBucket))
+      .withColumn("score", round(nd(col("qe"), col("cvec")), 6))
+      .withColumn("pr", row_number().over(wProbe)).filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qe"), col("qn"), col("pb"))
+    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+      sqrt(nd(col("embedding"), col("embedding"))).as("nn"), col(bucketCol))
+    val scored = c.join(broadcast(probes),
+        col(bucketCol) === col("pb") && col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(nd(col("qe"), col("ne")) / (col("qn") * col("nn")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** IVF-style ANN: identical to [[bruteTopK]] but the candidate set is
     * pruned to the query's coarse bucket (equi-join on `bucketCol`).
     * probe=1; multi-probe = union over adjacent buckets, same shape. */

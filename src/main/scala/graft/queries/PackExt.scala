@@ -160,6 +160,32 @@ object PackExt {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // Multi-probe IVF: queries probe their top-2 centroid buckets before
+    // the exact rerank — the recall/cost dial between single-probe IVF
+    // and brute force. Probe selection ranks 6dp-rounded centroid dots
+    // (reproducible cross-engine), candidates stay a bucket equi-join.
+    QDef("ann_ivf_multiprobe",
+      s"""WITH cents AS (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean
+         |               FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+         |cvec AS (SELECT label AS pb, list(mean ORDER BY i) AS cv FROM cents GROUP BY label),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+         |qs AS (SELECT qid, pb, row_number() OVER (PARTITION BY qid ORDER BY
+         |         round(list_reduce(list_transform(range(1, 65),
+         |           i -> CAST(qe[i] AS DOUBLE) * cv[i]), (a,b) -> a+b), 6) DESC, pb) AS pr
+         |       FROM q, cvec),
+         |probe AS (SELECT qid, pb FROM qs WHERE pr <= 2),
+         |c AS (SELECT q.qid, e.vec_id AS nid, round(${cosSql("q.qe", "e.embedding")}, 6) AS cos
+         |      FROM q JOIN probe USING (qid)
+         |      JOIN embeddings e ON e.label = probe.pb AND e.vec_id <> q.qid),
+         |r AS (SELECT qid, nid, cos,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
+         |      FROM c)
+         |SELECT qid, nid, cos, rank FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfMultiProbeTopK(e, e.filter(col("vec_id") < 20), "label", k = 3, nprobe = 2)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // embedding near-dup detection = top-1 neighbor + threshold flag
     QDef("dedup_embed_cosine",
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 100),

@@ -54,6 +54,21 @@ class IoSpec extends AnyFunSuite {
       Set((1L, "ok"), (3L, "fine")))
   }
 
+  test("schema evolution: mergeSchema reads old and new file generations together") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString + "/t"
+    // generation 1: (id, v) — generation 2 adds a column
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(dir)
+    Seq((3L, "c", 30.0)).toDF("id", "v", "score").write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "score", "v"))
+    val rows = merged.orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows.toSeq == Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(30.0))),
+      "old-generation rows surface the new column as null")
+  }
+
   test("agent support: catalog schema block + markdown rendering (ai_agent read path)") {
     import graft.io.AgentSupport
     graft.schemas.Tables.orders(spark, TestSpark.sf0001).createOrReplaceTempView("ag_orders")
