@@ -71,10 +71,16 @@ object PackCore {
         |  count(*) AS n_items
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |GROUP BY p.p_type ORDER BY gasto DESC, categoria LIMIT 20""".stripMargin) { (s, d) =>
+      // tight decimal types keep the per-row multiply long-backed:
+      // DECIMAL(11,2) × DECIMAL(3,2) → DECIMAL(15,4) stays inside the
+      // 18-digit fast path (a (18,2)×(18,2) product would be a
+      // BigDecimal per row); values are identical, the oracle's wider
+      // casts agree exactly
       Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
         .groupBy($"p_type".as("categoria"))
-        .agg(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))).as("g"),
+        .agg(sum($"l_extendedprice".cast(DecimalType(11, 2)) *
+            (lit(1) - $"l_discount".cast(DecimalType(3, 2)))).as("g"),
           count(lit(1)).as("n_items"))
         .select($"categoria", $"g".cast("double").as("gasto"), $"n_items")
         .orderBy($"gasto".desc, $"categoria")
