@@ -1,0 +1,94 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.apache.spark.sql.functions._
+
+/** ScalaCheck properties for the round-2 distributed algorithms: each is
+  * checked against a straightforward single-machine reference on random
+  * inputs — the distributed plan must agree exactly. */
+object OpsProps extends Properties("ops") {
+
+  // each case runs real Spark jobs (the CC property runs an iterative
+  // loop of them) — 10 random cases per property is plenty and keeps the
+  // suite fast
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = TestSpark.spark
+
+  // ---- connected components vs brute-force union-find -------------------
+
+  private val graphGen: Gen[(Int, List[(Long, Long)])] = for {
+    n <- Gen.choose(2, 24)
+    m <- Gen.choose(0, 30)
+    edges <- Gen.listOfN(m, for {
+      a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+  } yield (n, edges)
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // path-compress fully, then min-id per component
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  property("connectedComponents == union-find min labels") =
+    Prop.forAll(graphGen) { case (n, edges) =>
+      import spark.implicits._
+      val vertices = (0L until n.toLong).toDF("id")
+      val e = if (edges.isEmpty) spark.emptyDataset[(Long, Long)].toDF("d1", "d2")
+              else edges.toDF("d1", "d2")
+      val got = graft.ext.TextDedup.connectedComponents(vertices, e)
+        .as[(Long, Long)].collect().toMap
+      got == unionFind(n, edges)
+    }
+
+  // ---- chunking invariants ----------------------------------------------
+
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(1, 80)
+    ws <- Gen.listOfN(n, Gen.alphaLowerStr.map(s => if (s.isEmpty) "w" else s.take(6)))
+  } yield ws.mkString(" ")
+
+  property("chunks cover every token in order with fixed stride") =
+    Prop.forAll(textGen, Gen.choose(1, 10)) { (text, stride) =>
+      import spark.implicits._
+      val chunkTokens = stride + 3
+      val words = text.split(" ").toSeq
+      val got = Seq(text).toDF("text")
+        .select(graft.ext.TextAnalysis.chunks(col("text"), chunkTokens, stride).as("c"))
+        .as[Seq[String]].head()
+      val expected = (0 until ((words.length - 1) / stride + 1)).map(i =>
+        words.slice(i * stride, i * stride + chunkTokens).mkString(" "))
+      got == expected && got.head.startsWith(words.head) &&
+        words.forall(w => got.exists(_.contains(w)))
+    }
+
+  // ---- incremental aggregate maintenance --------------------------------
+
+  private val valuesGen: Gen[List[Double]] =
+    Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, Gen.choose(1, 99999)
+      .map(c => c / 100.0)))
+
+  property("incrementalAgg over random batch splits == one-shot aggregate") =
+    Prop.forAll(valuesGen, Gen.choose(1, 4)) { (vals, parts) =>
+      import spark.implicits._
+      val df = vals.zipWithIndex
+        .map { case (v, i) => (s"k${i % 3}", i % parts, v) }
+        .toDF("key", "part", "v")
+      val folded = (0 until parts).foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+        (prev, p) => Some(graft.ops.Ops.incrementalAgg(
+          prev, df.filter(col("part") === p), Seq("key"), "v"))
+      }.get
+      val oneShot = graft.ops.Ops.incrementalAgg(None, df, Seq("key"), "v")
+      val norm = (x: org.apache.spark.sql.DataFrame) => x.orderBy("key")
+        .as[(String, Long, java.math.BigDecimal, Double, Double)].collect().toSeq
+        .map { case (k, n, t, mn, mx) => (k, n, t.stripTrailingZeros, mn, mx) }
+      norm(folded) == norm(oneShot)
+    }
+}

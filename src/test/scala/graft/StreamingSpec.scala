@@ -126,6 +126,29 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 10:05:00", 1L, 1L, 30.0), ("2024-01-01 11:00:00", 1L, 1L, 5.0)))
   }
 
+  test("ST3 under the RocksDB state store provider (production state backend)") {
+    val in = tmp("graft_inR"); val ckpt = tmp("graft_ckptR")
+    stageBatch(in, Seq((1L, "2024-01-01 10:00:00", 1L, 10.0),
+      (1L, "2024-01-01 10:00:01", 1L, 10.0), // dup id
+      (2L, "2024-01-01 10:00:02", 2L, 20.0)), "b1")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val deduped = StreamingOps.dedupStream(
+        StreamingOps.fileSource(spark, in, schema), "ts", "1 hour", "event_id")
+      val q = deduped.writeStream.format("memory").queryName("rocks_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val ids = spark.sql("SELECT event_id FROM rocks_out ORDER BY 1").as[Long].collect().toSeq
+      assert(ids == Seq(1L, 2L), "dedup state must behave identically on RocksDB")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream interval join attributes right events within the lag window") {
     val pin = tmp("graft_inP"); val vin = tmp("graft_inV"); val ckpt = tmp("graft_ckptIJ")
     // purchases: u1@12:00, u2@12:00. views: u1@11:10 (inside 1h), u1@10:30
