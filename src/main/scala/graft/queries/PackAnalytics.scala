@@ -341,6 +341,25 @@ object PackAnalytics {
         .orderBy(col("user_id"), col("session_start"))
     },
 
+    // Sliding time windows (1h window, 30min slide): every event lands in
+    // two overlapping windows — Spark's window() lowers this to a
+    // zero-shuffle Expand before one aggregation. Oracle enumerates the
+    // two epoch-aligned 30-minute buckets per event explicitly.
+    QDef("window_sliding",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |w AS (SELECT user_id, time_bucket(INTERVAL 30 MINUTE, ts, TIMESTAMP '1970-01-01') AS ws FROM e
+        |      UNION ALL
+        |      SELECT user_id, time_bucket(INTERVAL 30 MINUTE, ts, TIMESTAMP '1970-01-01') - INTERVAL 30 MINUTE FROM e)
+        |SELECT user_id, ws AS window_start, CAST(count(*) AS BIGINT) AS n
+        |FROM w GROUP BY user_id, ws
+        |ORDER BY user_id, window_start""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("window.start").as("window_start"), col("n"))
+        .orderBy(col("user_id"), col("window_start"))
+    },
+
     // Geometric mean through the typed Aggregator (UDAF) API
     // (graft.plans.GeoMeanAgg): decomposable (Σln, n) buffer → partial
     // aggregation preserved; rounded at 6dp (double sum order).
