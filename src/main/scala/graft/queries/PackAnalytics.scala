@@ -293,6 +293,54 @@ object PackAnalytics {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
     },
 
+    // Null-safe equi-join (<=> / IS NOT DISTINCT FROM): null keys match
+    // each other instead of vanishing — the semantics CDC/merge keys need
+    // when nullable business keys are real. Hash-joinable in Spark
+    // (EqualNullSafe is a valid equi-join key), unlike an OR-of-IS-NULL
+    // formulation which would degrade to a nested loop.
+    QDef("j7_join_null_safe",
+      """WITH a AS (SELECT event_id, nullif(event_type, 'error') AS k FROM events WHERE event_id < 500),
+        |b AS (SELECT nullif(event_type, 'error') AS k, count(*) AS n_type
+        |      FROM events GROUP BY 1)
+        |SELECT a.event_id, a.k, b.n_type
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val a = e.filter(col("event_id") < 500)
+        .select(col("event_id"), nullif(col("event_type"), lit("error")).as("k"))
+      val b = e.select(nullif(col("event_type"), lit("error")).as("bk"))
+        .groupBy(col("bk")).agg(count(lit(1)).as("n_type"))
+      a.join(b, col("k") <=> col("bk"))
+        .select(col("event_id"), col("k"), col("n_type"))
+        .orderBy(col("event_id"))
+    },
+
+    // FULL OUTER join: union of both key spaces with nulls where absent —
+    // the reconciliation shape (e.g. comparing two warehouse generations).
+    // Here: per-priority order counts vs per-priority lineitem counts
+    // through disjoint key filters so both unmatched sides occur.
+    QDef("j8_full_outer",
+      """WITH o AS (SELECT o_orderpriority AS k, count(*) AS n_orders
+        |           FROM orders WHERE o_orderkey % 2 = 0 AND o_orderpriority <> '5-LOW'
+        |           GROUP BY 1),
+        |l AS (SELECT o.o_orderpriority AS k, count(*) AS n_items
+        |      FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+        |      WHERE o.o_orderpriority <> '1-URGENT' GROUP BY 1)
+        |SELECT coalesce(o.k, l.k) AS k, o.n_orders, l.n_items
+        |FROM o FULL OUTER JOIN l ON o.k = l.k
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      val ord = Tables.orders(s, d)
+      val o = ord.filter(col("o_orderkey") % 2 === 0 && col("o_orderpriority") =!= "5-LOW")
+        .groupBy(col("o_orderpriority").as("ok")).agg(count(lit(1)).as("n_orders"))
+      val l = Tables.lineitem(s, d)
+        .join(ord.filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority").as("lk")).agg(count(lit(1)).as("n_items"))
+      o.join(l, col("ok") === col("lk"), "full_outer")
+        .select(coalesce(col("ok"), col("lk")).as("k"), col("n_orders"), col("n_items"))
+        .orderBy(col("k"))
+    },
+
     // Batch form of the stream-stream interval join (StreamingOps
     // .intervalJoin): views attributed to each purchase within the
     // trailing hour, per user. Equi-key + two-sided time bound — the
