@@ -200,4 +200,36 @@ object StreamingOps {
           UserTotal(uid, n, s)
       }
   }
+
+  /** Same running totals through the Spark 4 arbitrary-state v2 API
+    * (`transformWithState` + `StatefulProcessor`): typed named state
+    * handles with per-state TTL, timers, and multiple state variables per
+    * key — the successor to mapGroupsWithState for long-lived state.
+    * Requires the RocksDB state store provider. */
+  final class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, UserTotal] {
+    @transient private var totals: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[EventRow],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTotal] = {
+      val (n0, s0) = if (totals.exists()) totals.get() else (0L, 0.0)
+      var n = n0; var s = s0
+      rows.foreach { r => n += 1; s += r.value }
+      totals.update((n, s))
+      Iterator.single(UserTotal(uid, n, s))
+    }
+  }
+
+  def runningTotalsV2(ds: Dataset[EventRow]): Dataset[UserTotal] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
 }

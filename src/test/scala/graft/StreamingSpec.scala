@@ -149,6 +149,42 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState (arbitrary state v2) accumulates across micro-batches") {
+    val in = tmp("graft_inT"); val ckpt = tmp("graft_ckptT")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = tmp("graft_twsout")
+      // memory sink can't recover from a checkpoint → foreachBatch parquet
+      def run(): Unit = {
+        val ds = StreamingOps.fileSource(spark, in, schema)
+          .selectExpr("event_id", "user_id", "value")
+          .as[StreamingOps.EventRow]
+        val q = StreamingOps.runningTotalsV2(ds)
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamingOps.UserTotal], _: Long) =>
+            b.write.mode("append").parquet(out); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      stageBatch(in, Seq((1L, "2024-01-01 10:00:00", 1L, 10.0),
+        (2L, "2024-01-01 10:01:00", 1L, 5.0)), "b1")
+      run()
+      // second batch: state must carry the previous totals
+      stageBatch(in, Seq((3L, "2024-01-01 11:00:00", 1L, 2.5)), "b2")
+      run()
+      val last = spark.read.parquet(out).filter($"user_id" === 1L)
+        .orderBy($"n".desc).select($"n", $"total").as[(Long, Double)].head()
+      assert(last == ((3L, 17.5)), s"state must accumulate across runs: $last")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream interval join attributes right events within the lag window") {
     val pin = tmp("graft_inP"); val vin = tmp("graft_inV"); val ckpt = tmp("graft_ckptIJ")
     // purchases: u1@12:00, u2@12:00. views: u1@11:10 (inside 1h), u1@10:30
