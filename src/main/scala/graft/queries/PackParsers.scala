@@ -63,7 +63,14 @@ object PackParsers {
     * sorts — groups never materialize, so a billion-line ticket streams
     * instead of buffering. The per-line strings still come from the
     * codegen'd projection; totals accumulate in exact BigDecimal. */
-  def ticketTextsSorted(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+  def ticketTextsSorted(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    ticketTextsSortedDs(s, d).toDF("text")
+
+  /** Typed form of [[ticketTextsSorted]] — callers that chain another
+    * object op (the parse flatMap) use this directly so
+    * EliminateSerialization fuses the chain; a toDF alias in between
+    * would force a UTF8String round-trip per ticket. */
+  def ticketTextsSortedDs(s: SparkSession, d: String): org.apache.spark.sql.Dataset[String] = {
     import s.implicits._
     val items = ticketItems(s, d)
       .select($"l_orderkey", $"fecha_s", $"l_linenumber", $"line",
@@ -95,7 +102,6 @@ object PackParsers {
           }
         }
       }
-      .toDF("text")
   }
 
   /** shared projection feeding both ticket-text constructions. */
@@ -180,8 +186,10 @@ object PackParsers {
          |ORDER BY nro_ticket, prod, p_total, categ""".stripMargin) { (s, d) =>
       import s.implicits._
       // secondary-sort construction: ~25% faster than the collect_list
-      // form at sf0.1 and never materializes a whole ticket's lines
-      ticketTextsSorted(s, d).select($"text").as[String]
+      // form at sf0.1 and never materializes a whole ticket's lines.
+      // The typed form chains the parse flatMap object-to-object —
+      // EliminateSerialization removes the row boundary between them
+      ticketTextsSortedDs(s, d)
         .flatMap(TicketParser.parse _)
         .toDF()
         .select($"nro_ticket", to_date($"fecha", "dd/MM/yyyy").as("fecha"),
