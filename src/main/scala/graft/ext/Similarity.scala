@@ -108,9 +108,18 @@ object Similarity {
     * fraction. Centroid means are rounded at 6dp (as [[centroids]]
     * emits them), making probe selection reproducible cross-engine. */
   def ivfMultiProbeTopK(corpus: DataFrame, queries: DataFrame, bucketCol: String,
-                        k: Int, nprobe: Int): DataFrame = {
+                        k: Int, nprobe: Int): DataFrame =
+    ivfMultiProbeTopK(corpus, queries, centroids(corpus, bucketCol), bucketCol, k, nprobe)
+
+  /** [[ivfMultiProbeTopK]] against an externally supplied centroid table
+    * (long form, as [[centroids]]/[[kmeansFit]] emit and
+    * graft.io.Warehouse persists) — the production path: train the coarse
+    * quantizer once, store it, and serve every subsequent query from the
+    * persisted table instead of re-deriving it per run. */
+  def ivfMultiProbeTopK(corpus: DataFrame, queries: DataFrame, cents: DataFrame,
+                        bucketCol: String, k: Int, nprobe: Int): DataFrame = {
     val nd = nativeDot(corpus.sparkSession, _, _)
-    val byBucket = centroids(corpus, bucketCol)
+    val byBucket = cents
       .groupBy(col(bucketCol))
       .agg(array_sort(collect_list(struct(col("i"), col("mean")))).as("c"))
       .select(col(bucketCol).as("pb"), transform(col("c"), x => x.getField("mean")).as("cvec"))
@@ -125,6 +134,46 @@ object Similarity {
       sqrt(nd(col("embedding"), col("embedding"))).as("nn"), col(bucketCol))
     val scored = c.join(broadcast(probes),
         col(bucketCol) === col("pb") && col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(nd(col("qe"), col("ne")) / (col("qn") * col("nn")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Random-hyperplane LSH bucket assignment: bit p of a vector's bucket
+    * is the sign of its dot product with hyperplane p. Hyperplanes are
+    * data-derived — the embeddings of the first `numPlanes` corpus vectors
+    * (the corpus is zero-mean, so each such plane splits it roughly in
+    * half) — which keeps the scheme fully deterministic and reproducible
+    * in any engine without a shared RNG. The sign test is bit-exact
+    * cross-engine because both sides fold identical IEEE doubles in the
+    * same order (see dot). Planes are broadcast (numPlanes × dims floats);
+    * the corpus side never shuffles — `2^numPlanes` buckets. */
+  def lshAssign(vecs: DataFrame, numPlanes: Int): DataFrame = {
+    val nd = nativeDot(vecs.sparkSession, _, _)
+    val planes = broadcast(vecs.filter(col("vec_id") < numPlanes)
+      .select(col("vec_id").as("__pid"), col("embedding").as("__pe")))
+    val keep = vecs.columns.toIndexedSeq.map(col)
+    vecs.crossJoin(planes)
+      .groupBy(keep: _*)
+      .agg(sum(when(nd(col("embedding"), col("__pe")) >= 0,
+        pow(lit(2.0), col("__pid")).cast("long")).otherwise(lit(0L))).as("bucket"))
+  }
+
+  /** LSH-bucketed ANN: hash corpus and queries with [[lshAssign]], then
+    * rerank exactly within the query's bucket — same candidate-join shape
+    * as [[ivfTopK]] but with no training step at all, the cheapest scale
+    * path when approximate recall is acceptable. Recall dial = fewer
+    * planes (bigger buckets) or multi-probe on Hamming-adjacent buckets. */
+  def lshTopK(corpus: DataFrame, queryPred: Column, numPlanes: Int, k: Int): DataFrame = {
+    val nd = nativeDot(corpus.sparkSession, _, _)
+    val hashed = lshAssign(corpus, numPlanes)
+    val q = broadcast(hashed.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        sqrt(nd(col("embedding"), col("embedding"))).as("qn"), col("bucket").as("qb")))
+    val c = hashed.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+      sqrt(nd(col("embedding"), col("embedding"))).as("nn"), col("bucket"))
+    val scored = c.join(q, col("bucket") === col("qb") && col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         round(nd(col("qe"), col("ne")) / (col("qn") * col("nn")), 6).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))

@@ -421,6 +421,80 @@ object PackAnalytics {
         .orderBy(col("o_orderpriority"))
     },
 
+    // Full CUBE lattice over (returnflag, linestatus): all four grouping
+    // combinations in one Expand pass — single scan, single shuffle, the
+    // complete dashboard pre-aggregation. Complements agg_rollup (hierarchy)
+    // and agg_grouping_sets (explicit sets).
+    QDef("agg_cube",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // Deterministic mode (most frequent value, smallest-value tie-break):
+    // built-in mode() resolves ties arbitrarily in both engines, so the
+    // portable form is a two-level aggregate + ranking window — the first
+    // GROUP BY collapses the data to |keys|×|values| rows before the
+    // window sees it, so the sort is over group counts, never raw rows.
+    QDef("agg_mode_deterministic",
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS n FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, l_quantity) AS rn FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_qty, n AS n_occurrences
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("n").desc, col("l_quantity"))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_quantity")).agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("n").as("n_occurrences"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Bivariate statistics (covariance / stddev / correlation) computed
+    // from exact decimal moments: one partial-aggregatable pass collects
+    // n, Σx, Σy, Σx², Σy², Σxy as order-free decimals, and the final
+    // projection derives the statistics in double over six scalars per
+    // group. Built-in corr()/covar_samp() stream doubles in partition
+    // order and are not reproducible across engines; the moment form is
+    // bit-stable and shuffles six numbers per group instead of re-reading
+    // data — the only way to get deterministic second-order stats at scale.
+    QDef("agg_corr_stats",
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1), 6) AS covar_samp,
+        |  round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)), 6) AS stddev_x,
+        |  round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        |    / (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        |     * sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)), 6) AS corr
+        |FROM m ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val qx = dec(col("l_quantity"))
+      val px = dec(col("l_extendedprice"))
+      def dbl(n: String): Column = col(n).cast("double")
+      val n = col("n")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(qx).as("sx"), sum(px).as("sy"),
+          sum(qx * qx).as("sxx"), sum(px * px).as("syy"), sum(qx * px).as("sxy"))
+        .select(col("l_returnflag"), n,
+          round((dbl("sxy") - dbl("sx") * dbl("sy") / n) / (n - lit(1)), 6).as("covar_samp"),
+          round(sqrt((dbl("sxx") - dbl("sx") * dbl("sx") / n) / (n - lit(1))), 6).as("stddev_x"),
+          round((dbl("sxy") - dbl("sx") * dbl("sy") / n)
+            / (sqrt(dbl("sxx") - dbl("sx") * dbl("sx") / n)
+             * sqrt(dbl("syy") - dbl("sy") * dbl("sy") / n)), 6).as("corr"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Deterministic stratified sampling: every 20th row per stratum in a
     // stable order. Content-deterministic like the md5 split (same sample
     // on every engine/run), uniform within each stratum by construction.

@@ -186,6 +186,29 @@ object PackExt {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // LSH-bucketed ANN: sign-bit buckets from data-derived random
+    // hyperplanes (first 4 corpus vectors; the corpus is zero-mean so each
+    // splits it ~in half), exact rerank inside the query's bucket. The
+    // training-free counterpart to IVF: no centroid pass, 2^planes buckets,
+    // corpus side never shuffles. Sign tests are bit-exact cross-engine
+    // (identical sequential IEEE folds), so bucketing is reproducible.
+    QDef("ann_lsh_topk",
+      s"""WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 4),
+         |b AS (SELECT e.vec_id, e.embedding,
+         |        sum(CASE WHEN ${dotSql("e.embedding", "p.pe")} >= 0
+         |            THEN CAST(power(2, pid) AS BIGINT) ELSE 0 END) AS bucket
+         |      FROM embeddings e, p GROUP BY e.vec_id, e.embedding),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qb FROM b WHERE vec_id < 20),
+         |c AS (SELECT q.qid, b.vec_id AS nid, round(${cosSql("q.qe", "b.embedding")}, 6) AS cos
+         |      FROM q JOIN b ON b.bucket = q.qb AND b.vec_id <> q.qid),
+         |r AS (SELECT qid, nid, cos,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
+         |      FROM c)
+         |SELECT qid, nid, cos, rank FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      Similarity.lshTopK(Tables.embeddings(s, d), col("vec_id") < 20, numPlanes = 4, k = 3)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // embedding near-dup detection = top-1 neighbor + threshold flag
     QDef("dedup_embed_cosine",
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 100),

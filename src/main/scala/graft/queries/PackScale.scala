@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.schemas.Tables
@@ -210,6 +211,25 @@ object PackScale {
             |  'o_totalprice', n, nn3, nd3, mn3, mx3)
             |AS (col, n, non_null, n_distinct, min_v, max_v)""".stripMargin)
         .orderBy(col("col"))
+    },
+
+    // Keep-latest-version dedup: the CDC/compaction staple — one surviving
+    // row per key, newest timestamp wins, event_id breaks exact-ts ties so
+    // the survivor is deterministic. row_number lowers to one hash
+    // repartition by key + per-partition sort: no global sort, no
+    // self-join, and AQE can split a skewed key's sort spill. At 100 TB
+    // this is the standard "latest snapshot from an append log" pass.
+    QDef("dedup_keep_latest",
+      """WITH r AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT event_id, user_id, ts, event_type, value FROM r WHERE rn = 1
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
     }
   )
 }

@@ -67,6 +67,23 @@ class ExtSpec extends AnyFunSuite {
     assert(ivf == Set(1L, 2L), "IVF must only search the query's bucket")
   }
 
+  test("LSH buckets: co-directional vectors share a bucket, opposites do not") {
+    // planes = vectors 0 and 1; 2 aligns with both (same signs as 0),
+    // 3 is the negation of 2 (opposite signs) — must land elsewhere
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0.2f), 0), (1L, Array(0f, 1f, 0.2f), 0),
+      (2L, Array(0.9f, 0.8f, 0.3f), 0), (3L, Array(-0.9f, -0.8f, -0.3f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val b = Similarity.lshAssign(vecs, 2).select("vec_id", "bucket")
+      .as[(Long, Long)].collect().toMap
+    assert(b(0L) == b(2L), s"aligned vectors must share a bucket: $b")
+    assert(b(2L) != b(3L), "negated vector must hash elsewhere")
+    val top = Similarity.lshTopK(vecs, col("vec_id") === 2L, numPlanes = 2, k = 3)
+      .select("nid").as[Long].collect().toSet
+    assert(top.contains(0L) && !top.contains(3L),
+      "rerank searches only the query's bucket")
+  }
+
   test("multimodal: batchwise stub decode emits typed features") {
     val feats = Multimodal.extractFeatures(
       Multimodal.asMedia(docs, "doc_id", "text")).collect()

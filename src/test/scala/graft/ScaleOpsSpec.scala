@@ -150,6 +150,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(before == after, "compaction must not change the data")
   }
 
+  test("persisted centroids serve multiprobe ANN identically to the inline training pass") {
+    val loc = java.nio.file.Files.createTempDirectory("graft_cents").toString + "/t"
+    val e = graft.schemas.Tables.embeddings(spark, TestSpark.sf0001)
+    val q = e.filter($"vec_id" < 10)
+    // train once, persist to the warehouse, reload — then serve from the table
+    graft.ext.Similarity.centroids(e, "label").write.parquet(loc)
+    val reloaded = Warehouse.read(spark, loc)
+    val fromTable = graft.ext.Similarity
+      .ivfMultiProbeTopK(e, q, reloaded, "label", k = 3, nprobe = 2)
+      .orderBy($"qid", $"rank").collect().toSeq
+    val inline = graft.ext.Similarity
+      .ivfMultiProbeTopK(e, q, "label", k = 3, nprobe = 2)
+      .orderBy($"qid", $"rank").collect().toSeq
+    assert(fromTable == inline, "persisted-centroid serving must equal inline training")
+    assert(fromTable.nonEmpty)
+  }
+
   test("partition expiry deletes old partitions without reading data") {
     val loc = java.nio.file.Files.createTempDirectory("graft_expire").toString + "/t"
     val o = graft.schemas.Tables.orders(spark, TestSpark.sf0001)
