@@ -119,6 +119,43 @@ class PlanSpec extends AnyFunSuite {
     assert(p.count() > 0)
   }
 
+  test("cube lowers to one Expand + partial/final aggregate (single scan)") {
+    val p = plan("agg_cube")
+    assert(p.contains("Expand"), "CUBE must use Expand, not a union of scans")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert("FileScan".r.findAllIn(p).size == 1, s"CUBE must scan once:\n$p")
+  }
+
+  test("deterministic mode aggregates before the window sees any raw rows") {
+    val p = plan("agg_mode_deterministic")
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && winIdx < p.lastIndexOf("HashAggregate"),
+      "the group-count aggregate must run below the ranking window")
+  }
+
+  test("moment-based corr is one partial+final aggregate pass, no window") {
+    val p = plan("agg_corr_stats")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(!p.contains("Window"), "stats must come from moments, not windows")
+    assert("FileScan".r.findAllIn(p).size == 1)
+  }
+
+  test("LSH ANN candidate join is a bucket equi-join (no cartesian rerank)") {
+    val p = plan("ann_lsh_topk")
+    assert(!p.contains("CartesianProduct"))
+    // the only nested-loop is the bounded numPlanes-vector broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket match must hash-join query and corpus sides:\n$p")
+  }
+
+  test("keep-latest dedup is one exchange + sort, no self-join") {
+    val p = plan("dedup_keep_latest")
+    assert(!p.contains("Join"), "row_number form must not self-join")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"single key repartition expected:\n$p")
+  }
+
   test("unpivot lowers to Expand (zero-shuffle melt)") {
     val p = plan("reshape_unpivot")
     assert(p.contains("Expand"), s"unpivot must be an Expand, not a union of scans:\n$p")
