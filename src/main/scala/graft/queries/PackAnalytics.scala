@@ -421,6 +421,35 @@ object PackAnalytics {
         .orderBy(col("o_orderpriority"))
     },
 
+    // Shipping-priority shape (TPC-H Q3): selective dim filter broadcast
+    // against the fact join, decimal revenue aggregate, global top-10 via
+    // TakeOrderedAndProject. The customer side is the only broadcast; the
+    // orders⋈lineitem spine is a shuffled hash join on the natural key —
+    // exactly the plan you want when both fact sides are 100 TB-class.
+    QDef("q3_shipping_priority",
+      """SELECT l.l_orderkey, o.o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l.l_orderkey, o.o_orderdate
+        |ORDER BY revenue DESC, l.l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      val cutoff = lit("1998-06-01").cast("timestamp")
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+    },
+
     // Full CUBE lattice over (returnflag, linestatus): all four grouping
     // combinations in one Expand pass — single scan, single shuffle, the
     // complete dashboard pre-aggregation. Complements agg_rollup (hierarchy)

@@ -427,6 +427,23 @@ object PackFunctions {
           month($"o_orderdate").as("m"), weekofyear($"o_orderdate").as("wk"),
           (dayofweek($"o_orderdate") - 1).as("dow0"))
         .orderBy($"o_orderkey")
+    },
+
+    // F31 — in-row JSON path extraction (the webhook/mail body field
+    // access, SURVEY §2.8 F31; complements the schema'd document scan in
+    // s4_scan_json). get_json_object evaluates inside codegen with no
+    // intermediate struct; missing paths yield NULL, matching the
+    // reference's dict .get() semantics.
+    QDef("f31_json_extract",
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  CAST(json_extract_string(props, '$.missing') AS INTEGER) AS missing
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select($"event_id",
+          get_json_object($"props", "$.k").cast("int").as("k"),
+          get_json_object($"props", "$.missing").cast("int").as("missing"))
+        .orderBy($"event_id")
     }
   )
 

@@ -119,6 +119,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.count() > 0)
   }
 
+  test("q3 join: date filters pushed to both fact scans, top-10 without global sort") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("GreaterThan(l_shipdate"), "lineitem date filter must be pushed")
+    assert(p.contains("LessThan(o_orderdate"), "orders date filter must be pushed")
+    assert(p.contains("BroadcastHashJoin"), "the customer dim must broadcast")
+  }
+
   test("cube lowers to one Expand + partial/final aggregate (single scan)") {
     val p = plan("agg_cube")
     assert(p.contains("Expand"), "CUBE must use Expand, not a union of scans")
