@@ -524,6 +524,22 @@ object PackAnalytics {
         .orderBy(col("l_returnflag"))
     },
 
+    // Ordered string aggregation (LISTAGG): collect_list is
+    // order-nondeterministic under parallelism, so the portable form
+    // sorts the collected array before joining — deterministic on any
+    // partitioning, equal to the oracle's ORDER BY-qualified string_agg.
+    QDef("agg_string_agg",
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations, count(*) AS n
+        |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, d) =>
+      Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy(col("r_name"))
+    },
+
     // Deterministic stratified sampling: every 20th row per stratum in a
     // stable order. Content-deterministic like the md5 split (same sample
     // on every engine/run), uniform within each stratum by construction.

@@ -444,6 +444,29 @@ object PackFunctions {
           get_json_object($"props", "$.k").cast("int").as("k"),
           get_json_object($"props", "$.missing").cast("int").as("missing"))
         .orderBy($"event_id")
+    },
+
+    // F37 — array higher-order-function surface: size / distinct / slice /
+    // min / exists over token arrays, all codegen-or-HOF expressions that
+    // never leave the row (no explode, no shuffle) — the cheap form of
+    // per-document token analytics at scale.
+    QDef("f37_array_ops",
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |SELECT doc_id, CAST(length(l) AS INTEGER) AS n_tokens,
+        |  CAST(length(list_distinct(l)) AS INTEGER) AS n_distinct,
+        |  array_to_string(l[1:3], ' ') AS first3,
+        |  list_sort(l)[1] AS alpha_min,
+        |  CAST(length(list_filter(l, t -> length(t) > 5)) > 0 AS BOOLEAN) AS has_long
+        |FROM b ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select($"doc_id", split($"text", " ").as("l"))
+        .select($"doc_id",
+          size($"l").as("n_tokens"),
+          size(array_distinct($"l")).as("n_distinct"),
+          concat_ws(" ", slice($"l", 1, 3)).as("first3"),
+          array_min($"l").as("alpha_min"),
+          exists($"l", t => length(t) > 5).as("has_long"))
+        .orderBy($"doc_id")
     }
   )
 
