@@ -161,4 +161,27 @@ object Ops {
         others.toIndexedSeq.map(c => min_by(col(c), col(tiebreak)).as(c)): _*)
       .select(df.columns.toIndexedSeq.map(col): _*)
   }
+
+  /** Per-key top-k through the custom [[graft.plans.TopKPerKey]] operator:
+    * one Exchange + a bounded heap per key instead of the window form's
+    * Exchange + full partition Sort — the plan you want when k ≪ rows per
+    * key at scale. `sortCols` are (column, descending?) pairs evaluated in
+    * order; include a unique final column for deterministic ties, exactly
+    * as the window form would need. */
+  def topKPerKey(df: DataFrame, keys: Seq[String], sortCols: Seq[(String, Boolean)],
+                 k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    val lp = df.queryExecution.analyzed
+    def attr(n: String) = lp.output.find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(s"no column $n in ${df.columns.mkString(",")}"))
+    val order = sortCols.map { case (n, desc) =>
+      SortOrder(attr(n), if (desc) Descending else Ascending)
+    }
+    org.apache.spark.sql.GraftBridge.ofRows(spark,
+      graft.plans.TopKPerKey(keys.map(attr), order, k, lp))
+  }
 }

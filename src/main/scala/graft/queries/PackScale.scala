@@ -213,6 +213,23 @@ object PackScale {
         .orderBy(col("col"))
     },
 
+    // Per-key top-k through the custom TopKPerKey operator (LogicalPlan +
+    // Strategy + SparkPlan, graft.plans): one exchange + bounded heap per
+    // key, O(n log k), no partition sort — vs the window form's full sort
+    // of every partition to keep 3 rows each. Value-equal to the
+    // row_number oracle; ties impossible (event_id is unique).
+    QDef("sort_topk_per_key",
+      """WITH r AS (SELECT event_id, user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        |  FROM events)
+        |SELECT event_id, user_id, value FROM r WHERE rn <= 3
+        |ORDER BY user_id, value DESC, event_id""".stripMargin) { (s, d) =>
+      graft.ops.Ops.topKPerKey(
+          Tables.events(s, d).select(col("event_id"), col("user_id"), col("value")),
+          Seq("user_id"), Seq(("value", true), ("event_id", false)), k = 3)
+        .orderBy(col("user_id"), col("value").desc, col("event_id"))
+    },
+
     // Keep-latest-version dedup: the CDC/compaction staple — one surviving
     // row per key, newest timestamp wins, event_id breaks exact-ts ties so
     // the survivor is deterministic. row_number lowers to one hash

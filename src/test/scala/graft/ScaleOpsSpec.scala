@@ -150,6 +150,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(before == after, "compaction must not change the data")
   }
 
+  test("topKPerKey custom operator equals the window form; plans heap, not sort") {
+    val ev = graft.schemas.Tables.events(spark, TestSpark.sf0001)
+      .select($"event_id", $"user_id", $"value")
+    val topk = Ops.topKPerKey(ev, Seq("user_id"), Seq(("value", true), ("event_id", false)), 3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"value".desc, $"event_id")
+    val win = ev.withColumn("rn", row_number().over(w)).filter($"rn" <= 3).drop("rn")
+    assert(topk.collect().toSet == win.collect().toSet,
+      "custom operator must match the window row_number form exactly")
+    val p = topk.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), s"custom exec node must appear:\n$p")
+    assert(p.contains("Exchange hashpartitioning"), "keys must co-locate via one exchange")
+    assert(!p.contains("Window") && !p.contains("Sort "),
+      s"no window and no partition sort may remain:\n$p")
+  }
+
   test("persisted centroids serve multiprobe ANN identically to the inline training pass") {
     val loc = java.nio.file.Files.createTempDirectory("graft_cents").toString + "/t"
     val e = graft.schemas.Tables.embeddings(spark, TestSpark.sf0001)
