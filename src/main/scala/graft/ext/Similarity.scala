@@ -40,6 +40,21 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Shared rerank tail for every ANN variant: keep the top k scored
+    * candidates per query through the custom bounded-heap operator
+    * (graft.plans.TopKPerKey — one exchange, no partition sort), then
+    * compute ranks with a window over only the ≤ k survivors per query.
+    * The window form alone would fully sort every partition of the scored
+    * cross/bucket join (|Q|·candidates rows) to keep k each; the heap
+    * prunes first, so the sort the window pays is k·|Q| rows total.
+    * Selection is identical: same (cos DESC, nid) order, same tiebreak. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val pruned = graft.ops.Ops.topKPerKey(
+      scored, Seq("qid"), Seq(("cos", true), ("nid", false)), k)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    pruned.withColumn("rank", row_number().over(w))
+  }
+
   /** Brute-force exact top-k: for every row of `queries` (small, broadcast)
     * rank all of `corpus` by cosine. Norms are computed once per vector in
     * the projections feeding the join (1 dot per pair instead of 3 — the
@@ -54,8 +69,7 @@ object Similarity {
     val scored = c.join(q, col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         round(nd(col("qe"), col("ne")) / (col("qn") * col("nn")), 6).as("cos"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** Learn coarse-quantizer centroids as the element-wise mean embedding
@@ -75,11 +89,12 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("i"), col("mean")))).as("c"))
       .select(col(bucketCol).as("__bucket"),
         transform(col("c"), x => x.getField("mean")).as("__centroid"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("__score").desc, col("__bucket"))
-    vecs.crossJoin(broadcast(byBucket))
+    val scored = vecs.crossJoin(broadcast(byBucket))
       .withColumn("__score", nativeDot(vecs.sparkSession, col("embedding"), col("__centroid")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    // argmax = top-1 per vector through the bounded-heap operator: no
+    // window, no sort of the n×k scored rows
+    graft.ops.Ops.topKPerKey(scored, Seq("vec_id"),
+        Seq(("__score", true), ("__bucket", false)), 1)
       .select(vecs.columns.toIndexedSeq.map(col) :+ col("__bucket").as("assigned"): _*)
   }
 
@@ -136,8 +151,7 @@ object Similarity {
         col(bucketCol) === col("pb") && col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         round(nd(col("qe"), col("ne")) / (col("qn") * col("nn")), 6).as("cos"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** Random-hyperplane LSH bucket assignment: bit p of a vector's bucket
@@ -176,8 +190,7 @@ object Similarity {
     val scored = c.join(q, col("bucket") === col("qb") && col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         round(nd(col("qe"), col("ne")) / (col("qn") * col("nn")), 6).as("cos"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** IVF-style ANN: identical to [[bruteTopK]] but the candidate set is
@@ -192,7 +205,6 @@ object Similarity {
     val scored = c.join(q, col(bucketCol) === col("qb") && col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         round(nd(col("qe"), col("ne")) / (col("qn") * col("nn")), 6).as("cos"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 }
