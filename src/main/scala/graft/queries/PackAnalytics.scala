@@ -524,6 +524,24 @@ object PackAnalytics {
         .orderBy(col("l_returnflag"))
     },
 
+    // argmax/argmin aggregation: the value of one column at another
+    // column's extreme — one hash aggregate, no join-back and no window.
+    // Deterministic because the ordering key (event_id) is unique; with
+    // non-unique keys use the mode/topKPerKey patterns instead.
+    QDef("agg_argmax",
+      """SELECT user_id,
+        |  arg_max(event_type, event_id) AS last_type,
+        |  arg_min(event_type, event_id) AS first_type,
+        |  max(value) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max_by(col("event_type"), col("event_id")).as("last_type"),
+          min_by(col("event_type"), col("event_id")).as("first_type"),
+          max(col("value")).as("max_value"))
+        .orderBy(col("user_id"))
+    },
+
     // Ordered string aggregation (LISTAGG): collect_list is
     // order-nondeterministic under parallelism, so the portable form
     // sorts the collected array before joining — deterministic on any
