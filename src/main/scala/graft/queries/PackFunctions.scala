@@ -467,6 +467,30 @@ object PackFunctions {
           array_min($"l").as("alpha_min"),
           exists($"l", t => length(t) > 5).as("has_long"))
         .orderBy($"doc_id")
+    },
+
+    // F38 — nested logical types end-to-end: a struct column built from
+    // aggregates plus a sorted array-of-struct (conditional collect).
+    // The nested values are built natively and serialized to compact
+    // JSON only at the compare boundary (both engines render identical
+    // bytes; raw structs aren't orderable by the driver's row sort).
+    // array_sort makes the collected order deterministic under any
+    // parallelism (collect_list alone is partition-order-dependent).
+    QDef("f38_nested_types",
+      """SELECT user_id,
+        |  to_json(struct_pack(first_id := min(event_id), n := count(*)))::VARCHAR AS summary_json,
+        |  to_json(list_sort(COALESCE(list(struct_pack(eid := event_id, et := event_type))
+        |            FILTER (event_type = 'purchase'), [])))::VARCHAR AS purchases_json
+        |FROM events WHERE user_id < 5 GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d).filter($"user_id" < 5)
+        .groupBy($"user_id")
+        .agg(min($"event_id").as("first_id"), count(lit(1)).as("n"),
+          array_sort(collect_list(when($"event_type" === "purchase",
+            struct($"event_id".as("eid"), $"event_type".as("et"))))).as("purchases"))
+        .select($"user_id",
+          to_json(struct($"first_id", $"n")).as("summary_json"),
+          to_json($"purchases").as("purchases_json"))
+        .orderBy($"user_id")
     }
   )
 
