@@ -165,13 +165,20 @@ object Similarity {
     * the corpus side never shuffles — `2^numPlanes` buckets. */
   def lshAssign(vecs: DataFrame, numPlanes: Int): DataFrame = {
     val nd = nativeDot(vecs.sparkSession, _, _)
-    val planes = broadcast(vecs.filter(col("vec_id") < numPlanes)
-      .select(col("vec_id").as("__pid"), col("embedding").as("__pe")))
-    val keep = vecs.columns.toIndexedSeq.map(col)
-    vecs.crossJoin(planes)
-      .groupBy(keep: _*)
-      .agg(sum(when(nd(col("embedding"), col("__pe")) >= 0,
-        pow(lit(2.0), col("__pid")).cast("long")).otherwise(lit(0L))).as("bucket"))
+    // all planes in ONE broadcast row (numPlanes × dims floats), so bucket
+    // assignment is a row-local fold over the plane array: the corpus side
+    // is map-only — no shuffle at any scale. (A per-plane join + groupBy
+    // would re-shuffle the whole corpus just to sum 4 bits.)
+    val planes = vecs.filter(col("vec_id") < numPlanes)
+      .groupBy()
+      .agg(array_sort(collect_list(
+        struct(col("vec_id").as("pid"), col("embedding").as("pe")))).as("__planes"))
+    vecs.crossJoin(broadcast(planes))
+      .withColumn("bucket",
+        aggregate(col("__planes"), lit(0L), (acc, p) =>
+          acc + when(nd(col("embedding"), p.getField("pe")) >= 0,
+            pow(lit(2.0), p.getField("pid")).cast("long")).otherwise(lit(0L))))
+      .drop("__planes")
   }
 
   /** LSH-bucketed ANN: hash corpus and queries with [[lshAssign]], then
