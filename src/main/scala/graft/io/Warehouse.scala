@@ -48,6 +48,40 @@ object Warehouse {
       .sortWithinPartitions(clusterCol)
       .write.mode(SaveMode.Append).parquet(path)
 
+  /** Z-order (Morton) clustered write: quantize two numeric key columns
+    * to 10-bit ranks over their [min,max] span, interleave the bits, and
+    * range-partition rows by the z-value — every output file then covers
+    * a compact rectangle of the 2-D key space, so parquet min/max footer
+    * stats prune candidate files for predicates on EITHER or BOTH keys.
+    * [[appendClustered]] skips on one column only; this is the layout
+    * Delta/Iceberg expose as OPTIMIZE ZORDER, built from one bounds
+    * aggregate + one range exchange. Linear quantization is deliberate:
+    * rank-based (ntile) quantization resists skew better but needs a
+    * global sort per key column; for skewed keys pre-transform (log,
+    * bucketized rank) before calling. */
+  def appendZOrdered(df: DataFrame, path: String, keyA: String, keyB: String,
+                     numFiles: Int): Unit = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    val b = df.agg(
+      min(col(keyA)).cast("double"), max(col(keyA)).cast("double"),
+      min(col(keyB)).cast("double"), max(col(keyB)).cast("double")).head()
+    def rank(c: Column, lo: Double, hi: Double): Column =
+      least(lit(1023L), floor(
+        (c.cast("double") - lit(lo)) / lit(math.max(hi - lo, 1e-12)) * 1024).cast("long"))
+    val ra = rank(col(keyA), b.getDouble(0), b.getDouble(1))
+    val rb = rank(col(keyB), b.getDouble(2), b.getDouble(3))
+    val z = (0 until 10).map { i =>
+      shiftleft(shiftright(ra, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(rb, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Append).parquet(path)
+  }
+
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 
   /** Small-files compaction: rewrite a directory into ~`targetFiles`

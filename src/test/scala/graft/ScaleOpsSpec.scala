@@ -200,6 +200,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(kept.selectExpr("CAST(min(odate) AS STRING)").head().getString(0) >= cutoff)
   }
 
+  test("z-ordered write prunes candidate files on both keys (2-D data skipping)") {
+    val o = graft.schemas.Tables.orders(spark, TestSpark.sf0001)
+      .select($"o_orderkey", $"o_custkey")
+    val zLoc = java.nio.file.Files.createTempDirectory("graft_z").toString + "/t"
+    val rLoc = java.nio.file.Files.createTempDirectory("graft_z").toString + "/r"
+    Warehouse.appendZOrdered(o, zLoc, "o_orderkey", "o_custkey", 16)
+    o.repartition(16).write.parquet(rLoc) // hash layout: no locality at all
+    def candidates(loc: String, kBox: Long, cBox: Long) =
+      new java.io.File(loc).listFiles().filter(_.getName.endsWith(".parquet")).count { f =>
+        val r = spark.read.parquet(f.toString)
+          .agg(min($"o_orderkey"), min($"o_custkey")).head()
+        r.getLong(0) <= kBox && r.getLong(1) <= cBox // file range intersects the box
+      }
+    val bounds = o.agg(max($"o_orderkey"), max($"o_custkey")).head()
+    val (kBox, cBox) = (bounds.getLong(0) / 4, bounds.getLong(1) / 4)
+    val zHit = candidates(zLoc, kBox, cBox)
+    val rHit = candidates(rLoc, kBox, cBox)
+    assert(rHit == 16, "hash layout must leave every file a candidate")
+    assert(zHit <= 8, s"z-order must exclude most files for a 2-D box, hit $zHit/16")
+    // layout must not change the data
+    assert(spark.read.parquet(zLoc).count() == o.count())
+  }
+
   test("range-clustered write produces files with disjoint value ranges (data skipping)") {
     val loc = java.nio.file.Files.createTempDirectory("graft_clust").toString + "/t"
     val o = graft.schemas.Tables.orders(spark, TestSpark.sf0001)
