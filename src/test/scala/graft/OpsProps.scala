@@ -91,4 +91,27 @@ object OpsProps extends Properties("ops") {
         .map { case (k, n, t, mn, mx) => (k, n, t.stripTrailingZeros, mn, mx) }
       norm(folded) == norm(oneShot)
     }
+
+  // ---- custom TopKPerKey operator vs window row_number ------------------
+
+  private val topkGen: Gen[(List[(Long, Long, Double)], Int)] = for {
+    n <- Gen.choose(1, 60)
+    rows <- Gen.listOfN(n, for {
+      key <- Gen.choose(0L, 5L)
+      score <- Gen.choose(0, 999) // coarse scores force plenty of ties
+    } yield (key, score / 10.0))
+    k <- Gen.choose(1, 5)
+  } yield (rows.zipWithIndex.map { case ((key, s), i) => (i.toLong, key, s) }, k)
+
+  property("TopKPerKey == window row_number under random data, keys and k") =
+    Prop.forAll(topkGen) { case (rows, k) =>
+      import spark.implicits._
+      val df = rows.toDF("id", "key", "score")
+      val topk = graft.ops.Ops.topKPerKey(
+        df, Seq("key"), Seq(("score", true), ("id", false)), k)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"key").orderBy($"score".desc, $"id")
+      val win = df.withColumn("rn", row_number().over(w)).filter($"rn" <= k).drop("rn")
+      topk.collect().toSet == win.collect().toSet
+    }
 }
