@@ -524,6 +524,20 @@ object PackAnalytics {
         .orderBy(col("l_returnflag"))
     },
 
+    // Explicit CROSS JOIN (the last join flavor): the dense categorical
+    // spine — every (region, event_type) combination whether observed or
+    // not. Both sides are bounded dimensions; the product broadcasts and
+    // never shuffles. Unbounded cross joins stay rejected by default
+    // (spark.sql.crossJoin intentional-only via explicit crossJoin call).
+    QDef("j9_cross_matrix",
+      """SELECT r_name, event_type
+        |FROM region CROSS JOIN (SELECT DISTINCT event_type FROM events)
+        |ORDER BY r_name, event_type""".stripMargin) { (s, d) =>
+      Tables.region(s, d).select(col("r_name"))
+        .crossJoin(Tables.events(s, d).select(col("event_type")).distinct())
+        .orderBy(col("r_name"), col("event_type"))
+    },
+
     // argmax/argmin aggregation: the value of one column at another
     // column's extreme — one hash aggregate, no join-back and no window.
     // Deterministic because the ordering key (event_id) is unique; with
