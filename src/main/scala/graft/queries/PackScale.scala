@@ -232,20 +232,21 @@ object PackScale {
 
     // Keep-latest-version dedup: the CDC/compaction staple — one surviving
     // row per key, newest timestamp wins, event_id breaks exact-ts ties so
-    // the survivor is deterministic. row_number lowers to one hash
-    // repartition by key + per-partition sort: no global sort, no
-    // self-join, and AQE can split a skewed key's sort spill. At 100 TB
-    // this is the standard "latest snapshot from an append log" pass.
+    // the survivor is deterministic. Runs through the custom TopKPerKey
+    // operator (k=1): one hash exchange + a single-slot heap per key — no
+    // per-partition sort at all, where the window row_number form sorts
+    // every partition fully to keep one row each. At 100 TB this is the
+    // standard "latest snapshot from an append log" pass.
     QDef("dedup_keep_latest",
       """WITH r AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events)
         |SELECT event_id, user_id, ts, event_type, value FROM r WHERE rn = 1
         |ORDER BY user_id""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
-      Tables.events(s, d)
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+      graft.ops.Ops.topKPerKey(
+          Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value")),
+          Seq("user_id"), Seq(("ts", true), ("event_id", true)), k = 1)
         .orderBy(col("user_id"))
     }
   )

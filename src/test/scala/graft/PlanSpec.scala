@@ -157,9 +157,11 @@ class PlanSpec extends AnyFunSuite {
       s"bucket match must hash-join query and corpus sides:\n$p")
   }
 
-  test("keep-latest dedup is one exchange + sort, no self-join") {
+  test("keep-latest dedup is one exchange + bounded heap: no sort, no self-join") {
     val p = plan("dedup_keep_latest")
-    assert(!p.contains("Join"), "row_number form must not self-join")
+    assert(p.contains("TopKPerKey"), "must run through the custom operator")
+    assert(!p.contains("Join"), "must not self-join")
+    assert(!p.contains("Window"), "must not pay a window sort")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
       s"single key repartition expected:\n$p")
   }
