@@ -491,6 +491,24 @@ object PackCore {
         """SELECT o_orderpriority, count(*) AS n,
           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
           |FROM v_orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // S7/S8 connector seam as a real DataSource V2 implementation
+    // (graft.sources.LedgerSource): deterministic synthetic source with
+    // filter pushdown (id range absorbed by the scan), partition pruning
+    // (non-overlapping slices never planned) and column pruning. The
+    // oracle reproduces the integer-exact row math over a DuckDB range.
+    QDef("s7_scan_custom_source",
+      """SELECT id, bucket, amount FROM (
+        |  SELECT id, CAST(id % 10 AS INTEGER) AS bucket,
+        |         CAST((id * 2654435761) % 100000 AS DOUBLE) / 100.0 AS amount
+        |  FROM range(0, 5000) t(id))
+        |WHERE id >= 1000 AND id < 2000 AND bucket <> 7
+        |ORDER BY id""".stripMargin) { (s, d) =>
+      s.read.format("graft-ledger")
+        .option("rows", 5000).option("slices", 8).load()
+        .filter($"id" >= 1000L && $"id" < 2000L && $"bucket" =!= 7)
+        .orderBy($"id")
     }
   )
 

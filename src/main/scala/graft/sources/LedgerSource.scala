@@ -1,0 +1,144 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Custom DataSource V2 connector (SURVEY §2.1 connector seam, the API a
+  * production Gmail/MercadoPago/JDBC source would implement): a
+  * deterministic synthetic ledger of `rows` rows split into `slices`
+  * parallel range partitions. Demonstrates the three scan optimizations a
+  * scalable source must support:
+  *
+  *  - **Filter pushdown** ([[SupportsPushDownFilters]]): id range
+  *    predicates narrow the generated range; fully-absorbed filters are
+  *    reported pushed, everything else stays a residual for Spark.
+  *  - **Partition pruning**: slices that fall outside the pushed range are
+  *    never planned — `planInputPartitions` returns only overlapping,
+  *    clipped ranges (observable as fewer RDD partitions).
+  *  - **Column pruning** ([[SupportsPushDownRequiredColumns]]): the reader
+  *    materializes only requested fields.
+  *
+  * Row math is integer-exact so any engine reproduces it:
+  * bucket = id % 10; amount = ((id * 2654435761) % 100000) / 100.0.
+  */
+class LedgerSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-ledger"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    LedgerSource.fullSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new LedgerTable(properties.asScala.toMap)
+}
+
+object LedgerSource {
+  val fullSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("bucket", IntegerType, nullable = false),
+    StructField("amount", DoubleType, nullable = false)))
+
+  def bucketOf(id: Long): Int = (id % 10).toInt
+  def amountOf(id: Long): Double = ((id * 2654435761L) % 100000L) / 100.0
+}
+
+private[sources] class LedgerTable(props: Map[String, String])
+    extends Table with SupportsRead {
+  private val rows = props.getOrElse("rows", "1000").toLong
+  private val slices = props.getOrElse("slices", "4").toInt
+  override def name(): String = s"graft_ledger($rows)"
+  override def schema(): StructType = LedgerSource.fullSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LedgerScanBuilder(rows, slices)
+}
+
+private[sources] class LedgerScanBuilder(rows: Long, slices: Int)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var lo = 0L          // generated range [lo, hi)
+  private var hi = rows
+  private var pushed = Array.empty[Filter]
+  private var required = LedgerSource.fullSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (absorbed, residual) = filters.partition {
+      case GreaterThan("id", _: java.lang.Long | _: java.lang.Integer) => true
+      case GreaterThanOrEqual("id", _: java.lang.Long | _: java.lang.Integer) => true
+      case LessThan("id", _: java.lang.Long | _: java.lang.Integer) => true
+      case LessThanOrEqual("id", _: java.lang.Long | _: java.lang.Integer) => true
+      case EqualTo("id", _: java.lang.Long | _: java.lang.Integer) => true
+      case _ => false
+    }
+    absorbed.foreach {
+      case GreaterThan("id", v: Number) => lo = math.max(lo, v.longValue() + 1)
+      case GreaterThanOrEqual("id", v: Number) => lo = math.max(lo, v.longValue())
+      case LessThan("id", v: Number) => hi = math.min(hi, v.longValue())
+      case LessThanOrEqual("id", v: Number) => hi = math.min(hi, v.longValue() + 1)
+      case EqualTo("id", v: Number) =>
+        lo = math.max(lo, v.longValue()); hi = math.min(hi, v.longValue() + 1)
+      case _ => ()
+    }
+    pushed = absorbed
+    residual // Spark re-evaluates only what the source did not absorb
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = LedgerScan(lo, hi, rows, slices, required)
+}
+
+private[sources] case class LedgerScan(lo: Long, hi: Long, rows: Long, slices: Int,
+                                       required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-ledger range=[$lo,$hi) of $rows, slices=$slices, cols=${required.fieldNames.mkString(",")}"
+
+  /** Fixed-width slices of [0, rows); only those overlapping the pushed
+    * [lo, hi) range are planned, clipped to it — pushdown prunes work
+    * before any task launches. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val width = math.max(1L, (rows + slices - 1) / slices)
+    (0L until rows by width).flatMap { start =>
+      val s = math.max(start, lo)
+      val e = math.min(start + width, hi)
+      if (s < e) Some(LedgerPartition(s, e): InputPartition) else None
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    LedgerReaderFactory(required.fieldNames.toIndexedSeq)
+}
+
+private[sources] case class LedgerPartition(start: Long, end: Long) extends InputPartition
+
+private[sources] case class LedgerReaderFactory(cols: Seq[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[LedgerPartition]
+    new PartitionReader[InternalRow] {
+      private var id = p.start - 1
+      override def next(): Boolean = { id += 1; id < p.end }
+      // NB: expected type Any per branch — without it Scala harmonizes the
+      // Long/Int/Double branches to Double (weak lub) and corrupts the row
+      override def get(): InternalRow = new GenericInternalRow(
+        cols.map[Any] {
+          case "id" => id
+          case "bucket" => LedgerSource.bucketOf(id)
+          case "amount" => LedgerSource.amountOf(id)
+        }.toArray)
+      override def close(): Unit = ()
+    }
+  }
+}

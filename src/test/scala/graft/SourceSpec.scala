@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DataSource V2 connector contract (graft.sources.LedgerSource): scan
+  * correctness, filter pushdown with partition pruning, residual filter
+  * handling, and column pruning. */
+class SourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ledger(rows: Int = 5000, slices: Int = 8) =
+    spark.read.format("graft-ledger")
+      .option("rows", rows).option("slices", slices).load()
+
+  test("full scan generates the deterministic ledger across all slices") {
+    val df = ledger()
+    assert(df.count() == 5000)
+    assert(df.rdd.getNumPartitions == 8, "each slice is one input partition")
+    val r = df.filter($"id" === 4999L).head()
+    assert(r.getInt(1) == 9)
+    assert(r.getDouble(2) == ((4999L * 2654435761L) % 100000L) / 100.0)
+  }
+
+  test("id range pushdown prunes non-overlapping partitions before launch") {
+    val narrow = ledger().filter($"id" >= 1000L && $"id" < 1250L)
+    assert(narrow.count() == 250)
+    assert(narrow.rdd.getNumPartitions == 1,
+      "only one 625-row slice overlaps [1000,1250)")
+    val point = ledger().filter($"id" === 42L)
+    assert(point.count() == 1 && point.rdd.getNumPartitions == 1)
+  }
+
+  test("residual filters stay with Spark; column pruning reaches the reader") {
+    val df = ledger().filter($"bucket" === 3).select($"amount")
+    assert(df.count() == 500) // id % 10 == 3 over [0, 5000)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=bucket,amount") || plan.contains("cols=amount,bucket"),
+      s"reader must materialize only the needed columns:\n$plan")
+    assert(!plan.contains("cols=id,"), "id must be pruned from the reader")
+  }
+}
