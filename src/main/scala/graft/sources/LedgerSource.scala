@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -65,12 +66,37 @@ private[sources] class LedgerTable(props: Map[String, String])
 
 private[sources] class LedgerScanBuilder(rows: Long, slices: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var lo = 0L          // generated range [lo, hi)
   private var hi = rows
   private var pushed = Array.empty[Filter]
   private var required = LedgerSource.fullSchema
+  private var aggKinds: Option[Seq[String]] = None
+
+  /** COUNT(*) / MIN(id) / MAX(id) with no grouping are answered from the
+    * pushed range by arithmetic — zero rows generated, the connector
+    * analogue of answering from parquet footer stats. Composes with
+    * filter pushdown: the range is already narrowed when the aggregate
+    * lands. Anything else is declined and Spark aggregates normally. */
+  private def translate(agg: Aggregation): Option[Seq[String]] =
+    if (agg.groupByExpressions.nonEmpty) None
+    else {
+      val kinds = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some("count")
+        case m: Min if m.column.describe() == "id" => Some("min_id")
+        case m: Max if m.column.describe() == "id" => Some("max_id")
+        case _ => None
+      }
+      if (kinds.nonEmpty && kinds.forall(_.isDefined)) Some(kinds.flatten) else None
+    }
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translate(agg).isDefined
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translate(agg) match {
+      case some @ Some(_) => aggKinds = some; true
+      case None => false
+    }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (absorbed, residual) = filters.partition {
@@ -96,7 +122,42 @@ private[sources] class LedgerScanBuilder(rows: Long, slices: Int)
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = LedgerScan(lo, hi, rows, slices, required)
+  override def build(): Scan = aggKinds match {
+    case Some(kinds) => LedgerAggScan(lo, hi, kinds)
+    case None => LedgerScan(lo, hi, rows, slices, required)
+  }
+}
+
+/** Completely-pushed aggregate: one partition, one row, no data generated.
+  * min/max are NULL over an empty range, matching SQL semantics. */
+private[sources] case class LedgerAggScan(lo: Long, hi: Long, kinds: Seq[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(kinds.map {
+    case "count" => StructField("count", LongType, nullable = false)
+    case k => StructField(k, LongType, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-ledger AGG[${kinds.mkString(",")}] range=[$lo,$hi)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(LedgerPartition(0, 0))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val (l, h, ks) = (lo, hi, kinds)
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          override def get(): InternalRow = new GenericInternalRow(
+            ks.map[Any] {
+              case "count" => math.max(0L, h - l)
+              case "min_id" => if (l < h) l else null
+              case "max_id" => if (l < h) h - 1 else null
+            }.toArray)
+          override def close(): Unit = ()
+        }
+    }
+  }
 }
 
 private[sources] case class LedgerScan(lo: Long, hi: Long, rows: Long, slices: Int,

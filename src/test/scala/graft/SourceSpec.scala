@@ -32,6 +32,19 @@ class SourceSpec extends AnyFunSuite {
     assert(point.count() == 1 && point.rdd.getNumPartitions == 1)
   }
 
+  test("complete aggregate pushdown: count/min/max answered from range arithmetic") {
+    val df = ledger().filter($"id" >= 1000L && $"id" < 3000L)
+      .agg(count(lit(1)).as("n"), min($"id").as("lo"), max($"id").as("hi"))
+    val r = df.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2000L, 1000L, 2999L)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AGG[count,min_id,max_id] range=[1000,3000)"),
+      s"aggregate must be absorbed by the narrowed scan:\n$plan")
+    // an unsupported aggregate (sum over amount) is declined: Spark aggregates
+    val sum = ledger().agg(org.apache.spark.sql.functions.sum($"amount")).head().getDouble(0)
+    assert(sum > 0)
+  }
+
   test("residual filters stay with Spark; column pruning reaches the reader") {
     val df = ledger().filter($"bucket" === 3).select($"amount")
     assert(df.count() == 500) // id % 10 == 3 over [0, 5000)
