@@ -20,5 +20,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => LevenshteinPrefilter)
+    e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }
