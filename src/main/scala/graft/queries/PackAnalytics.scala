@@ -524,6 +524,49 @@ object PackAnalytics {
         .orderBy(col("l_returnflag"))
     },
 
+    // Bag-semantics set ops (EXCEPT ALL / INTERSECT ALL): multiplicity-
+    // aware membership — the dedup-aware diff/overlap between two loads.
+    // Both lower to joins on all columns with count matching, no distinct
+    // collapse; the grouped projection keeps the compare deterministic.
+    QDef("setop_all_variants",
+      """WITH a AS (SELECT l_returnflag AS f, CAST(l_quantity AS INTEGER) AS q FROM lineitem WHERE l_orderkey < 600),
+        |b AS (SELECT l_returnflag, CAST(l_quantity AS INTEGER) FROM lineitem WHERE l_orderkey >= 300 AND l_orderkey < 900)
+        |SELECT 'except_all' AS op, f, q, count(*) AS n
+        |FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY f, q
+        |UNION ALL
+        |SELECT 'intersect_all', f, q, count(*)
+        |FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY f, q
+        |ORDER BY op, f, q""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val a = li.filter(col("l_orderkey") < 600)
+        .select(col("l_returnflag").as("f"), col("l_quantity").cast("int").as("q"))
+      val b = li.filter(col("l_orderkey") >= 300 && col("l_orderkey") < 900)
+        .select(col("l_returnflag").as("f"), col("l_quantity").cast("int").as("q"))
+      def grouped(df: org.apache.spark.sql.DataFrame, op: String) =
+        df.groupBy(col("f"), col("q")).agg(count(lit(1)).as("n"))
+          .select(lit(op).as("op"), col("f"), col("q"), col("n"))
+      grouped(a.exceptAll(b), "except_all")
+        .unionAll(grouped(a.intersectAll(b), "intersect_all"))
+        .orderBy(col("op"), col("f"), col("q"))
+    },
+
+    // Boolean aggregation (bool_and/bool_or): per-key predicates folded
+    // in one hash aggregate — the cheap form of "does any/every row
+    // satisfy X per key" (vs a semi-join or window).
+    QDef("agg_bool",
+      """SELECT user_id,
+        |  bool_or(event_type = 'purchase') AS any_purchase,
+        |  bool_and(value > 1.0) AS all_above_one,
+        |  count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(bool_or(col("event_type") === "purchase").as("any_purchase"),
+          bool_and(col("value") > 1.0).as("all_above_one"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_id"))
+    },
+
     // Explicit CROSS JOIN (the last join flavor): the dense categorical
     // spine — every (region, event_type) combination whether observed or
     // not. Both sides are bounded dimensions; the product broadcasts and
