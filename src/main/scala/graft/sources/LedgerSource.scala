@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -56,15 +57,16 @@ private[sources] class LedgerTable(props: Map[String, String])
     extends Table with SupportsRead {
   private val rows = props.getOrElse("rows", "1000").toLong
   private val slices = props.getOrElse("slices", "4").toInt
+  private val rowsPerBatch = props.getOrElse("rowsPerBatch", "100").toLong
   override def name(): String = s"graft_ledger($rows)"
   override def schema(): StructType = LedgerSource.fullSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LedgerScanBuilder(rows, slices)
+    new LedgerScanBuilder(rows, slices, rowsPerBatch)
 }
 
-private[sources] class LedgerScanBuilder(rows: Long, slices: Int)
+private[sources] class LedgerScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long = 100)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -124,7 +126,7 @@ private[sources] class LedgerScanBuilder(rows: Long, slices: Int)
     required = requiredSchema
   override def build(): Scan = aggKinds match {
     case Some(kinds) => LedgerAggScan(lo, hi, kinds)
-    case None => LedgerScan(lo, hi, rows, slices, required)
+    case None => LedgerScan(lo, hi, rows, slices, required, rowsPerBatch)
   }
 }
 
@@ -161,7 +163,8 @@ private[sources] case class LedgerAggScan(lo: Long, hi: Long, kinds: Seq[String]
 }
 
 private[sources] case class LedgerScan(lo: Long, hi: Long, rows: Long, slices: Int,
-                                       required: StructType) extends Scan with Batch {
+                                       required: StructType,
+                                       rowsPerBatch: Long = 100) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -180,6 +183,45 @@ private[sources] case class LedgerScan(lo: Long, hi: Long, rows: Long, slices: I
   }
   override def createReaderFactory(): PartitionReaderFactory =
     LedgerReaderFactory(required.fieldNames.toIndexedSeq)
+
+  /** Micro-batch form of the same scan: offsets are positions in the id
+    * range, each batch admits `rowsPerBatch` ids — the Kafka-offset shape
+    * over the synthetic ledger. Supports Trigger.AvailableNow (drain to
+    * the range end in bounded batches, then stop). */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new LedgerMicroBatchStream(lo, math.max(lo, hi), rowsPerBatch,
+      required.fieldNames.toIndexedSeq)
+}
+
+private[sources] case class LedgerOffset(pos: Long) extends Offset {
+  override def json(): String = pos.toString
+}
+
+private[sources] class LedgerMicroBatchStream(lo: Long, hi: Long, step: Long,
+                                              cols: Seq[String])
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  private var target = hi // AvailableNow drains to the range end
+
+  override def initialOffset(): Offset = LedgerOffset(lo)
+  override def deserializeOffset(json: String): Offset = LedgerOffset(json.toLong)
+  override def prepareForTriggerAvailableNow(): Unit = { target = hi }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(step)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("admission-controlled source")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[LedgerOffset].pos
+    LedgerOffset(math.min(target, from + step))
+  }
+  override def reportLatestOffset(): Offset = LedgerOffset(target)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[LedgerOffset].pos, end.asInstanceOf[LedgerOffset].pos)
+    if (s < e) Array(LedgerPartition(s, e)) else Array.empty
+  }
+  override def createReaderFactory(): PartitionReaderFactory = LedgerReaderFactory(cols)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] case class LedgerPartition(start: Long, end: Long) extends InputPartition
