@@ -244,4 +244,52 @@ private[sources] case class LedgerReaderFactory(cols: Seq[String])
       override def close(): Unit = ()
     }
   }
+
+  /** Vectorized path: rows are generated straight into column vectors in
+    * 4k batches, so the scan feeds whole-stage codegen through
+    * ColumnarToRow exactly like the parquet reader does — no per-row
+    * boxing. The row-based createReader above remains the
+    * streaming/fallback path. */
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+    val p = partition.asInstanceOf[LedgerPartition]
+    val batchSize = 4096
+    new PartitionReader[ColumnarBatch] {
+      private var pos = p.start
+      private var current: ColumnarBatch = null
+      override def next(): Boolean = {
+        if (current != null) { current.close(); current = null }
+        if (pos >= p.end) return false
+        val n = math.min(batchSize.toLong, p.end - pos).toInt
+        val vectors = cols.map { c =>
+          val dt = c match {
+            case "id" => LongType
+            case "bucket" => IntegerType
+            case "amount" => DoubleType
+          }
+          val v = new OnHeapColumnVector(n, dt)
+          var i = 0
+          while (i < n) {
+            val rowId = pos + i
+            c match {
+              case "id" => v.putLong(i, rowId)
+              case "bucket" => v.putInt(i, LedgerSource.bucketOf(rowId))
+              case "amount" => v.putDouble(i, LedgerSource.amountOf(rowId))
+            }
+            i += 1
+          }
+          v: ColumnVector
+        }.toArray
+        current = new ColumnarBatch(vectors, n)
+        pos += n
+        true
+      }
+      override def get(): ColumnarBatch = current
+      override def close(): Unit = if (current != null) current.close()
+    }
+  }
 }

@@ -21,6 +21,8 @@ class SourceSpec extends AnyFunSuite {
     val r = df.filter($"id" === 4999L).head()
     assert(r.getInt(1) == 9)
     assert(r.getDouble(2) == ((4999L * 2654435761L) % 100000L) / 100.0)
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "the scan must take the vectorized path")
   }
 
   test("id range pushdown prunes non-overlapping partitions before launch") {
