@@ -166,6 +166,25 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"no window and no partition sort may remain:\n$p")
   }
 
+  test("topKPerKey edges: empty input, k larger than groups, null sort values") {
+    val empty = Seq.empty[(Long, Long, java.lang.Double)].toDF("id", "key", "score")
+    assert(graft.ops.Ops.topKPerKey(empty, Seq("key"),
+      Seq(("score", true), ("id", false)), 3).count() == 0)
+
+    // nulls in the sort column must order exactly as the window form does
+    val withNulls = Seq[(Long, Long, java.lang.Double)](
+      (1L, 0L, 5.0), (2L, 0L, null), (3L, 0L, 7.0), (4L, 0L, null), (5L, 0L, 1.0),
+      (6L, 1L, null), (7L, 1L, 2.0)
+    ).toDF("id", "key", "score")
+    val topk = graft.ops.Ops.topKPerKey(withNulls, Seq("key"),
+      Seq(("score", true), ("id", false)), 10) // k > every group size
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"key").orderBy($"score".desc, $"id")
+    val win = withNulls.withColumn("rn", row_number().over(w)).filter($"rn" <= 10).drop("rn")
+    assert(topk.collect().toSet == win.collect().toSet)
+    assert(topk.count() == 7, "k beyond group size keeps every row")
+  }
+
   test("persisted centroids serve multiprobe ANN identically to the inline training pass") {
     val loc = java.nio.file.Files.createTempDirectory("graft_cents").toString + "/t"
     val e = graft.schemas.Tables.embeddings(spark, TestSpark.sf0001)
