@@ -61,6 +61,12 @@ case class TopKPerKeyExec(
 
   override def output: Seq[Attribute] = child.output
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numKeys" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of distinct keys"))
+
   /** One hash Exchange on the keys, inserted by EnsureRequirements —
     * co-locates each key's rows without ordering them. */
   override def requiredChildDistribution: Seq[Distribution] =
@@ -73,6 +79,8 @@ case class TopKPerKeyExec(
     val keyExprs = partitionExprs
     val sortOrder = order
     val limit = k
+    val outRows = longMetric("numOutputRows")
+    val outKeys = longMetric("numKeys")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ord: Ordering[InternalRow] = RowOrdering.create(sortOrder, childOutput)
@@ -95,7 +103,11 @@ case class TopKPerKeyExec(
       }
       // dequeueAll drains worst-first; reverse to emit each key's rows in
       // sort order (rank 1 first), matching the window-form row order.
-      heaps.valuesIterator.flatMap(h => h.dequeueAll.reverseIterator)
+      outKeys += heaps.size
+      heaps.valuesIterator.flatMap { h =>
+        outRows += h.size
+        h.dequeueAll.reverseIterator
+      }
     }, preservesPartitioning = true)
   }
 

@@ -164,6 +164,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(p.contains("Exchange hashpartitioning"), "keys must co-locate via one exchange")
     assert(!p.contains("Window") && !p.contains("Sort "),
       s"no window and no partition sort may remain:\n$p")
+    // SQL metrics report like any built-in operator (driver-side metric
+    // updates arrive via listener events — poll briefly)
+    def find(p: org.apache.spark.sql.execution.SparkPlan): Option[graft.plans.TopKPerKeyExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          find(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => find(s.plan)
+        case t: graft.plans.TopKPerKeyExec => Some(t)
+        case other => other.children.iterator.map(find).collectFirst { case Some(t) => t }
+      }
+    val exec = find(topk.queryExecution.executedPlan).get
+    val expectRows = win.count()
+    val expectKeys = ev.select("user_id").distinct().count()
+    val deadline = System.currentTimeMillis() + 10000
+    while (exec.metrics("numOutputRows").value != expectRows &&
+      System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(exec.metrics("numOutputRows").value == expectRows,
+      "operator metric must count emitted rows")
+    assert(exec.metrics("numKeys").value == expectKeys,
+      "operator metric must count keys")
   }
 
   test("topKPerKey edges: empty input, k larger than groups, null sort values") {
