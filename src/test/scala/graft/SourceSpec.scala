@@ -65,6 +65,38 @@ class SourceSpec extends AnyFunSuite {
       "100 rows at 30/batch must take at least 4 non-empty batches")
   }
 
+  test("atomic sink: commit publishes exactly the task files plus a manifest") {
+    val loc = java.nio.file.Files.createTempDirectory("graft_atomic").toString + "/t"
+    val df = graft.schemas.Tables.orders(spark, TestSpark.sf0001)
+      .select($"o_orderkey", $"o_orderpriority").repartition(4)
+    df.write.format("graft-atomic").option("path", loc).mode("append").save()
+    val files = new java.io.File(loc).listFiles().map(_.getName).toSet
+    val manifest = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(loc, "_MANIFEST")).split("\n").toSeq
+    assert(manifest.length == 4, "one committed file per task")
+    assert(manifest.forall(files.contains), "manifest lists only published files")
+    assert(!files.contains("_staging"), "staging must be gone after commit")
+    val lines = manifest.map(f =>
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(loc, f)).size).sum
+    assert(lines == df.count(), "every row lands exactly once")
+  }
+
+  test("atomic sink: a failed job publishes nothing (abort cleans staging)") {
+    val loc = java.nio.file.Files.createTempDirectory("graft_atomic").toString + "/t"
+    val boom = udf((k: Long) =>
+      if (k % 500 == 499) throw new RuntimeException("boom") else k)
+    intercept[Exception] {
+      graft.schemas.Tables.orders(spark, TestSpark.sf0001)
+        .select(boom($"o_orderkey").as("k"), $"o_orderpriority").repartition(4)
+        .write.format("graft-atomic").option("path", loc).mode("append").save()
+    }
+    val dir = new java.io.File(loc)
+    assert(!new java.io.File(loc, "_MANIFEST").exists(), "no commit record")
+    val leftover = Option(dir.listFiles()).getOrElse(Array.empty).map(_.getName)
+    assert(leftover.isEmpty,
+      s"nothing may be visible after abort, found: ${leftover.mkString(",")}")
+  }
+
   test("residual filters stay with Spark; column pruning reaches the reader") {
     val df = ledger().filter($"bucket" === 3).select($"amount")
     assert(df.count() == 500) // id % 10 == 3 over [0, 5000)
