@@ -55,6 +55,32 @@ object Multimodal {
     }
   }
 
+  final case class MediaResized(doc_id: Long, mime: String, n_bytes_in: Long,
+                                n_bytes_out: Long, src_w: Int, src_h: Int,
+                                dst_w: Int, dst_h: Int,
+                                scale_x: Double, scale_y: Double,
+                                content: Array[Byte])
+
+  /** STUB resize — 2:1 byte decimation stands in for pixel resampling
+    * (a codec swaps the body); the metadata arithmetic (src dims from
+    * decode, scale factors at 6dp HALF_UP) and the batchwise shape are
+    * the production plumbing. */
+  def resizeStub(r: MediaRow, dstW: Int, dstH: Int): MediaResized = {
+    val f = decodeStub(r)
+    val out = Array.tabulate((r.content.length + 1) / 2)(i => r.content(2 * i))
+    def scale(dst: Int, src: Int): Double =
+      BigDecimal(dst.toDouble / src).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    MediaResized(r.doc_id, r.mime, f.n_bytes, out.length.toLong, f.width, f.height,
+      dstW, dstH, scale(dstW, f.width), scale(dstH, f.height), out)
+  }
+
+  /** Batchwise resize, same per-partition profile as [[extractFeatures]]. */
+  def resize(media: Dataset[MediaRow], dstW: Int, dstH: Int): Dataset[MediaResized] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions(it => it.map(resizeStub(_, dstW, dstH)))
+  }
+
   /** One sampled frame of a media payload (video/audio frame-sample
     * pattern: one binary row explodes into per-frame rows carrying the
     * byte window a real codec would decode). */

@@ -507,6 +507,24 @@ object PackExt {
         Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"))
         .toDF()
         .orderBy(col("doc_id"))
+    },
+
+    // resize stage: 2:1 byte-decimation stub with the real metadata
+    // arithmetic (src dims from decode, 6dp scale factors); batchwise
+    // mapPartitions shape like decode
+    QDef("multimodal_resize",
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes_in,
+        |  CAST((length(text) + 1) // 2 AS BIGINT) AS n_bytes_out,
+        |  CAST(length(text) % 640 + 32 AS INTEGER) AS src_w,
+        |  CAST((length(text) * 7) % 480 + 32 AS INTEGER) AS src_h,
+        |  round(64.0 / (length(text) % 640 + 32), 6) AS scale_x,
+        |  round(64.0 / ((length(text) * 7) % 480 + 32), 6) AS scale_y
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.resize(
+          Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"), 64, 64)
+        .select(col("doc_id"), col("n_bytes_in"), col("n_bytes_out"),
+          col("src_w"), col("src_h"), col("scale_x"), col("scale_y"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -93,6 +93,17 @@ class ExtSpec extends AnyFunSuite {
     assert(f0.sha.length == 64 && f0.width == f0.n_bytes % 640 + 32)
   }
 
+  test("multimodal resize: decimated payload, exact metadata arithmetic") {
+    val rs = Multimodal.resize(
+      Multimodal.asMedia(docs, "doc_id", "text"), 64, 64).collect()
+    val r0 = rs.find(_.doc_id == 0L).get
+    val src = docs.head.getString(1).getBytes
+    assert(r0.n_bytes_in == src.length && r0.n_bytes_out == (src.length + 1) / 2)
+    assert(r0.content.toSeq == src.indices.collect {
+      case i if i % 2 == 0 => src(i) }.toSeq, "payload is every-2nd-byte decimation")
+    assert(r0.dst_w == 64 && r0.scale_x > 0 && r0.scale_x <= 2.0)
+  }
+
   test("approx_count_distinct within 5% of exact; centroid assignment recovers buckets") {
     val ev = graft.schemas.Tables.events(spark, TestSpark.sf0001)
     val (approx, exact) = ev.select(
