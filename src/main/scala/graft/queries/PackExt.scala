@@ -353,8 +353,10 @@ object PackExt {
       val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
       val df = words.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
       val n = Tables.documents(s, d).agg(count(lit(1)).as("total"))
+      // df is |vocab| rows — orders of magnitude smaller than the corpus —
+      // so broadcast it and the tf side never shuffles by term
       tf.filter(col("doc_id") < 50)
-        .join(df, Seq("w"))
+        .join(broadcast(df), Seq("w"))
         .crossJoin(broadcast(n))
         .select(col("doc_id"), col("w"), col("tf"), col("df"),
           round(col("tf") * log((col("total") + 1.0) / (col("df") + 1.0)), 6).as("tfidf"))
