@@ -524,6 +524,30 @@ object PackAnalytics {
         .orderBy(col("l_returnflag"))
     },
 
+    // Discrete percentiles (PERCENTILE_DISC): the smallest actual element
+    // with cumulative share >= p — returns a real data value, unlike the
+    // interpolated agg_percentiles. One ranking window + one aggregate;
+    // value-ties share a rank's value, so the result is deterministic.
+    QDef("agg_percentile_disc",
+      """SELECT o_orderpriority,
+        |  round(quantile_disc(o_totalprice, 0.5), 2) AS median_disc,
+        |  round(quantile_disc(o_totalprice, 0.9), 2) AS p90_disc
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val byP = Window.partitionBy(col("o_orderpriority"))
+      val w = byP.orderBy(col("o_totalprice"))
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(byP))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(max(when(col("rn") === ceil(lit(0.5) * col("cnt")).cast("long"),
+            col("o_totalprice"))), 2).as("median_disc"),
+          round(max(when(col("rn") === ceil(lit(0.9) * col("cnt")).cast("long"),
+            col("o_totalprice"))), 2).as("p90_disc"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // Bag-semantics set ops (EXCEPT ALL / INTERSECT ALL): multiplicity-
     // aware membership — the dedup-aware diff/overlap between two loads.
     // Both lower to joins on all columns with count matching, no distinct

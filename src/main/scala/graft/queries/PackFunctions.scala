@@ -491,6 +491,41 @@ object PackFunctions {
           to_json(struct($"first_id", $"n")).as("summary_json"),
           to_json($"purchases").as("purchases_json"))
         .orderBy($"user_id")
+    },
+
+    // F39 — padding/trim/case string surface (zero-padded key rendering,
+    // whitespace normalization, title case): all codegen'd built-ins.
+    QDef("f39_string_pad",
+      """SELECT event_id,
+        |  lpad(CAST(user_id AS VARCHAR), 6, '0') AS user_key,
+        |  rtrim(ltrim('  ' || event_type || ' ')) AS et_trim,
+        |  reverse(event_type) AS et_rev,
+        |  upper(substr(event_type, 1, 1)) || lower(substr(event_type, 2)) AS et_title
+        |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d).filter($"event_id" < 100)
+        .select($"event_id",
+          lpad($"user_id".cast("string"), 6, "0").as("user_key"),
+          rtrim(ltrim(concat(lit("  "), $"event_type", lit(" ")))).as("et_trim"),
+          reverse($"event_type").as("et_rev"),
+          initcap($"event_type").as("et_title"))
+        .orderBy($"event_id")
+    },
+
+    // F40 — bitwise surface (masks, xor fingerprints, shifts, popcount):
+    // the id-manipulation toolkit behind shard routing and bloom math.
+    QDef("f40_bitwise",
+      """SELECT event_id, CAST(user_id & 255 AS BIGINT) AS low8,
+        |  CAST(xor(user_id, event_id) AS BIGINT) AS ux,
+        |  CAST(user_id << 2 AS BIGINT) AS shl,
+        |  CAST(bit_count(CAST(event_id AS BIGINT)) AS INTEGER) AS pop
+        |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d).filter($"event_id" < 100)
+        .select($"event_id",
+          $"user_id".bitwiseAND(lit(255L)).as("low8"),
+          $"user_id".bitwiseXOR($"event_id").as("ux"),
+          shiftleft($"user_id", 2).as("shl"),
+          bit_count($"event_id").as("pop"))
+        .orderBy($"event_id")
     }
   )
 
