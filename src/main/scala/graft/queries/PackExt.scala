@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.schemas.Tables
 import graft.ext.{Multimodal, Similarity, TextAnalysis, TextDedup}
@@ -474,6 +475,54 @@ object PackExt {
           round(col("mx"), 6).as("scale"),
           round(col("v").cast("double") / col("mx") * 127, 0).cast("int").as("q"))
         .orderBy(col("vec_id"), col("i"))
+    },
+
+    // Sequence packing: assign documents to fixed-token-budget training
+    // bins (512 tokens) with a per-source running count — the classic
+    // "pack short documents into full sequences" pass. Cumulative sums
+    // are per-source windows (hash-partitioned, no global prefix-sum);
+    // integer token counts make the fold exact on any partitioning.
+    QDef("text_pack_sequences",
+      """WITH t AS (SELECT source, doc_id, length(string_split(text, ' ')) AS n_tokens FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT source, doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, cum,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS bin
+        |FROM c ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        .withColumn("bin", floor((col("cum") - col("n_tokens")) / 512).cast("long"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+
+    // Weighted mixture sampling: per-source keep rates (1/2, 1/5, 1/10 by
+    // source class) — the dataset-mixing step of a training pipeline.
+    // Deterministic every-Nth-per-source selection, no RNG, so the same
+    // mixture materializes on any engine/run/partitioning.
+    QDef("sample_mixture",
+      """WITH r AS (SELECT doc_id, source,
+        |    CASE CAST(substr(source, 4) AS INTEGER) % 3
+        |      WHEN 0 THEN 2 WHEN 1 THEN 5 ELSE 10 END AS rate,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, rate FROM r WHERE rn % rate = 1
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+        .withColumn("rate",
+          when(substring(col("source"), 4, 10).cast("int") % 3 === 0, 2)
+            .when(substring(col("source"), 4, 10).cast("int") % 3 === 1, 5)
+            .otherwise(10))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") % col("rate") === 1)
+        .select(col("doc_id"), col("source"), col("rate"))
+        .orderBy(col("doc_id"))
     },
 
     // ------------------------------------------------------------ multimodal
