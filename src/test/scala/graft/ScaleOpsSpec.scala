@@ -239,6 +239,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(kept.selectExpr("CAST(min(odate) AS STRING)").head().getString(0) >= cutoff)
   }
 
+  test("dynamic partition pruning: a filtered dim prunes the partitioned fact at runtime") {
+    val loc = java.nio.file.Files.createTempDirectory("graft_dpp").toString + "/fact"
+    val o = graft.schemas.Tables.orders(spark, TestSpark.sf0001)
+      .withColumn("month", date_format($"o_orderdate", "yyyy-MM"))
+    o.write.partitionBy("month").parquet(loc)
+    val fact = spark.read.parquet(loc)
+    val target = o.select($"month").orderBy($"month").head().getString(0)
+    // dim must be a real (non-local) relation with a surviving selective
+    // filter, or the PartitionPruning rule sees nothing to propagate
+    val dimLoc = java.nio.file.Files.createTempDirectory("graft_dpp").toString + "/dim"
+    Seq((target, "t"), ("9999-99", "x")).toDF("month", "tag").write.parquet(dimLoc)
+    val dim = spark.read.parquet(dimLoc).filter($"tag" === "t")
+    val joined = fact.join(dim, Seq("month"))
+    val n = joined.count()
+    assert(n == o.filter($"month" === target).count())
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"fact scan must carry a dynamic pruning predicate on month:\n$p")
+  }
+
   test("z-ordered write prunes candidate files on both keys (2-D data skipping)") {
     val o = graft.schemas.Tables.orders(spark, TestSpark.sf0001)
       .select($"o_orderkey", $"o_custkey")
