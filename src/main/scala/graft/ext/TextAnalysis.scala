@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text analysis for training-data pipelines (SURVEY.md §7.1 item 8):
   * language-ID heuristics, quality scoring, token counting, and document
@@ -70,6 +71,100 @@ object TextAnalysis {
     aggregate(
       transform(split(text, " "), w => (ascii(w) + length(w)).cast("long")),
       lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L)
+
+  /** Gopher-style repetition signals: (top_token_frac, dup_bigram_frac).
+    * top_token_frac = occurrences of the single most frequent token / total
+    * tokens; dup_bigram_frac = 1 − distinct bigrams / total bigrams. Both
+    * are pure per-row array programs — no shuffle, so the filter runs at
+    * scan speed on any corpus size. O(d·n) per row (d = distinct tokens),
+    * fine for documents; switch to a sorted-run fold for very long docs. */
+  def repetitionStats(text: Column): (Column, Column) = {
+    val toks = split(text, " ")
+    val n = size(toks).cast("double")
+    val topCount = array_max(transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t))))
+    val bg = ngrams(text, 2)
+    (round(topCount.cast("double") / n, 6),
+      round(lit(1.0) - size(array_distinct(bg)).cast("double")
+        / greatest(size(bg), lit(1)).cast("double"), 6))
+  }
+
+  /** Shannon entropy (nats) of the document's token distribution — a
+    * repetition-robust quality signal. The per-token terms are folded in
+    * sorted-distinct-token order, so the double summation order is fixed
+    * and the result is partition- and engine-invariant. */
+  def tokenEntropy(text: Column): Column = {
+    val toks = split(text, " ")
+    val n = size(toks).cast("double")
+    val terms = transform(array_sort(array_distinct(toks)), t => {
+      val p = size(filter(toks, x => x === t)).cast("double") / n
+      p * log(p)
+    })
+    round(-aggregate(terms, lit(0.0), (a, b) => a + b), 6)
+  }
+
+  /** PII redaction: emails, 16-digit card numbers, and 555- phone stubs
+    * replaced with typed placeholders. Pure regexp_replace chain —
+    * codegen'd, no shuffle. The patterns are RE2/Java-portable (no
+    * lookbehind) so the same grammar runs in any engine. */
+  def piiRedact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "[EMAIL]"),
+        "\\b[0-9]{16}\\b", "[CARD]"),
+      "\\b555-[0-9]{4}\\b", "[PHONE]")
+
+  /** Per-partition Misra–Gries heavy-hitter candidates over a token
+    * column named `w`: each partition keeps at most `capacity` counters,
+    * decrementing all when full. Any token with global count
+    * > N/(capacity+1) is guaranteed to survive in at least one partition
+    * (averaging argument), so filtering the EXACT counts of the candidate
+    * union at a threshold above N/(capacity+1) is partition-invariant and
+    * equals a plain GROUP BY ... HAVING — without shuffling the full token
+    * stream: only |candidates| ≤ capacity × partitions rows move. */
+  def heavyHitterCandidates(tokens: DataFrame, capacity: Int): DataFrame = {
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    tokens.select(col("w")).as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { w =>
+        if (m.contains(w)) m(w) += 1L
+        else if (m.size < capacity) m(w) = 1L
+        else {
+          // decrement-all step: one global count and one count of each
+          // tracked token are discarded together, preserving the bound
+          m.toList.foreach { case (key, v) =>
+            if (v == 1L) m.remove(key) else m(key) = v - 1L
+          }
+        }
+      }
+      m.keysIterator
+    }.toDF("w")
+  }
+
+  /** Corpus-LM document scoring (perplexity proxy): unigram probabilities
+    * from corpus-wide term frequencies, per-document mean negative
+    * log-likelihood. The −ln p(w) values are quantized to DECIMAL(18,6)
+    * before the per-document sum, so the aggregation is order-free and
+    * bit-exact on any partitioning; the vocabulary table broadcasts (it is
+    * orders of magnitude smaller than the corpus), so the token stream
+    * never shuffles by term — the only exchange is the doc_id rollup. */
+  def lmScore(docs: DataFrame, id: String, text: String): DataFrame = {
+    val words = docs.select(col(id).as("doc_id"),
+      explode(split(col(text), " ")).as("w"))
+    val freq = words.groupBy(col("w")).agg(count(lit(1)).as("tf"))
+    val total = words.agg(count(lit(1)).as("total"))
+    val nll = freq.crossJoin(broadcast(total))
+      .select(col("w"),
+        round(-log(col("tf").cast("double") / col("total").cast("double")), 6)
+          .cast(DecimalType(18, 6)).as("nll"))
+    words.join(broadcast(nll), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nll")).as("sum_nll"), count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"),
+        round(col("sum_nll").cast("double") / col("n_tokens"), 6).as("avg_nll"),
+        col("n_tokens"))
+  }
 
   /** Sliding-window document chunking (the context-window prep step:
     * every LLM ingest chops documents into fixed-token chunks with
