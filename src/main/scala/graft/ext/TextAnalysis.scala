@@ -110,7 +110,7 @@ object TextAnalysis {
   def piiRedact(c: Column): Column =
     regexp_replace(
       regexp_replace(
-        regexp_replace(c, "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "[EMAIL]"),
+        regexp_replace(c, "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "[EMAIL]"),
         "\\b[0-9]{16}\\b", "[CARD]"),
       "\\b555-[0-9]{4}\\b", "[PHONE]")
 

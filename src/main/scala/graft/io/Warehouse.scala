@@ -66,9 +66,12 @@ object Warehouse {
     val b = df.agg(
       min(col(keyA)).cast("double"), max(col(keyA)).cast("double"),
       min(col(keyB)).cast("double"), max(col(keyB)).cast("double")).head()
+    if (b.isNullAt(0) || b.isNullAt(2)) return // empty input: nothing to write
+    // clamp both ends: a non-deterministic df re-evaluated for the write
+    // could otherwise produce values outside the recorded [min,max]
     def rank(c: Column, lo: Double, hi: Double): Column =
-      least(lit(1023L), floor(
-        (c.cast("double") - lit(lo)) / lit(math.max(hi - lo, 1e-12)) * 1024).cast("long"))
+      greatest(lit(0L), least(lit(1023L), floor(
+        (c.cast("double") - lit(lo)) / lit(math.max(hi - lo, 1e-12)) * 1024).cast("long")))
     val ra = rank(col(keyA), b.getDouble(0), b.getDouble(1))
     val rb = rank(col(keyB), b.getDouble(2), b.getDouble(3))
     val z = (0 until 10).map { i =>

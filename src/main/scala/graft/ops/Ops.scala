@@ -176,8 +176,13 @@ object Ops {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
     val lp = df.queryExecution.analyzed
-    def attr(n: String) = lp.output.find(_.name == n)
-      .getOrElse(throw new IllegalArgumentException(s"no column $n in ${df.columns.mkString(",")}"))
+    def attr(n: String) = lp.output.filter(_.name == n) match {
+      case Seq(a) => a
+      case Seq() => throw new IllegalArgumentException(
+        s"no column $n in ${df.columns.mkString(",")}")
+      case many => throw new IllegalArgumentException(
+        s"ambiguous column $n: ${many.size} attributes match (dedup or alias before topKPerKey)")
+    }
     val order = sortCols.map { case (n, desc) =>
       SortOrder(attr(n), if (desc) Descending else Ascending)
     }

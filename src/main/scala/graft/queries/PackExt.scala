@@ -311,6 +311,27 @@ object PackExt {
         .orderBy(col("doc_id"))
     },
 
+    // PII redaction over synthesized mixed-case contact lines: emails
+    // (case-insensitive), 16-digit card numbers, 555- phone stubs →
+    // typed placeholders. Pure regexp_replace chain, RE2/Java-portable.
+    QDef("text_pii_redact",
+      """SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    c_name || '@Example.COM wrote; card 4111222233334444 tel 555-' ||
+        |      lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || ' ' || c_mktsegment,
+        |    '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b[0-9]{16}\b', '[CARD]', 'g'),
+        |    '\b555-[0-9]{4}\b', '[PHONE]', 'g') AS redacted
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          TextAnalysis.piiRedact(concat(
+            col("c_name"), lit("@Example.COM wrote; card 4111222233334444 tel 555-"),
+            lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+            lit(" "), col("c_mktsegment"))).as("redacted"))
+        .orderBy(col("c_custkey"))
+    },
+
     // canonical text normalization (lowercase / strip punct / collapse ws)
     QDef("text_normalize",
       """SELECT doc_id,
@@ -443,14 +464,17 @@ object PackExt {
          |reach(a, b) AS (SELECT doc_id, doc_id FROM sh
          |                UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
          |lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
-         |SELECT cluster_id, count(*) AS n, list(doc_id ORDER BY doc_id) AS members
+         |SELECT cluster_id, count(*) AS n, to_json(list(doc_id ORDER BY doc_id)) AS members
          |FROM lab GROUP BY cluster_id ORDER BY cluster_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d).filter(col("doc_id") < 128)
       val pairs = TextDedup.simhashPairs(
         TextDedup.simhash(docs, "doc_id", "text"), 12).select(col("d1"), col("d2"))
+      // members rendered as compact JSON at the compare boundary: the
+      // driver's row-sort cannot order raw arrays (see NOTES.md).
       TextDedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
         .groupBy(col("label").as("cluster_id"))
-        .agg(count(lit(1)).as("n"), sort_array(collect_list(col("id"))).as("members"))
+        .agg(count(lit(1)).as("n"),
+          to_json(sort_array(collect_list(col("id")))).as("members"))
         .orderBy(col("cluster_id"))
     },
 

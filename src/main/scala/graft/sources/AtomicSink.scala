@@ -8,7 +8,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -45,18 +45,24 @@ private[sources] class AtomicSinkTable(writeSchema: StructType, path: String)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new AtomicBatchWrite(path, info.schema())
+    new WriteBuilder with SupportsTruncate {
+      private var truncateRequested = false
+      override def truncate(): WriteBuilder = { truncateRequested = true; this }
+      override def build(): Write = {
+        val t = truncateRequested
+        new Write {
+          override def toBatch: BatchWrite = new AtomicBatchWrite(path, info.schema(), t)
+        }
       }
     }
 }
 
 private[sources] case class StagedFile(name: String, rows: Long) extends WriterCommitMessage
 
-private[sources] class AtomicBatchWrite(path: String, schema: StructType)
-    extends BatchWrite {
+private[sources] class AtomicBatchWrite(path: String, schema: StructType,
+    truncate: Boolean) extends BatchWrite {
   private val staging = new File(path, "_staging")
+  private val manifest = Paths.get(path, "_MANIFEST")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     staging.mkdirs()
@@ -64,17 +70,31 @@ private[sources] class AtomicBatchWrite(path: String, schema: StructType)
   }
 
   /** Publish exactly the files the committed tasks named: rename each out
-    * of staging (atomic within a filesystem), then write the manifest
-    * LAST — readers treat the manifest as the commit record, so a crash
-    * mid-publish leaves the table unchanged from their point of view. */
+    * of staging (atomic within a filesystem), then swap in the manifest
+    * LAST via temp-file + ATOMIC_MOVE — readers treat the manifest as the
+    * commit record, so a crash at any point before the swap leaves the
+    * previous table version intact from their point of view. Append mode
+    * merges the new files into the prior manifest; truncate (overwrite)
+    * mode publishes a manifest naming only the new files, then removes
+    * the now-orphaned prior files. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.collect { case StagedFile(name, _) => name }
     files.foreach { f =>
       Files.move(Paths.get(staging.getPath, f), Paths.get(path, f),
         StandardCopyOption.ATOMIC_MOVE)
     }
-    Files.write(Paths.get(path, "_MANIFEST"),
-      files.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val prior: Seq[String] =
+      if (Files.exists(manifest))
+        new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
+          .split("\n").toSeq.filter(_.nonEmpty)
+      else Seq.empty
+    val published = if (truncate) files.toSeq else (prior ++ files).distinct
+    val tmp = Files.createTempFile(staging.toPath, "_MANIFEST", ".tmp")
+    Files.write(tmp, published.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    if (truncate)
+      prior.filterNot(files.contains).foreach(f => new File(path, f).delete())
     deleteRec(staging)
   }
 

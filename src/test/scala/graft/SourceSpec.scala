@@ -81,6 +81,31 @@ class SourceSpec extends AnyFunSuite {
     assert(lines == df.count(), "every row lands exactly once")
   }
 
+  test("atomic sink: second append merges into the manifest; overwrite truncates") {
+    val loc = java.nio.file.Files.createTempDirectory("graft_atomic").toString + "/t"
+    val df = graft.schemas.Tables.region(spark, TestSpark.sf0001)
+      .select($"r_regionkey", $"r_name").repartition(2)
+    def manifest() = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(loc, "_MANIFEST")).split("\n").toSeq
+    df.write.format("graft-atomic").option("path", loc).mode("append").save()
+    val first = manifest()
+    df.write.format("graft-atomic").option("path", loc).mode("append").save()
+    val second = manifest()
+    assert(second.length == 4, "append must keep the first job's commit record")
+    assert(first.forall(second.contains), "prior files survive in the manifest")
+    df.repartition(3).write.format("graft-atomic").option("path", loc)
+      .mode("overwrite").save()
+    val third = manifest()
+    assert(third.length == 3, "overwrite manifest names only the new files")
+    assert(third.intersect(second).isEmpty)
+    val files = new java.io.File(loc).listFiles().map(_.getName).toSet
+    assert(second.forall(f => !files.contains(f)),
+      "overwrite removes the orphaned prior files")
+    val lines = third.map(f =>
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(loc, f)).size).sum
+    assert(lines == df.count(), "table contents equal exactly the last write")
+  }
+
   test("atomic sink: a failed job publishes nothing (abort cleans staging)") {
     val loc = java.nio.file.Files.createTempDirectory("graft_atomic").toString + "/t"
     val boom = udf((k: Long) =>
