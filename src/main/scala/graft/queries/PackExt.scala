@@ -357,6 +357,45 @@ object PackExt {
         .orderBy(col("tf").desc, col("w")).limit(20)
     },
 
+    // Misra–Gries heavy hitters: per-partition bounded candidate counters
+    // (capacity 1000 ≫ N/threshold bound), exact recount of the candidate
+    // union only — the full token stream never shuffles; partition-
+    // invariant because every token above N/500 must survive some
+    // partition's counters (threshold N/500 > guarantee bound N/1001).
+    QDef("text_heavy_hitters",
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks)
+        |SELECT w, count(*) AS cnt
+        |FROM toks, t GROUP BY w, t.total
+        |HAVING CAST(count(*) AS DOUBLE) > t.total / 500.0
+        |ORDER BY cnt DESC, w""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d).select(explode(split(col("text"), " ")).as("w"))
+      val total = toks.agg(count(lit(1)).as("total"))
+      val cands = TextAnalysis.heavyHitterCandidates(toks, 1000).distinct()
+      toks.join(broadcast(cands), Seq("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt").cast("double") > col("total").cast("double") / 500.0)
+        .select(col("w"), col("cnt"))
+        .orderBy(col("cnt").desc, col("w"))
+    },
+
+    // Unigram-LM document scoring (perplexity proxy): corpus frequencies →
+    // −ln p(w) quantized to DECIMAL(18,6) → per-doc mean NLL. The vocab
+    // table broadcasts; the only exchange is the doc_id rollup.
+    QDef("text_lm_score",
+      """WITH words AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM words),
+        |nll AS (SELECT w, CAST(round(-ln(count(*) / t.total), 6) AS DECIMAL(18,6)) AS nll
+        |        FROM words, tot t GROUP BY w, t.total)
+        |SELECT d.doc_id, round(CAST(sum(n.nll) AS DOUBLE) / count(*), 6) AS avg_nll,
+        |       count(*) AS n_tokens
+        |FROM words d JOIN nll n USING (w)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.lmScore(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // TF-IDF document-term scoring: per-doc term frequency × corpus-wide
     // inverse document frequency. Both aggregates shrink map-side; the
     // doc-count scalar joins in as a broadcast. idf = ln((N+1)/(df+1))

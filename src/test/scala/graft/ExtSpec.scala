@@ -159,4 +159,23 @@ class ExtSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(labels.values.toSet == Set(0L), s"chain must collapse to one cluster: $labels")
   }
+
+  test("Misra-Gries candidates keep every token above the N/(capacity+1) bound") {
+    // skewed stream: token t_i appears 2^(8-i) times, plus 200 singletons;
+    // tiny capacity forces heavy decrement churn across 8 partitions
+    val rows = (0 to 8).flatMap(i => Seq.fill(1 << (8 - i))(s"t_$i")) ++
+      (0 until 200).map(i => s"rare_$i")
+    val toks = spark.createDataset(scala.util.Random.shuffle(rows.toList))
+      .repartition(8).toDF("w")
+    val capacity = 16
+    val n = rows.size
+    val cands = graft.ext.TextAnalysis.heavyHitterCandidates(toks, capacity)
+      .as[String].collect().toSet
+    val exact = rows.groupBy(identity).view.mapValues(_.size)
+    val mustSurvive = exact.filter(_._2 > n / (capacity + 1)).keys.toSet
+    assert(mustSurvive.nonEmpty, "fixture must exercise the guarantee")
+    assert(mustSurvive.subsetOf(cands),
+      s"missing guaranteed heavy hitters: ${mustSurvive.diff(cands)}")
+    assert(cands.size <= capacity * 8, "candidate union bounded by capacity x partitions")
+  }
 }
