@@ -186,6 +186,42 @@ object TextDedup {
     lab
   }
 
+  /** [[simhashPairs]] through banded LSH — the plan that survives 100 TB.
+    * The 63 signature bits split into `maxHamming + 1` contiguous bands;
+    * by pigeonhole, any pair within `maxHamming` differing bits agrees
+    * EXACTLY on at least one whole band, so candidate generation is an
+    * equi-join on (band, band bits) — hash-partitionable, no cross
+    * product anywhere — and the exact Hamming filter over candidates
+    * makes the result identical to the quadratic form. Cost moves from
+    * O(n²) comparisons to Σ|bucket|² over near-dup buckets, which is the
+    * same asymptotic bargain MinHash banding strikes (SURVEY §2.8);
+    * adversarial mega-buckets (constant band values) would need a
+    * bucket-size cap or salt, the standard LSH skew mitigation. */
+  def simhashBandPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val nBands = maxHamming + 1
+    require(nBands <= 63, "need at least one bit per band")
+    val bands = (0 until nBands).map { b =>
+      val start = b * 63 / nBands
+      val width = (b + 1) * 63 / nBands - start
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), start).bitwiseAND(lit((1L << width) - 1)).as("bits"))
+    }
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val a = banded.select(col("band"), col("bits"),
+      col("doc_id").as("d1"), col("simhash").as("s1"))
+    val b = banded.select(col("band"), col("bits"),
+      col("doc_id").as("d2"), col("simhash").as("s2"))
+    a.join(b, Seq("band", "bits")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("s1"), col("s2"))
+      .distinct() // a pair may agree on several bands
+      .withColumn("ham", bit_count(col("s1").bitwiseXOR(col("s2"))))
+      .filter(col("ham") <= maxHamming)
+      .select(col("d1"), col("d2"), col("ham"))
+  }
+
   /** Hamming-distance pairs over SimHash signatures. Persists the
     * signature frame — both sides of the self-join reference it. */
   def simhashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {

@@ -110,6 +110,23 @@ object PackExt {
         .orderBy(col("d1"), col("d2"))
     },
 
+    // Banded-LSH form of the SimHash pair search over the WHOLE corpus
+    // (no doc_id bound): candidates from an equi-join on (band, band
+    // bits) — pigeonhole-complete for ham <= 12 with 13 bands — then the
+    // exact Hamming filter. Identical output to the quadratic form; the
+    // plan is the one that scales (no cross product).
+    QDef("dedup_simhash_banded",
+      s"""WITH ${simhashCte("true")}
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS ham
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      TextDedup.simhashBandPairs(
+        TextDedup.simhash(Tables.documents(s, d), "doc_id", "text"), 12)
+        .orderBy(col("d1"), col("d2"))
+    },
+
     // Dedup clustering: near-dup pairs → connected components → canonical
     // doc per cluster (the pass that turns pairwise LSH/SimHash output into
     // actual dedup decisions). Oracle: recursive transitive closure over
