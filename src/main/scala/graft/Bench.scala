@@ -24,6 +24,9 @@ object Bench {
     // two timed runs, min-of reported: single runs on a shared box swing
     // several-fold from GC/IO noise
     val results = ordered.map { case (name, fn) =>
+      // settle the heap between queries so one query's garbage (exploded
+      // token streams, dropped broadcasts) can't tax its successors' timings
+      System.gc()
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -31,10 +34,15 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The consumer captures only the last ~2000 chars of output, so the
+    // JSON line must stay well under that: per-query ms precision and only
+    // the slowest headline queries in the dict (total still covers ALL).
+    def fmt(v: Double): String = f"$v%.3f"
+    val headline = results.sortBy(-_._2).take(40).sortBy(_._1)
+    val qs = headline.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

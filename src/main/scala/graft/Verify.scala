@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir, rest @ _*) = args
+    // optional trailing names: dump only that subset (local iteration);
+    // the driver passes exactly two args and gets the full pack
+    val only = rest.toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,7 +20,7 @@ object Verify {
     // clear stale results from renamed/removed queries so the compare
     // only ever sees dirs that match oracle_sql.json
     val outRoot = new java.io.File(outDir)
-    if (outRoot.isDirectory) {
+    if (outRoot.isDirectory && only.isEmpty) {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
         f.delete(); ()
@@ -26,7 +29,8 @@ object Verify {
     }
     outRoot.mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      if (only.nonEmpty && !only.contains(name)) ()
+      else try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -153,7 +153,10 @@ object TextAnalysis {
     val words = docs.select(col(id).as("doc_id"),
       explode(split(col(text), " ")).as("w"))
     val freq = words.groupBy(col("w")).agg(count(lit(1)).as("tf"))
-    val total = words.agg(count(lit(1)).as("total"))
+    // total token count from a narrow per-row array size — same value as
+    // count() over the exploded stream without materializing it again
+    val total = docs.agg(
+      sum(size(split(col(text), " ")).cast("long")).as("total"))
     val nll = freq.crossJoin(broadcast(total))
       .select(col("w"),
         round(-log(col("tf").cast("double") / col("total").cast("double")), 6)

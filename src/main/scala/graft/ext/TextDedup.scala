@@ -206,7 +206,15 @@ object TextDedup {
       struct(lit(b).as("band"),
         shiftright(col("simhash"), start).bitwiseAND(lit((1L << width) - 1)).as("bits"))
     }
-    val banded = sigs.select(col("doc_id"), col("simhash"),
+    // persist the signature frame: both self-join sides derive from it,
+    // and the pipeline above it (explode × bits, two shuffled
+    // aggregations) must not be computed twice — same reasoning as
+    // simhashPairs / lshCandidatePairs. The banded expansion itself stays
+    // uncached: it is a cheap narrow explode over the cached signatures,
+    // and leaving it transparent lets the optimizer plan the self-join
+    // from undistorted per-side statistics.
+    val cached = sigs.persist()
+    val banded = cached.select(col("doc_id"), col("simhash"),
       explode(array(bands: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
         col("bb.band").as("band"), col("bb.bits").as("bits"))

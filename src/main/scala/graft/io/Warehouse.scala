@@ -65,8 +65,14 @@ object Warehouse {
     import org.apache.spark.sql.functions._
     val b = df.agg(
       min(col(keyA)).cast("double"), max(col(keyA)).cast("double"),
-      min(col(keyB)).cast("double"), max(col(keyB)).cast("double")).head()
-    if (b.isNullAt(0) || b.isNullAt(2)) return // empty input: nothing to write
+      min(col(keyB)).cast("double"), max(col(keyB)).cast("double"),
+      count(lit(1))).head()
+    if (b.getLong(4) == 0L) return // empty input: nothing to write
+    // rows exist but a key is all-NULL: there is no [min,max] span to
+    // quantize — fail loudly rather than silently dropping the rows
+    require(!b.isNullAt(0) && !b.isNullAt(2),
+      s"appendZOrdered: z-order key ${if (b.isNullAt(0)) keyA else keyB} " +
+        "is entirely NULL; use appendClustered or a plain append")
     // clamp both ends: a non-deterministic df re-evaluated for the write
     // could otherwise produce values outside the recorded [min,max]
     def rank(c: Column, lo: Double, hi: Double): Column =

@@ -386,8 +386,11 @@ object PackExt {
         |FROM toks, t GROUP BY w, t.total
         |HAVING CAST(count(*) AS DOUBLE) > t.total / 500.0
         |ORDER BY cnt DESC, w""".stripMargin) { (s, d) =>
-      val toks = Tables.documents(s, d).select(explode(split(col("text"), " ")).as("w"))
-      val total = toks.agg(count(lit(1)).as("total"))
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(explode(split(col("text"), " ")).as("w"))
+      // total from a narrow per-row size scan — no second token explode
+      val total = docs.agg(
+        sum(size(split(col("text"), " ")).cast("long")).as("total"))
       val cands = TextAnalysis.heavyHitterCandidates(toks, 1000).distinct()
       toks.join(broadcast(cands), Seq("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))

@@ -2,7 +2,7 @@ package graft.sources
 
 import java.io.File
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardCopyOption}
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
@@ -22,6 +22,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * through the engine API (`WriteBuilder → BatchWrite → DataWriter`)
   * rather than through idempotent re-runs.
   *
+  * Durability rules (multi-job safety):
+  *   - staged dirs and published file names embed the job's `queryId`, so
+  *     task ids restarting at 0 in a later application can never collide
+  *     with an earlier commit, and concurrent jobs never share staging;
+  *   - publish refuses to replace an existing destination file (a name
+  *     collision means a protocol violation, not something to paper over);
+  *   - the manifest read-modify-write is serialized by an O_EXCL lock
+  *     file, so two concurrent appends cannot drop each other's files
+  *     (lost update);
+  *   - truncate (overwrite) publishes a manifest naming only the new
+  *     files and leaves the orphaned prior files on disk — readers of the
+  *     old snapshot finish their scan; [[AtomicSink.vacuum]] is the
+  *     separate physical-cleanup step.
+  *
   * Rows serialize as TAB-separated text (a demo of the protocol, not a
   * format — a production sink swaps the serializer, not the protocol).
   */
@@ -35,6 +49,25 @@ class AtomicSink extends TableProvider
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new AtomicSinkTable(schema, properties.get("path"))
+}
+
+object AtomicSink {
+  /** Physical cleanup, deliberately separate from commit: delete data
+    * files no longer named by the manifest (orphans left by truncate
+    * commits). Run it only when no reader can still hold the old
+    * snapshot. Returns the number of files removed. */
+  def vacuum(path: String): Int = {
+    val manifest = Paths.get(path, "_MANIFEST")
+    val live: Set[String] =
+      if (Files.exists(manifest))
+        new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
+          .split("\n").toSet.filter(_.nonEmpty)
+      else Set.empty
+    val orphans = Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !live(f.getName))
+    orphans.foreach(_.delete())
+    orphans.length
+  }
 }
 
 private[sources] class AtomicSinkTable(writeSchema: StructType, path: String)
@@ -51,7 +84,8 @@ private[sources] class AtomicSinkTable(writeSchema: StructType, path: String)
       override def build(): Write = {
         val t = truncateRequested
         new Write {
-          override def toBatch: BatchWrite = new AtomicBatchWrite(path, info.schema(), t)
+          override def toBatch: BatchWrite =
+            new AtomicBatchWrite(path, info.schema(), t, info.queryId())
         }
       }
     }
@@ -60,42 +94,73 @@ private[sources] class AtomicSinkTable(writeSchema: StructType, path: String)
 private[sources] case class StagedFile(name: String, rows: Long) extends WriterCommitMessage
 
 private[sources] class AtomicBatchWrite(path: String, schema: StructType,
-    truncate: Boolean) extends BatchWrite {
-  private val staging = new File(path, "_staging")
+    truncate: Boolean, queryId: String) extends BatchWrite {
+  // per-job staging: concurrent jobs never see (or delete) each other's
+  // staged files
+  private val staging = new File(path, s"_staging-$queryId")
   private val manifest = Paths.get(path, "_MANIFEST")
+  private val lock = Paths.get(path, "_COMMIT_LOCK")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     staging.mkdirs()
-    AtomicWriterFactory(path, schema)
+    AtomicWriterFactory(path, schema, queryId)
   }
 
   /** Publish exactly the files the committed tasks named: rename each out
-    * of staging (atomic within a filesystem), then swap in the manifest
-    * LAST via temp-file + ATOMIC_MOVE — readers treat the manifest as the
-    * commit record, so a crash at any point before the swap leaves the
-    * previous table version intact from their point of view. Append mode
-    * merges the new files into the prior manifest; truncate (overwrite)
-    * mode publishes a manifest naming only the new files, then removes
-    * the now-orphaned prior files. */
+    * of staging (atomic within a filesystem, and refusing to replace an
+    * existing destination), then swap in the manifest LAST via temp-file +
+    * ATOMIC_MOVE — readers treat the manifest as the commit record, so a
+    * crash at any point before the swap leaves the previous table version
+    * intact from their point of view. The manifest merge runs under an
+    * O_EXCL lock file so concurrent append commits serialize instead of
+    * losing each other's updates. Truncate (overwrite) mode publishes a
+    * manifest naming only the new files; the orphaned prior files stay on
+    * disk for in-flight readers until [[AtomicSink.vacuum]]. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.collect { case StagedFile(name, _) => name }
     files.foreach { f =>
-      Files.move(Paths.get(staging.getPath, f), Paths.get(path, f),
-        StandardCopyOption.ATOMIC_MOVE)
+      val dest = Paths.get(path, f)
+      if (Files.exists(dest))
+        throw new FileAlreadyExistsException(
+          s"$dest: staged name collides with a committed file — refusing to replace")
+      Files.move(Paths.get(staging.getPath, f), dest, StandardCopyOption.ATOMIC_MOVE)
     }
-    val prior: Seq[String] =
-      if (Files.exists(manifest))
-        new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
-          .split("\n").toSeq.filter(_.nonEmpty)
-      else Seq.empty
-    val published = if (truncate) files.toSeq else (prior ++ files).distinct
-    val tmp = Files.createTempFile(staging.toPath, "_MANIFEST", ".tmp")
-    Files.write(tmp, published.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    if (truncate)
-      prior.filterNot(files.contains).foreach(f => new File(path, f).delete())
+    withCommitLock {
+      val prior: Seq[String] =
+        if (Files.exists(manifest))
+          new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
+            .split("\n").toSeq.filter(_.nonEmpty)
+        else Seq.empty
+      val published = if (truncate) files.toSeq else (prior ++ files).distinct
+      val tmp = Files.createTempFile(staging.toPath, "_MANIFEST", ".tmp")
+      Files.write(tmp, published.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
     deleteRec(staging)
+  }
+
+  /** Serialize manifest updates across concurrent committers:
+    * `Files.createFile` is O_EXCL-atomic, so exactly one committer holds
+    * the lock; others spin briefly. A crashed holder is detected by lock
+    * age and the lock broken (bounded staleness beats a wedged table). */
+  private def withCommitLock[A](body: => A): A = {
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var held = false
+    while (!held) {
+      try { Files.createFile(lock); held = true }
+      catch { case _: FileAlreadyExistsException =>
+        try {
+          val age = System.currentTimeMillis() -
+            Files.getLastModifiedTime(lock).toMillis
+          if (age > 60000) Files.deleteIfExists(lock)
+        } catch { case _: java.io.IOException => () }
+        if (System.nanoTime() > deadline)
+          throw new IllegalStateException(s"timed out waiting for $lock")
+        Thread.sleep(20)
+      }
+    }
+    try body finally Files.deleteIfExists(lock)
   }
 
   /** A failed task (or job) leaves only staged private files — remove
@@ -109,13 +174,15 @@ private[sources] class AtomicBatchWrite(path: String, schema: StructType,
   }
 }
 
-private[sources] case class AtomicWriterFactory(path: String, schema: StructType)
-    extends DataWriterFactory {
+private[sources] case class AtomicWriterFactory(path: String, schema: StructType,
+    queryId: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      // task-attempt-private name: concurrent attempts can never collide
-      private val fileName = s"part-$partitionId-$taskId.tsv"
-      private val file = new File(new File(path, "_staging"), fileName)
+      // job-and-task-attempt-private name: unique across concurrent
+      // attempts AND across applications (task ids restart per context,
+      // the query id never repeats)
+      private val fileName = s"part-$partitionId-$taskId-$queryId.tsv"
+      private val file = new File(new File(path, s"_staging-$queryId"), fileName)
       private val out = new java.io.BufferedWriter(new java.io.FileWriter(file))
       private var rows = 0L
 

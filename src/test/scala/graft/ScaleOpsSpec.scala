@@ -282,6 +282,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(zLoc).count() == o.count())
   }
 
+  test("z-ordered write: empty input is a no-op, all-NULL key fails loudly") {
+    val o = graft.schemas.Tables.orders(spark, TestSpark.sf0001)
+      .select($"o_orderkey", $"o_custkey")
+    val loc = java.nio.file.Files.createTempDirectory("graft_z").toString + "/t"
+    Warehouse.appendZOrdered(o.filter(lit(false)), loc, "o_orderkey", "o_custkey", 4)
+    assert(!new java.io.File(loc).exists(), "empty input writes nothing")
+    val allNull = o.withColumn("o_custkey", lit(null).cast("long"))
+    val e = intercept[IllegalArgumentException] {
+      Warehouse.appendZOrdered(allNull, loc, "o_orderkey", "o_custkey", 4)
+    }
+    assert(e.getMessage.contains("o_custkey"), "error names the offending key")
+    assert(!new java.io.File(loc).exists(), "no partial write on failure")
+  }
+
   test("range-clustered write produces files with disjoint value ranges (data skipping)") {
     val loc = java.nio.file.Files.createTempDirectory("graft_clust").toString + "/t"
     val o = graft.schemas.Tables.orders(spark, TestSpark.sf0001)

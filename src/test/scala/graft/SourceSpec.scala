@@ -75,7 +75,7 @@ class SourceSpec extends AnyFunSuite {
       .readString(java.nio.file.Paths.get(loc, "_MANIFEST")).split("\n").toSeq
     assert(manifest.length == 4, "one committed file per task")
     assert(manifest.forall(files.contains), "manifest lists only published files")
-    assert(!files.contains("_staging"), "staging must be gone after commit")
+    assert(!files.exists(_.startsWith("_staging")), "staging must be gone after commit")
     val lines = manifest.map(f =>
       java.nio.file.Files.readAllLines(java.nio.file.Paths.get(loc, f)).size).sum
     assert(lines == df.count(), "every row lands exactly once")
@@ -99,8 +99,13 @@ class SourceSpec extends AnyFunSuite {
     assert(third.length == 3, "overwrite manifest names only the new files")
     assert(third.intersect(second).isEmpty)
     val files = new java.io.File(loc).listFiles().map(_.getName).toSet
-    assert(second.forall(f => !files.contains(f)),
-      "overwrite removes the orphaned prior files")
+    assert(second.forall(files.contains),
+      "orphaned prior files stay on disk for in-flight readers until vacuum")
+    val removed = graft.sources.AtomicSink.vacuum(loc)
+    assert(removed == second.length, "vacuum removes exactly the orphans")
+    val after = new java.io.File(loc).listFiles().map(_.getName).toSet
+    assert(second.forall(f => !after.contains(f)), "orphans gone after vacuum")
+    assert(third.forall(after.contains), "vacuum never touches live files")
     val lines = third.map(f =>
       java.nio.file.Files.readAllLines(java.nio.file.Paths.get(loc, f)).size).sum
     assert(lines == df.count(), "table contents equal exactly the last write")
