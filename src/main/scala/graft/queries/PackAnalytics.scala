@@ -654,6 +654,203 @@ object PackAnalytics {
           row_number().over(w).cast("long").as("rn"))
         .filter(col("rn") % 20 === 1)
         .orderBy(col("event_id"))
+    },
+
+    // Funnel conversion (view → click → purchase, strictly ordered per
+    // user): each stage is a per-user min-timestamp aggregate joined back
+    // on user_id — co-partitioned equi-joins whose inputs shrink at every
+    // stage, never a window over the raw stream. The product-analytics
+    // staple every event warehouse runs.
+    QDef("funnel_conversion",
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_click,
+        |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+    },
+
+    // Islands-and-gaps interval merge: every event opens a 5-minute
+    // activity window; overlapping/adjacent windows coalesce into islands
+    // per user (the classic "merge overlapping intervals" pass behind
+    // uptime, billing and session-coverage reports). The island boundary
+    // is ts > running max of prior interval ends — one exchange per user
+    // partition, three window functions, no self-join. Durations stay in
+    // exact integer microseconds.
+    QDef("window_islands",
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS s,
+        |             CAST(ts AS TIMESTAMP) + INTERVAL 5 MINUTE AS f FROM events),
+        |m AS (SELECT user_id, event_id, s, f,
+        |        max(f) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |      FROM e),
+        |g AS (SELECT user_id, s, f,
+        |        sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id ORDER BY s, event_id
+        |                ROWS UNBOUNDED PRECEDING) AS island
+        |      FROM m),
+        |i AS (SELECT user_id, island, min(s) AS st, max(f) AS fin
+        |      FROM g GROUP BY user_id, island)
+        |SELECT user_id, count(*) AS n_islands,
+        |       sum(epoch_us(fin) - epoch_us(st)) AS covered_us
+        |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts").as("s"),
+          (col("ts") + expr("INTERVAL 5 MINUTES")).as("f"))
+        .withColumn("pm",
+          max(col("f")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("island",
+          sum(when(col("pm").isNull || col("s") > col("pm"), 1).otherwise(0))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("s")).as("st"), max(col("f")).as("fin"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(unix_micros(col("fin")) - unix_micros(col("st"))).as("covered_us"))
+        .orderBy(col("user_id"))
+    },
+
+    // SCD type-2 compression: collapse an append-only event log into
+    // validity intervals per user — keep only rows where the tracked
+    // attribute changes, then lead() supplies valid_to (NULL = current).
+    // One exchange, two window passes over it; the standard CDC-to-
+    // dimension build.
+    QDef("scd2_intervals",
+      """WITH e AS (SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |d AS (SELECT user_id, event_type, ts, event_id,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
+        |      FROM e),
+        |ch AS (SELECT user_id, event_type, ts, event_id FROM d
+        |       WHERE prev_t IS NULL OR prev_t <> event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |FROM ch ORDER BY user_id, valid_from""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev_t", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_t").isNull || col("prev_t") =!= col("event_type"))
+        .select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
+          lead(col("ts"), 1).over(
+            Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id")))
+            .as("valid_to"))
+        .orderBy(col("user_id"), col("valid_from"))
+    },
+
+    // Markov transition counts over the per-user event sequence: lead()
+    // pairs each event with its successor, then a corpus-wide bigram
+    // count — the sequence-model / next-event-prediction feature build.
+    // One exchange for the window, partial+final agg for the count.
+    QDef("event_transition_matrix",
+      """WITH e AS (SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |d AS (SELECT event_type,
+        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |      FROM e)
+        |SELECT event_type, next_type, count(*) AS n FROM d
+        |WHERE next_type IS NOT NULL
+        |GROUP BY event_type, next_type ORDER BY event_type, next_type""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type"), lead(col("event_type"), 1).over(w).as("next_type"))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("next_type"))
+    },
+
+    // Cohort retention: users grouped by first-activity week, counted in
+    // every subsequent week they return. Two shrinking aggregates joined
+    // on user_id — the cohort table never sees the raw event stream
+    // twice, and the week arithmetic is integer-exact in both engines.
+    QDef("cohort_retention",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+        |      FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM e)
+        |SELECT f.cohort, CAST(date_diff('day', f.cohort, a.wk) // 7 AS INTEGER) AS week_offset,
+        |       count(*) AS n_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY f.cohort, week_offset ORDER BY f.cohort, week_offset""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val first = e.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort"))
+      val active = e.select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk")).distinct()
+      active.join(first, Seq("user_id"))
+        .groupBy(col("cohort"),
+          (datediff(col("wk"), col("cohort")).cast("long") / 7)
+            .cast("int").as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort"), col("week_offset"))
+    },
+
+    // Median absolute deviation per group — the robust dispersion measure
+    // quality pipelines prefer over stddev. Two exact interpolated
+    // medians chained through a broadcast of the per-group first medians;
+    // both engines interpolate identically (≡ quantile_cont precedent
+    // from agg_percentiles).
+    QDef("agg_mad",
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |           FROM events GROUP BY event_type)
+        |SELECT e.event_type, round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+        |FROM events e JOIN m ON e.event_type = m.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val m = e.groupBy(col("event_type"))
+        .agg(percentile(col("value"), lit(0.5)).as("med"))
+      e.join(broadcast(m), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(round(percentile(abs(col("value") - col("med")), lit(0.5)), 6).as("mad"))
+        .orderBy(col("event_type"))
+    },
+
+    // Z-score outlier counts per group from exact decimal moments (the
+    // agg_corr_stats recipe: decimal sums are order-free, the double
+    // formula over them is engine-invariant). One moment pass + one
+    // broadcast-joined flag pass — no window, no sort, linear at any
+    // scale.
+    QDef("stats_zscore_outliers",
+      """WITH s AS (SELECT event_type,
+        |             CAST(count(*) AS DOUBLE) AS n,
+        |             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+        |             CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS svv
+        |           FROM events GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS n_events,
+        |       CAST(sum(CASE WHEN abs(e.value - s.sv / s.n) >
+        |                          2 * sqrt(s.svv / s.n - (s.sv / s.n) * (s.sv / s.n))
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events e JOIN s ON e.event_type = s.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin) { (s, d) =>
+      val dec = (c: Column) => c.cast(DecimalType(18, 2))
+      val e = Tables.events(s, d)
+      val stats = e.groupBy(col("event_type")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(dec(col("value"))).cast("double").as("sv"),
+        sum(dec(col("value")) * dec(col("value"))).cast("double").as("svv"))
+      val mean = col("sv") / col("n")
+      val sd = sqrt(col("svv") / col("n") - mean * mean)
+      e.join(broadcast(stats), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(abs(col("value") - mean) > lit(2) * sd, 1).otherwise(0))
+            .cast("long").as("n_outliers"))
+        .orderBy(col("event_type"))
     }
   )
 }

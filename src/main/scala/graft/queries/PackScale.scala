@@ -248,6 +248,29 @@ object PackScale {
             .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value")),
           Seq("user_id"), Seq(("ts", true), ("event_id", true)), k = 1)
         .orderBy(col("user_id"))
+    },
+
+    // Deterministic uniform sampling by hash rank (bottom-k): the k
+    // smallest md5(id) per stratum form an exact-size uniform sample
+    // that is identical on every engine, run and partitioning — the
+    // reproducible alternative to rand() sampling for eval/debug sets.
+    // Runs through the custom TopKPerKey operator: one exchange + a
+    // k-slot heap per stratum instead of a full per-partition sort; at
+    // 100 TB the heap never holds more than k rows per key.
+    QDef("sample_bottomk",
+      """WITH r AS (SELECT event_id, user_id, event_type,
+        |             md5(CAST(event_id AS VARCHAR)) AS h,
+        |             row_number() OVER (PARTITION BY event_type
+        |               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        |           FROM events)
+        |SELECT event_id, user_id, event_type, h FROM r WHERE rn <= 100
+        |ORDER BY event_type, h""".stripMargin) { (s, d) =>
+      graft.ops.Ops.topKPerKey(
+          Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              md5(col("event_id").cast("string")).as("h")),
+          Seq("event_type"), Seq(("h", false), ("event_id", false)), k = 100)
+        .orderBy(col("event_type"), col("h"))
     }
   )
 }

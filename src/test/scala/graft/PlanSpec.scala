@@ -171,4 +171,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Expand"), s"unpivot must be an Expand, not a union of scans:\n$p")
     assert("FileScan".r.findAllIn(p).size == 1, "melt must scan lineitem once")
   }
+
+  test("bottom-k hash sample runs the bounded heap, not a window sort") {
+    val p = plan("sample_bottomk")
+    assert(p.contains("TopKPerKey"), "must run through the custom operator")
+    assert(!p.contains("Window"), "must not pay a full per-stratum sort")
+  }
+
+  test("islands merge is one exchange feeding windows and both aggregations") {
+    val p = plan("window_islands")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"windows + per-island and per-user aggs must share the user_id exchange:\n$p")
+  }
+
+  test("funnel stages are shrinking equi-joins, never a window over raw events") {
+    val p = plan("funnel_conversion")
+    assert(!p.contains("Window"), s"funnel must not window the raw stream:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      "stage joins must stay equi-joins (the final 1x1x1 count join is broadcast)")
+  }
 }
