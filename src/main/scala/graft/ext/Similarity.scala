@@ -81,6 +81,38 @@ object Similarity {
       .groupBy(col(bucketCol), (col("pos") + 1).as("i"))
       .agg(round(avg(col("v").cast("double")), 6).as("mean"))
 
+  /** Product-quantization code assignment — the memory-compressed ANN
+    * path (IVF-PQ): the `dims`-dim space splits into `nSub` contiguous
+    * subspaces and each subvector is replaced by the id of its nearest
+    * codebook centroid, collapsing a vector to `nSub` small codes. The
+    * codebook here is the per-label mean restricted to each subspace
+    * (k-means-seeded codebooks drop into the same plan — [[centroids]] /
+    * [[kmeansFit]] produce the identical long form). Squared-distance
+    * terms are rounded to 12 decimals and summed as DECIMAL so the
+    * per-subspace distances are order-free and engine-invariant; argmin
+    * runs through the bounded-heap TopKPerKey operator (no window sort
+    * over the n × k scored rows), ties broken by smallest label. Cost is
+    * one broadcast of the k × dims codebook + one narrow explode — the
+    * corpus never shuffles by anything except (vec, sub) for the top-1.
+    */
+  def pqCodes(corpus: DataFrame, dims: Int, nSub: Int): DataFrame = {
+    require(nSub > 0 && dims % nSub == 0, "nSub must divide dims")
+    val cent = centroids(corpus, "label") // (label, i, mean): i 1-based, 6dp
+    val diff = col("v").cast("double") - col("mean")
+    val terms = corpus
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .join(broadcast(cent), col("pos") + 1 === col("i"))
+      .select(col("vec_id"), col("label"),
+        (col("pos") / lit(dims / nSub)).cast("int").as("sub"),
+        round(diff * diff, 12)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12)).as("t"))
+    val dist = terms.groupBy(col("vec_id"), col("sub"), col("label"))
+      .agg(sum(col("t")).as("dist"))
+    graft.ops.Ops.topKPerKey(dist, Seq("vec_id", "sub"),
+        Seq(("dist", false), ("label", false)), 1)
+      .select(col("vec_id"), col("sub"), col("label").as("code"))
+  }
+
   /** Assign each vector to its max-dot-product centroid (centroids in
     * long form as produced by [[centroids]], collected + broadcast as an
     * array literal — k × dims doubles, driver-safe by construction). */

@@ -659,6 +659,77 @@ object PackExt {
         .select(col("doc_id"), col("n_bytes_in"), col("n_bytes_out"),
           col("src_w"), col("src_h"), col("scale_x"), col("scale_y"))
         .orderBy(col("doc_id"))
+    },
+
+    // Gopher-style repetition signals per document: most-frequent-token
+    // share + duplicate-bigram share — the standard repetition filters in
+    // a training-data quality pipeline. Pure per-row array programs; no
+    // shuffle but the presentation sort.
+    QDef("text_repetition_stats",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |tc AS (SELECT doc_id, max(c) AS topc FROM
+        |         (SELECT doc_id, w, count(*) AS c FROM
+        |            (SELECT doc_id, unnest(l) AS w FROM t)
+        |          GROUP BY doc_id, w) GROUP BY doc_id),
+        |bg AS (SELECT doc_id, len(l) AS n,
+        |         list_transform(range(1, len(l)), i -> array_to_string(l[i:i+1], ' ')) AS b
+        |       FROM t)
+        |SELECT bg.doc_id,
+        |  round(CAST(tc.topc AS DOUBLE) / bg.n, 6) AS top_token_frac,
+        |  round(1.0 - CAST(len(list_distinct(bg.b)) AS DOUBLE)
+        |          / greatest(len(bg.b), 1), 6) AS dup_bigram_frac
+        |FROM bg JOIN tc ON bg.doc_id = tc.doc_id
+        |ORDER BY bg.doc_id""".stripMargin) { (s, d) =>
+      val (topFrac, dupBg) = TextAnalysis.repetitionStats(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), topFrac.as("top_token_frac"),
+          dupBg.as("dup_bigram_frac"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Shannon token entropy per document — the repetition-robust quality
+    // signal. Terms fold in sorted-distinct-token order on both engines,
+    // so the double summation is order-fixed and bit-exact (the oracle
+    // folds from an explicit 0.0 head because DuckDB list_reduce seeds
+    // with the first element).
+    QDef("text_entropy",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |n AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |c AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+        |terms AS (SELECT c.doc_id,
+        |            list(CAST(c.c AS DOUBLE) / n.n * ln(CAST(c.c AS DOUBLE) / n.n)
+        |                 ORDER BY c.w) AS ts
+        |          FROM c JOIN n ON c.doc_id = n.doc_id GROUP BY c.doc_id)
+        |SELECT doc_id,
+        |  round(-list_reduce(list_prepend(0.0, ts), (a, b) -> a + b), 6) AS entropy
+        |FROM terms ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenEntropy(col("text")).as("entropy"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Product-quantization code assignment (IVF-PQ's compression half):
+    // 64 dims → 8 subspaces × 1 small code each — the layout that lets a
+    // 100 TB corpus keep its ANN index in memory. Codebook broadcast,
+    // decimal-quantized distance terms (order-free sums), argmin through
+    // the bounded-heap TopKPerKey operator.
+    QDef("emb_pq_codes",
+      """WITH c AS (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+        |           FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+        |d AS (SELECT e.vec_id, CAST((t.i - 1) // 8 AS INTEGER) AS sub, c.label,
+        |        sum(CAST(round((CAST(e.embedding[t.i] AS DOUBLE) - c.m)
+        |                       * (CAST(e.embedding[t.i] AS DOUBLE) - c.m), 12)
+        |                 AS DECIMAL(28,12))) AS dist
+        |      FROM embeddings e, range(1, 65) t(i) JOIN c ON c.i = t.i
+        |      GROUP BY e.vec_id, sub, c.label),
+        |r AS (SELECT vec_id, sub, label,
+        |        row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, label) AS rn
+        |      FROM d)
+        |SELECT vec_id, sub, label AS code FROM r WHERE rn = 1
+        |ORDER BY vec_id, sub""".stripMargin) { (s, d) =>
+      Similarity.pqCodes(Tables.embeddings(s, d), dims = 64, nSub = 8)
+        .orderBy(col("vec_id"), col("sub"))
     }
   )
 }
