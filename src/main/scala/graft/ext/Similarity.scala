@@ -113,6 +113,41 @@ object Similarity {
       .select(col("vec_id"), col("sub"), col("label").as("code"))
   }
 
+  /** Asymmetric-distance (ADC) top-k over PQ codes — the scan half of
+    * IVF-PQ: each query precomputes a (subspace × centroid) lookup table
+    * of exact squared subvector distances, and a corpus vector's
+    * approximate distance is the sum of `nSub` table lookups selected by
+    * its codes — the corpus embeddings are never touched again after
+    * encoding. The LUT is |queries| × nSub × k rows and broadcasts; the
+    * only exchange is the (query, neighbor) rollup feeding the bounded-
+    * heap top-k. Distances quantize exactly like [[pqCodes]] (12dp
+    * decimal terms), and ranking uses the 6dp-rounded double with a
+    * neighbor-id tiebreak, so results are engine-invariant. */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, dims: Int, nSub: Int,
+                k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val codes = pqCodes(corpus, dims, nSub)
+    val cent = centroids(corpus, "label")
+    val diff = col("qv").cast("double") - col("mean")
+    val lut = queries
+      .select(col("vec_id").as("qid"), posexplode(col("embedding")).as(Seq("pos", "qv")))
+      .join(broadcast(cent), col("pos") + 1 === col("i"))
+      .select(col("qid"), col("label").as("llabel"),
+        (col("pos") / lit(dims / nSub)).cast("int").as("lsub"),
+        round(diff * diff, 12).cast(DecimalType(28, 12)).as("t"))
+      .groupBy(col("qid"), col("lsub"), col("llabel"))
+      .agg(sum(col("t")).as("dlut"))
+    val adc = codes.join(broadcast(lut),
+        col("sub") === col("lsub") && col("code") === col("llabel") &&
+          col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id").as("nid"))
+      .agg(round(sum(col("dlut")).cast("double"), 6).as("adist"))
+    val pruned = graft.ops.Ops.topKPerKey(adc, Seq("qid"),
+      Seq(("adist", false), ("nid", false)), k)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("nid"))
+    pruned.withColumn("rank", row_number().over(w))
+  }
+
   /** Assign each vector to its max-dot-product centroid (centroids in
     * long form as produced by [[centroids]], collected + broadcast as an
     * array literal — k × dims doubles, driver-safe by construction). */

@@ -730,6 +730,46 @@ object PackExt {
         |ORDER BY vec_id, sub""".stripMargin) { (s, d) =>
       Similarity.pqCodes(Tables.embeddings(s, d), dims = 64, nSub = 8)
         .orderBy(col("vec_id"), col("sub"))
+    },
+
+    // ADC top-k over the PQ codes (the IVF-PQ scan): per-query lookup
+    // tables of exact subspace distances, corpus vectors reduced to 8
+    // table lookups each — the memory-bandwidth-bound ANN plan at 100 TB.
+    // rank ties on the 6dp distance break by neighbor id on both engines.
+    QDef("ann_pq_adc_topk",
+      """WITH c AS (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+        |           FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+        |cd AS (SELECT e.vec_id, CAST((t.i - 1) // 8 AS INTEGER) AS sub, c.label,
+        |         sum(CAST(round((CAST(e.embedding[t.i] AS DOUBLE) - c.m)
+        |                        * (CAST(e.embedding[t.i] AS DOUBLE) - c.m), 12)
+        |                  AS DECIMAL(28,12))) AS dist
+        |       FROM embeddings e, range(1, 65) t(i) JOIN c ON c.i = t.i
+        |       GROUP BY e.vec_id, sub, c.label),
+        |codes AS (SELECT vec_id, sub, label AS code FROM
+        |            (SELECT vec_id, sub, label,
+        |               row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, label) AS rn
+        |             FROM cd) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |lut AS (SELECT q.qid, CAST((t.i - 1) // 8 AS INTEGER) AS lsub, c.label AS llabel,
+        |          sum(CAST(round((CAST(q.qe[t.i] AS DOUBLE) - c.m)
+        |                         * (CAST(q.qe[t.i] AS DOUBLE) - c.m), 12)
+        |                   AS DECIMAL(28,12))) AS dlut
+        |        FROM q, range(1, 65) t(i) JOIN c ON c.i = t.i
+        |        GROUP BY q.qid, lsub, llabel),
+        |adc AS (SELECT l.qid, k.vec_id AS nid,
+        |          round(CAST(sum(l.dlut) AS DOUBLE), 6) AS adist
+        |        FROM codes k JOIN lut l
+        |          ON l.lsub = k.sub AND l.llabel = k.code AND k.vec_id <> l.qid
+        |        GROUP BY l.qid, k.vec_id),
+        |rr AS (SELECT qid, nid, adist,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS INTEGER) AS rank
+        |       FROM adc)
+        |SELECT qid, nid, adist, rank FROM rr WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.pqAdcTopK(e, e.filter(col("vec_id") < 10),
+          dims = 64, nSub = 8, k = 5)
+        .orderBy(col("qid"), col("rank"))
     }
   )
 }

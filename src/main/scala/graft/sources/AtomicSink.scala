@@ -6,11 +6,13 @@ import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardCopyOpti
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom DataSource V2 **sink** demonstrating the transactional batch
   * commit protocol the reference's row-loop INSERTs lack (SURVEY §2.2,
@@ -71,12 +73,40 @@ object AtomicSink {
 }
 
 private[sources] class AtomicSinkTable(writeSchema: StructType, path: String)
-    extends Table with SupportsWrite {
+    extends Table with SupportsWrite with SupportsRead {
   require(path != null, "graft-atomic requires option(\"path\", ...)")
   override def name(): String = s"graft_atomic($path)"
   override def schema(): StructType = writeSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.BATCH_READ)
+
+  /** Read side of the commit protocol: the file list is captured from
+    * `_MANIFEST` exactly once, when the batch is planned — a scan sees
+    * one committed snapshot even if appends, overwrites or vacuums land
+    * mid-query. Files on disk but not in the manifest (uncommitted
+    * staging, truncate orphans awaiting vacuum) are invisible. Requires
+    * the caller's schema (`spark.read.schema(...)`), like any
+    * schema-on-read text format. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = writeSchema
+        override def toBatch: Batch = new Batch {
+          override def planInputPartitions(): Array[InputPartition] = {
+            val manifest = Paths.get(path, "_MANIFEST")
+            val files: Array[String] =
+              if (Files.exists(manifest))
+                new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
+                  .split("\n").filter(_.nonEmpty)
+              else Array.empty
+            files.map(f => AtomicFilePartition(new File(path, f).getPath))
+          }
+          override def createReaderFactory(): PartitionReaderFactory =
+            AtomicReaderFactory(writeSchema)
+        }
+      }
+    }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var truncateRequested = false
@@ -92,6 +122,47 @@ private[sources] class AtomicSinkTable(writeSchema: StructType, path: String)
 }
 
 private[sources] case class StagedFile(name: String, rows: Long) extends WriterCommitMessage
+
+private[sources] case class AtomicFilePartition(file: String) extends InputPartition
+
+/** Deserializes the writer's TAB-separated lines back to InternalRows —
+  * the inverse of AtomicWriterFactory's String.valueOf serializer (empty
+  * cell = null; timestamps are raw micros). */
+private[sources] case class AtomicReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val lines = Files.readAllLines(
+        Paths.get(p.asInstanceOf[AtomicFilePartition].file),
+        StandardCharsets.UTF_8).iterator()
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        if (!lines.hasNext) return false
+        // -1 limit keeps trailing empty cells (null last column)
+        val cells = lines.next().split("\t", -1)
+        val vals = schema.fields.zipWithIndex.map { case (f, i) =>
+          val c = if (i < cells.length) cells(i) else ""
+          if (c.isEmpty) null
+          else f.dataType match {
+            case LongType | TimestampType => java.lang.Long.valueOf(c)
+            case IntegerType | DateType => java.lang.Integer.valueOf(c)
+            case DoubleType => java.lang.Double.valueOf(c)
+            case FloatType => java.lang.Float.valueOf(c)
+            case BooleanType => java.lang.Boolean.valueOf(c)
+            case dt: DecimalType =>
+              org.apache.spark.sql.types.Decimal(BigDecimal(c), dt.precision, dt.scale)
+            case StringType => UTF8String.fromString(c)
+            case other => throw new UnsupportedOperationException(
+              s"graft-atomic read: unsupported type $other")
+          }
+        }
+        current = InternalRow.fromSeq(vals.toIndexedSeq)
+        true
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+}
 
 private[sources] class AtomicBatchWrite(path: String, schema: StructType,
     truncate: Boolean, queryId: String) extends BatchWrite {

@@ -111,6 +111,41 @@ class SourceSpec extends AnyFunSuite {
     assert(lines == df.count(), "table contents equal exactly the last write")
   }
 
+  test("atomic sink read path: only manifest-listed files are visible") {
+    val loc = java.nio.file.Files.createTempDirectory("graft_atomic").toString + "/t"
+    val df = graft.schemas.Tables.orders(spark, TestSpark.sf0001)
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+    df.repartition(4).write.format("graft-atomic").option("path", loc)
+      .mode("append").save()
+    val schema = df.schema
+    def readBack() = spark.read.schema(schema).format("graft-atomic").load(loc)
+    // round-trip: every row, exactly once, values intact
+    assert(readBack().count() == df.count())
+    assert(readBack().agg(sum($"o_orderkey")).head().getLong(0) ==
+      df.agg(sum($"o_orderkey")).head().getLong(0))
+    assert(readBack().agg(sum($"o_totalprice".cast("decimal(18,2)"))).head().getDecimal(0) ==
+      df.agg(sum($"o_totalprice".cast("decimal(18,2)"))).head().getDecimal(0))
+    // overwrite with half the rows: orphans stay on disk until vacuum but
+    // a reader sees ONLY the new committed snapshot, never a file mix
+    val half = df.filter($"o_orderkey" % 2 === 0)
+    half.repartition(3).write.format("graft-atomic").option("path", loc)
+      .mode("overwrite").save()
+    val files = new java.io.File(loc).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_"))
+    assert(files == 7, "pre-vacuum: 4 orphans + 3 live files on disk")
+    assert(readBack().count() == half.count(),
+      "reader must see exactly the committed snapshot")
+    graft.sources.AtomicSink.vacuum(loc)
+    assert(readBack().count() == half.count(), "vacuum changes nothing for readers")
+    // null round-trip: a null column survives write -> read
+    val withNull = df.limit(10).withColumn("o_orderpriority",
+      org.apache.spark.sql.functions.lit(null).cast("string"))
+    val loc2 = java.nio.file.Files.createTempDirectory("graft_atomic").toString + "/t"
+    withNull.write.format("graft-atomic").option("path", loc2).mode("append").save()
+    val back = spark.read.schema(schema).format("graft-atomic").load(loc2)
+    assert(back.filter($"o_orderpriority".isNull).count() == 10)
+  }
+
   test("atomic sink: a failed job publishes nothing (abort cleans staging)") {
     val loc = java.nio.file.Files.createTempDirectory("graft_atomic").toString + "/t"
     val boom = udf((k: Long) =>
