@@ -104,6 +104,46 @@ object PackParsers {
       }
   }
 
+  /** [[ticketTextsSortedDs]] with the parse fused into the same
+    * mapPartitions pass: each ticket's text is built and handed straight
+    * to [[TicketParser.parse]] without leaving the partition iterator —
+    * no intermediate Dataset[String] boundary at all (one less typed
+    * operator for the planner, one less per-ticket closure dispatch at
+    * runtime). Output is exactly parse ∘ render. */
+  def ticketItemsParsedDs(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[graft.parsers.TicketParser.TicketItem] = {
+    import s.implicits._
+    val items = ticketItems(s, d)
+      .select($"l_orderkey", $"fecha_s", $"l_linenumber", $"line",
+        $"total_dec".cast("decimal(18,2)"))
+      .as[(Long, String, Int, String, java.math.BigDecimal)]
+    items
+      .repartition(col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"), col("line"))
+      .mapPartitions { rows =>
+        val tickets = new Iterator[String] {
+          private var pending: (Long, String, Int, String, java.math.BigDecimal) =
+            if (rows.hasNext) rows.next() else null
+          def hasNext: Boolean = pending != null
+          def next(): String = {
+            val (key, fecha, _, _, _) = pending
+            val sb = new java.lang.StringBuilder(256)
+            sb.append("Fecha ").append(fecha).append(" Hora 12:00\nCaja 4\nP.V. 001 Nro T. ")
+              .append(key)
+            var total = java.math.BigDecimal.ZERO
+            while (pending != null && pending._1 == key) {
+              sb.append('\n').append(pending._4)
+              total = total.add(pending._5)
+              pending = if (rows.hasNext) rows.next() else null
+            }
+            sb.append("\nTOTAL ").append(total.toPlainString.replace('.', ','))
+            sb.toString
+          }
+        }
+        tickets.flatMap(TicketParser.parse)
+      }
+  }
+
   /** shared projection feeding both ticket-text constructions. */
   private def ticketItems(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
@@ -186,11 +226,9 @@ object PackParsers {
          |ORDER BY nro_ticket, prod, p_total, categ""".stripMargin) { (s, d) =>
       import s.implicits._
       // secondary-sort construction: ~25% faster than the collect_list
-      // form at sf0.1 and never materializes a whole ticket's lines.
-      // The typed form chains the parse flatMap object-to-object —
-      // EliminateSerialization removes the row boundary between them
-      ticketTextsSortedDs(s, d)
-        .flatMap(TicketParser.parse _)
+      // form at sf0.1 and never materializes a whole ticket's lines;
+      // render and parse run fused in one mapPartitions pass
+      ticketItemsParsedDs(s, d)
         .toDF()
         .select($"nro_ticket", to_date($"fecha", "dd/MM/yyyy").as("fecha"),
           $"categ", $"prod", $"cant", $"peso", $"p_unit", $"p_total",
