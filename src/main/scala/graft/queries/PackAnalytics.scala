@@ -820,6 +820,51 @@ object PackAnalytics {
         .orderBy(col("event_type"))
     },
 
+    // Cumulative distinct count per user over time ("how many event types
+    // has this user touched so far"): first-occurrence flags from a
+    // (user, type) ranking window, running-summed over the user timeline.
+    // Exact without any distinct-in-window support; two exchanges total.
+    QDef("window_cum_distinct",
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (SELECT event_id, user_id, ts,
+        |        CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |                                     ORDER BY ts, event_id) = 1
+        |             THEN 1 ELSE 0 END AS first_seen
+        |      FROM e)
+        |SELECT event_id, user_id,
+        |  CAST(sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS types_so_far
+        |FROM f ORDER BY event_id""".stripMargin) { (s, d) =>
+      val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val wCum = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .withColumn("first_seen",
+          when(row_number().over(wFirst) === 1, 1).otherwise(0))
+        .select(col("event_id"), col("user_id"),
+          sum(col("first_seen")).over(wCum).cast("long").as("types_so_far"))
+        .orderBy(col("event_id"))
+    },
+
+    // Quantity-weighted average price per return flag — the weighted mean
+    // as one decimal-exact aggregate pass (single decimal multiply per
+    // row, division only in the final projection).
+    QDef("agg_weighted_avg",
+      """SELECT l_returnflag,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                 * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |        / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val dec2 = (c: Column) => c.cast(DecimalType(18, 2))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(
+          sum(dec2(col("l_extendedprice")) * dec2(col("l_quantity"))).cast("double")
+            / sum(dec2(col("l_quantity"))).cast("double"), 6).as("wavg_price"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Z-score outlier counts per group from exact decimal moments (the
     // agg_corr_stats recipe: decimal sums are order-free, the double
     // formula over them is engine-invariant). One moment pass + one

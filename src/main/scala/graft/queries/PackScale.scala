@@ -271,6 +271,26 @@ object PackScale {
               md5(col("event_id").cast("string")).as("h")),
           Seq("event_type"), Seq(("h", false), ("event_id", false)), k = 100)
         .orderBy(col("event_type"), col("h"))
+    },
+
+    // Skew-salted join as a declared query (the join-side counterpart of
+    // agg_salted_skew): the dim side replicates saltFactor ways, the fact
+    // side scatters by a stable key hash, so one hot key spreads over
+    // saltFactor reducers instead of melting a single task. Value-equal
+    // to the plain equi-join the oracle runs.
+    QDef("join_skew_salted",
+      """SELECT c.c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      val fact = Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice"))
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      graft.ops.Ops.saltedJoin(fact, dim, Seq("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy(col("c_mktsegment"))
     }
   )
 }
