@@ -241,4 +241,52 @@ object TextDedup {
       .filter(col("ham") <= maxHamming)
       .select(col("d1"), col("d2"), col("ham"))
   }
+
+  /** Train/eval decontamination by n-gram overlap (the GPT-3/Llama
+    * pretraining hygiene step): per training doc, how many of its
+    * distinct n-gram shingles also appear anywhere in the eval corpus.
+    * Returns (id, n_grams, n_overlap, contaminated).
+    *
+    * Scale shape: the eval side collapses to its DISTINCT gram set —
+    * eval corpora are tiny next to training data (thousands of prompts
+    * vs billions of docs), so the set broadcasts and the train side is
+    * ONE narrow explode + a broadcast hash join + a hash agg keyed by
+    * doc — no gram-keyed shuffle of the 100 TB side at all. Docs shorter
+    * than n tokens have no shingles and drop out (nothing to test). */
+  def contamination(train: DataFrame, eval: DataFrame, id: String,
+                    text: String, n: Int): DataFrame = {
+    val evalGrams = eval
+      .select(explode(shingles(col(text), n)).as("gram"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    train.select(col(id), explode(shingles(col(text), n)).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
+  /** Duplicate-shingle fraction per document (the RefinedWeb/Dolma
+    * corpus-duplication profile): the share of a doc's distinct n-gram
+    * shingles that occur in at least `minDocs` documents. High fractions
+    * mark boilerplate/mirrored content that survives exact dedup.
+    * Returns (id, n_shingles, n_dup, dup_frac).
+    *
+    * Scale shape: one explode, then a window count partitioned by gram
+    * (one gram-keyed exchange, no self-join — the groupBy+join-back form
+    * pays a second shuffle), then a hash agg back on the doc key. Hot
+    * grams concentrate a partition each; at extreme skew pre-aggregate
+    * per (gram, salt) and sum — same two-exchange budget. */
+  def duplicateShingleFraction(docs: DataFrame, id: String, text: String,
+                               n: Int, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = docs.select(col(id), explode(shingles(col(text), n)).as("gram"))
+    g.withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDocs, 1L).otherwise(0L)).cast("long").as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_shingles").cast("double"), 6))
+  }
 }

@@ -896,6 +896,72 @@ object PackAnalytics {
           sum(when(abs(col("value") - mean) > lit(2) * sd, 1).otherwise(0))
             .cast("long").as("n_outliers"))
         .orderBy(col("event_type"))
+    },
+
+    // Per-user EWMA (α = 0.5) over the time-ordered value stream — the
+    // order-SENSITIVE per-key fold (smoothing, decay, compounding) that
+    // plain aggregates can't express. Each user's events collapse to one
+    // sorted in-memory array (bounded by per-key history, not table
+    // size), then a sequential left fold seeded with the first value —
+    // the identical fold DuckDB's list_reduce runs, so the doubles are
+    // bit-exact with α = 0.5 (exact halving). One exchange, no window
+    // sort of the full table.
+    QDef("window_ewma",
+      """SELECT user_id, count(*) AS n,
+        |  list_reduce(list(value ORDER BY ts, event_id),
+        |              (a, b) -> 0.5 * a + 0.5 * b) AS ewma
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("value")))).as("seq"))
+        .select(col("user_id"), size(col("seq")).cast("long").as("n"),
+          aggregate(
+            expr("slice(seq, 2, size(seq) - 1)"),
+            element_at(col("seq"), 1).getField("value"),
+            (acc, x) => lit(0.5) * acc + lit(0.5) * x.getField("value")).as("ewma"))
+        .orderBy(col("user_id"))
+    },
+
+    // Per-group least-squares regression (price ~ quantity) from exact
+    // decimal moments — slope/intercept/r² computed by the same
+    // order-free-moments-then-double-formula recipe as agg_corr_stats.
+    // One aggregation pass; no per-row residual shuffle. Built-in
+    // regr_slope streams doubles and is not reproducible cross-engine.
+    QDef("agg_linreg",
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+        |  round((CAST(sy AS DOUBLE) - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
+        |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+        |FROM m ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val qx = dec(col("l_quantity"))
+      val px = dec(col("l_extendedprice"))
+      def dbl(c: String): Column = col(c).cast("double")
+      val n = col("n")
+      val covN = n * dbl("sxy") - dbl("sx") * dbl("sy")
+      val varXN = n * dbl("sxx") - dbl("sx") * dbl("sx")
+      val varYN = n * dbl("syy") - dbl("sy") * dbl("sy")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(qx).as("sx"), sum(px).as("sy"),
+          sum(qx * qx).as("sxx"), sum(px * px).as("syy"), sum(qx * px).as("sxy"))
+        .select(col("l_returnflag"), n,
+          round(covN / varXN, 6).as("slope"),
+          round((dbl("sy") - covN / varXN * dbl("sx")) / n, 6).as("intercept"),
+          round(covN * covN / (varXN * varYN), 6).as("r2"))
+        .orderBy(col("l_returnflag"))
     }
   )
 }

@@ -770,6 +770,50 @@ object PackExt {
       Similarity.pqAdcTopK(e, e.filter(col("vec_id") < 10),
           dims = 64, nSub = 8, k = 5)
         .orderBy(col("qid"), col("rank"))
+    },
+
+    // Train/eval decontamination (the GPT-3/Llama pretraining hygiene
+    // step): docs whose distinct 5-gram shingles overlap the eval split
+    // (doc_id % 25 = 0 stands in for the benchmark corpus) are flagged.
+    // The eval gram set is DISTINCT-collapsed and broadcast — the 100 TB
+    // train side never shuffles by gram; one explode, one broadcast
+    // join, one doc-keyed hash agg.
+    QDef("decon_ngram_overlap",
+      """WITH base AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, length(l)-3),
+        |        i -> array_to_string(l[i:i+4], ' ')))) AS gram FROM base),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 25 = 0),
+        |tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 25 <> 0)
+        |SELECT tr.doc_id, count(*) AS n_grams,
+        |  CAST(count(ev.gram) AS BIGINT) AS n_overlap,
+        |  count(ev.gram) > 0 AS contaminated
+        |FROM tr LEFT JOIN ev ON tr.gram = ev.gram
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextDedup.contamination(
+          docs.filter(col("doc_id") % 25 =!= 0),
+          docs.filter(col("doc_id") % 25 === 0),
+          "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    },
+
+    // Duplicate-shingle fraction (the RefinedWeb/Dolma duplication
+    // profile): per doc, the share of its distinct 3-gram shingles that
+    // occur in ≥2 documents — boilerplate that survives exact dedup.
+    // One explode + one gram-keyed window count + one doc-keyed agg;
+    // no self-join.
+    QDef("dedup_shingle_dupfrac",
+      """WITH base AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, length(l)-1),
+        |        i -> array_to_string(l[i:i+2], ' ')))) AS gram FROM base),
+        |w AS (SELECT doc_id, count(*) OVER (PARTITION BY gram) AS df FROM g)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextDedup.duplicateShingleFraction(Tables.documents(s, d),
+          "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
     }
   )
 }

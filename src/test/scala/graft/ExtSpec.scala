@@ -178,4 +178,39 @@ class ExtSpec extends AnyFunSuite {
       s"missing guaranteed heavy hitters: ${mustSurvive.diff(cands)}")
     assert(cands.size <= capacity * 8, "candidate union bounded by capacity x partitions")
   }
+
+  test("contamination flags train docs sharing eval n-grams") {
+    val train = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"), // contains eval 3-gram
+      (1L, "one two three four five six seven"),   // clean
+      (2L, "beta gamma delta other words here")    // shares "beta gamma delta"
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "xx beta gamma delta yy zz")).toDF("doc_id", "text")
+    val r = TextDedup.contamination(train, eval, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Boolean)].collect().map(t => t._1 -> t).toMap
+    assert(r(0L) == ((0L, 4L, 1L, true)))  // 4 shingles, 1 overlapping
+    assert(r(1L) == ((1L, 5L, 0L, false)))
+    assert(r(2L) == ((2L, 4L, 1L, true)))
+  }
+
+  test("contamination drops docs shorter than n tokens") {
+    val train = Seq((0L, "too short")).toDF("doc_id", "text")
+    val eval = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    assert(TextDedup.contamination(train, eval, "doc_id", "text", n = 3).count() == 0)
+  }
+
+  test("duplicateShingleFraction measures cross-doc boilerplate share") {
+    val corpus = Seq(
+      (0L, "shared boiler plate text unique zero"),
+      (1L, "shared boiler plate text unique onex"),
+      (2L, "totally different content in this doc")
+    ).toDF("doc_id", "text")
+    val r = TextDedup.duplicateShingleFraction(corpus, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    // docs 0/1 share "shared boiler plate", "boiler plate text",
+    // "plate text unique" — 3 of each doc's 4 shingles
+    assert(r(0L) == ((0L, 4L, 3L, 0.75)))
+    assert(r(1L) == ((1L, 4L, 3L, 0.75)))
+    assert(r(2L) == ((2L, 4L, 0L, 0.0)))
+  }
 }
