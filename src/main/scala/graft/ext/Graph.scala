@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Iterative graph algorithms as DataFrame programs (the engine side of
+  * the dedup-clustering / influence-scoring stories; the CC min-label
+  * propagation lives in [[TextDedup.connectedComponents]]).
+  *
+  * Scale design: every superstep is one edge-keyed equi-join + one
+  * dst-keyed aggregation — the Pregel contribution-exchange pattern that
+  * partitions by vertex id at any scale. Ranks persist per superstep so
+  * the lineage (and recomputation) never grows with iteration count.
+  */
+object Graph {
+
+  /** Damped PageRank over an undirected graph, `iters` fixed supersteps.
+    *
+    * Engine-invariant numerics: per-edge contributions are doubles
+    * rounded to 12 decimals and summed as DECIMAL(28,12) (order-free),
+    * and each new rank is re-rounded to 12 decimals — so the same graph
+    * produces bit-identical ranks on any engine, partitioning, or
+    * iteration schedule (the same quantization recipe as
+    * [[Similarity.pqCodes]]). Pass `teleport` = 1 − `damping` explicitly:
+    * computing `1.0 - 0.85` in binary doubles yields 0.15000000000000002,
+    * not the 0.15 a SQL oracle parses.
+    *
+    * Undirected edges mean every connected vertex has out-degree ≥ 1, so
+    * there is no dangling-mass redistribution step — the variant that
+    * needs a global scalar broadcast per superstep. `edges` (src, dst)
+    * pairs are symmetrized and de-duplicated here.
+    */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+               teleport: Double = 0.15): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist()
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nodes = und.select(col("src").as("node")).distinct()
+    val n = nodes.count() // scalar graph size, not a data collect
+    var ranks = nodes.select(col("node"), round(lit(1.0) / n, 12).as("rank"))
+    for (_ <- 1 to iters) {
+      val next = und
+        .join(ranks, und("src") === ranks("node"))
+        .join(deg, "src")
+        .select(col("dst"),
+          round(col("rank") / col("outdeg"), 12).cast(DecimalType(28, 12)).as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("dst").as("node"),
+          round(lit(teleport) / n + lit(damping) * col("s").cast("double"), 12)
+            .as("rank"))
+        .persist()
+      next.count() // materialize before dropping the parent from cache
+      ranks.unpersist()
+      ranks = next
+    }
+    und.unpersist()
+    ranks
+  }
+}

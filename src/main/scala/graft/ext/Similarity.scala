@@ -267,6 +267,25 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Recall@k of an approximate ANN result against exact ground truth —
+    * the evaluation harness every production index needs before its
+    * recall/cost dial is trusted. Both inputs carry (qid, nid) top-k
+    * rows; output is (qid, n_hit, recall) with every ground-truth query
+    * present (0 recall when the index missed everything). A left-semi
+    * join on (qid, nid) counts hits — both sides are k·|queries| rows,
+    * so this costs nothing next to the searches themselves. */
+  def recallAtK(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val t = truth.select(col("qid"), col("nid"))
+    val hits = t.join(approx.select(col("qid"), col("nid")),
+        Seq("qid", "nid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+    t.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("h"), lit(0L)).as("n_hit"),
+        round(coalesce(col("h"), lit(0L)).cast("double") / k, 6).as("recall"))
+  }
+
   /** IVF-style ANN: identical to [[bruteTopK]] but the candidate set is
     * pruned to the query's coarse bucket (equi-join on `bucketCol`).
     * probe=1; multi-probe = union over adjacent buckets, same shape. */

@@ -772,6 +772,35 @@ object PackExt {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // Recall@10 of single-probe IVF against brute-force ground truth —
+    // the evaluation loop that tunes every ANN recall/cost dial. Both
+    // searches run their production plans (broadcast queries, codegen'd
+    // dot products); the recall join itself touches only k·|queries|
+    // rows. Per-query recall, zero-hit queries included.
+    QDef("ann_recall_eval",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qb FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT q.qid, e.vec_id AS nid, round(${cosSql("q.qe", "e.embedding")}, 6) AS cos
+         |      FROM q, embeddings e WHERE e.vec_id <> q.qid),
+         |bt AS (SELECT qid, nid FROM (SELECT qid, nid,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM c)
+         |       WHERE rn <= 10),
+         |ci AS (SELECT q.qid, e.vec_id AS nid, round(${cosSql("q.qe", "e.embedding")}, 6) AS cos
+         |       FROM q JOIN embeddings e ON e.label = q.qb AND e.vec_id <> q.qid),
+         |iv AS (SELECT qid, nid FROM (SELECT qid, nid,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM ci)
+         |       WHERE rn <= 10)
+         |SELECT bt.qid, CAST(count(iv.nid) AS BIGINT) AS n_hit,
+         |  round(CAST(count(iv.nid) AS DOUBLE) / 10, 6) AS recall
+         |FROM bt LEFT JOIN iv ON bt.qid = iv.qid AND bt.nid = iv.nid
+         |GROUP BY bt.qid ORDER BY bt.qid""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 20)
+      Similarity.recallAtK(
+          Similarity.bruteTopK(e, q, 10),
+          Similarity.ivfTopK(e, q, "label", 10), k = 10)
+        .orderBy(col("qid"))
+    },
+
     // Train/eval decontamination (the GPT-3/Llama pretraining hygiene
     // step): docs whose distinct 5-gram shingles overlap the eval split
     // (doc_id % 25 = 0 stands in for the benchmark corpus) are flagged.

@@ -291,6 +291,41 @@ object PackScale {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
         .orderBy(col("c_mktsegment"))
+    },
+
+    // Damped PageRank (5 supersteps) over the customer–supplier
+    // interaction graph — the iterative Pregel shape (edge join +
+    // dst-keyed aggregation per superstep) that powers influence and
+    // link-quality scoring over web-scale corpora. Contributions are
+    // 12dp-quantized and summed as DECIMAL, ranks re-rounded each step,
+    // so the fixed-point schedule is engine- and partitioning-invariant;
+    // the oracle unrolls the same five supersteps as CTEs.
+    QDef("graph_pagerank", {
+      val iter = (k: Int) =>
+        s"""r$k AS (SELECT e.dst AS node,
+           |  round(CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE)
+           |    * CAST(sum(CAST(round(r.rank / deg.outdeg, 12) AS DECIMAL(28,12))) AS DOUBLE), 12) AS rank
+           |FROM e JOIN r${k - 1} r ON e.src = r.node JOIN deg ON deg.src = e.src, nn
+           |GROUP BY e.dst, nn.n)""".stripMargin
+      s"""WITH e0 AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+         |                   's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+         |            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |nn AS (SELECT count(DISTINCT src) AS n FROM e),
+         |r0 AS (SELECT s.src AS node, round(CAST(1.0 AS DOUBLE) / nn.n, 12) AS rank
+         |       FROM (SELECT DISTINCT src FROM e) s, nn),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT node, rank FROM r5 ORDER BY node""".stripMargin
+    }) { (s, d) =>
+      val edges = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      graft.ext.Graph.pageRank(edges, iters = 5)
+        .orderBy(col("node"))
     }
   )
 }

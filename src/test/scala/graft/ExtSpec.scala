@@ -199,6 +199,30 @@ class ExtSpec extends AnyFunSuite {
     assert(TextDedup.contamination(train, eval, "doc_id", "text", n = 3).count() == 0)
   }
 
+  test("pageRank: symmetric vertices tie, hubs outrank leaves, mass conserved") {
+    // star a-b, a-c, a-d plus isolated pair e-f
+    val edges = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("e", "f"))
+      .toDF("src", "dst")
+    val r = graft.ext.Graph.pageRank(edges, iters = 10)
+      .as[(String, Double)].collect().toMap
+    assert(r.size == 6)
+    assert(r("b") == r("c") && r("c") == r("d"), "symmetric leaves must tie")
+    assert(r("e") == r("f"), "symmetric pair must tie")
+    assert(r("a") > r("b"), "hub outranks leaves")
+    assert(math.abs(r.values.sum - 1.0) < 1e-6, "rank mass conserved")
+  }
+
+  test("recallAtK covers zero-hit queries and exact hits") {
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("qid", "nid")
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 99L), (2L, 98L))
+      .toDF("qid", "nid")
+    val r = graft.ext.Similarity.recallAtK(truth, approx, k = 2)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L) == ((1L, 2L, 1.0)))
+    assert(r(2L) == ((2L, 0L, 0.0)))
+  }
+
   test("duplicateShingleFraction measures cross-doc boilerplate share") {
     val corpus = Seq(
       (0L, "shared boiler plate text unique zero"),
