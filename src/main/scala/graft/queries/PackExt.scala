@@ -826,6 +826,68 @@ object PackExt {
         .orderBy(col("doc_id"))
     },
 
+    // Quantile-gated quality filter (the FineWeb/Gopher keep-rule shape):
+    // keep docs at or above their SOURCE's 25th-percentile quality — a
+    // per-domain adaptive threshold instead of one global constant. The
+    // cut uses the DISCRETE quantile (an actual data value), so the
+    // boundary comparison is an exact double equality on both engines;
+    // interpolated quantiles land between data points and a 1-ulp formula
+    // difference could flip membership. One window pass for the ranked
+    // position, a broadcast of |sources| thresholds, and a scan-speed
+    // filter.
+    QDef("text_quality_filter_quantile",
+      """WITH b AS (SELECT doc_id, source, string_split(text,' ') AS l FROM documents),
+        |q AS (SELECT doc_id, source,
+        |        round(0.4 * (length(list_distinct(l))*1.0/length(l))
+        |            + 0.4 * (1.0 - length(list_filter(l, t -> t IN ('the','a','of','and','to','is')))*1.0/length(l))
+        |            + 0.2 * least(1.0, length(l)/50.0), 6) AS quality FROM b),
+        |p AS (SELECT source, quantile_disc(quality, 0.25) AS p25 FROM q GROUP BY source)
+        |SELECT q.doc_id, q.source, q.quality, p.p25
+        |FROM q JOIN p USING (source) WHERE q.quality >= p.p25
+        |ORDER BY q.doc_id""".stripMargin) { (s, d) =>
+      val q = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+      val byS = Window.partitionBy(col("source"))
+      val p = q
+        .withColumn("rn", row_number().over(byS.orderBy(col("quality"), col("doc_id"))))
+        .withColumn("cnt", count(lit(1)).over(byS))
+        .groupBy(col("source"))
+        .agg(max(when(col("rn") === ceil(lit(0.25) * col("cnt")).cast("long"),
+          col("quality"))).as("p25"))
+      q.join(broadcast(p), Seq("source"))
+        .filter(col("quality") >= col("p25"))
+        .select(col("doc_id"), col("source"), col("quality"), col("p25"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Domain mixture weights (DoReMi-style, sublinear exponent): per
+    // source, sampling weight ∝ n_tokens^0.5 normalized over sources —
+    // sqrt rather than the paper's ^0.7 because IEEE sqrt is correctly
+    // rounded (identical in every engine) while pow differs in the last
+    // ulp across libm implementations. Weights sum as 6dp DECIMALs so
+    // the normalizing total is order-free.
+    QDef("mixture_domain_weights",
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+        |             sum(length(string_split(text,' '))) AS n_tokens
+        |           FROM documents GROUP BY source),
+        |t AS (SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |        CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w FROM s)
+        |SELECT source, n_docs, n_tokens,
+        |  round(CAST(w AS DOUBLE) / CAST((SELECT sum(w) FROM t) AS DOUBLE), 6) AS weight
+        |FROM t ORDER BY source""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        .withColumn("w", round(sqrt(col("n_tokens").cast("double")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      t.crossJoin(broadcast(t.agg(sum(col("w")).as("tw"))))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("w").cast("double") / col("tw").cast("double"), 6).as("weight"))
+        .orderBy(col("source"))
+    },
+
     // Duplicate-shingle fraction (the RefinedWeb/Dolma duplication
     // profile): per doc, the share of its distinct 3-gram shingles that
     // occur in ≥2 documents — boilerplate that survives exact dedup.
