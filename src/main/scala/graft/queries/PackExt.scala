@@ -661,6 +661,52 @@ object PackExt {
         .orderBy(col("doc_id"))
     },
 
+    // Paired-modality curation (the CLIP image–text pair filter): media
+    // payloads join their embedding rows on the shared pair key, and a
+    // pair survives only if BOTH modalities pass — text quality over
+    // threshold AND the embedding cosine-aligned with its label centroid
+    // (the stand-in for the CLIP image↔caption score; misaligned pairs
+    // are the ones curation exists to drop). Centroids are k×dims
+    // broadcast; the pair join is a plain equi-join on the key — at
+    // 100 TB both sides hash-partition by key and each side's filter
+    // runs before the shuffle.
+    QDef("multimodal_pair_align",
+      s"""WITH q AS (SELECT doc_id,
+         |        round(0.4 * (length(list_distinct(l))*1.0/length(l))
+         |            + 0.4 * (1.0 - length(list_filter(l, t -> t IN ('the','a','of','and','to','is')))*1.0/length(l))
+         |            + 0.2 * least(1.0, length(l)/50.0), 6) AS quality
+         |      FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents)),
+         |cents AS (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean
+         |          FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+         |cvec AS (SELECT label, list(mean ORDER BY i) AS cv FROM cents GROUP BY label),
+         |e AS (SELECT e.vec_id, e.label,
+         |        round(${dotSql("e.embedding", "c.cv")}
+         |          / (sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(${dotSql("c.cv", "c.cv")})), 6) AS align
+         |      FROM embeddings e JOIN cvec c USING (label) WHERE e.vec_id < 500)
+         |SELECT q.doc_id, e.label, q.quality, e.align
+         |FROM q JOIN e ON q.doc_id = e.vec_id
+         |WHERE q.quality >= 0.74 AND e.align >= 0.1
+         |ORDER BY q.doc_id""".stripMargin) { (s, d) =>
+      val nd = Similarity.nativeDot(s, _: Column, _: Column)
+      val q = Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .filter(col("quality") >= 0.74)
+      val cvec = Similarity.centroids(Tables.embeddings(s, d), "label")
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("i"), col("mean")))).as("c"))
+        .select(col("label"), transform(col("c"), x => x.getField("mean")).as("cv"))
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 500)
+        .join(broadcast(cvec), Seq("label"))
+        .select(col("vec_id"), col("label"),
+          round(nd(col("embedding"), col("cv"))
+            / (sqrt(nd(col("embedding"), col("embedding"))) * sqrt(nd(col("cv"), col("cv")))), 6)
+            .as("align"))
+        .filter(col("align") >= 0.1)
+      q.join(e, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("label"), col("quality"), col("align"))
+        .orderBy(col("doc_id"))
+    },
+
     // Gopher-style repetition signals per document: most-frequent-token
     // share + duplicate-bigram share — the standard repetition filters in
     // a training-data quality pipeline. Pure per-row array programs; no
