@@ -33,18 +33,35 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
                teleport: Double = 0.15): DataFrame = {
-    val und = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // materialize the input once: both symmetrization branches read it,
+    // and an expensive upstream edge derivation (a fact-table join) must
+    // not run twice
+    val e = edges.select(col("src"), col("dst")).persist()
+    // symmetrize, then fold the out-degree into the edge row with ONE
+    // window pass (outdeg never changes, so joining it per superstep —
+    // or deriving it with a groupBy+join, which recomputes the edge set —
+    // is wasted work); the cached frame keeps the window's hash(src)
+    // partitioning
+    val withDeg = e
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .persist()
-    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val nodes = und.select(col("src").as("node")).distinct()
+    withDeg.count() // materialize before unpersisting the input
+    e.unpersist()
+    val nodes = withDeg.select(col("src").as("node")).distinct()
     val n = nodes.count() // scalar graph size, not a data collect
     var ranks = nodes.select(col("node"), round(lit(1.0) / n, 12).as("rank"))
     for (_ <- 1 to iters) {
-      val next = und
-        .join(ranks, und("src") === ranks("node"))
-        .join(deg, "src")
+      // ranks is node-level (orders of magnitude under the edge count) —
+      // broadcast it so the edge side stays map-only and the superstep's
+      // single exchange is the dst-keyed contribution aggregation, the
+      // irreducible Pregel shuffle. For graphs whose NODE set outgrows a
+      // broadcast, drop the hint: the cached hash(src) partitioning then
+      // carries the shuffled-join path with one small-side exchange.
+      val next = withDeg
+        .join(broadcast(ranks), withDeg("src") === ranks("node"))
         .select(col("dst"),
           round(col("rank") / col("outdeg"), 12).cast(DecimalType(28, 12)).as("c"))
         .groupBy(col("dst"))
@@ -57,7 +74,7 @@ object Graph {
       ranks.unpersist()
       ranks = next
     }
-    und.unpersist()
+    withDeg.unpersist()
     ranks
   }
 }

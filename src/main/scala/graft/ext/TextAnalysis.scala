@@ -48,20 +48,14 @@ object TextAnalysis {
 
   /** All n-gram occurrences (non-distinct, for frequency counting;
     * TextDedup.shingles is the distinct-set variant for similarity).
-    * Bigrams zip the array against its own shift — one slice per row;
-    * the general case pays a slice per position. */
+    * A fold of zip_with over n shifted slices — n array ops per row,
+    * where a per-position slice+join pays one array copy per token. */
   def ngrams(text: Column, n: Int): Column = {
     val words = split(text, " ")
-    if (n == 2)
-      zip_with(
-        slice(words, lit(1), greatest(size(words) - 1, lit(0))),
-        slice(words, lit(2), greatest(size(words) - 1, lit(0))),
-        (a, b) => concat(a, lit(" "), b))
-    else
-      filter(
-        transform(words, (_, i) =>
-          when(i <= size(words) - n, array_join(slice(words, i + 1, lit(n)), " "))),
-        s => s.isNotNull)
+    val m = greatest(size(words) - (n - 1), lit(0))
+    (2 to n).foldLeft(slice(words, lit(1), m)) { (acc, k) =>
+      zip_with(acc, slice(words, lit(k), m), (a, b) => concat(a, lit(" "), b))
+    }
   }
 
   /** Rolling polynomial fingerprint over the token stream

@@ -100,6 +100,39 @@ object Profile {
       time("f6_declared")(full(spark, d).count())
     }
 
+    if (names.contains("dupfrac")) {
+      import graft.schemas.Tables
+      import graft.ext.TextDedup
+      val docs = Tables.documents(spark, d)
+      val g = docs.select($"doc_id",
+        explode(TextDedup.shingles($"text", 3)).as("gram"))
+      time("df_explode_only")(g.count())
+      val w = g.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"gram")))
+      time("df_window")(w.count())
+      time("df_full")(TextDedup.duplicateShingleFraction(docs, "doc_id", "text", 3).count())
+      val byCount = g.groupBy($"gram").agg(count(lit(1)).as("df"))
+      time("df_joinback")(
+        g.join(byCount, Seq("gram"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_dup")).count())
+    }
+
+    if (names.contains("pagerank")) {
+      import graft.schemas.Tables
+      val edges = Tables.lineitem(spark, d).select($"l_orderkey", $"l_suppkey")
+        .join(Tables.orders(spark, d).select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(concat(lit("c"), $"o_custkey").as("src"),
+          concat(lit("s"), $"l_suppkey").as("dst"))
+        .distinct()
+      time("pr_edges_only")(edges.count())
+      time("pr_1iter")(graft.ext.Graph.pageRank(edges, 1).count())
+      time("pr_3iter")(graft.ext.Graph.pageRank(edges, 3).count())
+      time("pr_5iter")(graft.ext.Graph.pageRank(edges, 5).count())
+    }
+
     spark.stop()
   }
 }
