@@ -285,6 +285,39 @@ object PackCore {
         .orderBy($"user_id", $"event_type")
     },
 
+    // ST4/ST5 (live) — an actual Structured Streaming execution inside
+    // the declared pack, not a batch stand-in: parquet file source →
+    // event-time 1h tumbling-window counts → complete-mode memory sink,
+    // driven to completion with Trigger.AvailableNow (the reference's
+    // cron semantics, SURVEY §2.10). AvailableNow processes all data
+    // then stops, so the result is deterministic and the batch GROUP BY
+    // oracle must match exactly. The same plan with a watermark and
+    // update mode is the always-on deployment; at scale the stateful agg
+    // partitions by (window, event_type) across executors.
+    QDef("st4_stream_tumbling_live",
+      """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val sch = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val name = s"st4_live_run_${streamRun.incrementAndGet()}"
+      val q = s.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window($"ts", "1 hour"), $"event_type").count()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select($"window.start".as("window_start"), $"event_type", $"count".as("n"))
+        .orderBy($"window_start", $"event_type")
+    },
+
     // ---------------------------------------------------------------- scans
 
     // S1/F1 — listing scan with suffix + size>0 filter
@@ -511,6 +544,10 @@ object PackCore {
         .orderBy($"id")
     }
   )
+
+  // memory-sink table names must be unique per execution (bench re-runs
+  // each query in one session)
+  private val streamRun = new java.util.concurrent.atomic.AtomicInteger()
 
   // sugar for $"col" inside this object
   private implicit class Str(val sc: StringContext) {
