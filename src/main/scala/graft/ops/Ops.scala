@@ -108,6 +108,62 @@ object Ops {
       .select((leftCols ++ payload).map(col): _*)
   }
 
+  /** Nearest-match as-of join: each left row takes the right row whose
+    * time is CLOSEST in either direction (sensor alignment, quote
+    * matching); ties prefer the backward (earlier-or-equal) match.
+    * Same union-tag-carry shape as [[asofJoin]] — both directions ride
+    * ONE key-hash exchange: the backward carry scans an
+    * unboundedPreceding frame ordered (t, right-first) and the forward
+    * carry an unboundedFollowing frame ordered (t, left-first), so the
+    * only extra cost over backward-only is a second in-partition sort.
+    * No per-row range probe, no self-join — linear at any key
+    * cardinality. Appends the matched right time's distance as
+    * `dt_ms` (NULL when the key has no right rows at all). */
+  def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTime: String, rightTime: String): DataFrame = {
+    val payload = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
+    val leftCols = left.columns.toSeq
+    val lTagged = payload.foldLeft(
+        left.withColumn("__t", col(leftTime)).withColumn("__tag", lit(1))
+          .withColumn("__rt", lit(null).cast(left.schema(leftTime).dataType)))(
+        (df, c) => df.withColumn(c, lit(null)))
+    val rTagged = leftCols.filterNot(keys.contains)
+      .foldLeft(right.withColumn("__t", col(rightTime)).withColumn("__tag", lit(0))
+        .withColumn("__rt", col(rightTime)).drop(rightTime))(
+        (df, c) => df.withColumn(c, lit(null)))
+    val cols = keys ++ Seq("__t", "__tag", "__rt") ++
+      leftCols.filterNot(keys.contains) ++ payload
+    val unioned = lTagged.select(cols.map(col): _*)
+      .unionByName(rTagged.select(cols.map(col): _*))
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__tag").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = payload.foldLeft(
+        unioned
+          .withColumn("__bt", last(col("__rt"), ignoreNulls = true).over(wB))
+          .withColumn("__ft", first(col("__rt"), ignoreNulls = true).over(wF)))(
+        (df, c) => df
+          .withColumn(s"__b_$c", last(col(c), ignoreNulls = true).over(wB))
+          .withColumn(s"__f_$c", first(col(c), ignoreNulls = true).over(wF)))
+    // distance on the time axis: epoch millis for timestamps, the raw
+    // numeric difference otherwise
+    val ms: Column => Column =
+      if (left.schema(leftTime).dataType == org.apache.spark.sql.types.TimestampType)
+        unix_millis _
+      else _.cast("long")
+    val bDist = ms(col("__t")) - ms(col("__bt"))
+    val fDist = ms(col("__ft")) - ms(col("__t"))
+    val takeBack = col("__ft").isNull || (col("__bt").isNotNull && bDist <= fDist)
+    val chosen = payload.map(c =>
+      when(takeBack, col(s"__b_$c")).otherwise(col(s"__f_$c")).as(c))
+    carried.filter(col("__tag") === 1)
+      .select(leftCols.map(col) ++ chosen :+
+        when(takeBack, bDist).otherwise(fDist).as("dt_ms"): _*)
+  }
+
   /** Skew-salted inner equi-join: when a handful of hot keys would
     * overload single reducers in a shuffled join (and the small side is
     * too big to broadcast), explode the small side `saltFactor` ways and

@@ -109,6 +109,37 @@ object PackAnalytics {
         .orderBy(col("event_id"))
     },
 
+    // Nearest-match as-of (sensor alignment / quote matching): each
+    // purchase takes the signup CLOSEST in time in either direction,
+    // ties to the backward match. Ops.asofNearest rides both direction
+    // carries on ONE key-hash exchange (two in-partition sorts) — no
+    // range probe, no self-join. The oracle composes DuckDB's two
+    // directional ASOF joins and picks the closer side.
+    QDef("asof_join_nearest",
+      """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, min(event_id) AS signup_id
+        |      FROM events WHERE event_type = 'signup' GROUP BY user_id, CAST(ts AS TIMESTAMP)),
+        |b AS (SELECT l.event_id, l.user_id, l.ts, r.ts AS bts, r.signup_id AS bid
+        |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts),
+        |f AS (SELECT l.event_id, r.ts AS fts, r.signup_id AS fid
+        |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts)
+        |SELECT b.event_id, b.user_id,
+        |  CASE WHEN fts IS NULL OR (bts IS NOT NULL AND epoch_ms(b.ts) - epoch_ms(bts) <= epoch_ms(fts) - epoch_ms(b.ts))
+        |       THEN bid ELSE fid END AS signup_id,
+        |  CASE WHEN fts IS NULL OR (bts IS NOT NULL AND epoch_ms(b.ts) - epoch_ms(bts) <= epoch_ms(fts) - epoch_ms(b.ts))
+        |       THEN epoch_ms(b.ts) - epoch_ms(bts) ELSE epoch_ms(fts) - epoch_ms(b.ts) END AS dt_ms
+        |FROM b JOIN f USING (event_id)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts")).agg(min(col("event_id")).as("signup_id"))
+      Ops.asofNearest(purchases, signups, Seq("user_id"), "ts", "ts")
+        .select(col("event_id"), col("user_id"), col("signup_id"), col("dt_ms"))
+        .orderBy(col("event_id"))
+    },
+
     // Ranking window family: rank / dense_rank / row_number / ntile /
     // percent_rank in one pass. All windows share one partitioning
     // (priority) and one sort — a single Exchange + Sort in the plan.

@@ -84,4 +84,26 @@ class OpsSpec extends AnyFunSuite {
       .orderBy("k", "t").as[(Int, Long, String, String)].collect().toSeq
     assert(out == Seq((1, 10L, "p1", "x"), (1, 20L, "p2", "z"), (2, 5L, "p3", null)))
   }
+
+  test("asofNearest picks the closer side, ties backward, handles one-sided keys") {
+    val left = Seq((1, 10L, "p1"), (1, 16L, "p2"), (2, 5L, "p3"), (3, 7L, "p4"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1, 8L, "x"), (1, 20L, "y"), (2, 9L, "z"), (4, 1L, "w"))
+      .toDF("k", "t", "rv")
+    val out = Ops.asofNearest(left, right, Seq("k"), "t", "t")
+      .orderBy("k", "t").as[(Int, Long, String, String, java.lang.Long)]
+      .collect().toSeq
+    assert(out == Seq(
+      (1, 10L, "p1", "x", 2L: java.lang.Long),  // back 2 vs fwd 10
+      (1, 16L, "p2", "y", 4L: java.lang.Long),  // back 8 vs fwd 4
+      (2, 5L, "p3", "z", 4L: java.lang.Long),   // only forward exists
+      (3, 7L, "p4", null, null)))               // no right rows for key
+    // exact tie goes backward
+    val tie = Ops.asofNearest(
+        Seq((1, 10L, "p")).toDF("k", "t", "lv"),
+        Seq((1, 8L, "b"), (1, 12L, "f")).toDF("k", "t", "rv"),
+        Seq("k"), "t", "t")
+      .as[(Int, Long, String, String, java.lang.Long)].collect().toSeq
+    assert(tie == Seq((1, 10L, "p", "b", 2L: java.lang.Long)))
+  }
 }
