@@ -442,6 +442,20 @@ object PackCore {
         .orderBy($"c_custkey")
     },
 
+    // K1' — ORC sink/scan roundtrip: the second columnar format Spark
+    // ships natively (vectorized reader, predicate pushdown, zlib/zstd),
+    // the standard interchange with Hive-era warehouses. Typed columns
+    // survive the roundtrip exactly, so the oracle is the plain
+    // projection of the source table.
+    QDef("k10_sink_orc",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      val out = tmpBase(d) + "/orc_nation"
+      Tables.nation(s, d).select($"n_nationkey", $"n_name", $"n_regionkey")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy($"n_nationkey")
+    },
+
     // K3 + J2 — idempotent warehouse append: bulk columnar writes replace
     // the reference's row-at-a-time INSERT loop (load_data:16-36); the
     // anti-join gate makes the re-append a no-op, so re-running the load
