@@ -141,13 +141,16 @@ object Ops {
     val wF = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__tag").desc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // all backward carries first, then all forward carries: adjacent
+    // same-spec windows collapse into ONE Window operator each, so the
+    // chain pays exactly two in-partition sorts (interleaving B/F/B/F
+    // would alternate sort orders per column)
+    val withB = payload.foldLeft(
+        unioned.withColumn("__bt", last(col("__rt"), ignoreNulls = true).over(wB)))(
+        (df, c) => df.withColumn(s"__b_$c", last(col(c), ignoreNulls = true).over(wB)))
     val carried = payload.foldLeft(
-        unioned
-          .withColumn("__bt", last(col("__rt"), ignoreNulls = true).over(wB))
-          .withColumn("__ft", first(col("__rt"), ignoreNulls = true).over(wF)))(
-        (df, c) => df
-          .withColumn(s"__b_$c", last(col(c), ignoreNulls = true).over(wB))
-          .withColumn(s"__f_$c", first(col(c), ignoreNulls = true).over(wF)))
+        withB.withColumn("__ft", first(col("__rt"), ignoreNulls = true).over(wF)))(
+        (df, c) => df.withColumn(s"__f_$c", first(col(c), ignoreNulls = true).over(wF)))
     // distance on the time axis: epoch millis for timestamps, the raw
     // numeric difference otherwise
     val ms: Column => Column =

@@ -190,4 +190,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("cartesianproduct"),
       "stage joins must stay equi-joins (the final 1x1x1 count join is broadcast)")
   }
+
+  test("decontamination broadcasts the eval gram set; train side never gram-shuffles") {
+    val p = plan("decon_ngram_overlap")
+    assert(p.contains("BroadcastHashJoin"), s"eval grams must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "the training side must not shuffle by gram for the overlap join")
+  }
+
+  test("duplicate-shingle fraction pays one gram window, no self-join") {
+    val p = plan("dedup_shingle_dupfrac")
+    assert(!p.contains("Join"), s"df-count must be a window, not a join-back:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"gram window + doc agg must be the only exchanges:\n$p")
+  }
+
+  test("asof nearest rides one key exchange for both direction carries") {
+    val p = plan("asof_join_nearest")
+    // single-key user_id partitioning = the carry exchange (the signups
+    // prep agg exchanges on (user_id, ts) and must not be counted)
+    assert("Exchange hashpartitioning\\(user_id#\\d+L?, \\d+\\)".r.findAllIn(p).size == 1,
+      s"backward and forward carries must share the user_id exchange:\n$p")
+    assert("Window".r.findAllIn(p).size == 2,
+      s"B and F carries must collapse to one Window operator each:\n$p")
+  }
+
+  test("pair alignment broadcasts centroids and filters before the pair join") {
+    val p = plan("multimodal_pair_align")
+    assert(p.contains("BroadcastHashJoin"), s"centroid join must broadcast:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"))
+  }
 }
