@@ -114,4 +114,65 @@ object OpsProps extends Properties("ops") {
       val win = df.withColumn("rn", row_number().over(w)).filter($"rn" <= k).drop("rn")
       topk.collect().toSet == win.collect().toSet
     }
+
+  // ---- zip_with shingles vs naive sliding windows ------------------------
+
+  private val docGen: Gen[(List[String], Int)] = for {
+    len <- Gen.choose(0, 12)
+    words <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "ee", "fff"))
+    n <- Gen.choose(2, 4)
+  } yield (words, n)
+
+  property("shingles == naive sliding-window distinct n-grams") =
+    Prop.forAll(docGen) { case (words, n) =>
+      import spark.implicits._
+      val expected = words.sliding(n).filter(_.size == n)
+        .map(_.mkString(" ")).toList.distinct
+      val got = Seq(words.mkString(" ")).toDF("text")
+        .select(graft.ext.TextDedup.shingles(col("text"), n).as("g"))
+        .as[Seq[String]].head().toList
+      // split("") on an empty doc yields [""], whose "shingle" set for a
+      // 1-word doc is empty for n>=2 either way
+      got == expected || (words.isEmpty && got.isEmpty)
+    }
+
+  // ---- asofNearest vs brute-force nearest scan ---------------------------
+
+  private val nearestGen: Gen[(List[(Long, Long)], List[(Long, Long, Long)])] = for {
+    nl <- Gen.choose(1, 12)
+    nr <- Gen.choose(0, 12)
+    lefts <- Gen.listOfN(nl, for {
+      k <- Gen.choose(0L, 2L); t <- Gen.choose(0L, 40L)
+    } yield (k, t))
+    rights <- Gen.listOfN(nr, for {
+      k <- Gen.choose(0L, 2L); t <- Gen.choose(0L, 40L)
+    } yield (k, t))
+  } yield (lefts,
+    // dedup right (k,t) so the matched payload is deterministic
+    rights.distinct.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) })
+
+  property("asofNearest == brute-force closest right row (ties backward)") =
+    Prop.forAll(nearestGen) { case (lefts, rights) =>
+      import spark.implicits._
+      val l = lefts.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "t")
+      val r = rights.toDF("k", "t", "rid")
+      val got = graft.ops.Ops.asofNearest(l, r, Seq("k"), "t", "t")
+        .select("lid", "rid").as[(Long, java.lang.Long)].collect().toMap
+      lefts.zipWithIndex.forall { case ((k, t), i) =>
+        val cands = rights.filter(_._1 == k)
+        val expected =
+          if (cands.isEmpty) null
+          else {
+            val best = cands.map { case (_, rt, rid) =>
+              val d = math.abs(t - rt)
+              // ties prefer backward (rt <= t); among equal (dist, side)
+              // the right (k,t) is unique by construction
+              (d, if (rt <= t) 0 else 1, rid)
+            }.min
+            best._3: java.lang.Long
+          }
+        got(i.toLong) == expected
+      }
+    }
 }
