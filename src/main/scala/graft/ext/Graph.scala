@@ -52,6 +52,10 @@ object Graph {
     e.unpersist()
     val nodes = withDeg.select(col("src").as("node")).distinct()
     val n = nodes.count() // scalar graph size, not a data collect
+    if (n == 0) { // empty graph: no nodes, no ranks (avoid 1/0 literals)
+      withDeg.unpersist()
+      return nodes.select(col("node"), lit(0.0).as("rank"))
+    }
     var ranks = nodes.select(col("node"), round(lit(1.0) / n, 12).as("rank"))
     for (_ <- 1 to iters) {
       // ranks is node-level (orders of magnitude under the edge count) —

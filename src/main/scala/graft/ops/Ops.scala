@@ -209,6 +209,20 @@ object Ops {
     }
   }
 
+  /** Insert-delta of an inner equi-join under batch arrivals on BOTH
+    * sides — the incremental-view-maintenance delta rule:
+    * Δ(A⋈B) = (ΔA ⋈ B_acc) ∪ (A_acc ⋈ ΔB) ∪ (ΔA ⋈ ΔB).
+    * Feed the result to [[incrementalAgg]] to maintain a join-aggregate
+    * view without ever rescanning (or re-joining) accumulated history —
+    * at 100 TB the per-refresh cost tracks the ARRIVAL size, not the
+    * table size. Inner-join/insert-only semantics; deletes need a
+    * signed-multiplicity variant of the same three terms. */
+  def joinDelta(accA: DataFrame, dA: DataFrame, accB: DataFrame, dB: DataFrame,
+                keys: Seq[String]): DataFrame =
+    dA.join(accB, keys)
+      .unionByName(accA.join(dB, keys))
+      .unionByName(dA.join(dB, keys))
+
   /** ST3 (batch form) — keep exactly one row per key, deterministically:
     * the row with the minimal tiebreaker. groupBy+min_by rather than
     * dropDuplicates so results are stable for the oracle; the streaming

@@ -954,6 +954,56 @@ object PackAnalytics {
         .orderBy(col("user_id"))
     },
 
+    // Population skewness / excess kurtosis per group from exact decimal
+    // moments S1..S4 (the corr/linreg recipe extended to 3rd/4th
+    // moments). Tight DECIMAL(7,2) input keeps every chained product
+    // under 38 digits — NO precision capping, so the raw moments are
+    // exact and order-free in any engine; the central-moment formula
+    // then runs in doubles with sqrt instead of pow(x,1.5) (IEEE sqrt is
+    // correctly rounded, libm pow is not). Built-in skewness()/kurtosis()
+    // stream doubles and are not reproducible cross-engine.
+    QDef("agg_skew_kurtosis",
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(7,2))) AS s1,
+        |    sum(CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2))) AS s2,
+        |    sum(CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2))) AS s3,
+        |    sum(CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2))) AS s4
+        |  FROM lineitem GROUP BY l_returnflag),
+        |d AS (SELECT l_returnflag, n,
+        |    CAST(s1 AS DOUBLE) / n AS mu, CAST(s2 AS DOUBLE) / n AS r2,
+        |    CAST(s3 AS DOUBLE) / n AS r3, CAST(s4 AS DOUBLE) / n AS r4 FROM m)
+        |SELECT l_returnflag, n,
+        |  round(mu, 6) AS mean,
+        |  round((r3 - 3 * mu * r2 + 2 * mu * mu * mu)
+        |    / ((r2 - mu * mu) * sqrt(r2 - mu * mu)), 6) AS skewness,
+        |  round((r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu)
+        |    / ((r2 - mu * mu) * (r2 - mu * mu)) - 3, 6) AS kurtosis_excess
+        |FROM d ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val q7 = col("l_quantity").cast(DecimalType(7, 2))
+      val n = col("n")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(q7).as("s1"), sum(q7 * q7).as("s2"),
+          sum(q7 * q7 * q7).as("s3"), sum(q7 * q7 * q7 * q7).as("s4"))
+        .select(col("l_returnflag"), n,
+          (col("s1").cast("double") / n).as("mu"),
+          (col("s2").cast("double") / n).as("r2"),
+          (col("s3").cast("double") / n).as("r3"),
+          (col("s4").cast("double") / n).as("r4"))
+        .select(col("l_returnflag"), n,
+          round(col("mu"), 6).as("mean"),
+          round((col("r3") - lit(3) * col("mu") * col("r2")
+              + lit(2) * col("mu") * col("mu") * col("mu"))
+            / ((col("r2") - col("mu") * col("mu"))
+              * sqrt(col("r2") - col("mu") * col("mu"))), 6).as("skewness"),
+          round((col("r4") - lit(4) * col("mu") * col("r3")
+              + lit(6) * col("mu") * col("mu") * col("r2")
+              - lit(3) * col("mu") * col("mu") * col("mu") * col("mu"))
+            / ((col("r2") - col("mu") * col("mu"))
+              * (col("r2") - col("mu") * col("mu"))) - lit(3), 6).as("kurtosis_excess"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Per-group least-squares regression (price ~ quantity) from exact
     // decimal moments — slope/intercept/r² computed by the same
     // order-free-moments-then-double-formula recipe as agg_corr_stats.

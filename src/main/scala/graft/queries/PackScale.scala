@@ -138,6 +138,43 @@ object PackScale {
         .orderBy(col("o_orderpriority"))
     },
 
+    // Incremental JOIN-view maintenance: the orders⋈lineitem aggregate
+    // is maintained across two arrival batches PER SIDE with the IVM
+    // delta rule (Ops.joinDelta: ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) feeding
+    // Ops.incrementalAgg — history is never re-joined, each refresh
+    // costs the arrival size, yet the state must equal the one-shot
+    // join GROUP BY exactly (decimal sums make fold order irrelevant).
+    QDef("agg_incremental_join_maintenance",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS total,
+        |  min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"))
+      // deliberately misaligned splits so every delta term joins rows
+      // across batches
+      val oBatches = Seq(o.filter(col("o_orderkey") % 2 === 0),
+        o.filter(col("o_orderkey") % 2 === 1))
+      val lBatches = Seq(l.filter(col("o_orderkey") % 3 === 0),
+        l.filter(col("o_orderkey") % 3 =!= 0))
+      var accO = o.limit(0)
+      var accL = l.limit(0)
+      var state = Option.empty[org.apache.spark.sql.DataFrame]
+      oBatches.zip(lBatches).foreach { case (dO, dL) =>
+        val delta = graft.ops.Ops.joinDelta(accO, dO, accL, dL, Seq("o_orderkey"))
+        state = Some(graft.ops.Ops.incrementalAgg(
+          state, delta, Seq("o_orderpriority"), "l_extendedprice"))
+        accO = accO.unionByName(dO)
+        accL = accL.unionByName(dL)
+      }
+      state.get
+        .select(col("o_orderpriority"), col("n"),
+          col("total").cast("double").as("total"), col("mn"), col("mx"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // Data-quality report (the dbt-test / expectations surface): range,
     // referential-integrity, null, and uniqueness rules evaluated in one
     // pass each — violations counted, never materialized. The orphan

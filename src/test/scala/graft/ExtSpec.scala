@@ -212,6 +212,11 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(r.values.sum - 1.0) < 1e-6, "rank mass conserved")
   }
 
+  test("pageRank on an empty edge set returns an empty rank table") {
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(graft.ext.Graph.pageRank(empty, iters = 3).count() == 0)
+  }
+
   test("recallAtK covers zero-hit queries and exact hits") {
     val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
       .toDF("qid", "nid")

@@ -85,6 +85,23 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Seq((1, 10L, "p1", "x"), (1, 20L, "p2", "z"), (2, 5L, "p3", null)))
   }
 
+  test("joinDelta folded over batch arrivals reproduces the one-shot join") {
+    val a = Seq((1, "p1"), (2, "p2"), (3, "p3")).toDF("k", "av")
+    val b = Seq((1, 10.0), (1, 11.0), (2, 20.0), (4, 40.0)).toDF("k", "bv")
+    val full = a.join(b, Seq("k")).collect().toSet
+    val aBatches = Seq(a.filter($"k" <= 1), a.filter($"k" > 1))
+    val bBatches = Seq(b.filter($"bv" >= 15), b.filter($"bv" < 15))
+    var (accA, accB) = (a.limit(0), b.limit(0))
+    var seen = Set.empty[org.apache.spark.sql.Row]
+    aBatches.zip(bBatches).foreach { case (dA, dB) =>
+      val delta = Ops.joinDelta(accA, dA, accB, dB, Seq("k")).collect().toSet
+      assert(delta.intersect(seen).isEmpty, "delta rows must never repeat")
+      seen ++= delta
+      accA = accA.unionByName(dA); accB = accB.unionByName(dB)
+    }
+    assert(seen == full)
+  }
+
   test("asofNearest picks the closer side, ties backward, handles one-sided keys") {
     val left = Seq((1, 10L, "p1"), (1, 16L, "p2"), (2, 5L, "p3"), (3, 7L, "p4"))
       .toDF("k", "t", "lv")
