@@ -24,6 +24,18 @@ object Warehouse {
   def appendPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path)
 
+  /** Dynamic partition overwrite: replace ONLY the partitions `df`
+    * actually contains, leaving every other partition untouched — the
+    * idempotent-backfill primitive (re-run a day's load without wiping
+    * the table; static overwrite mode would). Partition values route
+    * files at write time, so a backfill touches exactly the directories
+    * it owns regardless of table size. */
+  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Create-or-append a bucketed warehouse table (bucketing requires the
     * session catalog, i.e. saveAsTable). Readers joining on `bucketCol`
     * with matching bucketing skip the shuffle entirely. */

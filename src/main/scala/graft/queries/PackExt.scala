@@ -707,6 +707,56 @@ object PackExt {
         .orderBy(col("doc_id"))
     },
 
+    // Co-occurrence PMI (phrase mining / word-embedding pretraining):
+    // token pairs within a ±2 window, pointwise mutual information from
+    // exact global counts. Pair generation is the zip_with-shift trick
+    // (two array ops per row, no per-position copies); the vocabulary
+    // marginals broadcast; ln over exact integer ratios is the only
+    // transcendental — Java Math.log and DuckDB ln agree bit-for-bit on
+    // these inputs (same as text_entropy / text_lm_score).
+    QDef("text_pmi_cooccur",
+      """WITH t AS (SELECT string_split(text,' ') AS w FROM documents),
+        |d1 AS (SELECT unnest(list_transform(range(1, length(w)), i -> [w[i], w[i+1]])) AS p FROM t),
+        |d2 AS (SELECT unnest(list_transform(range(1, length(w)-1), i -> [w[i], w[i+2]])) AS p FROM t),
+        |pairs AS (SELECT least(p[1], p[2]) AS a, greatest(p[1], p[2]) AS b
+        |          FROM (SELECT p FROM d1 UNION ALL SELECT p FROM d2) WHERE p[1] <> p[2]),
+        |uni AS (SELECT unnest(w) AS tok FROM t),
+        |cab AS (SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY a, b),
+        |ca AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+        |np AS (SELECT count(*) AS np FROM pairs),
+        |nt AS (SELECT count(*) AS nt FROM uni)
+        |SELECT a, b, c_ab,
+        |  round(ln((CAST(c_ab AS DOUBLE) / np.np)
+        |    / ((CAST(x.c AS DOUBLE) / nt.nt) * (CAST(y.c AS DOUBLE) / nt.nt))), 6) AS pmi
+        |FROM cab JOIN ca x ON cab.a = x.tok JOIN ca y ON cab.b = y.tok, np, nt
+        |WHERE c_ab >= 100
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      val words = split(col("text"), " ")
+      def shifted(k: Int) = zip_with(
+        slice(words, lit(1), greatest(size(words) - k, lit(0))),
+        slice(words, lit(1 + k), greatest(size(words) - k, lit(0))),
+        (x, y) => struct(least(x, y).as("a"), greatest(x, y).as("b")))
+      val docs = Tables.documents(s, d)
+      val pairs = docs
+        .select(explode(concat(shifted(1), shifted(2))).as("p"))
+        .filter(col("p.a") =!= col("p.b"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val uni = docs.select(explode(words).as("tok"))
+      val ca = uni.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val cab = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 100)
+      cab
+        .join(broadcast(ca.select(col("tok").as("a"), col("c").as("c_a"))), Seq("a"))
+        .join(broadcast(ca.select(col("tok").as("b"), col("c").as("c_b"))), Seq("b"))
+        .crossJoin(broadcast(pairs.agg(count(lit(1)).as("np"))))
+        .crossJoin(broadcast(uni.agg(count(lit(1)).as("nt"))))
+        .select(col("a"), col("b"), col("c_ab"),
+          round(log((col("c_ab").cast("double") / col("np"))
+            / ((col("c_a").cast("double") / col("nt"))
+              * (col("c_b").cast("double") / col("nt")))), 6).as("pmi"))
+        .orderBy(col("a"), col("b"))
+    },
+
     // Gopher-style repetition signals per document: most-frequent-token
     // share + duplicate-bigram share — the standard repetition filters in
     // a training-data quality pipeline. Pure per-row array programs; no

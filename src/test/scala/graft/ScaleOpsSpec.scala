@@ -92,6 +92,27 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(read.count() == expected && expected > 0)
   }
 
+  test("dynamic partition overwrite replaces only the backfilled partition") {
+    val loc = java.nio.file.Files.createTempDirectory("graft_dynpart").toString + "/t"
+    val o = graft.schemas.Tables.orders(spark, TestSpark.sf0001)
+      .withColumn("month", date_format($"o_orderdate", "yyyy-MM"))
+      .select($"o_orderkey", $"o_totalprice", $"month")
+    graft.io.Warehouse.appendPartitioned(o, loc, Seq("month"))
+    val before = spark.read.parquet(loc)
+    val othersBefore = before.filter($"month" =!= "1995-03").count()
+    val marchBefore = before.filter($"month" === "1995-03").count()
+    assert(marchBefore > 0 && othersBefore > 0, "fixture needs both partitions")
+    // backfill March with a corrected (halved) slice
+    val fix = o.filter($"month" === "1995-03" && $"o_orderkey" % 2 === 0)
+      .withColumn("o_totalprice", $"o_totalprice" * 2)
+    graft.io.Warehouse.overwritePartitions(fix, loc, Seq("month"))
+    val after = spark.read.parquet(loc)
+    assert(after.filter($"month" =!= "1995-03").count() == othersBefore,
+      "untouched partitions must survive the overwrite")
+    assert(after.filter($"month" === "1995-03").count() == fix.count(),
+      "the backfilled partition must contain exactly the new rows")
+  }
+
   test("antiJoinLarge plans a shuffled anti-join when broadcast is off (big-key-set path)") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     try {
