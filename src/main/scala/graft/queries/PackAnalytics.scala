@@ -954,6 +954,44 @@ object PackAnalytics {
         .orderBy(col("user_id"))
     },
 
+    // Winsorized mean per group (robust to heavy tails): clamp values to
+    // the group's discrete p05/p95 — actual data values, so the clamp
+    // boundaries are exact on both engines — then a decimal-sum mean.
+    // One window pass for the quantile positions, a broadcast of
+    // |groups| bounds, one aggregation; no sort of the full table
+    // beyond the quantile window.
+    QDef("stats_winsorized_mean",
+      """WITH p AS (SELECT event_type,
+        |             quantile_disc(value, 0.05) AS lo, quantile_disc(value, 0.95) AS hi
+        |           FROM events GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS n, p.lo, p.hi,
+        |  round(CAST(sum(CAST(greatest(p.lo, least(p.hi, e.value)) AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*), 6) AS winsorized_mean
+        |FROM events e JOIN p USING (event_type)
+        |GROUP BY e.event_type, p.lo, p.hi ORDER BY e.event_type""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val byT = Window.partitionBy(col("event_type"))
+      val w = byT.orderBy(col("value"), col("event_id"))
+      val p = e
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(byT))
+        .groupBy(col("event_type"))
+        .agg(
+          max(when(col("rn") === ceil(lit(0.05) * col("cnt")).cast("long"),
+            col("value"))).as("lo"),
+          max(when(col("rn") === ceil(lit(0.95) * col("cnt")).cast("long"),
+            col("value"))).as("hi"))
+      e.join(broadcast(p), Seq("event_type"))
+        .groupBy(col("event_type"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(greatest(col("lo"), least(col("hi"), col("value")))
+            .cast(DecimalType(18, 2))).cast("double") / count(lit(1)), 6)
+            .as("winsorized_mean"))
+        .select(col("event_type"), col("n"), col("lo"), col("hi"),
+          col("winsorized_mean"))
+        .orderBy(col("event_type"))
+    },
+
     // Population skewness / excess kurtosis per group from exact decimal
     // moments S1..S4 (the corr/linreg recipe extended to 3rd/4th
     // moments). Tight DECIMAL(7,2) input keeps every chained product

@@ -444,6 +444,69 @@ object PackExt {
         .orderBy(col("doc_id"), col("w"))
     },
 
+    // TF-IDF cosine document similarity, top-3 per doc — the sparse
+    // counterpart of the embedding ANN family: an INVERTED-INDEX join
+    // (pairs meet only on shared terms, never a cross join), dot
+    // products as 12dp-decimal sums (order-free), norms precomputed per
+    // doc, and the per-query top-k through the bounded-heap operator.
+    // The pairing is bounded to doc_id < 200 like the other pairwise
+    // verifications; the weights/norms stages are the part that scales.
+    QDef("text_tfidf_sim_topk",
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |words AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM base),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w),
+        |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY w),
+        |n AS (SELECT count(*) AS total FROM base),
+        |wt AS (SELECT doc_id, w, round(tf * ln((n.total + 1.0) / (df.df + 1.0)), 6) AS wgt
+        |       FROM tf JOIN df USING (w), n),
+        |nr AS (SELECT doc_id, sum(CAST(round(wgt * wgt, 12) AS DECIMAL(28,12))) AS n2
+        |       FROM wt GROUP BY doc_id),
+        |dots AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |           sum(CAST(round(a.wgt * b.wgt, 12) AS DECIMAL(28,12))) AS dot
+        |         FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |sims AS (SELECT d1, d2, round(CAST(dot AS DOUBLE)
+        |           / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))), 6) AS sim
+        |         FROM dots JOIN nr x ON d1 = x.doc_id JOIN nr y ON d2 = y.doc_id),
+        |bi AS (SELECT d1, d2, sim FROM sims UNION ALL SELECT d2, d1, sim FROM sims),
+        |r AS (SELECT d1, d2, sim,
+        |        CAST(row_number() OVER (PARTITION BY d1 ORDER BY sim DESC, d2) AS INTEGER) AS rank
+        |      FROM bi)
+        |SELECT d1, d2, sim, rank FROM r WHERE rank <= 3
+        |ORDER BY d1, rank""".stripMargin) { (s, d) =>
+      val D12 = org.apache.spark.sql.types.DecimalType(28, 12)
+      val base = Tables.documents(s, d).filter(col("doc_id") < 200)
+      val words = base.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfr = words.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+      val n = base.agg(count(lit(1)).as("total"))
+      // weights feed both join sides AND the norms — persist, same
+      // reasoning as the simhash/LSH self-join pipelines
+      val wt = tf.join(broadcast(dfr), Seq("w")).crossJoin(broadcast(n))
+        .select(col("doc_id"), col("w"),
+          round(col("tf") * log((col("total") + 1.0) / (col("df") + 1.0)), 6).as("wgt"))
+        .persist()
+      val nr = wt.groupBy(col("doc_id"))
+        .agg(sum(round(col("wgt") * col("wgt"), 12).cast(D12)).as("n2"))
+      val a = wt.select(col("w"), col("doc_id").as("d1"), col("wgt").as("wa"))
+      val b = wt.select(col("w"), col("doc_id").as("d2"), col("wgt").as("wb"))
+      val dots = a.join(b, Seq("w")).filter(col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2"))
+        .agg(sum(round(col("wa") * col("wb"), 12).cast(D12)).as("dot"))
+      val sims = dots
+        .join(broadcast(nr.select(col("doc_id").as("d1"), col("n2").as("na"))), Seq("d1"))
+        .join(broadcast(nr.select(col("doc_id").as("d2"), col("n2").as("nb"))), Seq("d2"))
+        .select(col("d1"), col("d2"),
+          round(col("dot").cast("double")
+            / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6).as("sim"))
+      val bi = sims.unionByName(
+        sims.select(col("d2").as("d1"), col("d1").as("d2"), col("sim")))
+      val top = graft.ops.Ops.topKPerKey(bi, Seq("d1"),
+        Seq(("sim", true), ("d2", false)), 3)
+      top.withColumn("rank", row_number().over(
+          Window.partitionBy(col("d1")).orderBy(col("sim").desc, col("d2"))))
+        .orderBy(col("d1"), col("rank"))
+    },
+
     // corpus bigram frequency, top 20
     QDef("text_ngram_freq",
       """SELECT g, count(*) AS n
