@@ -954,6 +954,61 @@ object PackAnalytics {
         .orderBy(col("user_id"))
     },
 
+    // Year-over-year growth (the BI staple): monthly revenue, each month
+    // compared to the same month a year earlier via lag(12) over the
+    // month-ordered series. The window partitions by nothing but holds
+    // only |months| aggregated rows — the heavy lifting happened in the
+    // partial+final hash aggregate below it.
+    QDef("ts_yoy_growth",
+      """WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(month AS DATE) AS month, round(rev, 2) AS rev,
+        |  round(lag(rev, 12) OVER (ORDER BY month), 2) AS rev_prior_year,
+        |  round(rev / lag(rev, 12) OVER (ORDER BY month) - 1, 6) AS yoy
+        |FROM m ORDER BY month""".stripMargin) { (s, d) =>
+      val m = Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(sum(dec(col("o_totalprice"))).cast("double").as("rev"))
+      val w = Window.orderBy(col("month"))
+      m.select(col("month").cast("date").as("month"), round(col("rev"), 2).as("rev"),
+          round(lag(col("rev"), 12).over(w), 2).as("rev_prior_year"),
+          round(col("rev") / lag(col("rev"), 12).over(w) - 1, 6).as("yoy"))
+        .orderBy(col("month"))
+    },
+
+    // Share-of-total within a hierarchy (percent-of-parent): each
+    // nation's revenue as a share of its region — the aggregate
+    // broadcast-joins its per-region total; no second scan, no window
+    // over raw rows.
+    QDef("window_share_of_total",
+      """WITH n AS (SELECT r.r_name, na.n_name,
+        |    sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revd
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation na ON c.c_nationkey = na.n_nationkey
+        |  JOIN region r ON na.n_regionkey = r.r_regionkey
+        |  GROUP BY r.r_name, na.n_name)
+        |SELECT r_name, n_name, round(CAST(revd AS DOUBLE), 2) AS rev,
+        |  round(CAST(revd AS DOUBLE)
+        |    / CAST(sum(revd) OVER (PARTITION BY r_name) AS DOUBLE), 6) AS share
+        |FROM n ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+      // the window total sums DECIMALS, not doubles: window iteration
+      // order differs between engines, and a float sum would drift by
+      // an ulp at the rounding boundary
+      val n = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(dec(col("o_totalprice"))).as("revd"))
+      n.select(col("r_name"), col("n_name"),
+          round(col("revd").cast("double"), 2).as("rev"),
+          round(col("revd").cast("double")
+            / sum(col("revd")).over(Window.partitionBy(col("r_name"))).cast("double"), 6)
+            .as("share"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
     // Winsorized mean per group (robust to heavy tails): clamp values to
     // the group's discrete p05/p95 — actual data values, so the clamp
     // boundaries are exact on both engines — then a decimal-sum mean.
