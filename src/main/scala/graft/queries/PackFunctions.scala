@@ -446,6 +446,26 @@ object PackFunctions {
         .orderBy($"event_id")
     },
 
+    // F31' — the Spark 4 VariantType path for the same shredding: one
+    // parse_json per row into the binary variant encoding, then typed
+    // variant_get extracts (the open-schema semi-structured story —
+    // shredded columnar access without a fixed schema). Values must
+    // agree exactly with the string-path JSON oracle.
+    QDef("f41_variant_get",
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select($"event_id", expr("parse_json(props)").as("v"))
+        .select($"event_id",
+          expr("variant_get(v, '$.k', 'bigint')").as("k"),
+          expr("variant_get(v, '$.k', 'string')").as("k_str"),
+          expr("variant_get(v, '$.missing', 'bigint')").as("missing"))
+        .orderBy($"event_id")
+    },
+
     // F37 — array higher-order-function surface: size / distinct / slice /
     // min / exists over token arrays, all codegen-or-HOF expressions that
     // never leave the row (no explode, no shuffle) — the cheap form of
