@@ -540,6 +540,25 @@ object PackCore {
           |FROM v_orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     },
 
+    // The same analytic through Spark 4's SQL pipe syntax — each |>
+    // stage is a self-contained transform (the SQL text reads in
+    // dataflow order, like the DataFrame API). Identical Catalyst plan,
+    // identical result; the oracle stays classic SQL.
+    QDef("sql_pipe_syntax",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderdate >= DATE '1995-01-01'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("v_orders_pipe")
+      s.sql(
+        """FROM v_orders_pipe
+          ||> WHERE o_orderdate >= DATE '1995-01-01'
+          ||> AGGREGATE count(*) AS n,
+          |     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |   GROUP BY o_orderpriority
+          ||> ORDER BY o_orderpriority""".stripMargin)
+    },
+
     // S7/S8 connector seam as a real DataSource V2 implementation
     // (graft.sources.LedgerSource): deterministic synthetic source with
     // filter pushdown (id range absorbed by the scan), partition pruning

@@ -69,4 +69,24 @@ class ExprsSpec extends AnyFunSuite {
     assert(one(Exprs.regexFilename(p, 3)) == "12345")
     assert(one(Exprs.regexFilename(lit("nope.txt"), 3)) == "")
   }
+
+  test("SQL-defined function (Spark 4 SQL UDF) matches the native money parser") {
+    // the F19 grammar as a declarative SQL scalar function: pure SQL
+    // body, fully visible to Catalyst (inlined, codegen'd) — the
+    // engine-side packaging a SQL-first team would use for the same rule
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION parse_money_sql(s STRING)
+        |RETURNS DECIMAL(12,2)
+        |RETURN CAST(replace(replace(
+        |  regexp_replace(s, '(U\\$S|US\\$|USD|ARS\\$|AR\\$|\\$)\\s*', ''),
+        |  '.', ''), ',', '.') AS DECIMAL(12,2))""".stripMargin)
+    val cases = Seq("U$S 1.234,56", "$ 999,10", "ARS$ 12,00", "1.000.000,99")
+    cases.foreach { c =>
+      val viaSql = spark.sql(s"SELECT parse_money_sql('${c.replace("$", "$")}')")
+        .head().getDecimal(0)
+      val viaExpr = spark.range(1).select(
+        Exprs.parseMoney(lit(c)).as("m")).head().getDecimal(0)
+      assert(viaSql == viaExpr, s"mismatch on '$c': sql=$viaSql expr=$viaExpr")
+    }
+  }
 }
