@@ -540,6 +540,45 @@ object PackCore {
           |FROM v_orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     },
 
+    // Bucketed sort-merge join — the co-located join: both sides written
+    // bucketed+sorted on the join key into the session catalog, so the
+    // SMJ consumes bucket files directly with ZERO exchanges (PlanSpec
+    // guards it). At 100 TB this is THE pattern for a fact-fact join
+    // that recurs on the same key: pay the partitioning once at write
+    // time, never at query time. The merge hint pins SMJ so the small-sf
+    // fixture doesn't collapse to a broadcast that would hide the
+    // bucketing story.
+    QDef("join_bucketed_smb",
+      """SELECT o.o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val tag = new java.io.File(d).getName.replace('.', '_')
+      val (to, tl) = (s"graft_smb_orders_$tag", s"graft_smb_lineitem_$tag")
+      s.sql(s"DROP TABLE IF EXISTS $to"); s.sql(s"DROP TABLE IF EXISTS $tl")
+      // external-path tables: dropping metadata leaves data files — clear
+      // the locations too so a re-run (bench executes queries repeatedly)
+      // cannot accrete duplicate rows
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(tmpBase(d) + "/smb_orders"))
+      rm(new java.io.File(tmpBase(d) + "/smb_lineitem"))
+      graft.io.Warehouse.appendBucketed(
+        Tables.orders(s, d).select($"o_orderkey", $"o_orderpriority"),
+        to, "o_orderkey", 8, Some(tmpBase(d) + s"/smb_orders"))
+      graft.io.Warehouse.appendBucketed(
+        Tables.lineitem(s, d).select($"l_orderkey", $"l_extendedprice"),
+        tl, "l_orderkey", 8, Some(tmpBase(d) + s"/smb_lineitem"))
+      s.table(to).hint("merge")
+        .join(s.table(tl), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(dec($"l_extendedprice")).cast("double").as("total"))
+        .orderBy($"o_orderpriority")
+    },
+
     // The same analytic through Spark 4's SQL pipe syntax — each |>
     // stage is a self-contained transform (the SQL text reads in
     // dataflow order, like the DataFrame API). Identical Catalyst plan,

@@ -220,4 +220,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"centroid join must broadcast:\n$p")
     assert(!p.toLowerCase.contains("cartesianproduct"))
   }
+
+  test("bucketed SMB join consumes bucket files with zero join exchanges") {
+    val p = plan("join_bucketed_smb")
+    assert(p.contains("SortMergeJoin"), s"must sort-merge over buckets:\n$p")
+    // the single hash exchange is the aggregation ABOVE the join (keyed
+    // on o_orderpriority); the join itself must read bucket files with
+    // no exchange on either input
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
+      !p.contains("Exchange hashpartitioning(o_orderkey") &&
+      !p.contains("Exchange hashpartitioning(l_orderkey"),
+      s"bucketing must eliminate the join-key exchanges:\n$p")
+    assert("Bucketed: true".r.findAllIn(p).size == 2,
+      s"both scans must read bucketed layout:\n$p")
+  }
 }
