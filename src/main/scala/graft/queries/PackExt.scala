@@ -75,6 +75,63 @@ object PackExt {
         numHashes = 16, rowsPerBand = 4, maxBucketSize = 64).orderBy(col("d1"), col("d2"))
     },
 
+    // MinHash accuracy harness (the dedup counterpart of
+    // ann_recall_eval): signature-agreement Jaccard ESTIMATE vs the
+    // exact token Jaccard for every pair in a bounded slice, with the
+    // absolute error — how you pick numHashes before trusting the LSH
+    // dial. The md5-seeded signatures are engine-reproducible, so even
+    // the estimates hash-match the oracle; est is an int/16 ratio and
+    // exact an integer ratio, both exact doubles.
+    QDef("dedup_minhash_est_eval",
+      ("""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
+        |words AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS w FROM base),
+        |sigs AS (SELECT doc_id, """ +
+        (0 until 16).map(i => s"min(md5('$i|' || w)) AS s$i").mkString(", ") +
+        """ FROM words GROUP BY doc_id),
+        |sz AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |          FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |            (""" +
+        (0 until 16).map(i => s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END").mkString(" + ") +
+        """) / 16.0 AS est
+        |          FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+        |SELECT p.d1, p.d2, round(p.est, 6) AS est,
+        |  round(COALESCE(i.c * 1.0 / (x.n + y.n - i.c), 0.0), 6) AS exact,
+        |  round(abs(p.est - COALESCE(i.c * 1.0 / (x.n + y.n - i.c), 0.0)), 6) AS abs_err
+        |FROM pairs p LEFT JOIN inter i ON p.d1 = i.d1 AND p.d2 = i.d2
+        |JOIN sz x ON p.d1 = x.doc_id JOIN sz y ON p.d2 = y.doc_id
+        |ORDER BY p.d1, p.d2""").stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d).filter(col("doc_id") < 120)
+      val words = base.select(col("doc_id"),
+        explode(TextDedup.tokens(col("text"))).as("w"))
+      val sigs = TextDedup.minhashSignatures(base, "doc_id", "text", 16).persist()
+      val a = sigs.select(col("doc_id").as("d1") +:
+        (0 until 16).map(i => col(s"s$i").as(s"a_s$i")): _*)
+      val b = sigs.select(col("doc_id").as("d2") +:
+        (0 until 16).map(i => col(s"s$i").as(s"b_s$i")): _*)
+      val agree = (0 until 16)
+        .map(i => when(col(s"a_s$i") === col(s"b_s$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val pairs = a.crossJoin(b).filter(col("d1") < col("d2"))
+        .select(col("d1"), col("d2"), (agree / lit(16.0)).as("est"))
+      val sz = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = words.select(col("doc_id").as("d1"), col("w"))
+        .join(words.select(col("doc_id").as("d2"), col("w")), Seq("w"))
+        .filter(col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
+      val exact = coalesce(col("c") * 1.0 / (col("xn") + col("yn") - col("c")), lit(0.0))
+      pairs
+        .join(inter, Seq("d1", "d2"), "left")
+        .join(broadcast(sz.select(col("doc_id").as("d1"), col("n").as("xn"))), Seq("d1"))
+        .join(broadcast(sz.select(col("doc_id").as("d2"), col("n").as("yn"))), Seq("d2"))
+        .select(col("d1"), col("d2"), round(col("est"), 6).as("est"),
+          round(exact, 6).as("exact"),
+          round(abs(col("est") - exact), 6).as("abs_err"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
     QDef("dedup_ngram_jaccard",
       """WITH base AS (SELECT doc_id, string_split(text,' ') AS l FROM documents WHERE doc_id < 200),
         |t AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, length(l)),
