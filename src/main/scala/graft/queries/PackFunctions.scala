@@ -466,6 +466,23 @@ object PackFunctions {
         .orderBy($"event_id")
     },
 
+    // F42 — explode_outer: rows whose array is EMPTY survive as a NULL
+    // element (the generator form that never silently drops parents —
+    // plain explode would lose every doc with no long token). The oracle
+    // emulates outer semantics by substituting [NULL] for empty lists.
+    QDef("f42_explode_outer",
+      """SELECT doc_id,
+        |  unnest(CASE WHEN length(f) = 0 THEN [NULL] ELSE f END) AS tok
+        |FROM (SELECT doc_id, list_filter(string_split(text,' '),
+        |        t -> length(t) > 5) AS f
+        |      FROM documents)
+        |ORDER BY doc_id, tok""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select($"doc_id",
+          explode_outer(filter(split($"text", " "), t => length(t) > 5)).as("tok"))
+        .orderBy($"doc_id", $"tok")
+    },
+
     // F37 — array higher-order-function surface: size / distinct / slice /
     // min / exists over token arrays, all codegen-or-HOF expressions that
     // never leave the row (no explode, no shuffle) — the cheap form of

@@ -81,4 +81,21 @@ class IoSpec extends AnyFunSuite {
     val lines = md.split("\n")
     assert(lines(0) == "| o_orderpriority | n |" && lines.length == 5)
   }
+
+  test("observe() collects load metrics in-flight, no second scan (K7 observability)") {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions._
+    // the production shape of the compensation-flow metrics: row count +
+    // violation count ride the write job itself instead of a separate
+    // validation scan over the same data
+    val obs = Observation("load_metrics")
+    val o = graft.schemas.Tables.orders(spark, TestSpark.sf0001)
+      .observe(obs, count(lit(1)).as("rows"),
+        sum(when(col("o_totalprice") <= 0, 1).otherwise(0)).as("bad_price"))
+    val out = java.nio.file.Files.createTempDirectory("graft_obs").toString + "/t"
+    o.write.mode("overwrite").parquet(out)
+    val m = obs.get
+    assert(m("rows") == spark.read.parquet(out).count())
+    assert(m("bad_price") == 0L)
+  }
 }
