@@ -36,7 +36,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - truncate (overwrite) publishes a manifest naming only the new
   *     files and leaves the orphaned prior files on disk — readers of the
   *     old snapshot finish their scan; [[AtomicSink.vacuum]] is the
-  *     separate physical-cleanup step.
+  *     separate physical-cleanup step;
+  *   - every commit also retains its file list as `_MANIFEST.v<n>`, so
+  *     any prior table version stays readable (`option("version", n)`)
+  *     until [[AtomicSink.expireVersions]] retires it — vacuum never
+  *     collects a file a retained version still references.
   *
   * Rows serialize as TAB-separated text (a demo of the protocol, not a
   * format — a production sink swaps the serializer, not the protocol).
@@ -54,21 +58,45 @@ class AtomicSink extends TableProvider
 }
 
 object AtomicSink {
+  private[sources] def readManifest(p: java.nio.file.Path): Seq[String] =
+    if (Files.exists(p))
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .split("\n").toSeq.filter(_.nonEmpty)
+    else Seq.empty
+
+  /** Version numbers with a retained snapshot manifest, ascending. */
+  def versions(path: String): Seq[Long] =
+    Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .flatMap(f => Option(f.getName)
+        .filter(_.startsWith("_MANIFEST.v")).map(_.drop(11).toLong))
+      .toSeq.sorted
+
   /** Physical cleanup, deliberately separate from commit: delete data
-    * files no longer named by the manifest (orphans left by truncate
-    * commits). Run it only when no reader can still hold the old
-    * snapshot. Returns the number of files removed. */
+    * files no longer named by the CURRENT manifest or any RETAINED
+    * version snapshot — time travel to a retained version stays valid
+    * across vacuums; [[expireVersions]] is what releases old snapshots'
+    * exclusive files for collection. Run it only when no reader can
+    * still hold an expired snapshot. Returns the number removed. */
   def vacuum(path: String): Int = {
-    val manifest = Paths.get(path, "_MANIFEST")
     val live: Set[String] =
-      if (Files.exists(manifest))
-        new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
-          .split("\n").toSet.filter(_.nonEmpty)
-      else Set.empty
+      (readManifest(Paths.get(path, "_MANIFEST")) ++
+        versions(path).flatMap(v =>
+          readManifest(Paths.get(path, s"_MANIFEST.v$v")))).toSet
     val orphans = Option(new File(path).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && !f.getName.startsWith("_") && !live(f.getName))
     orphans.foreach(_.delete())
     orphans.length
+  }
+
+  /** Drop all but the newest `keepLast` version snapshots. Expired
+    * versions are no longer time-travel targets, and a following
+    * [[vacuum]] collects any files only they referenced. Returns the
+    * versions expired. */
+  def expireVersions(path: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "must retain at least the current version")
+    val expired = versions(path).dropRight(keepLast)
+    expired.foreach(v => Files.deleteIfExists(Paths.get(path, s"_MANIFEST.v$v")))
+    expired
   }
 }
 
@@ -82,25 +110,33 @@ private[sources] class AtomicSinkTable(writeSchema: StructType, path: String)
       TableCapability.BATCH_READ)
 
   /** Read side of the commit protocol: the file list is captured from
-    * `_MANIFEST` exactly once, when the batch is planned — a scan sees
+    * the manifest exactly once, when the batch is planned — a scan sees
     * one committed snapshot even if appends, overwrites or vacuums land
     * mid-query. Files on disk but not in the manifest (uncommitted
     * staging, truncate orphans awaiting vacuum) are invisible. Requires
     * the caller's schema (`spark.read.schema(...)`), like any
-    * schema-on-read text format. */
+    * schema-on-read text format. Time travel: `option("version", n)`
+    * plans the scan against the retained `_MANIFEST.v<n>` snapshot
+    * (every commit writes one; [[AtomicSink.expireVersions]] retires
+    * them) instead of the current table state. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
+      private val version = Option(options.get("version")).map(_.toLong)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = writeSchema
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] = {
-            val manifest = Paths.get(path, "_MANIFEST")
-            val files: Array[String] =
-              if (Files.exists(manifest))
-                new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
-                  .split("\n").filter(_.nonEmpty)
-              else Array.empty
-            files.map(f => AtomicFilePartition(new File(path, f).getPath))
+            val manifest = version match {
+              case Some(v) =>
+                val m = Paths.get(path, s"_MANIFEST.v$v")
+                require(Files.exists(m),
+                  s"graft-atomic: version $v of $path does not exist or was expired " +
+                    s"(retained: ${AtomicSink.versions(path).mkString(",")})")
+                m
+              case None => Paths.get(path, "_MANIFEST")
+            }
+            AtomicSink.readManifest(manifest)
+              .map(f => AtomicFilePartition(new File(path, f).getPath)).toArray
           }
           override def createReaderFactory(): PartitionReaderFactory =
             AtomicReaderFactory(writeSchema)
@@ -197,14 +233,16 @@ private[sources] class AtomicBatchWrite(path: String, schema: StructType,
       Files.move(Paths.get(staging.getPath, f), dest, StandardCopyOption.ATOMIC_MOVE)
     }
     withCommitLock {
-      val prior: Seq[String] =
-        if (Files.exists(manifest))
-          new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
-            .split("\n").toSeq.filter(_.nonEmpty)
-        else Seq.empty
+      val prior = AtomicSink.readManifest(manifest)
       val published = if (truncate) files.toSeq else (prior ++ files).distinct
+      val body = published.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8)
+      // retained snapshot first (the time-travel target), then swap the
+      // current pointer — a crash between the two leaves an extra
+      // version file and an older current state, never a torn manifest
+      val nextV = AtomicSink.versions(path).lastOption.getOrElse(0L) + 1
+      Files.write(Paths.get(path, s"_MANIFEST.v$nextV"), body)
       val tmp = Files.createTempFile(staging.toPath, "_MANIFEST", ".tmp")
-      Files.write(tmp, published.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      Files.write(tmp, body)
       Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
     }

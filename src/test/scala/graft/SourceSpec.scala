@@ -101,6 +101,8 @@ class SourceSpec extends AnyFunSuite {
     val files = new java.io.File(loc).listFiles().map(_.getName).toSet
     assert(second.forall(files.contains),
       "orphaned prior files stay on disk for in-flight readers until vacuum")
+    // retained version snapshots pin the orphans; expire them first
+    graft.sources.AtomicSink.expireVersions(loc, keepLast = 1)
     val removed = graft.sources.AtomicSink.vacuum(loc)
     assert(removed == second.length, "vacuum removes exactly the orphans")
     val after = new java.io.File(loc).listFiles().map(_.getName).toSet
@@ -144,6 +146,37 @@ class SourceSpec extends AnyFunSuite {
     withNull.write.format("graft-atomic").option("path", loc2).mode("append").save()
     val back = spark.read.schema(schema).format("graft-atomic").load(loc2)
     assert(back.filter($"o_orderpriority".isNull).count() == 10)
+  }
+
+  test("atomic sink time travel: versioned snapshots readable until expired") {
+    import graft.sources.AtomicSink
+    val loc = java.nio.file.Files.createTempDirectory("graft_atomic").toString + "/t"
+    val df = graft.schemas.Tables.nation(spark, TestSpark.sf0001)
+      .select($"n_nationkey", $"n_name")
+    val schema = df.schema
+    def readV(v: Option[Long]) = {
+      val r = spark.read.schema(schema).format("graft-atomic")
+      v.fold(r)(n => r.option("version", n.toString)).load(loc)
+    }
+    df.filter($"n_nationkey" < 10).write.format("graft-atomic")
+      .option("path", loc).mode("append").save()                      // v1: 10 rows
+    df.filter($"n_nationkey" >= 10).write.format("graft-atomic")
+      .option("path", loc).mode("append").save()                      // v2: 25 rows
+    df.filter($"n_nationkey" < 5).write.format("graft-atomic")
+      .option("path", loc).mode("overwrite").save()                   // v3: 5 rows
+    assert(AtomicSink.versions(loc) == Seq(1L, 2L, 3L))
+    assert(readV(None).count() == 5)
+    assert(readV(Some(1L)).count() == 10)
+    assert(readV(Some(2L)).count() == 25)
+    // vacuum respects retained versions: v1/v2 files stay readable
+    assert(AtomicSink.vacuum(loc) == 0)
+    assert(readV(Some(2L)).count() == 25)
+    // expiring old versions releases their exclusive files to vacuum
+    assert(AtomicSink.expireVersions(loc, keepLast = 1) == Seq(1L, 2L))
+    assert(AtomicSink.vacuum(loc) > 0)
+    assert(readV(None).count() == 5, "current state untouched by vacuum")
+    val err = intercept[Exception] { readV(Some(2L)).count() }
+    assert(err.getMessage.contains("expired"), "expired version must fail loudly")
   }
 
   test("atomic sink: a failed job publishes nothing (abort cleans staging)") {
