@@ -540,6 +540,30 @@ object PackCore {
           |FROM v_orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     },
 
+    // K9 — the transactional V2 sink as a declared roundtrip: an
+    // overwrite commit then an append commit through graft-atomic
+    // (staged task files → atomic rename publish → versioned manifest
+    // swap), read back through its snapshot-isolated scan. The oracle is
+    // the plain source selection — the protocol must be invisible in the
+    // data. Abort/isolation/time-travel edges live in SourceSpec.
+    QDef("k9_sink_atomic_roundtrip",
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE o_orderkey % 4 < 2 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val loc = tmpBase(d) + "/atomic_orders"
+      def rmA(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmA))
+        f.delete(); ()
+      }
+      rmA(new java.io.File(loc))
+      val o = Tables.orders(s, d).select($"o_orderkey", $"o_orderpriority")
+      o.filter($"o_orderkey" % 4 === 0).write.format("graft-atomic")
+        .option("path", loc).mode("overwrite").save()
+      o.filter($"o_orderkey" % 4 === 1).write.format("graft-atomic")
+        .option("path", loc).mode("append").save()
+      s.read.schema(o.schema).format("graft-atomic").load(loc)
+        .orderBy($"o_orderkey")
+    },
+
     // Bucketed sort-merge join — the co-located join: both sides written
     // bucketed+sorted on the join key into the session catalog, so the
     // SMJ consumes bucket files directly with ZERO exchanges (PlanSpec
