@@ -540,6 +540,31 @@ object PackCore {
           |FROM v_orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     },
 
+    // S7' (live) — the custom DataSource V2 connector driven through its
+    // MICRO-BATCH stream inside the declared pack: rowsPerBatch
+    // admission control paces the drain, Trigger.AvailableNow runs it to
+    // completion, and the accumulated memory sink must equal the batch
+    // relation exactly — the custom-source half of the st4 live
+    // streaming story. Deterministic synthetic rows ⇒ the oracle is the
+    // same range arithmetic as s7.
+    QDef("s7_stream_custom_source",
+      """SELECT id, bucket, amount FROM (
+        |  SELECT id, CAST(id % 10 AS INTEGER) AS bucket,
+        |         CAST((id * 2654435761) % 100000 AS DOUBLE) / 100.0 AS amount
+        |  FROM range(0, 900) t(id))
+        |ORDER BY id""".stripMargin) { (s, d) =>
+      val name = s"s7_stream_run_${streamRun.incrementAndGet()}"
+      val q = s.readStream.format("graft-ledger")
+        .option("rows", 900).option("slices", 3).option("rowsPerBatch", 250).load()
+        .writeStream.format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_s7_ck").toString)
+        .start()
+      q.awaitTermination()
+      s.table(name).select($"id", $"bucket", $"amount").orderBy($"id")
+    },
+
     // K9 — the transactional V2 sink as a declared roundtrip: an
     // overwrite commit then an append commit through graft-atomic
     // (staged task files → atomic rename publish → versioned manifest
