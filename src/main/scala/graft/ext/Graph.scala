@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -18,13 +18,17 @@ object Graph {
   /** Damped PageRank over an undirected graph, `iters` fixed supersteps.
     *
     * Engine-invariant numerics: per-edge contributions are doubles
-    * rounded to 12 decimals and summed as DECIMAL(28,12) (order-free),
-    * and each new rank is re-rounded to 12 decimals — so the same graph
-    * produces bit-identical ranks on any engine, partitioning, or
-    * iteration schedule (the same quantization recipe as
-    * [[Similarity.pqCodes]]). Pass `teleport` = 1 − `damping` explicitly:
-    * computing `1.0 - 0.85` in binary doubles yields 0.15000000000000002,
-    * not the 0.15 a SQL oracle parses.
+    * quantized to 12 decimals and summed as DECIMAL(28,12) (order-free),
+    * and each new rank is re-quantized — so the same graph produces
+    * bit-identical ranks on any engine, partitioning, or iteration
+    * schedule. Quantization is `floor(x·1e12 + 0.5)/1e12`, NOT
+    * `round(x, 12)`: every operation in the floor form is an exactly-
+    * defined IEEE primitive, while decimal `round` on a double resolves
+    * near-tie bits differently across engines — at 16k nodes × 5
+    * supersteps one boundary hit is near-certain (observed at sf0.1).
+    * Pass `teleport` = 1 − `damping` explicitly: computing `1.0 - 0.85`
+    * in binary doubles yields 0.15000000000000002, not the 0.15 a SQL
+    * oracle parses.
     *
     * Undirected edges mean every connected vertex has out-degree ≥ 1, so
     * there is no dangling-mass redistribution step — the variant that
@@ -56,7 +60,9 @@ object Graph {
       withDeg.unpersist()
       return nodes.select(col("node"), lit(0.0).as("rank"))
     }
-    var ranks = nodes.select(col("node"), round(lit(1.0) / n, 12).as("rank"))
+    // exact-IEEE 12-decimal quantizer (see class doc)
+    def q12(c: Column): Column = floor(c * lit(1e12) + lit(0.5)) / lit(1e12)
+    var ranks = nodes.select(col("node"), q12(lit(1.0) / n).as("rank"))
     for (_ <- 1 to iters) {
       // ranks is node-level (orders of magnitude under the edge count) —
       // broadcast it so the edge side stays map-only and the superstep's
@@ -67,11 +73,11 @@ object Graph {
       val next = withDeg
         .join(broadcast(ranks), withDeg("src") === ranks("node"))
         .select(col("dst"),
-          round(col("rank") / col("outdeg"), 12).cast(DecimalType(28, 12)).as("c"))
+          q12(col("rank") / col("outdeg")).cast(DecimalType(28, 12)).as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
         .select(col("dst").as("node"),
-          round(lit(teleport) / n + lit(damping) * col("s").cast("double"), 12)
+          q12(lit(teleport) / n + lit(damping) * col("s").cast("double"))
             .as("rank"))
         .persist()
       next.count() // materialize before dropping the parent from cache

@@ -338,10 +338,15 @@ object PackScale {
     // so the fixed-point schedule is engine- and partitioning-invariant;
     // the oracle unrolls the same five supersteps as CTEs.
     QDef("graph_pagerank", {
+      // floor(x*1e12 + 0.5)/1e12, not round(x, 12): the floor form is
+      // all exactly-defined IEEE primitives; decimal round on a double
+      // resolves near-tie bits engine-specifically (one boundary hit
+      // observed at sf0.1)
+      def q12(x: String) = s"floor(($x) * 1e12 + 0.5) / 1e12"
       val iter = (k: Int) =>
         s"""r$k AS (SELECT e.dst AS node,
-           |  round(CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE)
-           |    * CAST(sum(CAST(round(r.rank / deg.outdeg, 12) AS DECIMAL(28,12))) AS DOUBLE), 12) AS rank
+           |  ${q12(s"""CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE)
+           |    * CAST(sum(CAST(${q12("r.rank / deg.outdeg")} AS DECIMAL(28,12))) AS DOUBLE)""")} AS rank
            |FROM e JOIN r${k - 1} r ON e.src = r.node JOIN deg ON deg.src = e.src, nn
            |GROUP BY e.dst, nn.n)""".stripMargin
       s"""WITH e0 AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
@@ -350,7 +355,7 @@ object PackScale {
          |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
          |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
          |nn AS (SELECT count(DISTINCT src) AS n FROM e),
-         |r0 AS (SELECT s.src AS node, round(CAST(1.0 AS DOUBLE) / nn.n, 12) AS rank
+         |r0 AS (SELECT s.src AS node, ${q12("CAST(1.0 AS DOUBLE) / nn.n")} AS rank
          |       FROM (SELECT DISTINCT src FROM e) s, nn),
          |${(1 to 5).map(iter).mkString(",\n")}
          |SELECT node, rank FROM r5 ORDER BY node""".stripMargin
