@@ -104,7 +104,7 @@ object Similarity {
       .join(broadcast(cent), col("pos") + 1 === col("i"))
       .select(col("vec_id"), col("label"),
         (col("pos") / lit(dims / nSub)).cast("int").as("sub"),
-        round(diff * diff, 12)
+        (floor(diff * diff * lit(1e12) + lit(0.5)) / lit(1e12))
           .cast(org.apache.spark.sql.types.DecimalType(28, 12)).as("t"))
     val dist = terms.groupBy(col("vec_id"), col("sub"), col("label"))
       .agg(sum(col("t")).as("dist"))
@@ -134,7 +134,8 @@ object Similarity {
       .join(broadcast(cent), col("pos") + 1 === col("i"))
       .select(col("qid"), col("label").as("llabel"),
         (col("pos") / lit(dims / nSub)).cast("int").as("lsub"),
-        round(diff * diff, 12).cast(DecimalType(28, 12)).as("t"))
+        (floor(diff * diff * lit(1e12) + lit(0.5)) / lit(1e12))
+          .cast(DecimalType(28, 12)).as("t"))
       .groupBy(col("qid"), col("lsub"), col("llabel"))
       .agg(sum(col("t")).as("dlut"))
     val adc = codes.join(broadcast(lut),

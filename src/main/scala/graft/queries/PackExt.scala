@@ -516,10 +516,10 @@ object PackExt {
         |n AS (SELECT count(*) AS total FROM base),
         |wt AS (SELECT doc_id, w, round(tf * ln((n.total + 1.0) / (df.df + 1.0)), 6) AS wgt
         |       FROM tf JOIN df USING (w), n),
-        |nr AS (SELECT doc_id, sum(CAST(round(wgt * wgt, 12) AS DECIMAL(28,12))) AS n2
+        |nr AS (SELECT doc_id, sum(CAST(floor(wgt * wgt * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12))) AS n2
         |       FROM wt GROUP BY doc_id),
         |dots AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
-        |           sum(CAST(round(a.wgt * b.wgt, 12) AS DECIMAL(28,12))) AS dot
+        |           sum(CAST(floor(a.wgt * b.wgt * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12))) AS dot
         |         FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
         |sims AS (SELECT d1, d2, round(CAST(dot AS DOUBLE)
         |           / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))), 6) AS sim
@@ -543,12 +543,12 @@ object PackExt {
           round(col("tf") * log((col("total") + 1.0) / (col("df") + 1.0)), 6).as("wgt"))
         .persist()
       val nr = wt.groupBy(col("doc_id"))
-        .agg(sum(round(col("wgt") * col("wgt"), 12).cast(D12)).as("n2"))
+        .agg(sum((floor(col("wgt") * col("wgt") * lit(1e12) + lit(0.5)) / lit(1e12)).cast(D12)).as("n2"))
       val a = wt.select(col("w"), col("doc_id").as("d1"), col("wgt").as("wa"))
       val b = wt.select(col("w"), col("doc_id").as("d2"), col("wgt").as("wb"))
       val dots = a.join(b, Seq("w")).filter(col("d1") < col("d2"))
         .groupBy(col("d1"), col("d2"))
-        .agg(sum(round(col("wa") * col("wb"), 12).cast(D12)).as("dot"))
+        .agg(sum((floor(col("wa") * col("wb") * lit(1e12) + lit(0.5)) / lit(1e12)).cast(D12)).as("dot"))
       val sims = dots
         .join(broadcast(nr.select(col("doc_id").as("d1"), col("n2").as("na"))), Seq("d1"))
         .join(broadcast(nr.select(col("doc_id").as("d2"), col("n2").as("nb"))), Seq("d2"))
@@ -934,8 +934,8 @@ object PackExt {
       """WITH c AS (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
         |           FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
         |d AS (SELECT e.vec_id, CAST((t.i - 1) // 8 AS INTEGER) AS sub, c.label,
-        |        sum(CAST(round((CAST(e.embedding[t.i] AS DOUBLE) - c.m)
-        |                       * (CAST(e.embedding[t.i] AS DOUBLE) - c.m), 12)
+        |        sum(CAST(floor((CAST(e.embedding[t.i] AS DOUBLE) - c.m)
+        |                       * (CAST(e.embedding[t.i] AS DOUBLE) - c.m) * 1e12 + 0.5) / 1e12
         |                 AS DECIMAL(28,12))) AS dist
         |      FROM embeddings e, range(1, 65) t(i) JOIN c ON c.i = t.i
         |      GROUP BY e.vec_id, sub, c.label),
@@ -956,8 +956,8 @@ object PackExt {
       """WITH c AS (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
         |           FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
         |cd AS (SELECT e.vec_id, CAST((t.i - 1) // 8 AS INTEGER) AS sub, c.label,
-        |         sum(CAST(round((CAST(e.embedding[t.i] AS DOUBLE) - c.m)
-        |                        * (CAST(e.embedding[t.i] AS DOUBLE) - c.m), 12)
+        |         sum(CAST(floor((CAST(e.embedding[t.i] AS DOUBLE) - c.m)
+        |                        * (CAST(e.embedding[t.i] AS DOUBLE) - c.m) * 1e12 + 0.5) / 1e12
         |                  AS DECIMAL(28,12))) AS dist
         |       FROM embeddings e, range(1, 65) t(i) JOIN c ON c.i = t.i
         |       GROUP BY e.vec_id, sub, c.label),
@@ -967,8 +967,8 @@ object PackExt {
         |             FROM cd) WHERE rn = 1),
         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
         |lut AS (SELECT q.qid, CAST((t.i - 1) // 8 AS INTEGER) AS lsub, c.label AS llabel,
-        |          sum(CAST(round((CAST(q.qe[t.i] AS DOUBLE) - c.m)
-        |                         * (CAST(q.qe[t.i] AS DOUBLE) - c.m), 12)
+        |          sum(CAST(floor((CAST(q.qe[t.i] AS DOUBLE) - c.m)
+        |                         * (CAST(q.qe[t.i] AS DOUBLE) - c.m) * 1e12 + 0.5) / 1e12
         |                   AS DECIMAL(28,12))) AS dlut
         |        FROM q, range(1, 65) t(i) JOIN c ON c.i = t.i
         |        GROUP BY q.qid, lsub, llabel),
