@@ -78,4 +78,47 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(spark.read.parquet(wh).count() == 50)
   }
+
+  test("training-corpus curation pipeline: filter→dedup→decontaminate, deterministic") {
+    // the end-to-end shape a 100 TB pretraining pipeline runs, on the
+    // fixture corpus: normalize → language/quality gates → exact dedup →
+    // near-dup removal (SimHash) → eval decontamination. Every stage is
+    // a declared-operator composition; the whole chain must be
+    // deterministic (two runs identical) and monotone (each stage only
+    // removes rows).
+    import org.apache.spark.sql.DataFrame
+    import graft.ext.{TextAnalysis, TextDedup}
+    val docs = graft.schemas.Tables.documents(spark, TestSpark.sf0001)
+    def curate(): DataFrame = {
+      val normalized = docs.select($"doc_id", $"source",
+        TextAnalysis.normalize($"text").as("text"))
+      val (_, _, predicted) = TextAnalysis.langId($"text")
+      val gated = normalized
+        .withColumn("lang_pred", predicted)
+        .withColumn("quality", TextAnalysis.qualityScore($"text"))
+        .filter($"lang_pred" === "en" && $"quality" >= 0.70)
+        .drop("lang_pred")
+      // exact dedup: keep the min doc_id per content hash
+      val keepExact = TextDedup.exact(gated, "doc_id", "text")
+        .select($"keep_id".as("doc_id"))
+      val exactDeduped = gated.join(keepExact, Seq("doc_id"), "left_semi")
+      // near-dup: drop the larger id of every close SimHash pair
+      val losers = TextDedup.simhashPairs(
+          TextDedup.simhash(exactDeduped, "doc_id", "text"), maxHamming = 8)
+        .select($"d2".as("doc_id")).distinct()
+      val nearDeduped = exactDeduped.join(losers, Seq("doc_id"), "left_anti")
+      // decontamination: drop anything sharing a 5-gram with the eval split
+      val eval = docs.filter($"doc_id" % 25 === 0)
+      val contaminated = TextDedup.contamination(
+          nearDeduped.filter($"doc_id" % 25 =!= 0), eval, "doc_id", "text", n = 5)
+        .filter($"contaminated").select($"doc_id")
+      nearDeduped.filter($"doc_id" % 25 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+    }
+    val out1 = curate().select("doc_id").as[Long].collect().sorted.toSeq
+    val out2 = curate().select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out1 == out2, "curation must be deterministic across runs")
+    assert(out1.nonEmpty && out1.size < docs.count(),
+      s"pipeline must keep a nonempty strict subset, kept ${out1.size}")
+  }
 }
