@@ -483,6 +483,46 @@ object PackFunctions {
         .orderBy($"doc_id", $"tok")
     },
 
+    // F44 — null-ordering and null-grouping semantics pinned down: NULL
+    // forms its own group, count(*) vs count(col) diverge on it, and the
+    // presentation sort places NULLs explicitly (Spark ASC defaults
+    // NULLS FIRST, DuckDB NULLS LAST — the explicit clause is the only
+    // portable spelling).
+    QDef("f44_null_semantics",
+      """SELECT nullif(event_type, 'click') AS etype,
+        |  count(*) AS n_rows, count(nullif(event_type, 'click')) AS n_nonnull,
+        |  CAST(sum(CASE WHEN nullif(event_type, 'click') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+        |FROM events GROUP BY nullif(event_type, 'click')
+        |ORDER BY etype NULLS FIRST""".stripMargin) { (s, d) =>
+      val etype = nullif($"event_type", lit("click"))
+      Tables.events(s, d)
+        .groupBy(etype.as("etype"))
+        .agg(count(lit(1)).as("n_rows"), count(etype).as("n_nonnull"),
+          sum(when(etype.isNull, 1).otherwise(0)).cast("long").as("n_null"))
+        .orderBy($"etype".asc_nulls_first)
+    },
+
+    // F45 — calendar arithmetic beyond day adds: add_months saturates at
+    // month ends, last_day, whole-day diffs, ISO week and quarter.
+    QDef("f45_date_arith",
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |  last_day(o_orderdate) AS eom,
+        |  datediff('day', DATE '1995-01-01', o_orderdate) AS days_since,
+        |  CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select($"o_orderkey", $"o_orderdate",
+          add_months($"o_orderdate", 3).as("plus3m"),
+          last_day($"o_orderdate").as("eom"),
+          datediff($"o_orderdate", lit(java.sql.Date.valueOf("1995-01-01")))
+            .as("days_since"),
+          weekofyear($"o_orderdate").as("iso_week"),
+          quarter($"o_orderdate").as("q"))
+        .orderBy($"o_orderkey")
+    },
+
     // F37 — array higher-order-function surface: size / distinct / slice /
     // min / exists over token arrays, all codegen-or-HOF expressions that
     // never leave the row (no explode, no shuffle) — the cheap form of

@@ -70,6 +70,19 @@ class ExprsSpec extends AnyFunSuite {
     assert(one(Exprs.regexFilename(lit("nope.txt"), 3)) == "")
   }
 
+  test("Spark 4 collations: case-insensitive compare and grouping") {
+    // UTF8_LCASE makes comparison/grouping case-insensitive without
+    // lower() rewrites — the collation travels with the type
+    val r = spark.sql(
+      "SELECT 'Carrefour' COLLATE UTF8_LCASE = 'CARREFOUR' AS eq").head()
+    assert(r.getBoolean(0))
+    val groups = spark.sql(
+      """SELECT count(DISTINCT c) AS n FROM VALUES
+        |('Visa'), ('VISA'), ('visa'), ('Master') AS t(s),
+        |LATERAL (SELECT s COLLATE UTF8_LCASE AS c)""".stripMargin)
+    assert(groups.head().getLong(0) == 2, "case variants collapse under UTF8_LCASE")
+  }
+
   test("SQL-defined function (Spark 4 SQL UDF) matches the native money parser") {
     // the F19 grammar as a declarative SQL scalar function: pure SQL
     // body, fully visible to Catalyst (inlined, codegen'd) — the
