@@ -43,9 +43,15 @@ object PackParsers {
     * relational testdata (header anchors + per-item category/name/amount
     * lines in both grammar forms). Shared by the declared query and the
     * generator-vs-flatMap benchmarks. */
-  def ticketTexts(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+  def ticketTexts(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    ticketTextsFiltered(s, d, lit(true))
+
+  /** [[ticketTexts]] over a ticket-key predicate (bounded slices for the
+    * SQL-generator declared query). */
+  def ticketTextsFiltered(s: SparkSession, d: String,
+                          pred: Column): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    ticketItems(s, d)
+    ticketItems(s, d).filter(pred)
       .groupBy($"l_orderkey", $"fecha_s")
       .agg(collect_list(struct($"l_linenumber", $"line")).as("lines"),
         sum($"total_dec").as("sum_dec"))
@@ -230,6 +236,47 @@ object PackParsers {
       // render and parse run fused in one mapPartitions pass
       ticketItemsParsedDs(s, d)
         .toDF()
+        .select($"nro_ticket", to_date($"fecha", "dd/MM/yyyy").as("fecha"),
+          $"categ", $"prod", $"cant", $"peso", $"p_unit", $"p_total",
+          $"total_ticket_bruto", $"total_ticket_meli")
+        .orderBy($"nro_ticket", $"prod", $"p_total", $"categ")
+    },
+
+    // U1 through the custom Catalyst Generator (graft.plans
+    // .TicketItemsGenerator) — the SQL-callable packaging of the same
+    // grammar: LATERAL VIEW graft_parse_ticket(text) explodes each
+    // rendered ticket into typed item rows inside the SQL surface, no
+    // Dataset API required. Declared on a 5% ticket slice (the full
+    // corpus already runs through the fused flatMap in u1); same
+    // render∘parse oracle restricted to the slice.
+    QDef("u3_generator_lateral",
+      s"""WITH it AS (
+         |  SELECT l.l_orderkey AS nro_ticket,
+         |    CAST(strptime(strftime(o.o_orderdate,'%d/%m/') || '20' || strftime(o.o_orderdate,'%y'), '%d/%m/%Y') AS DATE) AS fecha,
+         |    $catCase AS categ,
+         |    p.p_name AS prod,
+         |    CASE WHEN l.l_linenumber % 3 = 0 THEN 1 ELSE CAST(l.l_quantity AS BIGINT) END AS cant,
+         |    CASE WHEN l.l_linenumber % 3 = 0 THEN CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 0.5 AS DOUBLE) ELSE 0.0 END AS peso,
+         |    CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS p_unit,
+         |    CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS p_total,
+         |    CAST(l.l_extendedprice AS DECIMAL(18,2)) AS tot_dec
+         |  FROM lineitem l
+         |  JOIN part p ON l.l_partkey = p.p_partkey
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  WHERE l.l_orderkey % 20 = 0),
+         |tot AS (
+         |  SELECT nro_ticket, CAST(sum(tot_dec) AS DOUBLE) AS total_ticket_bruto,
+         |         CAST(round(sum(tot_dec) * 0.3, 2) AS DOUBLE) AS total_ticket_meli
+         |  FROM it GROUP BY nro_ticket)
+         |SELECT it.nro_ticket, it.fecha, it.categ, it.prod, it.cant, it.peso,
+         |       it.p_unit, it.p_total, tot.total_ticket_bruto, tot.total_ticket_meli
+         |FROM it JOIN tot USING (nro_ticket)
+         |ORDER BY nro_ticket, prod, p_total, categ""".stripMargin) { (s, d) =>
+      import s.implicits._
+      graft.plans.TicketItemsGenerator.register(s)
+      ticketTextsFiltered(s, d, col("l_orderkey") % 20 === 0)
+        .createOrReplaceTempView("u3_gen_texts")
+      s.sql("SELECT t.* FROM u3_gen_texts LATERAL VIEW graft_parse_ticket(text) t")
         .select($"nro_ticket", to_date($"fecha", "dd/MM/yyyy").as("fecha"),
           $"categ", $"prod", $"cant", $"peso", $"p_unit", $"p_total",
           $"total_ticket_bruto", $"total_ticket_meli")
