@@ -452,6 +452,32 @@ object PackAnalytics {
         .orderBy(col("o_orderpriority"))
     },
 
+    // The typed Dataset API surface (KeyValueGroupedDataset): groupByKey
+    // over a case-class-shaped tuple stream, reduceGroups keeping the
+    // per-user max-value event — compile-time-typed the whole way, no
+    // Row access. Same hash-partition + object-reduce plan shape as
+    // mapGroups in graft.streaming; value-equal to the arg_max oracle.
+    // Tiebreak on event_id keeps the reduce associative-deterministic.
+    QDef("typed_reduce_groups",
+      """WITH r AS (SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, value FROM r WHERE rn = 1
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._2)
+        .reduceGroups { (a, b) =>
+          // keep the larger value; equal values keep the smaller event id
+          if (a._3 > b._3 || (a._3 == b._3 && a._1 < b._1)) a else b
+        }
+        .map { case (user, (eid, _, v)) => (user, eid, v) }
+        .toDF("user_id", "event_id", "value")
+        .orderBy(col("user_id"))
+    },
+
     // Shipping-priority shape (TPC-H Q3): selective dim filter broadcast
     // against the fact join, decimal revenue aggregate, global top-10 via
     // TakeOrderedAndProject. The customer side is the only broadcast; the

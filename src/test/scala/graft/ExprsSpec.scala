@@ -70,6 +70,16 @@ class ExprsSpec extends AnyFunSuite {
     assert(one(Exprs.regexFilename(lit("nope.txt"), 3)) == "")
   }
 
+  test("typed Aggregator registered for SQL: graft_geomean callable from SQL text") {
+    spark.udf.register("graft_geomean",
+      org.apache.spark.sql.functions.udaf(graft.plans.GeoMeanAgg,
+        org.apache.spark.sql.Encoders.scalaDouble))
+    val viaSql = spark.sql(
+      """SELECT round(graft_geomean(v), 9) FROM VALUES (2.0), (8.0) AS t(v)""")
+      .head().getDouble(0)
+    assert(viaSql == 4.0, s"geomean(2,8) must be 4, got $viaSql")
+  }
+
   test("Spark 4 collations: case-insensitive compare and grouping") {
     // UTF8_LCASE makes comparison/grouping case-insensitive without
     // lower() rewrites — the collation travels with the type
