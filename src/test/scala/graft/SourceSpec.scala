@@ -179,6 +179,35 @@ class SourceSpec extends AnyFunSuite {
     assert(err.getMessage.contains("expired"), "expired version must fail loudly")
   }
 
+  test("atomic sink commit lock: stale locks break, held locks make commits wait") {
+    val loc = java.nio.file.Files.createTempDirectory("graft_atomic").toString + "/t"
+    val df = graft.schemas.Tables.region(spark, TestSpark.sf0001)
+      .select($"r_regionkey", $"r_name").repartition(2)
+    new java.io.File(loc).mkdirs()
+    val lock = new java.io.File(loc, "_COMMIT_LOCK")
+    // stale lock (crashed holder): age > 60s — the committer must break
+    // it and proceed
+    assert(lock.createNewFile())
+    assert(lock.setLastModified(System.currentTimeMillis() - 120000))
+    df.write.format("graft-atomic").option("path", loc).mode("append").save()
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(loc, "_MANIFEST")),
+      "commit must break the stale lock and publish")
+    assert(!lock.exists(), "lock released after commit")
+    // fresh lock (live holder): the committer spins until release
+    assert(lock.createNewFile())
+    @volatile var done = false
+    val t = new Thread(() => {
+      df.write.format("graft-atomic").option("path", loc).mode("append").save()
+      done = true
+    })
+    t.start()
+    Thread.sleep(1500)
+    assert(!done, "commit must wait while a fresh lock is held")
+    assert(lock.delete())
+    t.join(30000)
+    assert(done, "commit must complete once the lock is released")
+  }
+
   test("atomic sink: a failed job publishes nothing (abort cleans staging)") {
     val loc = java.nio.file.Files.createTempDirectory("graft_atomic").toString + "/t"
     val boom = udf((k: Long) =>
