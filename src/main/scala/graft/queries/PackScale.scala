@@ -330,6 +330,30 @@ object PackScale {
         .orderBy(col("c_mktsegment"))
     },
 
+    // Degree distribution of the same interaction graph — the profiling
+    // pass that sizes every downstream graph job (skew detection: a
+    // power-law tail means salting/broadcast decisions). Two aggregations
+    // over the symmetrized edge set; no joins.
+    QDef("graph_degree_distribution",
+      """WITH e0 AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+        |                   's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+        |            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |deg AS (SELECT src, count(*) AS degree FROM e GROUP BY src)
+        |SELECT degree, count(*) AS n_nodes FROM deg
+        |GROUP BY degree ORDER BY degree""".stripMargin) { (s, d) =>
+      val e0 = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("degree"))
+    },
+
     // Damped PageRank (5 supersteps) over the customer–supplier
     // interaction graph — the iterative Pregel shape (edge join +
     // dst-keyed aggregation per superstep) that powers influence and
