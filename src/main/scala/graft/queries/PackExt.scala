@@ -827,6 +827,34 @@ object PackExt {
         .orderBy(col("doc_id"))
     },
 
+    // BPE merge-candidate counting — the inner loop of tokenizer
+    // training, distributively: corpus words collapse to (word, freq)
+    // first (the classic BPE trick: pair counts weight by word
+    // frequency, so the explode runs over the VOCABULARY, not the
+    // corpus), then adjacent character pairs explode and sum. The top
+    // pair is the next merge; iterating re-runs this query over the
+    // merged symbol stream. Top 20 by count with a lexical tiebreak.
+    QDef("text_bpe_merge_candidates",
+      """WITH words AS (SELECT w, count(*) AS freq
+        |               FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+        |               WHERE w <> '' GROUP BY w),
+        |pairs AS (SELECT unnest(list_transform(range(1, length(w)),
+        |                 i -> substr(w, CAST(i AS INTEGER), 2))) AS pair, freq
+        |          FROM words WHERE length(w) >= 2)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+        |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin) { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      words.filter(length(col("w")) >= 2)
+        .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"), col("freq"))
+        .groupBy(col("pair")).agg(sum(col("freq")).cast("long").as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    },
+
     // Co-occurrence PMI (phrase mining / word-embedding pretraining):
     // token pairs within a ±2 window, pointwise mutual information from
     // exact global counts. Pair generation is the zip_with-shift trick
