@@ -980,6 +980,36 @@ object PackAnalytics {
         .orderBy(col("user_id"))
     },
 
+    // Path analysis (user journeys): the most common 3-step event-type
+    // sequences across users — each user's time-ordered stream collapses
+    // to one array (bounded by per-user history), trigram windows slide
+    // with the zip_with-shift trick, and global counts rank the paths.
+    // The product-analytics complement of the pairwise transition matrix.
+    QDef("path_top_trigrams",
+      """WITH seqs AS (SELECT user_id, list(event_type ORDER BY ts, event_id) AS l
+        |              FROM events GROUP BY user_id),
+        |paths AS (SELECT unnest(list_transform(range(1, length(l)-1),
+        |            i -> l[i] || '->' || l[i+1] || '->' || l[i+2])) AS path
+        |          FROM seqs)
+        |SELECT path, count(*) AS n FROM paths
+        |GROUP BY path ORDER BY n DESC, path LIMIT 15""".stripMargin) { (s, d) =>
+      val l = col("l")
+      val m = greatest(size(l) - 2, lit(0))
+      val tri = zip_with(
+        zip_with(slice(l, lit(1), m), slice(l, lit(2), m),
+          (a, b) => concat(a, lit("->"), b)),
+        slice(l, lit(3), m), (ab, c) => concat(ab, lit("->"), c))
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("event_type")))).as("s"))
+        .select(transform(col("s"), x => x.getField("event_type")).as("l"))
+        .select(explode(tri).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(15)
+    },
+
     // Year-over-year growth (the BI staple): monthly revenue, each month
     // compared to the same month a year earlier via lag(12) over the
     // month-ordered series. The window partitions by nothing but holds
