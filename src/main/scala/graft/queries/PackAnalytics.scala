@@ -980,6 +980,34 @@ object PackAnalytics {
         .orderBy(col("user_id"))
     },
 
+    // Last-touch attribution (the marketing-analytics staple): every
+    // purchase credits the latest preceding click of the same user (the
+    // as-of join), and attributed revenue rolls up per click with
+    // decimal sums. Purchases with no preceding click land in the NULL
+    // touch group — dropped silently by naive inner-join attributions.
+    QDef("attribution_last_touch",
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, min(event_id) AS click_id
+        |      FROM events WHERE event_type = 'click' GROUP BY user_id, CAST(ts AS TIMESTAMP)),
+        |a AS (SELECT p.user_id, p.value, c.click_id
+        |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts)
+        |SELECT user_id, click_id, count(*) AS n_purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed
+        |FROM a GROUP BY user_id, click_id
+        |ORDER BY user_id, click_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts")).agg(min(col("event_id")).as("click_id"))
+      Ops.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts")
+        .groupBy(col("user_id"), col("click_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("attributed"))
+        .orderBy(col("user_id"), col("click_id").asc_nulls_first)
+    },
+
     // Path analysis (user journeys): the most common 3-step event-type
     // sequences across users — each user's time-ordered stream collapses
     // to one array (bounded by per-user history), trigram windows slide
