@@ -980,6 +980,33 @@ object PackAnalytics {
         .orderBy(col("user_id"))
     },
 
+    // Inter-arrival statistics per user (the monitoring/engagement
+    // signal): consecutive event gaps via lag over the time-ordered
+    // stream, aggregated as exact integer milliseconds — gap sums are
+    // longs, so no float-order concerns anywhere.
+    QDef("ts_interarrival_stats",
+      """WITH g AS (SELECT user_id,
+        |    epoch_ms(CAST(ts AS TIMESTAMP)) -
+        |      lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+        |  FROM events)
+        |SELECT user_id, count(gap_ms) AS n_gaps,
+        |  CAST(max(gap_ms) AS BIGINT) AS max_gap_ms,
+        |  round(CAST(sum(gap_ms) AS DOUBLE) / count(gap_ms), 6) AS mean_gap_ms
+        |FROM g WHERE gap_ms IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"),
+          (unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w)).as("gap_ms"))
+        .filter(col("gap_ms").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(col("gap_ms")).as("n_gaps"),
+          max(col("gap_ms")).cast("long").as("max_gap_ms"),
+          round(sum(col("gap_ms")).cast("double") / count(col("gap_ms")), 6)
+            .as("mean_gap_ms"))
+        .orderBy(col("user_id"))
+    },
+
     // Last-touch attribution (the marketing-analytics staple): every
     // purchase credits the latest preceding click of the same user (the
     // as-of join), and attributed revenue rolls up per click with
