@@ -980,6 +980,23 @@ object PackAnalytics {
         .orderBy(col("user_id"))
     },
 
+    // 2-D histogram (the heatmap/feature-binning surface): quantity ×
+    // price quantized to integer cells in one aggregation — floor over a
+    // double division is exact IEEE, so cell assignment is
+    // engine-invariant. Sparse output (only occupied cells), the layout
+    // that scales to any grid.
+    QDef("agg_histogram_2d",
+      """SELECT CAST(floor(l_quantity / 10) AS INTEGER) AS qx,
+        |  CAST(floor(l_extendedprice / 20000) AS INTEGER) AS py,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY qx, py""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(floor(col("l_quantity") / 10).cast("int").as("qx"),
+          floor(col("l_extendedprice") / 20000).cast("int").as("py"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("qx"), col("py"))
+    },
+
     // Inter-arrival statistics per user (the monitoring/engagement
     // signal): consecutive event gaps via lag over the time-ordered
     // stream, aggregated as exact integer milliseconds — gap sums are
