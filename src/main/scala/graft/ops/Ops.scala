@@ -209,6 +209,30 @@ object Ops {
     }
   }
 
+  /** Equal-key band join through the custom [[graft.plans.BandJoin]]
+    * whole-operator: `l.key = r.key AND |l.t − r.t| <= delta` (delta in
+    * the time column's native long units — micros for timestamps). One
+    * co-partitioning exchange per side + in-partition sorts, then a
+    * single sliding-window sweep — no quadratic per-key pair blowup, the
+    * plan the equi-join+filter form degrades to on hot keys. */
+  def bandJoin(left: DataFrame, right: DataFrame,
+               leftKeys: Seq[String], rightKeys: Seq[String],
+               leftTime: String, rightTime: String, delta: Long): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.BandJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.BandJoinStrategy
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"no column $n in ${p.output.map(_.name).mkString(",")}"))
+    org.apache.spark.sql.GraftBridge.ofRows(spark,
+      graft.plans.BandJoin(
+        leftKeys.map(attr(lp, _)), rightKeys.map(attr(rp, _)),
+        attr(lp, leftTime), attr(rp, rightTime), delta, lp, rp))
+  }
+
   /** Insert-delta of an inner equi-join under batch arrivals on BOTH
     * sides — the incremental-view-maintenance delta rule:
     * Δ(A⋈B) = (ΔA ⋈ B_acc) ∪ (A_acc ⋈ ΔB) ∪ (ΔA ⋈ ΔB).

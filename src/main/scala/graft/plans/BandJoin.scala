@@ -1,0 +1,144 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Whole-operator Catalyst extension #2: the equal-key BAND join —
+  * `l.key = r.key AND |l.t − r.t| <= delta`.
+  *
+  * Built-in plans for this shape either post-filter an equi-join (every
+  * (l, r) pair within a key materializes before the band predicate
+  * prunes — hot keys go quadratic) or, without the equi-key, broadcast
+  * nested loops. This operator co-partitions both sides on the key and
+  * sorts each partition by (key, t) — both inserted by the planner via
+  * `requiredChildDistribution` / `requiredChildOrdering`, exactly how
+  * SortMergeJoin asks for its inputs — then streams ONE sweep per
+  * partition with a sliding window of right rows: O(n_l + n_r + matches)
+  * time and O(max rows in any delta-window) memory, no quadratic
+  * intermediate, spill-free by construction.
+  *
+  * The time axis must be long-backed (TimestampType micros or LongType);
+  * `delta` is in those units. Output = left columns ++ right columns,
+  * matches emitted in right-time order per left row.
+  */
+case class BandJoin(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    delta: Long,
+    left: LogicalPlan,
+    right: LogicalPlan) extends BinaryNode {
+  require(delta >= 0, s"delta must be non-negative, got $delta")
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): BandJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[BandJoin]] into [[BandJoinExec]]; inert on every other node. */
+object BandJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case BandJoin(lk, rk, lt, rt, d, l, r) =>
+      BandJoinExec(lk, rk, lt, rt, d, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class BandJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    delta: Long,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
+  /** Hash co-partition both sides on the key (one Exchange each at most,
+    * inserted by EnsureRequirements — same contract as SortMergeJoin). */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  /** In-partition sort by (key, t) on both sides — the planner inserts
+    * SortExec where the child ordering doesn't already satisfy it. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  private def checkTimeType(e: Expression, side: String): Unit = e.dataType match {
+    case LongType | TimestampType => ()
+    case other => throw new IllegalArgumentException(
+      s"band join $side time must be long-backed (long/timestamp), got $other")
+  }
+  checkTimeType(leftTime, "left")
+  checkTimeType(rightTime, "right")
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lk = leftKeys; val rk = rightKeys
+    val ltE = leftTime; val rtE = rightTime
+    val d = delta
+    val outRows = longMetric("numOutputRows")
+    left.execute().zipPartitions(right.execute()) { (li, ri0) =>
+      val lKeyProj = UnsafeProjection.create(lk, lOut)
+      val rKeyProj = UnsafeProjection.create(rk, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(ltE), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rtE), rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(lk.map(_.dataType))
+      val ri = ri0.buffered
+      // sliding window of right rows for the current key, ascending rt;
+      // rows leave from the head once rt < lt - delta (lt only grows
+      // within a key) and enter at the tail while rt <= lt + delta
+      val window = mutable.ArrayDeque.empty[(Long, InternalRow)]
+      var windowKey: InternalRow = null
+      val joiner = new JoinedRow
+      li.flatMap { lrow =>
+        val lkey = lKeyProj(lrow)
+        val lt = lTimeProj(lrow).getLong(0)
+        if (windowKey == null || keyOrd.compare(windowKey, lkey) != 0) {
+          window.clear()
+          windowKey = lkey.copy()
+        } else {
+          while (window.nonEmpty && window.head._1 < lt - d) { window.removeHead(); () }
+        }
+        var advance = true
+        while (advance && ri.hasNext) {
+          val rkey = rKeyProj(ri.head)
+          val cmp = keyOrd.compare(rkey, lkey)
+          if (cmp < 0) { ri.next(); () } // behind every remaining left key group
+          else if (cmp == 0) {
+            val rt = rTimeProj(ri.head).getLong(0)
+            if (rt <= lt + d) {
+              val row = ri.next()
+              // rt < lt - delta can never match this or any later left
+              // row (lt is non-decreasing within the key) — drop it
+              if (rt >= lt - d) window.append((rt, row.copy()))
+            } else advance = false // future left rows may still want it
+          } else advance = false // right iterator is at the next key group
+        }
+        outRows += window.size
+        window.iterator.map { case (_, rrow) => joiner(lrow, rrow) }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BandJoinExec =
+    copy(left = newLeft, right = newRight)
+}

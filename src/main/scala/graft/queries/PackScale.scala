@@ -330,6 +330,33 @@ object PackScale {
         .orderBy(col("c_mktsegment"))
     },
 
+    // Equal-key band join through the SECOND custom whole-operator
+    // (graft.plans.BandJoin): purchases matched to every click of the
+    // same user within ±24 hours. The built-in plan (equi-join then
+    // band filter) materializes every same-user pair before pruning —
+    // quadratic on hot users; the custom exec co-partitions, sorts, and
+    // sweeps a sliding window per partition: O(n + matches). Value-equal
+    // to the join+filter oracle; comparisons run in exact micros.
+    QDef("join_band_custom",
+      """SELECT p.event_id AS pid, c.event_id AS cid,
+        |  epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(CAST(p.ts AS TIMESTAMP)) AS dt_us
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id AND p.event_type = 'purchase'
+        |  AND c.event_type = 'click' AND p.event_id % 5 = 0
+        |  AND abs(epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(CAST(p.ts AS TIMESTAMP))) <= 86400000000
+        |ORDER BY pid, cid""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase" && col("event_id") % 5 === 0)
+        .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id").as("cuser"), col("ts").as("cts"))
+      graft.ops.Ops.bandJoin(p, c, Seq("user_id"), Seq("cuser"),
+          "pts", "cts", delta = 86400L * 1000 * 1000)
+        .select(col("pid"), col("cid"),
+          (unix_micros(col("cts")) - unix_micros(col("pts"))).as("dt_us"))
+        .orderBy(col("pid"), col("cid"))
+    },
+
     // Degree distribution of the same interaction graph — the profiling
     // pass that sizes every downstream graph job (skew detection: a
     // power-law tail means salting/broadcast decisions). Two aggregations

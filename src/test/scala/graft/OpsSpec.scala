@@ -85,6 +85,25 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Seq((1, 10L, "p1", "x"), (1, 20L, "p2", "z"), (2, 5L, "p3", null)))
   }
 
+  test("bandJoin (custom operator) equals equi-join + band filter, hot key included") {
+    // key 1 is hot (40 x 40 candidate pairs) — the custom sweep must
+    // return exactly what the quadratic form returns
+    val left = ((1 to 40).map(i => (1L, i.toLong * 10, s"l$i")) ++
+      Seq((2L, 100L, "l_a"), (3L, 5L, "l_b"))).toDF("k", "t", "lv")
+    val right = ((1 to 40).map(i => (1L, i.toLong * 10 + 3, s"r$i")) ++
+      Seq((2L, 130L, "r_a"), (4L, 5L, "r_c"))).toDF("k", "t", "rv")
+    val expected = left.join(right.withColumnsRenamed(Map("k" -> "rk", "t" -> "rt")),
+        $"k" === $"rk" && abs($"t" - $"rt") <= 25)
+      .select($"lv", $"rv").collect().toSet
+    val got = Ops.bandJoin(left, right.withColumnsRenamed(Map("k" -> "rk", "t" -> "rt")),
+        Seq("k"), Seq("rk"), "t", "rt", delta = 25)
+      .select($"lv", $"rv").collect().toSet
+    assert(got == expected && got.nonEmpty)
+    // empty band
+    assert(Ops.bandJoin(left, right.withColumnsRenamed(Map("k" -> "rk", "t" -> "rt")),
+      Seq("k"), Seq("rk"), "t", "rt", delta = 0).count() == 0)
+  }
+
   test("joinDelta folded over batch arrivals reproduces the one-shot join") {
     val a = Seq((1, "p1"), (2, "p2"), (3, "p3")).toDF("k", "av")
     val b = Seq((1, 10.0), (1, 11.0), (2, 20.0), (4, 40.0)).toDF("k", "bv")

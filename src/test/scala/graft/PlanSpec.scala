@@ -221,6 +221,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("cartesianproduct"))
   }
 
+  test("band join runs the custom sweep operator, not a join+filter") {
+    val p = plan("join_band_custom")
+    assert(p.contains("BandJoin"), s"must plan the custom operator:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"no built-in join may appear under the band query:\n$p")
+  }
+
   test("bucketed SMB join consumes bucket files with zero join exchanges") {
     val p = plan("join_bucketed_smb")
     assert(p.contains("SortMergeJoin"), s"must sort-merge over buckets:\n$p")
