@@ -210,14 +210,16 @@ object Ops {
   }
 
   /** Equal-key band join through the custom [[graft.plans.BandJoin]]
-    * whole-operator: `l.key = r.key AND |l.t − r.t| <= delta` (delta in
-    * the time column's native long units — micros for timestamps). One
+    * whole-operator: `l.key = r.key AND l.t − lo <= r.t <= l.t + hi`
+    * (bounds in the time column's native long units — micros for
+    * timestamps; one-sided windows set a bound to 0). One
     * co-partitioning exchange per side + in-partition sorts, then a
     * single sliding-window sweep — no quadratic per-key pair blowup, the
     * plan the equi-join+filter form degrades to on hot keys. */
   def bandJoin(left: DataFrame, right: DataFrame,
                leftKeys: Seq[String], rightKeys: Seq[String],
-               leftTime: String, rightTime: String, delta: Long): DataFrame = {
+               leftTime: String, rightTime: String,
+               lo: Long, hi: Long): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(graft.plans.BandJoinStrategy))
       spark.experimental.extraStrategies =
@@ -230,8 +232,14 @@ object Ops {
     org.apache.spark.sql.GraftBridge.ofRows(spark,
       graft.plans.BandJoin(
         leftKeys.map(attr(lp, _)), rightKeys.map(attr(rp, _)),
-        attr(lp, leftTime), attr(rp, rightTime), delta, lp, rp))
+        attr(lp, leftTime), attr(rp, rightTime), lo, hi, lp, rp))
   }
+
+  /** Symmetric band: `|l.t − r.t| <= delta`. */
+  def bandJoin(left: DataFrame, right: DataFrame,
+               leftKeys: Seq[String], rightKeys: Seq[String],
+               leftTime: String, rightTime: String, delta: Long): DataFrame =
+    bandJoin(left, right, leftKeys, rightKeys, leftTime, rightTime, delta, delta)
 
   /** Insert-delta of an inner equi-join under batch arrivals on BOTH
     * sides — the incremental-view-maintenance delta rule:

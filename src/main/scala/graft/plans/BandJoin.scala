@@ -11,7 +11,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Whole-operator Catalyst extension #2: the equal-key BAND join —
-  * `l.key = r.key AND |l.t − r.t| <= delta`.
+  * `l.key = r.key AND l.t − lo <= r.t AND r.t <= l.t + hi` (the
+  * symmetric `|l.t − r.t| <= delta` is lo = hi = delta; one-sided
+  * windows like "views in the hour before the purchase" set one bound
+  * to 0).
   *
   * Built-in plans for this shape either post-filter an equi-join (every
   * (l, r) pair within a key materializes before the band predicate
@@ -25,7 +28,7 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * intermediate, spill-free by construction.
   *
   * The time axis must be long-backed (TimestampType micros or LongType);
-  * `delta` is in those units. Output = left columns ++ right columns,
+  * `lo`/`hi` are in those units. Output = left columns ++ right columns,
   * matches emitted in right-time order per left row.
   */
 case class BandJoin(
@@ -33,10 +36,11 @@ case class BandJoin(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    delta: Long,
+    lo: Long,
+    hi: Long,
     left: LogicalPlan,
     right: LogicalPlan) extends BinaryNode {
-  require(delta >= 0, s"delta must be non-negative, got $delta")
+  require(lo >= 0 && hi >= 0, s"window bounds must be non-negative, got [$lo, $hi]")
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): BandJoin =
@@ -46,8 +50,8 @@ case class BandJoin(
 /** Plans [[BandJoin]] into [[BandJoinExec]]; inert on every other node. */
 object BandJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case BandJoin(lk, rk, lt, rt, d, l, r) =>
-      BandJoinExec(lk, rk, lt, rt, d, planLater(l), planLater(r)) :: Nil
+    case BandJoin(lk, rk, lt, rt, lo, hi, l, r) =>
+      BandJoinExec(lk, rk, lt, rt, lo, hi, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -57,7 +61,8 @@ case class BandJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    delta: Long,
+    lo: Long,
+    hi: Long,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -93,7 +98,7 @@ case class BandJoinExec(
     val rOut = right.output
     val lk = leftKeys; val rk = rightKeys
     val ltE = leftTime; val rtE = rightTime
-    val d = delta
+    val dLo = lo; val dHi = hi
     val outRows = longMetric("numOutputRows")
     left.execute().zipPartitions(right.execute()) { (li, ri0) =>
       val lKeyProj = UnsafeProjection.create(lk, lOut)
@@ -103,8 +108,8 @@ case class BandJoinExec(
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(lk.map(_.dataType))
       val ri = ri0.buffered
       // sliding window of right rows for the current key, ascending rt;
-      // rows leave from the head once rt < lt - delta (lt only grows
-      // within a key) and enter at the tail while rt <= lt + delta
+      // rows leave from the head once rt < lt - lo (lt only grows
+      // within a key) and enter at the tail while rt <= lt + hi
       val window = mutable.ArrayDeque.empty[(Long, InternalRow)]
       var windowKey: InternalRow = null
       val joiner = new JoinedRow
@@ -115,7 +120,7 @@ case class BandJoinExec(
           window.clear()
           windowKey = lkey.copy()
         } else {
-          while (window.nonEmpty && window.head._1 < lt - d) { window.removeHead(); () }
+          while (window.nonEmpty && window.head._1 < lt - dLo) { window.removeHead(); () }
         }
         var advance = true
         while (advance && ri.hasNext) {
@@ -124,11 +129,11 @@ case class BandJoinExec(
           if (cmp < 0) { ri.next(); () } // behind every remaining left key group
           else if (cmp == 0) {
             val rt = rTimeProj(ri.head).getLong(0)
-            if (rt <= lt + d) {
+            if (rt <= lt + dHi) {
               val row = ri.next()
-              // rt < lt - delta can never match this or any later left
+              // rt < lt - lo can never match this or any later left
               // row (lt is non-decreasing within the key) — drop it
-              if (rt >= lt - d) window.append((rt, row.copy()))
+              if (rt >= lt - dLo) window.append((rt, row.copy()))
             } else advance = false // future left rows may still want it
           } else advance = false // right iterator is at the next key group
         }

@@ -138,28 +138,28 @@ object OpsProps extends Properties("ops") {
 
   // ---- bandJoin vs quadratic reference -----------------------------------
 
-  private val bandGen: Gen[(List[(Long, Long)], List[(Long, Long)], Long)] = for {
+  private val bandGen: Gen[(List[(Long, Long)], List[(Long, Long)], Long, Long)] = for {
     nl <- Gen.choose(0, 25); nr <- Gen.choose(0, 25)
     lefts <- Gen.listOfN(nl, for {
       k <- Gen.choose(0L, 2L); t <- Gen.choose(0L, 50L) } yield (k, t))
     rights <- Gen.listOfN(nr, for {
       k <- Gen.choose(0L, 2L); t <- Gen.choose(0L, 50L) } yield (k, t))
-    d <- Gen.choose(0L, 15L)
-  } yield (lefts, rights, d)
+    lo <- Gen.choose(0L, 15L); hi <- Gen.choose(0L, 15L)
+  } yield (lefts, rights, lo, hi)
 
-  property("bandJoin == quadratic |t-t'|<=d reference on random inputs") =
-    Prop.forAll(bandGen) { case (lefts, rights, d) =>
+  property("bandJoin == quadratic [t-lo, t+hi] reference on random inputs") =
+    Prop.forAll(bandGen) { case (lefts, rights, lo, hi) =>
       import spark.implicits._
       val l = lefts.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
         .toDF("lid", "k", "t")
       val r = rights.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
         .toDF("rid", "rk", "rt")
-      val got = graft.ops.Ops.bandJoin(l, r, Seq("k"), Seq("rk"), "t", "rt", d)
+      val got = graft.ops.Ops.bandJoin(l, r, Seq("k"), Seq("rk"), "t", "rt", lo, hi)
         .select("lid", "rid").as[(Long, Long)].collect().toSet
       val expected = (for {
         ((lk, lt), li) <- lefts.zipWithIndex
         ((rk, rt), ri) <- rights.zipWithIndex
-        if lk == rk && math.abs(lt - rt) <= d
+        if lk == rk && rt >= lt - lo && rt <= lt + hi
       } yield (li.toLong, ri.toLong)).toSet
       got == expected
     }

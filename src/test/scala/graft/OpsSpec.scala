@@ -102,6 +102,15 @@ class OpsSpec extends AnyFunSuite {
     // empty band
     assert(Ops.bandJoin(left, right.withColumnsRenamed(Map("k" -> "rk", "t" -> "rt")),
       Seq("k"), Seq("rk"), "t", "rt", delta = 0).count() == 0)
+    // one-sided window: only right rows AT OR BEFORE the left time
+    val r2 = right.withColumnsRenamed(Map("k" -> "rk", "t" -> "rt"))
+    val oneSided = Ops.bandJoin(left, r2, Seq("k"), Seq("rk"), "t", "rt",
+        lo = 25, hi = 0)
+      .select($"lv", $"rv").collect().toSet
+    val oneSidedRef = left.join(r2, $"k" === $"rk" &&
+        $"rt" >= $"t" - 25 && $"rt" <= $"t")
+      .select($"lv", $"rv").collect().toSet
+    assert(oneSided == oneSidedRef && oneSided.nonEmpty)
   }
 
   test("joinDelta folded over batch arrivals reproduces the one-shot join") {
