@@ -369,12 +369,13 @@ object PackScale {
         |deg AS (SELECT src, count(*) AS degree FROM e GROUP BY src)
         |SELECT degree, count(*) AS n_nodes FROM deg
         |GROUP BY degree ORDER BY degree""".stripMargin) { (s, d) =>
+      // single distinct after symmetrization (the pre-distinct would pay
+      // a second full-fact shuffle for nothing)
       val e0 = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
         .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select(concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("s"), col("l_suppkey")).as("dst"))
-        .distinct()
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
         .groupBy(col("src")).agg(count(lit(1)).as("degree"))
         .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
@@ -411,12 +412,13 @@ object PackScale {
          |${(1 to 5).map(iter).mkString(",\n")}
          |SELECT node, rank FROM r5 ORDER BY node""".stripMargin
     }) { (s, d) =>
+      // no pre-distinct: pageRank's symmetrize step dedups anyway, and
+      // dropping it saves one full-fact shuffle before the persist
       val edges = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
         .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select(concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("s"), col("l_suppkey")).as("dst"))
-        .distinct()
       graft.ext.Graph.pageRank(edges, iters = 5)
         .orderBy(col("node"))
     }
