@@ -540,6 +540,30 @@ object PackCore {
           |FROM v_orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     },
 
+    // J10 — the NOT IN null trap, pinned down: when the subquery emits a
+    // NULL, SQL's three-valued NOT IN returns UNKNOWN for every probe row
+    // (zero results), while the anti-join keeps the rows with no match —
+    // the semantics every dedup gate in this engine relies on. Both
+    // variants in one summary so the divergence is the asserted value.
+    QDef("j10_not_in_null_trap",
+      """SELECT 'anti_join' AS variant, CAST(count(*) AS BIGINT) AS n FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM orders i
+        |                  WHERE (CASE WHEN i.o_orderkey % 2 = 0 THEN i.o_orderkey END) = o.o_orderkey)
+        |UNION ALL
+        |SELECT 'not_in', CAST(count(*) AS BIGINT) FROM orders
+        |WHERE o_orderkey NOT IN (SELECT CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey END FROM orders)
+        |ORDER BY variant""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("j10_orders")
+      s.sql(
+        """SELECT 'anti_join' AS variant, CAST(count(*) AS BIGINT) AS n FROM j10_orders o
+          |WHERE NOT EXISTS (SELECT 1 FROM j10_orders i
+          |                  WHERE (CASE WHEN i.o_orderkey % 2 = 0 THEN i.o_orderkey END) = o.o_orderkey)
+          |UNION ALL
+          |SELECT 'not_in', CAST(count(*) AS BIGINT) FROM j10_orders
+          |WHERE o_orderkey NOT IN (SELECT CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey END FROM j10_orders)
+          |ORDER BY variant""".stripMargin)
+    },
+
     // S7' (live) — the custom DataSource V2 connector driven through its
     // MICRO-BATCH stream inside the declared pack: rowsPerBatch
     // admission control paces the drain, Trigger.AvailableNow runs it to
