@@ -980,6 +980,28 @@ object PackAnalytics {
         .orderBy(col("user_id"))
     },
 
+    // Bounded trailing ROWS frame (rolling min/max over the last 7
+    // events): the frame type the RANGE-interval and unbounded-running
+    // windows don't cover — selection-only aggregates, so doubles are
+    // exact regardless of frame evaluation order.
+    QDef("window_rolling_minmax",
+      """SELECT event_id, user_id,
+        |  min(value) OVER w AS roll_min, max(value) OVER w AS roll_max,
+        |  count(*) OVER w AS n_in_frame
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-6, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          min(col("value")).over(w).as("roll_min"),
+          max(col("value")).over(w).as("roll_max"),
+          count(lit(1)).over(w).as("n_in_frame"))
+        .orderBy(col("event_id"))
+    },
+
     // 2-D histogram (the heatmap/feature-binning surface): quantity ×
     // price quantized to integer cells in one aggregation — floor over a
     // double division is exact IEEE, so cell assignment is
