@@ -827,6 +827,27 @@ object PackExt {
         .orderBy(col("doc_id"))
     },
 
+    // Corpus length profile in power-of-two buckets (the pretraining
+    // sanity dashboard: truncation rates, packing efficiency, outlier
+    // docs all read off this). floor(ln(n)/ln(2)) is computed from
+    // identical doubles on both engines, so bucket edges agree even
+    // where the quotient sits a ulp off an integer.
+    QDef("text_length_profile",
+      """WITH t AS (SELECT length(string_split(text, ' ')) AS n_tokens FROM documents)
+        |SELECT CAST(floor(ln(n_tokens) / ln(2)) AS INTEGER) AS log2_bucket,
+        |  count(*) AS n_docs,
+        |  CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+        |  CAST(max(n_tokens) AS BIGINT) AS max_tokens
+        |FROM t GROUP BY 1 ORDER BY log2_bucket""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .groupBy(floor(log(col("n_tokens")) / log(lit(2.0))).cast("int").as("log2_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tokens")).cast("long").as("min_tokens"),
+          max(col("n_tokens")).cast("long").as("max_tokens"))
+        .orderBy(col("log2_bucket"))
+    },
+
     // BPE merge-candidate counting — the inner loop of tokenizer
     // training, distributively: corpus words collapse to (word, freq)
     // first (the classic BPE trick: pair counts weight by word
