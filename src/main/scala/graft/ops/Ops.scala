@@ -118,7 +118,11 @@ object Ops {
     * only extra cost over backward-only is a second in-partition sort.
     * No per-row range probe, no self-join — linear at any key
     * cardinality. Appends the matched right time's distance as
-    * `dt_ms` (NULL when the key has no right rows at all). */
+    * `dt_ms` (NULL when the key has no right rows at all). Timestamp
+    * axes compare distances at FULL microsecond resolution (Spark
+    * timestamps carry µs; a millisecond compare could pick the farther
+    * match on sub-ms gaps); `dt_ms` is then the µs distance floor-divided
+    * by 1000. Non-timestamp axes compare and report raw axis units. */
   def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
                   leftTime: String, rightTime: String): DataFrame = {
     val payload = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
@@ -151,20 +155,21 @@ object Ops {
     val carried = payload.foldLeft(
         withB.withColumn("__ft", first(col("__rt"), ignoreNulls = true).over(wF)))(
         (df, c) => df.withColumn(s"__f_$c", first(col(c), ignoreNulls = true).over(wF)))
-    // distance on the time axis: epoch millis for timestamps, the raw
-    // numeric difference otherwise
-    val ms: Column => Column =
-      if (left.schema(leftTime).dataType == org.apache.spark.sql.types.TimestampType)
-        unix_millis _
-      else _.cast("long")
-    val bDist = ms(col("__t")) - ms(col("__bt"))
-    val fDist = ms(col("__ft")) - ms(col("__t"))
+    // distance on the time axis: full-resolution epoch micros for
+    // timestamps (ms truncation could pick the farther match when gaps
+    // differ only below 1 ms), the raw numeric difference otherwise
+    val isTs = left.schema(leftTime).dataType ==
+      org.apache.spark.sql.types.TimestampType
+    val axis: Column => Column = if (isTs) unix_micros _ else _.cast("long")
+    val bDist = axis(col("__t")) - axis(col("__bt"))
+    val fDist = axis(col("__ft")) - axis(col("__t"))
     val takeBack = col("__ft").isNull || (col("__bt").isNotNull && bDist <= fDist)
     val chosen = payload.map(c =>
       when(takeBack, col(s"__b_$c")).otherwise(col(s"__f_$c")).as(c))
+    val dist = when(takeBack, bDist).otherwise(fDist)
+    val dtMs = if (isTs) floor(dist / lit(1000L)).cast("long") else dist
     carried.filter(col("__tag") === 1)
-      .select(leftCols.map(col) ++ chosen :+
-        when(takeBack, bDist).otherwise(fDist).as("dt_ms"): _*)
+      .select(leftCols.map(col) ++ chosen :+ dtMs.as("dt_ms"): _*)
   }
 
   /** Skew-salted inner equi-join: when a handful of hot keys would

@@ -106,6 +106,10 @@ case class BandJoinExec(
       val lTimeProj = UnsafeProjection.create(Seq(ltE), lOut)
       val rTimeProj = UnsafeProjection.create(Seq(rtE), rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(lk.map(_.dataType))
+      // Physical operators must emit UnsafeRow (parents like SortExec /
+      // the shuffle serializer cast or serialize directly) — project every
+      // JoinedRow through a result projection, as SortMergeJoinExec does.
+      val resultProj = UnsafeProjection.create(lOut ++ rOut, lOut ++ rOut)
       val ri = ri0.buffered
       // sliding window of right rows for the current key, ascending rt;
       // rows leave from the head once rt < lt - lo (lt only grows
@@ -115,30 +119,38 @@ case class BandJoinExec(
       val joiner = new JoinedRow
       li.flatMap { lrow =>
         val lkey = lKeyProj(lrow)
-        val lt = lTimeProj(lrow).getLong(0)
-        if (windowKey == null || keyOrd.compare(windowKey, lkey) != 0) {
-          window.clear()
-          windowKey = lkey.copy()
-        } else {
-          while (window.nonEmpty && window.head._1 < lt - dLo) { window.removeHead(); () }
+        // SQL equi-join semantics: a NULL in any key column never matches
+        // (natural ordering would compare null == null) — same skip as SMJ.
+        if (lkey.anyNull) Iterator.empty
+        else {
+          val lt = lTimeProj(lrow).getLong(0)
+          if (windowKey == null || keyOrd.compare(windowKey, lkey) != 0) {
+            window.clear()
+            windowKey = lkey.copy()
+          } else {
+            while (window.nonEmpty && window.head._1 < lt - dLo) { window.removeHead(); () }
+          }
+          var advance = true
+          while (advance && ri.hasNext) {
+            val rkey = rKeyProj(ri.head)
+            if (rkey.anyNull) { ri.next(); () } // null keys never join
+            else {
+              val cmp = keyOrd.compare(rkey, lkey)
+              if (cmp < 0) { ri.next(); () } // behind every remaining left key group
+              else if (cmp == 0) {
+                val rt = rTimeProj(ri.head).getLong(0)
+                if (rt <= lt + dHi) {
+                  val row = ri.next()
+                  // rt < lt - lo can never match this or any later left
+                  // row (lt is non-decreasing within the key) — drop it
+                  if (rt >= lt - dLo) window.append((rt, row.copy()))
+                } else advance = false // future left rows may still want it
+              } else advance = false // right iterator is at the next key group
+            }
+          }
+          outRows += window.size
+          window.iterator.map { case (_, rrow) => resultProj(joiner(lrow, rrow)) }
         }
-        var advance = true
-        while (advance && ri.hasNext) {
-          val rkey = rKeyProj(ri.head)
-          val cmp = keyOrd.compare(rkey, lkey)
-          if (cmp < 0) { ri.next(); () } // behind every remaining left key group
-          else if (cmp == 0) {
-            val rt = rTimeProj(ri.head).getLong(0)
-            if (rt <= lt + dHi) {
-              val row = ri.next()
-              // rt < lt - lo can never match this or any later left
-              // row (lt is non-decreasing within the key) — drop it
-              if (rt >= lt - dLo) window.append((rt, row.copy()))
-            } else advance = false // future left rows may still want it
-          } else advance = false // right iterator is at the next key group
-        }
-        outRows += window.size
-        window.iterator.map { case (_, rrow) => joiner(lrow, rrow) }
       }
     }
   }

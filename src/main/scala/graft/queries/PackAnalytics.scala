@@ -124,10 +124,11 @@ object PackAnalytics {
         |f AS (SELECT l.event_id, r.ts AS fts, r.signup_id AS fid
         |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts)
         |SELECT b.event_id, b.user_id,
-        |  CASE WHEN fts IS NULL OR (bts IS NOT NULL AND epoch_ms(b.ts) - epoch_ms(bts) <= epoch_ms(fts) - epoch_ms(b.ts))
+        |  CASE WHEN fts IS NULL OR (bts IS NOT NULL AND epoch_us(b.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(b.ts))
         |       THEN bid ELSE fid END AS signup_id,
-        |  CASE WHEN fts IS NULL OR (bts IS NOT NULL AND epoch_ms(b.ts) - epoch_ms(bts) <= epoch_ms(fts) - epoch_ms(b.ts))
-        |       THEN epoch_ms(b.ts) - epoch_ms(bts) ELSE epoch_ms(fts) - epoch_ms(b.ts) END AS dt_ms
+        |  CASE WHEN fts IS NULL OR (bts IS NOT NULL AND epoch_us(b.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(b.ts))
+        |       THEN (epoch_us(b.ts) - epoch_us(bts)) // 1000
+        |       ELSE (epoch_us(fts) - epoch_us(b.ts)) // 1000 END AS dt_ms
         |FROM b JOIN f USING (event_id)
         |ORDER BY event_id""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d)
@@ -764,7 +765,7 @@ object PackAnalytics {
         |i AS (SELECT user_id, island, min(s) AS st, max(f) AS fin
         |      FROM g GROUP BY user_id, island)
         |SELECT user_id, count(*) AS n_islands,
-        |       sum(epoch_us(fin) - epoch_us(st)) AS covered_us
+        |       CAST(sum(epoch_us(fin) - epoch_us(st)) AS BIGINT) AS covered_us
         |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
       Tables.events(s, d)

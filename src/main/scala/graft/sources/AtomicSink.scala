@@ -240,7 +240,10 @@ private[sources] class AtomicBatchWrite(path: String, schema: StructType,
       // current pointer — a crash between the two leaves an extra
       // version file and an older current state, never a torn manifest
       val nextV = AtomicSink.versions(path).lastOption.getOrElse(0L) + 1
-      Files.write(Paths.get(path, s"_MANIFEST.v$nextV"), body)
+      val vTmp = Files.createTempFile(staging.toPath, "_MANIFEST.v", ".tmp")
+      Files.write(vTmp, body)
+      Files.move(vTmp, Paths.get(path, s"_MANIFEST.v$nextV"),
+        StandardCopyOption.ATOMIC_MOVE)
       val tmp = Files.createTempFile(staging.toPath, "_MANIFEST", ".tmp")
       Files.write(tmp, body)
       Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,

@@ -113,6 +113,20 @@ class OpsSpec extends AnyFunSuite {
     assert(oneSided == oneSidedRef && oneSided.nonEmpty)
   }
 
+  test("bandJoin emits UnsafeRows bare and NULL keys never match") {
+    val left = Seq((Option(1L), 10L, "l1"), (Option.empty[Long], 10L, "lnull"),
+      (Option(2L), 5L, "l2")).toDF("k", "t", "lv")
+    val right = Seq((Option(1L), 12L, "r1"), (Option.empty[Long], 10L, "rnull"),
+      (Option(2L), 50L, "r2")).toDF("rk", "rt", "rv")
+    // No projection on top: executeCollect serializes the operator's own
+    // output rows, which therefore must be UnsafeRow (ADVICE r4).
+    val rows = Ops.bandJoin(left, right, Seq("k"), Seq("rk"), "t", "rt", delta = 25)
+      .collect()
+    // null == null would pair (lnull, rnull) under natural ordering; SQL
+    // equi-join semantics say NULL keys match nothing (ADVICE r4).
+    assert(rows.map(r => (r.getString(2), r.getString(5))).toSet == Set(("l1", "r1")))
+  }
+
   test("joinDelta folded over batch arrivals reproduces the one-shot join") {
     val a = Seq((1, "p1"), (2, "p2"), (3, "p3")).toDF("k", "av")
     val b = Seq((1, 10.0), (1, 11.0), (2, 20.0), (4, 40.0)).toDF("k", "bv")

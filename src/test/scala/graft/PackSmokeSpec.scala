@@ -27,6 +27,50 @@ class PackSmokeSpec extends AnyFunSuite {
     }
   }
 
+  // Driver-hash hazard: DuckDB widens sum(INTEGER/BIGINT) to HUGEINT while
+  // Spark stays int64; the typed-cell hash then diverges even when values
+  // are equal (bit window_islands in r4). Any oracle sum aliased to a column
+  // the Spark plan types as integer must be CAST(... AS BIGINT).
+  test("pack invariant: integer-typed oracle sum() aliases are CAST-wrapped") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val sumStart = "(?i)\\bsum\\s*\\(".r
+    def uncastIntegerSums(sql: String, intCols: Set[String]): Seq[String] =
+      sumStart.findAllMatchIn(sql).flatMap { m =>
+        // Only the final (paren-depth-0) SELECT list types the output;
+        // CTE-internal sums are fine when the outer query re-casts them.
+        val before = sql.take(m.start)
+        val depth0 = before.count(_ == '(') == before.count(_ == ')')
+        val open = sql.indexOf('(', m.start)
+        var depth = 0; var j = open; var end = -1
+        while (j < sql.length && end < 0) {
+          sql(j) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) end = j
+            case _ =>
+          }
+          j += 1
+        }
+        if (!depth0 || end < 0) None
+        else {
+          val wrapped = before.toLowerCase.replaceAll("\\s+$", "").endsWith("cast(")
+          val alias = "(?is)^\\s+as\\s+([a-z_][a-z0-9_]*)".r
+            .findFirstMatchIn(sql.substring(end + 1)).map(_.group(1).toLowerCase)
+          alias.filter(a => !wrapped && intCols(a))
+        }
+      }.toSeq
+    val offenders = Pack.all
+      .filter(q => q.oracle.exists(o => sumStart.findFirstIn(o).isDefined))
+      .flatMap { q =>
+        val intCols = q.fn(spark, TestSpark.sf0001).schema.fields.collect {
+          case f if f.dataType == LongType || f.dataType == IntegerType =>
+            f.name.toLowerCase
+        }.toSet
+        uncastIntegerSums(q.oracle.get, intCols).map(a => s"${q.name}.$a")
+      }
+    assert(offenders.isEmpty,
+      s"uncast integer sum() -> DuckDB HUGEINT hash divergence: ${offenders.mkString(", ")}")
+  }
+
   Pack.all.foreach { q =>
     test(s"${q.name} returns rows at sf0.001") {
       assert(q.fn(spark, TestSpark.sf0001).count() > 0, q.name)
