@@ -15,6 +15,20 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Graph {
 
+  /** Node count above which the per-superstep rank table is joined with a
+    * shuffle instead of a broadcast (conf `graft.graph.rankBroadcastMaxNodes`).
+    * A rank row is ~24 serialized bytes, so the 4M default caps the
+    * broadcast near 100 MB — the same code path is then the plan at any
+    * scale, degrading to a shuffled join instead of OOMing the driver. */
+  val RankBroadcastMaxNodesKey = "graft.graph.rankBroadcastMaxNodes"
+  private val RankBroadcastMaxNodesDefault = 4000000L
+
+  // The returned ranks stay persisted (callers consume them lazily), but
+  // repeated runs in one session (bench re-executions, profile sweeps) must
+  // not accumulate cached RDDs — each run evicts the previous run's result.
+  private val lastRanks =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   /** Damped PageRank over an undirected graph, `iters` fixed supersteps.
     *
     * Engine-invariant numerics: per-edge contributions are doubles
@@ -37,6 +51,7 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
                teleport: Double = 0.15): DataFrame = {
+    Option(lastRanks.getAndSet(null)).foreach(_.unpersist())
     // materialize the input once: both symmetrization branches read it,
     // and an expensive upstream edge derivation (a fact-table join) must
     // not run twice
@@ -63,28 +78,43 @@ object Graph {
     // exact-IEEE 12-decimal quantizer (see class doc)
     def q12(c: Column): Column = floor(c * lit(1e12) + lit(0.5)) / lit(1e12)
     var ranks = nodes.select(col("node"), q12(lit(1.0) / n).as("rank"))
+    val maxBcastNodes = edges.sparkSession.conf
+      .get(RankBroadcastMaxNodesKey, RankBroadcastMaxNodesDefault.toString).toLong
     for (_ <- 1 to iters) {
-      // ranks is node-level (orders of magnitude under the edge count) —
-      // broadcast it so the edge side stays map-only and the superstep's
-      // single exchange is the dst-keyed contribution aggregation, the
-      // irreducible Pregel shuffle. For graphs whose NODE set outgrows a
-      // broadcast, drop the hint: the cached hash(src) partitioning then
-      // carries the shuffled-join path with one small-side exchange.
-      val next = withDeg
-        .join(broadcast(ranks), withDeg("src") === ranks("node"))
-        .select(col("dst"),
-          q12(col("rank") / col("outdeg")).cast(DecimalType(28, 12)).as("c"))
-        .groupBy(col("dst"))
-        .agg(sum(col("c")).as("s"))
-        .select(col("dst").as("node"),
-          q12(lit(teleport) / n + lit(damping) * col("s").cast("double"))
-            .as("rank"))
+      val next = superstep(withDeg, ranks, n, damping, teleport, maxBcastNodes)
         .persist()
       next.count() // materialize before dropping the parent from cache
       ranks.unpersist()
       ranks = next
     }
     withDeg.unpersist()
+    lastRanks.set(ranks)
     ranks
+  }
+
+  /** One Pregel superstep: contribution join + dst-keyed aggregation.
+    *
+    * Ranks are node-level (orders of magnitude under the edge count) —
+    * broadcast them so the edge side stays map-only and the superstep's
+    * single exchange is the dst-keyed contribution aggregation, the
+    * irreducible Pregel shuffle. The choice is SIZE-GATED on the node
+    * count: past [[RankBroadcastMaxNodesKey]] the hint is dropped and the
+    * cached hash(src) partitioning carries a shuffled join with one
+    * small-side exchange — same code, 100×-scale plan. Package-private so
+    * the plan regression suite can pin the flip. */
+  private[graft] def superstep(withDeg: DataFrame, ranks: DataFrame, n: Long,
+                               damping: Double, teleport: Double,
+                               maxBcastNodes: Long): DataFrame = {
+    def q12(c: Column): Column = floor(c * lit(1e12) + lit(0.5)) / lit(1e12)
+    val rankSide = if (n <= maxBcastNodes) broadcast(ranks) else ranks
+    withDeg
+      .join(rankSide, withDeg("src") === ranks("node"))
+      .select(col("dst"),
+        q12(col("rank") / col("outdeg")).cast(DecimalType(28, 12)).as("c"))
+      .groupBy(col("dst"))
+      .agg(sum(col("c")).as("s"))
+      .select(col("dst").as("node"),
+        q12(lit(teleport) / n + lit(damping) * col("s").cast("double"))
+          .as("rank"))
   }
 }

@@ -84,9 +84,9 @@ object TextDedup {
     // the bucket-size guard); persist it or the whole signature pipeline
     // — explode, 16 string-min aggregates, shuffle — runs three times.
     // docs × numBands rows: small at any corpus size.
-    val bands = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-      .persist()
+    val bands = BoundedCache.persist("TextDedup.lshCandidatePairs.bands",
+      sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey")))
     val ok = bands.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("bn")).filter(col("bn") <= maxBucketSize)
       .select(col("band"), col("bkey"))
@@ -214,7 +214,7 @@ object TextDedup {
     // uncached: it is a cheap narrow explode over the cached signatures,
     // and leaving it transparent lets the optimizer plan the self-join
     // from undistorted per-side statistics.
-    val cached = sigs.persist()
+    val cached = BoundedCache.persist("TextDedup.simhashBandPairs.sigs", sigs)
     val banded = cached.select(col("doc_id"), col("simhash"),
       explode(array(bands: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
@@ -234,7 +234,7 @@ object TextDedup {
   /** Hamming-distance pairs over SimHash signatures. Persists the
     * signature frame — both sides of the self-join reference it. */
   def simhashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
-    val cached = sigs.persist()
+    val cached = BoundedCache.persist("TextDedup.simhashPairs.sigs", sigs)
     val a = cached.select(col("doc_id").as("d1"), col("simhash").as("s1"))
     val b = cached.select(col("doc_id").as("d2"), col("simhash").as("s2"))
     a.crossJoin(b).filter(col("d1") < col("d2"))

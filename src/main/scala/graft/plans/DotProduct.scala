@@ -68,8 +68,14 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 object DotProduct {
   /** Register `graft_dot` in the session function registry (makes the
     * expression usable from Column programs via call_function and from
-    * SQL text). Idempotent. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    * SQL text). Truly idempotent: a no-op when already registered, so
+    * repeated query runs don't log `replaced a previously registered
+    * function` on every execution. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")))
+      reg.createOrReplaceTempFunction(
+        "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  }
 }

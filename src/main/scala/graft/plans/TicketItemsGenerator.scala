@@ -44,8 +44,14 @@ case class TicketItemsGenerator(child: Expression)
 }
 
 object TicketItemsGenerator {
-  /** Register `graft_parse_ticket` for LATERAL VIEW use (idempotent). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_parse_ticket", exprs => TicketItemsGenerator(exprs.head), "built-in")
+  /** Register `graft_parse_ticket` for LATERAL VIEW use. Truly
+    * idempotent: a no-op when already registered, so repeated query runs
+    * don't log `replaced a previously registered function`. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_parse_ticket")))
+      reg.createOrReplaceTempFunction(
+        "graft_parse_ticket", exprs => TicketItemsGenerator(exprs.head), "built-in")
+  }
 }

@@ -318,6 +318,120 @@ object PackCore {
         .orderBy($"window_start", $"event_type")
     },
 
+    // ST5 (live) — file-ARRIVAL trigger with checkpointed incrementality:
+    // two staged arrivals, two AvailableNow runs sharing one checkpoint
+    // (webhook-staging semantics, SURVEY §2.10 / main.tf:820-832). The
+    // second run must process ONLY the new files — re-ingestion would
+    // double the per-user counts and fail the oracle exactly.
+    QDef("st5_trigger_file_arrival",
+      """SELECT user_id, count(*) AS n FROM events
+        |WHERE event_id % 97 = 0 GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val run = streamRun.incrementAndGet()
+      val in = java.nio.file.Files.createTempDirectory(s"graft_st5_in$run").toString
+      val wh = java.nio.file.Files.createTempDirectory(s"graft_st5_wh$run").toString + "/t"
+      val err = java.nio.file.Files.createTempDirectory(s"graft_st5_err$run").toString + "/e"
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_st5_ck$run").toString
+      val base = Tables.events(s, d).filter($"event_id" % 97 === 0)
+        .select($"event_id", $"user_id", $"event_type")
+      stageArrival(in, base.filter($"event_id" % 2 === 0), "b1")
+      val sch = StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType)))
+      graft.streaming.StreamingOps.runToWarehouse(
+        graft.streaming.StreamingOps.fileSource(s, in, sch), wh, err, ckpt)
+        .awaitTermination()
+      // second arrival: the shared checkpoint makes this run incremental
+      stageArrival(in, base.filter($"event_id" % 2 =!= 0), "b2")
+      graft.streaming.StreamingOps.runToWarehouse(
+        graft.streaming.StreamingOps.fileSource(s, in, sch), wh, err, ckpt)
+        .awaitTermination()
+      s.read.parquet(wh).groupBy($"user_id")
+        .agg(count(lit(1)).as("n")).orderBy($"user_id")
+    },
+
+    // ST6/K7 (live) — compensation flow: a batch whose warehouse write
+    // fails lands in the error side-table with its batch id and error
+    // class, and the query still completes (Step-Functions Catch →
+    // compensation, compensation_flow/lambda_function.py:22-31). Rows-only:
+    // the error detail string is environment-shaped.
+    QDef.rowsOnly("st6_compensation_error_table") { (s, d) =>
+      val run = streamRun.incrementAndGet()
+      val in = java.nio.file.Files.createTempDirectory(s"graft_st6_in$run").toString
+      val err = java.nio.file.Files.createTempDirectory(s"graft_st6_err$run").toString + "/e"
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_st6_ck$run").toString
+      stageArrival(in, Tables.events(s, d).filter($"event_id" % 997 === 0)
+        .select($"event_id", $"user_id", $"event_type"), "b1")
+      val sch = StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType)))
+      // /proc is unwritable → foreachBatch catch routes the batch to err
+      graft.streaming.StreamingOps.runToWarehouse(
+        graft.streaming.StreamingOps.fileSource(s, in, sch),
+        "/proc/graft_forbidden_wh", err, ckpt)
+        .awaitTermination()
+      s.read.parquet(err).groupBy($"batch_id", $"error_class")
+        .agg(count(lit(1)).as("n")).orderBy($"batch_id")
+    },
+
+    // K4 (live) — DDL bootstrap + catalog roundtrip: CREATE TABLE ...
+    // USING parquet, idempotent IF NOT EXISTS re-issue (the reference
+    // re-runs its DDL every batch, extract_data_bank_pay:60-81), INSERT
+    // through the catalog name, read back through the catalog name.
+    QDef("k4_sink_ddl_create",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      val run = streamRun.incrementAndGet()
+      val tbl = s"k4_ddl_run_$run"
+      val loc = java.nio.file.Files.createTempDirectory(s"graft_k4_$run").toString + "/t"
+      val ddl = s"""CREATE TABLE IF NOT EXISTS $tbl
+                   |  (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)
+                   |USING parquet LOCATION '$loc'""".stripMargin
+      s.sql(ddl)
+      s.sql(ddl) // idempotent re-issue
+      Tables.nation(s, d).select($"n_nationkey", $"n_name", $"n_regionkey")
+        .createOrReplaceTempView(s"${tbl}_src")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM ${tbl}_src")
+      s.table(tbl).orderBy($"n_nationkey")
+    },
+
+    // K6 (live) — processed-file lifecycle: the archiving file source
+    // moves consumed files aside (raw/ → processed/ discipline,
+    // transform_data_mp:18-36). The source archives a batch's files when a
+    // LATER batch commits, so the query runs two arrival rounds over one
+    // checkpoint — the second run's batch archives the first round's
+    // files. Rows-only: the ingested row count is the gate, the archive
+    // listing is reported beside it.
+    QDef.rowsOnly("k6_sink_archive_move") { (s, d) =>
+      val run = streamRun.incrementAndGet()
+      val in = java.nio.file.Files.createTempDirectory(s"graft_k6_in$run").toString
+      val arch = java.nio.file.Files.createTempDirectory(s"graft_k6_ar$run").toString
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_k6_ck$run").toString
+      val wh = java.nio.file.Files.createTempDirectory(s"graft_k6_wh$run").toString + "/t"
+      val err = java.nio.file.Files.createTempDirectory(s"graft_k6_er$run").toString + "/e"
+      val base = Tables.events(s, d).filter($"event_id" % 997 === 0)
+        .select($"event_id", $"user_id", $"event_type")
+      val sch = StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType)))
+      // parquet foreachBatch sink: the memory sink cannot recover from a
+      // checkpoint, and the second (recovering) run is what archives
+      def drain(): Unit = graft.streaming.StreamingOps.runToWarehouse(
+        graft.streaming.StreamingOps.fileSourceArchiving(s, in, sch, arch),
+        wh, err, ckpt).awaitTermination()
+      stageArrival(in, base.filter($"event_id" % 2 === 0), "b1")
+      drain()
+      stageArrival(in, base.filter($"event_id" % 2 =!= 0), "b2")
+      drain() // commits batch 0 → archives the b1 files
+      def archived(): Int = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        walk(new java.io.File(arch))
+      }
+      val deadline = System.currentTimeMillis() + 10000
+      while (archived() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      s.read.parquet(wh).agg(count(lit(1)).as("n_rows"),
+        lit(archived()).as("n_archived"))
+    },
+
     // ---------------------------------------------------------------- scans
 
     // S1/F1 — listing scan with suffix + size>0 filter
@@ -693,6 +807,19 @@ object PackCore {
   // memory-sink table names must be unique per execution (bench re-runs
   // each query in one session)
   private val streamRun = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Write `df` as parquet files directly inside `dir` — one arrival
+    * batch per call (the streaming file source lists only the top level,
+    * so nested write directories would be invisible). */
+  private def stageArrival(dir: String, df: DataFrame, part: String): Unit = {
+    val staging = java.nio.file.Files.createTempDirectory("graft_stage").toString
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(dir, s"${part}_$i.parquet")); ()
+      }
+  }
 
   // sugar for $"col" inside this object
   private implicit class Str(val sc: StringContext) {

@@ -23,6 +23,20 @@ object PackExt {
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
+  /** Train-once IVF coarse quantizer: centroids are computed one time per
+    * corpus and persisted as a Warehouse parquet table; every IVF query
+    * (single- and multi-probe) serves from the stored table instead of
+    * re-deriving it per run — the production shape (r4 VERDICT #9). The
+    * table content is deterministic (6dp-rounded per-bucket means), so a
+    * pre-existing table from an earlier run is simply read back. */
+  private def persistedCentroids(s: SparkSession, sfDir: String) = synchronized {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_${new java.io.File(sfDir).getName}/ivf_centroids"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      Similarity.centroids(Tables.embeddings(s, sfDir), "label")
+        .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
   /** SimHash signature CTE (shared by the two simhash queries). */
   private def simhashCte(pred: String): String =
     s"""words AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS w
@@ -106,7 +120,8 @@ object PackExt {
       val base = Tables.documents(s, d).filter(col("doc_id") < 120)
       val words = base.select(col("doc_id"),
         explode(TextDedup.tokens(col("text"))).as("w"))
-      val sigs = TextDedup.minhashSignatures(base, "doc_id", "text", 16).persist()
+      val sigs = graft.ext.BoundedCache.persist("pack.minhash_est_eval.sigs",
+        TextDedup.minhashSignatures(base, "doc_id", "text", 16))
       val a = sigs.select(col("doc_id").as("d1") +:
         (0 until 16).map(i => col(s"s$i").as(s"a_s$i")): _*)
       val b = sigs.select(col("doc_id").as("d2") +:
@@ -222,16 +237,32 @@ object PackExt {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // Single-probe IVF served from the PERSISTED coarse quantizer: the
+    // query's bucket is the argmax-dot stored centroid (nprobe=1), not a
+    // given assignment — the production shape: train once (Warehouse
+    // table), serve every query from the stored table. The label-bucket
+    // assignment-given form remains as Similarity.ivfTopK (ground-truth
+    // harness, ann_recall_eval).
     QDef("ann_ivf_topk",
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qb FROM embeddings WHERE vec_id < 20),
+      s"""WITH cents AS (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean
+         |               FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+         |cvec AS (SELECT label AS pb, list(mean ORDER BY i) AS cv FROM cents GROUP BY label),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+         |qs AS (SELECT qid, pb, row_number() OVER (PARTITION BY qid ORDER BY
+         |         round(list_reduce(list_transform(range(1, 65),
+         |           i -> CAST(qe[i] AS DOUBLE) * cv[i]), (a,b) -> a+b), 6) DESC, pb) AS pr
+         |       FROM q, cvec),
+         |probe AS (SELECT qid, pb FROM qs WHERE pr <= 1),
          |c AS (SELECT q.qid, e.vec_id AS nid, round(${cosSql("q.qe", "e.embedding")}, 6) AS cos
-         |      FROM q JOIN embeddings e ON e.label = q.qb AND e.vec_id <> q.qid),
+         |      FROM q JOIN probe USING (qid)
+         |      JOIN embeddings e ON e.label = probe.pb AND e.vec_id <> q.qid),
          |r AS (SELECT qid, nid, cos,
          |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
          |      FROM c)
          |SELECT qid, nid, cos, rank FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), "label", 3)
+      Similarity.ivfMultiProbeTopK(e, e.filter(col("vec_id") < 20),
+          persistedCentroids(s, d), "label", k = 3, nprobe = 1)
         .orderBy(col("qid"), col("rank"))
     },
 
@@ -239,6 +270,8 @@ object PackExt {
     // the exact rerank — the recall/cost dial between single-probe IVF
     // and brute force. Probe selection ranks 6dp-rounded centroid dots
     // (reproducible cross-engine), candidates stay a bucket equi-join.
+    // Centroids come from the SAME persisted Warehouse table as
+    // ann_ivf_topk (train once, reuse).
     QDef("ann_ivf_multiprobe",
       s"""WITH cents AS (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean
          |               FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
@@ -257,7 +290,8 @@ object PackExt {
          |      FROM c)
          |SELECT qid, nid, cos, rank FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
-      Similarity.ivfMultiProbeTopK(e, e.filter(col("vec_id") < 20), "label", k = 3, nprobe = 2)
+      Similarity.ivfMultiProbeTopK(e, e.filter(col("vec_id") < 20),
+          persistedCentroids(s, d), "label", k = 3, nprobe = 2)
         .orderBy(col("qid"), col("rank"))
     },
 
@@ -538,10 +572,10 @@ object PackExt {
       val n = base.agg(count(lit(1)).as("total"))
       // weights feed both join sides AND the norms — persist, same
       // reasoning as the simhash/LSH self-join pipelines
-      val wt = tf.join(broadcast(dfr), Seq("w")).crossJoin(broadcast(n))
-        .select(col("doc_id"), col("w"),
-          round(col("tf") * log((col("total") + 1.0) / (col("df") + 1.0)), 6).as("wgt"))
-        .persist()
+      val wt = graft.ext.BoundedCache.persist("pack.tfidf_sim_topk.wt",
+        tf.join(broadcast(dfr), Seq("w")).crossJoin(broadcast(n))
+          .select(col("doc_id"), col("w"),
+            round(col("tf") * log((col("total") + 1.0) / (col("df") + 1.0)), 6).as("wgt")))
       val nr = wt.groupBy(col("doc_id"))
         .agg(sum((floor(col("wgt") * col("wgt") * lit(1e12) + lit(0.5)) / lit(1e12)).cast(D12)).as("n2"))
       val a = wt.select(col("w"), col("doc_id").as("d1"), col("wgt").as("wa"))

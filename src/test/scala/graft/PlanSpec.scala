@@ -228,6 +228,67 @@ class PlanSpec extends AnyFunSuite {
       s"no built-in join may appear under the band query:\n$p")
   }
 
+  test("pageRank superstep broadcast is size-gated by node count") {
+    import spark.implicits._
+    val withDeg = Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "outdeg")
+    val ranks = Seq((1L, 0.5), (2L, 0.5)).toDF("node", "rank")
+    // disable size-estimate auto-broadcast so only the explicit hint decides
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val under = graft.ext.Graph
+        .superstep(withDeg, ranks, n = 2, 0.85, 0.15, maxBcastNodes = 10)
+        .queryExecution.executedPlan.toString
+      assert(under.contains("BroadcastHashJoin"),
+        s"under the gate the rank side must broadcast:\n$under")
+      val over = graft.ext.Graph
+        .superstep(withDeg, ranks, n = 2, 0.85, 0.15, maxBcastNodes = 1)
+        .queryExecution.executedPlan.toString
+      assert(!over.contains("BroadcastHashJoin"),
+        s"past the gate the join must degrade to a shuffled join:\n$over")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  /** Total shuffle exchanges across EVERY execution a query triggers
+    * (iterative queries run many sub-jobs; the returned frame's plan alone
+    * hides them). Counted by tree walk — reused exchanges and cache reads
+    * are free (GraftBridge.countShuffleExchanges). */
+  private def shuffleExchangesAcross(name: String): Int = {
+    val total = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit = {
+        total.addAndGet(
+          org.apache.spark.sql.GraftBridge.countShuffleExchanges(qe.executedPlan)); ()
+      }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      Pack.byName(name).fn(spark, TestSpark.sf0001).count()
+      org.apache.spark.sql.GraftBridge.waitListenerBusEmpty(spark)
+    } finally spark.listenerManager.unregister(l)
+    total.get
+  }
+
+  // Exchange-count budgets for the heavy queries: a future edit that
+  // silently adds a shuffle (an extra groupBy+join, a lost broadcast)
+  // blows the ceiling. Pinned to the measured counts at sf0.001 — the
+  // tree-walk count is deterministic for a fixed fixture and iteration
+  // schedule (pagerank: 3 setup + 1 per superstep × 5).
+  for ((name, budget) <- Seq(
+      "graph_pagerank" -> 8,
+      "dedup_cluster_cc" -> 12,
+      "text_tfidf_sim_topk" -> 8,
+      "ann_pq_adc_topk" -> 8)) {
+    test(s"$name stays within its shuffle-exchange budget ($budget)") {
+      val got = shuffleExchangesAcross(name)
+      assert(got <= budget, s"$name now triggers $got shuffle exchanges " +
+        s"(budget $budget) — a new shuffle crept into the pipeline")
+    }
+  }
+
   test("bucketed SMB join consumes bucket files with zero join exchanges") {
     val p = plan("join_bucketed_smb")
     assert(p.contains("SortMergeJoin"), s"must sort-merge over buckets:\n$p")
