@@ -22,12 +22,19 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // two timed runs, min-of reported: single runs on a shared box swing
-    // several-fold from GC/IO noise
+    // several-fold from GC/IO noise. Iterative queries (many small jobs
+    // per run) are scheduler-bound and swing hardest under driver
+    // contention — those get a third run (driver-vs-local spread was
+    // >2x on them with min-of-2; NOTES round 4).
+    val iterative = Set("graph_pagerank", "graph_degree_distribution",
+      "dedup_cluster_cc", "dedup_cluster_summary",
+      "agg_incremental_join_maintenance", "agg_incremental_maintenance")
     val results = ordered.map { case (name, fn) =>
       // settle the heap between queries so one query's garbage (exploded
       // token streams, dropped broadcasts) can't tax its successors' timings
       System.gc()
-      val times = (1 to 2).map { _ =>
+      val runs = if (iterative(name)) 3 else 2
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9

@@ -121,20 +121,33 @@ object TextDedup {
 
   /** 63-bit SimHash (bits 0..62 keep the value in a signed BIGINT):
     * bit b of md5(token)'s leading 16 hex chars, majority-voted across the
-    * doc's tokens, packed with shiftleft. Engine-portable bit grammar. */
-  def simhash(df: DataFrame, id: String, text: String): DataFrame = {
-    val bitsRange = df.sparkSession.range(63).select(col("id").as("b"))
-    df.select(col(id).as("doc_id"), explode(tokens(col(text))).as("w"))
-      .crossJoin(broadcast(bitsRange))
-      .withColumn("v", expr(
-        "CAST(conv(substring(md5(w), CAST(b div 4 AS INT) + 1, 1), 16, 10) AS BIGINT)"))
-      .withColumn("bit", expr("shiftright(v, CAST(3 - b % 4 AS INT)) & 1"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg((sum(col("bit")) * 2 >= count(lit(1))).cast("int").as("mbit"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("mbit") === 1, expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
-        .otherwise(0L)).as("simhash"))
-  }
+    * doc's tokens, packed with shiftleft. Engine-portable bit grammar.
+    *
+    * ROW-LOCAL shape: per-bit counts are an array fold over the doc's
+    * token hashes (md5 computed once per token), so the whole signature
+    * is map-only — no explode, no shuffle at any corpus size. The earlier
+    * tokens×63-bits explode paid two shuffled aggregations over a
+    * 63×-inflated row stream (measured ~6 s vs ~1.3 s for the full
+    * sf0.1 corpus; identical integer math, bit-exact vs the oracle). */
+  def simhash(df: DataFrame, id: String, text: String): DataFrame =
+    // counting AND packing live in ONE aggregate (finish lambda): a
+    // separate packing projection would let CollapseProject inline the
+    // whole token fold into the per-bit lambda — 63× re-evaluation
+    // (measured 179 s vs 1.5 s on the sf0.1 corpus).
+    df.select(col(id).as("doc_id"), tokens(col(text)).as("__w"))
+      .select(col("doc_id"), expr(
+        """aggregate(
+          |  transform(__w, w -> substring(md5(w), 1, 16)),
+          |  array_repeat(CAST(0 AS BIGINT), 63),
+          |  (acc, h) -> zip_with(acc,
+          |    transform(sequence(0, 62), b -> CAST(
+          |      shiftright(CAST(conv(substring(h, CAST(b div 4 AS INT) + 1, 1), 16, 10) AS BIGINT),
+          |                 CAST(3 - b % 4 AS INT)) & 1 AS BIGINT)),
+          |    (a, bit) -> a + bit),
+          |  cnt -> aggregate(sequence(0, 62), CAST(0 AS BIGINT),
+          |    (acc, b) -> acc + CASE WHEN 2 * element_at(cnt, b + 1) >= size(__w)
+          |      THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END))""".stripMargin)
+        .as("simhash"))
 
   /** Connected components over an undirected near-dup pair graph —
     * the clustering pass that turns pairwise candidates (LSH / SimHash /
@@ -214,7 +227,12 @@ object TextDedup {
     // uncached: it is a cheap narrow explode over the cached signatures,
     // and leaving it transparent lets the optimizer plan the self-join
     // from undistorted per-side statistics.
-    val cached = BoundedCache.persist("TextDedup.simhashBandPairs.sigs", sigs)
+    // spread the signature cache across the cluster before persisting:
+    // map-only signatures inherit the INPUT's split count (often one file
+    // at fixture scale), and a 1-partition cache starves every downstream
+    // stage that fans out of it. One narrow exchange of (id, 64-bit) rows.
+    val cached = BoundedCache.persist("TextDedup.simhashBandPairs.sigs",
+      sigs.repartition(col("doc_id")))
     val banded = cached.select(col("doc_id"), col("simhash"),
       explode(array(bands: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
@@ -234,7 +252,8 @@ object TextDedup {
   /** Hamming-distance pairs over SimHash signatures. Persists the
     * signature frame — both sides of the self-join reference it. */
   def simhashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
-    val cached = BoundedCache.persist("TextDedup.simhashPairs.sigs", sigs)
+    val cached = BoundedCache.persist("TextDedup.simhashPairs.sigs",
+      sigs.repartition(col("doc_id")))
     val a = cached.select(col("doc_id").as("d1"), col("simhash").as("s1"))
     val b = cached.select(col("doc_id").as("d2"), col("simhash").as("s2"))
     a.crossJoin(b).filter(col("d1") < col("d2"))
