@@ -34,6 +34,39 @@ object TextAnalysis {
       + lit(0.2) * least(lit(1.0), n / 50.0), 6)
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1), each
+    * surfaced as its own flag so downstream filters can mix and match:
+    * word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    * alphabetic-word fraction, and a minimum stop-word count. Entirely
+    * row-local (array folds over the token list — no explode, no
+    * shuffle); integer/boolean outputs plus exact integer-ratio doubles,
+    * so the flags are engine-invariant. Returns the flag columns in
+    * order: (n_words, mean_word_len, alpha_frac, n_stopwords,
+    * f_word_count, f_mean_len, f_symbol, f_alpha, f_stopwords, pass). */
+  def gopherQualityFlags(text: Column): Seq[Column] = {
+    val toks = split(text, " ")
+    val n = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, w) => acc + length(w).cast("long"))
+    val meanLen = sumLen.cast("double") / n.cast("double")
+    val nAlpha = size(filter(toks, w => w.rlike("[a-z]"))).cast("long")
+    val alphaFrac = nAlpha.cast("double") / n.cast("double")
+    val nSym = size(filter(toks, w => w.rlike("[#…]"))).cast("long")
+    val stopwords = array(Seq("the", "be", "to", "of", "and", "that",
+      "have", "with", "a", "in").map(lit): _*)
+    val nStop = aggregate(stopwords, lit(0L), (acc, sw) =>
+      acc + when(array_contains(toks, sw), 1L).otherwise(0L))
+    val fWords = n >= 50 && n <= 100000
+    val fMean = meanLen >= 3.0 && meanLen <= 10.0
+    val fSym = nSym.cast("double") / n.cast("double") < 0.1
+    val fAlpha = alphaFrac >= 0.8
+    val fStop = nStop >= 2
+    Seq(n.as("n_words"), round(meanLen, 6).as("mean_word_len"),
+      round(alphaFrac, 6).as("alpha_frac"), nStop.as("n_stopwords"),
+      fWords.as("f_word_count"), fMean.as("f_mean_len"), fSym.as("f_symbol"),
+      fAlpha.as("f_alpha"), fStop.as("f_stopwords"),
+      (fWords && fMean && fSym && fAlpha && fStop).as("quality_pass"))
+  }
+
   /** Token counts: whitespace tokens, regex word tokens, and a bytes/4
     * BPE-style token estimate. */
   def tokenCounts(text: Column): (Column, Column, Column) = (

@@ -39,6 +39,63 @@ object TextDedup {
     }
   }
 
+  /** Positional n-gram shingles: element i (0-based) is the gram starting
+    * at token position i — NOT deduplicated, span-level dedup needs every
+    * occurrence with its position. Same fold-of-zip_with build as
+    * [[shingles]]. */
+  def positionalShingles(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    val m = greatest(size(words) - (n - 1), lit(0))
+    (2 to n).foldLeft(slice(words, lit(1), m)) { (acc, k) =>
+      zip_with(acc, slice(words, lit(k), m), (a, b) => concat(a, lit(" "), b))
+    }
+  }
+
+  /** Exact-substring (span-level) deduplication — the RefinedWeb /
+    * MassiveText stage that EDITS documents instead of dropping them:
+    * any token span covered by an n-gram occurring at least `minCount`
+    * times corpus-wide (including repeats within one document) is
+    * removed, and the remaining tokens are stitched back in order.
+    * Returns (id, n_tokens, n_kept, dup_frac, cleaned_md5) — the cleaned
+    * text is fingerprinted so oracle comparison stays row-shaped.
+    *
+    * Scale shape: one positional-gram explode + ONE gram-keyed window
+    * count (no self-join — the classic join-back form pays a second
+    * gram shuffle), covered positions from a bounded explode (n rows per
+    * duplicate gram), and the rebuild is a doc-keyed sort-free
+    * aggregation (array_sort over (pos, token) structs, partition-local).
+    * Everything is keyed by gram or doc id — hash-partitionable at any
+    * corpus size; hot grams are exactly the duplicate mass being
+    * removed, bounded by the corpus' duplication rate. */
+  def exactSubstringDedup(docs: DataFrame, id: String, text: String,
+                          n: Int, minCount: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(id),
+      posexplode(split(col(text), " ")).as(Seq("pos", "w")))
+    val grams = docs.select(col(id),
+      posexplode(positionalShingles(col(text), n)).as(Seq("gpos", "gram")))
+    val dupStarts = grams
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .filter(col("df") >= minCount)
+      .select(col(id), col("gpos"))
+    val covered = dupStarts
+      .select(col(id), explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq(id, "pos"), "left_anti")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ")).as("cleaned_md5"))
+    docs.select(col(id), size(split(col(text), " ")).cast("long").as("n_tokens"))
+      .join(kept, Seq(id), "left")
+      .select(col(id), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        round(lit(1.0) - coalesce(col("n_kept"), lit(0L)) / col("n_tokens"), 6)
+          .as("dup_frac"),
+        coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+  }
+
   /** Exact dedup: group by full-content hash, keep min id
     * (the reference's content-hash idempotence, transform_data_pdf:9-10). */
   def exact(df: DataFrame, id: String, text: String): DataFrame =

@@ -407,6 +407,37 @@ object PackExt {
         .orderBy(col("doc_id"))
     },
 
+    // Gopher document-quality rules (Rae et al. 2021 §A1.1) as individual
+    // flags + the combined gate — entirely row-local array folds, no
+    // shuffle; integer ratios keep every flag engine-invariant.
+    QDef("text_gopher_quality",
+      """SELECT doc_id,
+        |  CAST(length(l) AS BIGINT) AS n_words,
+        |  round(CAST(list_sum(list_transform(l, w -> length(w))) AS DOUBLE) / length(l), 6) AS mean_word_len,
+        |  round(CAST(length(list_filter(l, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / length(l), 6) AS alpha_frac,
+        |  CAST(list_sum(list_transform(['the','be','to','of','and','that','have','with','a','in'],
+        |    sw -> CASE WHEN list_contains(l, sw) THEN 1 ELSE 0 END)) AS BIGINT) AS n_stopwords,
+        |  length(l) >= 50 AND length(l) <= 100000 AS f_word_count,
+        |  CAST(list_sum(list_transform(l, w -> length(w))) AS DOUBLE) / length(l) >= 3.0
+        |    AND CAST(list_sum(list_transform(l, w -> length(w))) AS DOUBLE) / length(l) <= 10.0 AS f_mean_len,
+        |  CAST(length(list_filter(l, w -> regexp_matches(w, '[#…]'))) AS DOUBLE) / length(l) < 0.1 AS f_symbol,
+        |  CAST(length(list_filter(l, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / length(l) >= 0.8 AS f_alpha,
+        |  CAST(list_sum(list_transform(['the','be','to','of','and','that','have','with','a','in'],
+        |    sw -> CASE WHEN list_contains(l, sw) THEN 1 ELSE 0 END)) AS BIGINT) >= 2 AS f_stopwords,
+        |  (length(l) >= 50 AND length(l) <= 100000)
+        |    AND (CAST(list_sum(list_transform(l, w -> length(w))) AS DOUBLE) / length(l) >= 3.0
+        |         AND CAST(list_sum(list_transform(l, w -> length(w))) AS DOUBLE) / length(l) <= 10.0)
+        |    AND (CAST(length(list_filter(l, w -> regexp_matches(w, '[#…]'))) AS DOUBLE) / length(l) < 0.1)
+        |    AND (CAST(length(list_filter(l, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / length(l) >= 0.8)
+        |    AND (CAST(list_sum(list_transform(['the','be','to','of','and','that','have','with','a','in'],
+        |         sw -> CASE WHEN list_contains(l, sw) THEN 1 ELSE 0 END)) AS BIGINT) >= 2) AS quality_pass
+        |FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id") +: TextAnalysis.gopherQualityFlags(col("text")): _*)
+        .orderBy(col("doc_id"))
+    },
+
     QDef("text_token_count",
       """SELECT doc_id,
         |  CAST(length(string_split(text,' ')) AS BIGINT) AS ws_tokens,
@@ -1203,6 +1234,37 @@ object PackExt {
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       TextDedup.duplicateShingleFraction(Tables.documents(s, d),
           "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    },
+
+    // Exact-substring (span-level) dedup — the RefinedWeb/MassiveText
+    // stage that EDITS documents: token spans covered by a corpus-
+    // duplicate 5-gram are removed and the survivors re-stitched in
+    // order; the cleaned text is md5-fingerprinted for the compare.
+    // One gram window + bounded cover explode + doc-keyed rebuild — no
+    // self-join anywhere (see TextDedup.exactSubstringDedup).
+    QDef("dedup_exact_substring",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(range(1, greatest(length(l) - 3, 1))) - 1 AS gpos,
+        |        unnest(list_transform(range(1, greatest(length(l) - 3, 1)), i -> array_to_string(l[i:i+4], ' '))) AS gram
+        |      FROM t),
+        |w AS (SELECT doc_id, gpos, count(*) OVER (PARTITION BY gram) AS df FROM g),
+        |cov AS (SELECT DISTINCT doc_id, gpos + o AS pos FROM w, range(5) s(o) WHERE df >= 2),
+        |toks AS (SELECT doc_id, unnest(range(1, length(l) + 1)) - 1 AS pos, unnest(l) AS w FROM t),
+        |kept AS (SELECT k.doc_id, k.pos, k.w FROM toks k
+        |         WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.doc_id = k.doc_id AND c.pos = k.pos)),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |               md5(array_to_string(list(w ORDER BY pos), ' ')) AS cleaned_md5
+        |        FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(length(t.l) AS BIGINT) AS n_tokens,
+        |       COALESCE(a.n_kept, 0) AS n_kept,
+        |       round(1.0 - COALESCE(a.n_kept, 0) / length(t.l), 6) AS dup_frac,
+        |       COALESCE(a.cleaned_md5, md5('')) AS cleaned_md5
+        |FROM t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextDedup.exactSubstringDedup(Tables.documents(s, d), "doc_id", "text",
+          n = 5, minCount = 2)
         .orderBy(col("doc_id"))
     }
   )

@@ -242,4 +242,44 @@ class ExtSpec extends AnyFunSuite {
     assert(r(1L) == ((1L, 4L, 3L, 0.75)))
     assert(r(2L) == ((2L, 4L, 0L, 0.0)))
   }
+
+  test("exactSubstringDedup removes duplicated spans, keeps unique tokens in order") {
+    // docs 0/1 share the 6-token prefix "a b c d e f": its 5-gram starts
+    // (pos 0 and 1) cover positions 0..5 in both docs; the distinct tails
+    // survive in order. doc 2 has no corpus-duplicate 5-gram.
+    val corpus = Seq(
+      (0L, "a b c d e f tail zero stays here"),
+      (1L, "a b c d e f other ending words kept"),
+      (2L, "entirely different document with unique words")
+    ).toDF("doc_id", "text")
+    val r = TextDedup.exactSubstringDedup(corpus, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long, Double, String)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r(0L)._2 == 10L && r(0L)._3 == 4L && r(0L)._4 == 0.6)
+    assert(r(1L)._3 == 4L)
+    assert(r(2L) == ((2L, 6L, 6L, 0.0,
+      TestSpark.spark.range(1).select(md5(lit("entirely different document with unique words")))
+        .as[String].head())))
+    // order preserved: cleaned doc 0 is exactly the tail
+    assert(r(0L)._5 == TestSpark.spark.range(1)
+      .select(md5(lit("tail zero stays here"))).as[String].head())
+    // a fully-duplicated doc cleans to the empty string
+    val dup = Seq((0L, "x y z w v"), (1L, "x y z w v")).toDF("doc_id", "text")
+    val d = TextDedup.exactSubstringDedup(dup, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long, Double, String)].collect().map(t => t._1 -> t).toMap
+    assert(d(0L)._3 == 0L && d(0L)._4 == 1.0)
+  }
+
+  test("gopher quality flags: word-count gate and stopword gate discriminate") {
+    val corpus = Seq(
+      (0L, ("the and of " + Seq.fill(60)("word").mkString(" "))), // 63 words, stopwords
+      (1L, "short doc without enough words")                      // fails word count + stopwords
+    ).toDF("doc_id", "text")
+    val r = corpus.select(col("doc_id") +:
+        graft.ext.TextAnalysis.gopherQualityFlags(col("text")): _*)
+      .select("doc_id", "n_words", "f_word_count", "f_stopwords", "quality_pass")
+      .as[(Long, Long, Boolean, Boolean, Boolean)].collect().map(t => t._1 -> t).toMap
+    assert(r(0L) == ((0L, 63L, true, true, true)))
+    assert(r(1L)._3 == false && r(1L)._4 == false && r(1L)._5 == false)
+  }
 }
