@@ -318,6 +318,26 @@ object PackExt {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // Matryoshka-truncated retrieval (Kusupati et al. 2022): rank on the
+    // embedding PREFIX (first 16 of 64 dims) — the memory/latency dial a
+    // production index tunes before falling back to full-dim rerank.
+    // Same brute top-k plan over 4× narrower vectors; prefix slicing is
+    // row-local (slice(), no shuffle).
+    QDef("ann_matryoshka_topk",
+      s"""WITH m AS (SELECT vec_id, embedding[1:16] AS te FROM embeddings),
+         |q AS (SELECT vec_id AS qid, te AS qe FROM m WHERE vec_id < 20),
+         |c AS (SELECT q.qid, m.vec_id AS nid, round(${cosSql("q.qe", "m.te")}, 6) AS cos
+         |      FROM q, m WHERE m.vec_id <> q.qid),
+         |r AS (SELECT qid, nid, cos,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
+         |      FROM c)
+         |SELECT qid, nid, cos, rank FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .withColumn("embedding", slice(col("embedding"), 1, 16))
+      Similarity.bruteTopK(e, e.filter(col("vec_id") < 20), 3)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // embedding near-dup detection = top-1 neighbor + threshold flag
     QDef("dedup_embed_cosine",
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 100),
@@ -1235,6 +1255,32 @@ object PackExt {
       TextDedup.duplicateShingleFraction(Tables.documents(s, d),
           "doc_id", "text", n = 3)
         .orderBy(col("doc_id"))
+    },
+
+    // Token-budget curation: per source, admit docs in doc_id order while
+    // the running token total stays within budget — the mixture
+    // construction step when targets are TOKENS, not documents (domain
+    // weights land as per-source budgets). One window cumsum per source
+    // + a filter; integer math end to end, no self-join.
+    QDef("mixture_token_budget",
+      """WITH d AS (SELECT source, doc_id, length(string_split(text,' ')) AS toks FROM documents),
+        |c AS (SELECT source, doc_id, toks,
+        |        sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(toks) AS BIGINT) AS n_tokens
+        |FROM c WHERE cum <= 2000 GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .withColumn("cum", sum(col("toks")).over(w))
+        .filter(col("cum") <= 2000)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).cast("long").as("n_tokens"))
+        .orderBy(col("source"))
     },
 
     // Exact-substring (span-level) dedup — the RefinedWeb/MassiveText
