@@ -80,12 +80,28 @@ object Graph {
     var ranks = nodes.select(col("node"), q12(lit(1.0) / n).as("rank"))
     val maxBcastNodes = edges.sparkSession.conf
       .get(RankBroadcastMaxNodesKey, RankBroadcastMaxNodesDefault.toString).toLong
-    for (_ <- 1 to iters) {
+    // Materialize every SECOND superstep: ranks feed exactly one
+    // consumer (the next contribution join), so chaining two supersteps
+    // into one plan evaluates each exactly once — half the actions and
+    // half the cache churn for the same lineage bound. Local wall-clock
+    // is neutral (measured); the win is fewer scheduler round-trips per
+    // run under driver contention, where the iterative queries showed a
+    // >2x driver-vs-local spread. (Contrast CC, where the propagated
+    // frame feeds BOTH a union and a join branch and an unmaterialized
+    // superstep would be evaluated twice.)
+    var lastMat = ranks // most recently PERSISTED frame (init frame is not)
+    var sinceMat = 0
+    for (i <- 1 to iters) {
       val next = superstep(withDeg, ranks, n, damping, teleport, maxBcastNodes)
-        .persist()
-      next.count() // materialize before dropping the parent from cache
-      ranks.unpersist()
-      ranks = next
+      sinceMat += 1
+      if (sinceMat == 2 || i == iters) {
+        val mat = next.persist()
+        mat.count() // materialize before dropping the parent from cache
+        lastMat.unpersist()
+        lastMat = mat
+        ranks = mat
+        sinceMat = 0
+      } else ranks = next
     }
     withDeg.unpersist()
     lastRanks.set(ranks)

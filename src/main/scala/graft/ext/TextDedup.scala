@@ -137,17 +137,21 @@ object TextDedup {
       val bandSigs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"s$i"))
       struct(lit(b).as("band"), md5(concat(bandSigs: _*)).as("bkey"))
     }
-    // the band frame is referenced three times below (both join sides +
-    // the bucket-size guard); persist it or the whole signature pipeline
-    // — explode, 16 string-min aggregates, shuffle — runs three times.
-    // docs × numBands rows: small at any corpus size.
-    val bands = BoundedCache.persist("TextDedup.lshCandidatePairs.bands",
+    // Persist the GUARDED band frame — both self-join sides read it, and
+    // everything above it (signature explode, 16 string-min aggregates,
+    // band explode, the bucket-size window) must not run twice. The
+    // degenerate-bucket guard is a window count over (band, bkey) — one
+    // exchange, no join-back (the groupBy + rejoin form pays the same
+    // exchange plus a second join application per consumer). docs ×
+    // numBands rows: small at any corpus size.
+    import org.apache.spark.sql.expressions.Window
+    val pruned = BoundedCache.persist("TextDedup.lshCandidatePairs.bands",
       sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey")))
-    val ok = bands.groupBy(col("band"), col("bkey"))
-      .agg(count(lit(1)).as("bn")).filter(col("bn") <= maxBucketSize)
-      .select(col("band"), col("bkey"))
-    val pruned = bands.join(ok, Seq("band", "bkey"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+        .withColumn("bn", count(lit(1))
+          .over(Window.partitionBy(col("band"), col("bkey"))))
+        .filter(col("bn") <= maxBucketSize)
+        .drop("bn"))
     val a = pruned.select(col("doc_id").as("d1"), col("band"), col("bkey"))
     val b = pruned.select(col("doc_id").as("d2"), col("band"), col("bkey"))
     a.join(b, Seq("band", "bkey")).filter(col("d1") < col("d2"))
