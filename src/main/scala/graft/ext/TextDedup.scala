@@ -302,12 +302,17 @@ object TextDedup {
       col("doc_id").as("d1"), col("simhash").as("s1"))
     val b = banded.select(col("band"), col("bits"),
       col("doc_id").as("d2"), col("simhash").as("s2"))
+    // Hamming filter BEFORE the dedup shuffle: bit_count is a per-row
+    // integer op, while distinct() shuffles its whole input — filtering
+    // first shrinks that shuffle to the near-dup survivors (the candidate
+    // set is orders of magnitude larger than the result at scale).
+    // distinct commutes with the deterministic filter, so results are
+    // identical.
     a.join(b, Seq("band", "bits")).filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), col("s1"), col("s2"))
-      .distinct() // a pair may agree on several bands
       .withColumn("ham", bit_count(col("s1").bitwiseXOR(col("s2"))))
       .filter(col("ham") <= maxHamming)
       .select(col("d1"), col("d2"), col("ham"))
+      .distinct() // a pair may agree on several bands
   }
 
   /** Hamming-distance pairs over SimHash signatures. Persists the

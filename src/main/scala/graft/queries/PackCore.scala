@@ -371,6 +371,54 @@ object PackCore {
         .agg(count(lit(1)).as("n")).orderBy($"batch_id")
     },
 
+    // ST7 (live) — Spark 4 arbitrary state v2 (transformWithState +
+    // StatefulProcessor over RocksDB): per-user running totals whose
+    // STATE survives a checkpointed restart — two arrival rounds, two
+    // runs; the second run must resume the first run's counts or the
+    // per-user totals (and the oracle) come out wrong. The compare uses
+    // the count side of the state (exact); the double-sum side is
+    // exercised by StreamingSpec where accumulation order is controlled.
+    QDef("st7_stream_running_totals",
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events
+        |WHERE event_id % 53 = 0 GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val run = streamRun.incrementAndGet()
+      val in = java.nio.file.Files.createTempDirectory(s"graft_st7_in$run").toString
+      val out = java.nio.file.Files.createTempDirectory(s"graft_st7_out$run").toString + "/t"
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_st7_ck$run").toString
+      val base = Tables.events(s, d).filter($"event_id" % 53 === 0)
+        .select($"event_id", $"user_id", $"value")
+      val sch = StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("value", DoubleType)))
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        def drain(): Unit = {
+          val ds = graft.streaming.StreamingOps.fileSource(s, in, sch)
+            .as(org.apache.spark.sql.Encoders.product[graft.streaming.StreamingOps.EventRow])
+          graft.streaming.StreamingOps.runningTotalsV2(ds)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[graft.streaming.StreamingOps.UserTotal],
+               _: Long) => b.write.mode("append").parquet(out); ()
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start().awaitTermination()
+        }
+        stageArrival(in, base.filter($"event_id" % 2 === 0), "b1")
+        drain()
+        stageArrival(in, base.filter($"event_id" % 2 =!= 0), "b2")
+        drain() // resumes the ValueState from the checkpoint
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      // n is monotone per user, so the latest update is max(n)
+      s.read.parquet(out).groupBy($"user_id")
+        .agg(max($"n").as("n")).orderBy($"user_id")
+    },
+
     // K4 (live) — DDL bootstrap + catalog roundtrip: CREATE TABLE ...
     // USING parquet, idempotent IF NOT EXISTS re-issue (the reference
     // re-runs its DDL every batch, extract_data_bank_pay:60-81), INSERT
