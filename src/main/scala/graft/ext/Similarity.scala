@@ -268,6 +268,31 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** SemDeDup (Abbas et al. 2023): within each coarse bucket, a vector
+    * is DROPPED when an earlier (lower-id) vector of the same bucket is
+    * more cosine-similar than `threshold` — keep-first semantic dedup,
+    * the embedding-space counterpart of MinHash/SimHash near-dup
+    * removal. Pair comparison is confined to buckets (the same IVF
+    * partitioning the ANN path uses), so cost is Σ|bucket|² rather than
+    * n²; at scale the bucket fanout (k-means k) is the dial, and the
+    * bucket self-join is a plain equi-join — no cross product. Returns
+    * (vec_id, bucket, kept). */
+  def semanticDedup(corpus: DataFrame, bucketCol: String,
+                    threshold: Double): DataFrame = {
+    val nd = nativeDot(corpus.sparkSession, _, _)
+    val a = corpus.select(col("vec_id"), col("embedding").as("ae"),
+      sqrt(nd(col("embedding"), col("embedding"))).as("an"), col(bucketCol).as("ab"))
+    val b = corpus.select(col("vec_id").as("bid"), col("embedding").as("be"),
+      sqrt(nd(col("embedding"), col("embedding"))).as("bn"), col(bucketCol).as("bb"))
+    val dropped = a.join(b, col("ab") === col("bb") && col("bid") < col("vec_id"))
+      .filter(nd(col("ae"), col("be")) / (col("an") * col("bn")) >= threshold)
+      .select(col("vec_id")).distinct()
+      .withColumn("__drop", lit(1))
+    corpus.select(col("vec_id"), col(bucketCol))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col(bucketCol), col("__drop").isNull.as("kept"))
+  }
+
   /** Recall@k of an approximate ANN result against exact ground truth —
     * the evaluation harness every production index needs before its
     * recall/cost dial is trusted. Both inputs carry (qid, nid) top-k

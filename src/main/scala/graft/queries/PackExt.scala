@@ -338,6 +338,23 @@ object PackExt {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // SemDeDup (Abbas et al. 2023): keep-first semantic dedup inside
+    // coarse buckets — the embedding-space counterpart of the
+    // MinHash/SimHash near-dup passes. Bucket-confined self-join
+    // (Σ|bucket|², no cross product); cosine folds are bit-identical
+    // cross-engine so the threshold compare needs no rounding.
+    QDef("dedup_semantic_keep",
+      s"""WITH n AS (SELECT vec_id, label, embedding FROM embeddings),
+         |d AS (SELECT DISTINCT a.vec_id FROM n a JOIN n b
+         |        ON a.label = b.label AND b.vec_id < a.vec_id
+         |      WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.30)
+         |SELECT e.vec_id, e.label, d.vec_id IS NULL AS kept
+         |FROM embeddings e LEFT JOIN d ON e.vec_id = d.vec_id
+         |ORDER BY e.vec_id""".stripMargin) { (s, d) =>
+      Similarity.semanticDedup(Tables.embeddings(s, d), "label", 0.30)
+        .orderBy(col("vec_id"))
+    },
+
     // embedding near-dup detection = top-1 neighbor + threshold flag
     QDef("dedup_embed_cosine",
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 100),
@@ -455,6 +472,34 @@ object PackExt {
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id") +: TextAnalysis.gopherQualityFlags(col("text")): _*)
+        .orderBy(col("doc_id"))
+    },
+
+    // Tokenizer-vocabulary coverage: per-doc out-of-vocabulary rate
+    // against the corpus' top-20 tokens (deterministic count-desc,
+    // token-asc tie-break). The vocab side is tiny and broadcasts; the
+    // corpus pays one explode + a doc-keyed aggregation — never a
+    // token-keyed shuffle of the big side.
+    QDef("text_oov_rate",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |v AS (SELECT w FROM (SELECT w, count(*) AS c FROM tok GROUP BY w
+        |                     ORDER BY c DESC, w LIMIT 20)),
+        |f AS (SELECT doc_id, CASE WHEN w IN (SELECT w FROM v) THEN 0 ELSE 1 END AS oov FROM tok)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(oov) AS BIGINT) AS n_oov,
+        |       round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(20)
+        .select(col("w")).withColumn("__in", lit(1))
+      toks.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).cast("long").as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast("double") / col("n_tokens"), 6))
         .orderBy(col("doc_id"))
     },
 

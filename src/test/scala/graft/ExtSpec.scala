@@ -270,6 +270,18 @@ class ExtSpec extends AnyFunSuite {
     assert(d(0L)._3 == 0L && d(0L)._4 == 1.0)
   }
 
+  test("semanticDedup keeps the first of a near-identical pair, different buckets never compare") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0L),
+      (1L, Array(0.99f, 0.01f, 0.0f), 0L),  // near-dup of 0, same bucket → dropped
+      (2L, Array(0.0f, 1.0f, 0.0f), 0L),    // orthogonal, kept
+      (3L, Array(1.0f, 0.0f, 0.0f), 1L)     // identical to 0 but other bucket → kept
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.semanticDedup(vecs, "label", 0.95)
+      .as[(Long, Long, Boolean)].collect().map(t => t._1 -> t._3).toMap
+    assert(r == Map(0L -> true, 1L -> false, 2L -> true, 3L -> true))
+  }
+
   test("gopher quality flags: word-count gate and stopword gate discriminate") {
     val corpus = Seq(
       (0L, ("the and of " + Seq.fill(60)("word").mkString(" "))), // 63 words, stopwords

@@ -203,4 +203,44 @@ object OpsProps extends Properties("ops") {
         got(i.toLong) == expected
       }
     }
+
+  // ---- exactSubstringDedup vs brute-force span marking -------------------
+
+  private val corpusGen: Gen[List[String]] = {
+    // tiny vocabulary + short docs = plenty of colliding n-grams
+    val word = Gen.oneOf("a", "b", "c", "d")
+    for {
+      nDocs <- Gen.choose(1, 6)
+      docs <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(1, 12)
+        ws <- Gen.listOfN(len, word)
+      } yield ws.mkString(" "))
+    } yield docs
+  }
+
+  property("exactSubstringDedup == brute-force duplicate-span removal") =
+    Prop.forAll(corpusGen) { docs =>
+      import spark.implicits._
+      val n = 3
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.ext.TextDedup.exactSubstringDedup(df, "doc_id", "text", n)
+        .select("doc_id", "n_tokens", "n_kept")
+        .as[(Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+      // reference: count every n-gram occurrence corpus-wide, mark the
+      // n-length span of any gram with count >= 2, keep unmarked tokens
+      val toks = docs.map(_.split(" ").toSeq)
+      val counts = toks.flatMap(_.sliding(n).filter(_.size == n).map(_.mkString(" ")))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      docs.indices.forall { i =>
+        val ws = toks(i)
+        val covered = Array.fill(ws.size)(false)
+        ws.sliding(n).zipWithIndex.foreach { case (g, p) =>
+          if (g.size == n && counts(g.mkString(" ")) >= 2)
+            (p until p + n).foreach(covered(_) = true)
+        }
+        val kept = ws.indices.count(!covered(_))
+        got(i.toLong) == ((i.toLong, ws.size.toLong, kept.toLong))
+      }
+    }
 }
