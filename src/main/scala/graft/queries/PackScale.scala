@@ -369,15 +369,20 @@ object PackScale {
         |deg AS (SELECT src, count(*) AS degree FROM e GROUP BY src)
         |SELECT degree, count(*) AS n_nodes FROM deg
         |GROUP BY degree ORDER BY degree""".stripMargin) { (s, d) =>
-      // single distinct after symmetrization (the pre-distinct would pay
-      // a second full-fact shuffle for nothing)
+      // The graph is BIPARTITE with disjoint node namespaces ("c…" vs
+      // "s…"), so symmetrize-then-distinct would shuffle every edge
+      // twice for nothing: distinct the forward edges once, then one
+      // GROUPING SETS((src),(dst)) pass counts both endpoints' degrees
+      // in a single Expand + aggregate — the same answer with half the
+      // distinct shuffle volume.
       val e0 = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
         .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select(concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("s"), col("l_suppkey")).as("dst"))
-      e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-        .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      e0.distinct()
+        .groupingSets(Seq(Seq(col("src")), Seq(col("dst"))), col("src"), col("dst"))
+        .agg(count(lit(1)).as("degree"))
         .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("degree"))
     },
