@@ -243,4 +243,38 @@ object OpsProps extends Properties("ops") {
         got(i.toLong) == ((i.toLong, ws.size.toLong, kept.toLong))
       }
     }
+
+  // ---- semanticDedup vs brute-force keep-first scan ----------------------
+
+  private val vecGen: Gen[List[(Long, Array[Float], Long)]] = for {
+    n <- Gen.choose(1, 12)
+    rows <- Gen.sequence[List[(Long, Array[Float], Long)], (Long, Array[Float], Long)](
+      (0 until n).map { i =>
+        for {
+          x <- Gen.choose(-5, 5); y <- Gen.choose(-5, 5); z <- Gen.choose(-5, 5)
+          if x != 0 || y != 0 || z != 0
+          b <- Gen.choose(0L, 2L)
+        } yield (i.toLong, Array(x.toFloat, y.toFloat, z.toFloat), b)
+      })
+  } yield rows
+
+  property("semanticDedup == brute-force keep-first cosine scan per bucket") =
+    Prop.forAll(vecGen) { rows =>
+      import spark.implicits._
+      val t = 0.95
+      val df = rows.toDF("vec_id", "embedding", "label")
+      val got = graft.ext.Similarity.semanticDedup(df, "label", t)
+        .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        def dot(x: Array[Float], y: Array[Float]) =
+          x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+        dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      }
+      rows.forall { case (id, e, b) =>
+        val dropped = rows.exists { case (id2, e2, b2) =>
+          b2 == b && id2 < id && cos(e, e2) >= t
+        }
+        got(id) == !dropped
+      }
+    }
 }

@@ -289,6 +289,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("exact-substring dedup: anti-join cover removal, no cartesian anywhere") {
+    val p = plan("dedup_exact_substring")
+    assert(p.contains("LeftAnti"), s"cover removal must be an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("semantic dedup pair comparison is a bucket equi-join, never a cross product") {
+    val p = plan("dedup_semantic_keep")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the SemDeDup pair join must stay bucket-confined:\n$p")
+  }
+
+  test("OOV rate broadcasts the vocabulary; corpus side never token-shuffles for the probe") {
+    val p = plan("text_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), s"vocab must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must not shuffle by token for the vocab probe")
+  }
+
   test("bucketed SMB join consumes bucket files with zero join exchanges") {
     val p = plan("join_bucketed_smb")
     assert(p.contains("SortMergeJoin"), s"must sort-merge over buckets:\n$p")
