@@ -184,31 +184,23 @@ object TextDedup {
     * bit b of md5(token)'s leading 16 hex chars, majority-voted across the
     * doc's tokens, packed with shiftleft. Engine-portable bit grammar.
     *
-    * ROW-LOCAL shape: per-bit counts are an array fold over the doc's
-    * token hashes (md5 computed once per token), so the whole signature
-    * is map-only — no explode, no shuffle at any corpus size. The earlier
-    * tokens×63-bits explode paid two shuffled aggregations over a
-    * 63×-inflated row stream (measured ~6 s vs ~1.3 s for the full
-    * sf0.1 corpus; identical integer math, bit-exact vs the oracle). */
-  def simhash(df: DataFrame, id: String, text: String): DataFrame =
-    // counting AND packing live in ONE aggregate (finish lambda): a
-    // separate packing projection would let CollapseProject inline the
-    // whole token fold into the per-bit lambda — 63× re-evaluation
-    // (measured 179 s vs 1.5 s on the sf0.1 corpus).
-    df.select(col(id).as("doc_id"), tokens(col(text)).as("__w"))
-      .select(col("doc_id"), expr(
-        """aggregate(
-          |  transform(__w, w -> substring(md5(w), 1, 16)),
-          |  array_repeat(CAST(0 AS BIGINT), 63),
-          |  (acc, h) -> zip_with(acc,
-          |    transform(sequence(0, 62), b -> CAST(
-          |      shiftright(CAST(conv(substring(h, CAST(b div 4 AS INT) + 1, 1), 16, 10) AS BIGINT),
-          |                 CAST(3 - b % 4 AS INT)) & 1 AS BIGINT)),
-          |    (a, bit) -> a + bit),
-          |  cnt -> aggregate(sequence(0, 62), CAST(0 AS BIGINT),
-          |    (acc, b) -> acc + CASE WHEN 2 * element_at(cnt, b + 1) >= size(__w)
-          |      THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END))""".stripMargin)
-        .as("simhash"))
+    * ROW-LOCAL shape: the whole signature is one compiled loop per row
+    * through the native [[graft.plans.SimHash64]] Catalyst expression —
+    * md5 once per token, per-bit counts in a flat int array, no explode
+    * and no shuffle at any corpus size. Earlier forms for the record:
+    * the tokens×63-bits explode paid two shuffled aggregations over a
+    * 63×-inflated row stream (~6 s for the sf0.1 corpus); the interpreted
+    * HOF fold (aggregate of zip_with with the packing in the finish
+    * lambda — it must live in the SAME aggregate, or CollapseProject
+    * inlines the token fold into the per-bit lambda for a 63×
+    * re-evaluation, measured 179 s) ran ~1.4 s; the native expression
+    * runs the identical integer math in a tight loop, bit-exact vs the
+    * oracle. */
+  def simhash(df: DataFrame, id: String, text: String): DataFrame = {
+    graft.plans.SimHash64.register(df.sparkSession)
+    df.select(col(id).as("doc_id"),
+      call_function("graft_simhash", tokens(col(text))).as("simhash"))
+  }
 
   /** Connected components over an undirected near-dup pair graph —
     * the clustering pass that turns pairwise candidates (LSH / SimHash /

@@ -270,6 +270,29 @@ class ExtSpec extends AnyFunSuite {
     assert(d(0L)._3 == 0L && d(0L)._4 == 1.0)
   }
 
+  test("native SimHash64 expression == the independent SQL fold form") {
+    // the HOF fold re-derives the same bit grammar through Spark's md5 /
+    // conv / shift builtins — an independent evaluation path pinning the
+    // compiled expression's digest-bit indexing and majority rule
+    val corpus = docs.unionByName(Seq((9L, "a"), (10L, "x y z zz")).toDF("doc_id", "text"))
+    val fold = corpus.select($"doc_id", expr(
+      """aggregate(
+        |  transform(array_distinct(split(text, ' ')), w -> substring(md5(w), 1, 16)),
+        |  array_repeat(CAST(0 AS BIGINT), 63),
+        |  (acc, h) -> zip_with(acc,
+        |    transform(sequence(0, 62), b -> CAST(
+        |      shiftright(CAST(conv(substring(h, CAST(b div 4 AS INT) + 1, 1), 16, 10) AS BIGINT),
+        |                 CAST(3 - b % 4 AS INT)) & 1 AS BIGINT)),
+        |    (a, bit) -> a + bit),
+        |  cnt -> aggregate(sequence(0, 62), CAST(0 AS BIGINT),
+        |    (acc, b) -> acc + CASE WHEN 2 * element_at(cnt, b + 1) >= size(array_distinct(split(text, ' ')))
+        |      THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END))""".stripMargin)
+      .as("simhash")).as[(Long, Long)].collect().toMap
+    val native = TextDedup.simhash(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(native == fold)
+  }
+
   test("semanticDedup keeps the first of a near-identical pair, different buckets never compare") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0L),
