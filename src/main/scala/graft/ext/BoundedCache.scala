@@ -32,16 +32,28 @@ object BoundedCache {
     * CacheManager aliasing. A DIFFERENT plan under the same key (new
     * input path, changed parameters) evicts the stale entry first, so the
     * session never holds more than one cached frame per site. */
-  def persist(key: String, df: DataFrame): DataFrame = {
-    val prev = retained.get(key)
-    if (prev != null && prev.sparkSession.eq(df.sparkSession) &&
-        prev.sameSemantics(df)) prev
-    else {
-      // the retained frame may belong to an already-stopped session
-      // (suite teardown) — eviction must never fail the new query
-      if (prev != null) try prev.unpersist() catch { case _: Exception => () }
-      retained.put(key, df.persist())
-      df
-    }
+  def persist(key: String, df: DataFrame): DataFrame =
+    // compute() holds the map's per-key lock for the whole check-then-act,
+    // so two concurrent callers on one key can neither double-persist
+    // (leaking a cached frame for the session) nor unpersist a frame the
+    // other is about to return
+    retained.compute(key, (_, prev) =>
+      if (prev != null && prev.sparkSession.eq(df.sparkSession) &&
+          prev.sameSemantics(df)) prev
+      else {
+        // the retained frame may belong to an already-stopped session
+        // (suite teardown) — eviction must never fail the new query
+        if (prev != null) try prev.unpersist() catch { case _: Exception => () }
+        df.persist()
+      })
+
+  /** Evict every retained frame. Test hygiene: the plan-budget suite
+    * clears retention so exchange counts are measured COLD — a warm
+    * cached frame hides its upstream exchanges and makes the pinned
+    * budgets execution-order-dependent. */
+  def clear(): Unit = {
+    retained.values().forEach(p =>
+      try p.unpersist() catch { case _: Exception => () })
+    retained.clear()
   }
 }

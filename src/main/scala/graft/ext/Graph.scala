@@ -51,7 +51,10 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
                teleport: Double = 0.15): DataFrame = {
-    Option(lastRanks.getAndSet(null)).foreach(_.unpersist())
+    // the retained frame may belong to an already-stopped session (suite
+    // teardown in the same JVM) — eviction must never fail the new run
+    Option(lastRanks.getAndSet(null)).foreach(p =>
+      try p.unpersist() catch { case _: Exception => () })
     // materialize the input once: both symmetrization branches read it,
     // and an expensive upstream edge derivation (a fact-table join) must
     // not run twice

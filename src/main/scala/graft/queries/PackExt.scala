@@ -28,13 +28,43 @@ object PackExt {
     * (single- and multi-probe) serves from the stored table instead of
     * re-deriving it per run — the production shape (r4 VERDICT #9). The
     * table content is deterministic (6dp-rounded per-bucket means), so a
-    * pre-existing table from an earlier run is simply read back. */
-  private def persistedCentroids(s: SparkSession, sfDir: String) = synchronized {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_${new java.io.File(sfDir).getName}/ivf_centroids"
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    * pre-existing table from an earlier run is simply read back.
+    *
+    * The cache key is the input's canonical path PLUS a content
+    * fingerprint (file name/length/mtime of every data file), so a
+    * regenerated fixture at the same path — or two corpora whose dirs
+    * share a basename — self-invalidates instead of serving stale
+    * centroids. The write lands in a process-unique temp dir and is
+    * RENAMED into place, so a concurrent bench/test in another process
+    * either sees the complete table or none at all. */
+  private[graft] def persistedCentroids(s: SparkSession, sfDir: String) = synchronized {
+    val src = new java.io.File(sfDir, "embeddings.parquet")
+    val dataFiles =
+      if (src.isDirectory)
+        Option(src.listFiles()).getOrElse(Array.empty[java.io.File]).sortBy(_.getName)
+      else Array(src)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(src.getCanonicalPath.getBytes("UTF-8"))
+    dataFiles.foreach(f =>
+      md.update(s"|${f.getName}:${f.length}:${f.lastModified}".getBytes("UTF-8")))
+    val fp = md.digest().map("%02x".format(_)).mkString.take(16)
+    val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_ivf")
+    val path = new java.io.File(root, s"centroids_$fp")
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val tmp = new java.io.File(root,
+        s"centroids_$fp.tmp.${ProcessHandle.current().pid()}")
       Similarity.centroids(Tables.embeddings(s, sfDir), "label")
-        .write.mode("overwrite").parquet(path)
-    s.read.parquet(path)
+        .write.mode("overwrite").parquet(tmp.getPath)
+      // lost the rename race → another process published the same
+      // (content-identical, fingerprint-keyed) table; drop our copy
+      if (!tmp.renameTo(path)) deleteRecursively(tmp)
+    }
+    s.read.parquet(path.getPath)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 
   /** SimHash signature CTE (shared by the two simhash queries). */

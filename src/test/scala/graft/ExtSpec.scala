@@ -293,6 +293,27 @@ class ExtSpec extends AnyFunSuite {
     assert(native == fold)
   }
 
+  test("graft_simhash input contract: type check, null elements, empty array") {
+    graft.plans.SimHash64.register(TestSpark.spark)
+    // non-ARRAY<STRING> argument → analysis-time error, not a runtime CCE
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      TestSpark.spark.sql("SELECT graft_simhash(array(1, 2))").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("graft_simhash"))
+    // null elements cast no vote: [a, NULL] signs identically to [a]
+    val r = TestSpark.spark.sql(
+      """SELECT graft_simhash(array('a', CAST(NULL AS STRING))) AS withNull,
+        |       graft_simhash(array('a')) AS plain,
+        |       graft_simhash(array(CAST(NULL AS STRING))) AS allNull,
+        |       graft_simhash(CAST(array() AS ARRAY<STRING>)) AS empty,
+        |       graft_simhash(CAST(NULL AS ARRAY<STRING>)) AS nullArr""".stripMargin)
+      .head()
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(2) == 0L, "no non-null voters must sign as 0")
+    assert(r.getLong(3) == 0L, "empty array must sign as 0, not all-bits-set")
+    assert(r.isNullAt(4), "null input stays null (nullSafeEval)")
+  }
+
   test("semanticDedup keeps the first of a near-identical pair, different buckets never compare") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0L),

@@ -254,6 +254,12 @@ class PlanSpec extends AnyFunSuite {
     * hides them). Counted by tree walk — reused exchanges and cache reads
     * are free (GraftBridge.countShuffleExchanges). */
   private def shuffleExchangesAcross(name: String): Int = {
+    // measure COLD: a warm BoundedCache/CacheManager entry absorbs its
+    // upstream exchanges (InMemoryTableScan counts 0), so a warm count
+    // holds in one suite ordering and overflows standalone — the budgets
+    // below are pinned to cold-run counts and stay order-independent
+    graft.ext.BoundedCache.clear()
+    spark.catalog.clearCache()
     val total = new java.util.concurrent.atomic.AtomicInteger(0)
     val l = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(f: String,
