@@ -19,6 +19,34 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
+  /** Salt-bucket count for the gram-keyed dedup stages
+    * (conf `graft.dedup.gramSaltBuckets`). A hot gram (boilerplate
+    * 5-grams repeat billions of times at 100 TB) is spread across this
+    * many buckets in every gram-keyed exchange: corpus-wide counts are
+    * pre-aggregated per (gram, salt) and summed — bounded at S rows per
+    * gram — and occurrence-level enrichment joins on (gram, salt), so no
+    * single task ever holds more than ~1/S of a hot gram's occurrences. */
+  val GramSaltBucketsKey = "graft.dedup.gramSaltBuckets"
+  private val GramSaltBucketsDefault = 16
+
+  private def saltBuckets(df: DataFrame): Int =
+    df.sparkSession.conf.get(GramSaltBucketsKey, GramSaltBucketsDefault.toString).toInt
+
+  /** Corpus-wide occurrence count (`df`) per gram, salted: partial counts
+    * per (gram, salt) — the full occurrence stream collapses to ≤ S rows
+    * per gram BEFORE any gram-keyed exchange — then a window sum over the
+    * collapsed rows. Returns one row per OBSERVED (gram, salt) bucket
+    * with the gram-level total attached, which is exactly the join-back
+    * key occurrence streams already carry. */
+  private def saltedGramCounts(grams: DataFrame, salt: Column, s: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    grams
+      .groupBy(col("gram"), salt.as("_salt"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("df", sum(col("_c")).over(Window.partitionBy(col("gram"))))
+      .drop("_c")
+  }
+
   /** distinct word tokens of a text column. */
   def tokens(text: Column): Column = array_distinct(split(text, " "))
 
@@ -59,24 +87,32 @@ object TextDedup {
     * Returns (id, n_tokens, n_kept, dup_frac, cleaned_md5) — the cleaned
     * text is fingerprinted so oracle comparison stays row-shaped.
     *
-    * Scale shape: one positional-gram explode + ONE gram-keyed window
-    * count (no self-join — the classic join-back form pays a second
-    * gram shuffle), covered positions from a bounded explode (n rows per
-    * duplicate gram), and the rebuild is a doc-keyed sort-free
-    * aggregation (array_sort over (pos, token) structs, partition-local).
-    * Everything is keyed by gram or doc id — hash-partitionable at any
-    * corpus size; hot grams are exactly the duplicate mass being
-    * removed, bounded by the corpus' duplication rate. */
+    * Scale shape: one positional-gram explode, then SALTED gram counting
+    * (see [[saltedGramCounts]]): the occurrence stream pre-aggregates per
+    * (gram, salt) before the only gram-keyed exchange, and duplicate
+    * starts come from a semi join back on (gram, salt) — a hot
+    * boilerplate gram lands on S tasks, not one, in both stages (the
+    * unsalted window form put every occurrence of one gram on a single
+    * task). Covered positions come from a bounded explode (n rows per
+    * duplicate gram) deduplicated by (doc, pos) — partial aggregation
+    * collapses the overlapping-span blowup map-side, and the key has no
+    * hot values — and the rebuild is a doc-keyed sort-free aggregation
+    * (array_sort over (pos, token) structs, partition-local). */
   def exactSubstringDedup(docs: DataFrame, id: String, text: String,
                           n: Int, minCount: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val s = saltBuckets(docs)
     val toks = docs.select(col(id),
       posexplode(split(col(text), " ")).as(Seq("pos", "w")))
+    // salt on (id, gpos): within-doc repeats of one gram (log-file
+    // boilerplate) spread across buckets too, not just cross-doc mass
     val grams = docs.select(col(id),
       posexplode(positionalShingles(col(text), n)).as(Seq("gpos", "gram")))
-    val dupStarts = grams
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .withColumn("_salt", pmod(hash(col(id), col("gpos")), lit(s)))
+    val dupBuckets = saltedGramCounts(grams, col("_salt"), s)
       .filter(col("df") >= minCount)
+      .select(col("gram"), col("_salt"))
+    val dupStarts = grams
+      .join(dupBuckets, Seq("gram", "_salt"), "left_semi")
       .select(col(id), col("gpos"))
     val covered = dupStarts
       .select(col(id), explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
@@ -351,19 +387,26 @@ object TextDedup {
     * mark boilerplate/mirrored content that survives exact dedup.
     * Returns (id, n_shingles, n_dup, dup_frac).
     *
-    * Scale shape: one explode, then a window count partitioned by gram
-    * (one gram-keyed exchange, no self-join — the groupBy+join-back form
-    * pays a second shuffle), then a hash agg back on the doc key. Hot
-    * grams concentrate a partition each; at extreme skew pre-aggregate
-    * per (gram, salt) and sum — same two-exchange budget. */
+    * Scale shape: one explode, then SALTED gram counting (see
+    * [[saltedGramCounts]]) — document frequencies pre-aggregate per
+    * (gram, salt) before the gram-keyed exchange, so a boilerplate gram
+    * shared by billions of docs collapses to S rows instead of pinning
+    * one task — a left join back on (gram, salt) to mark duplicated
+    * shingles (each salt bucket of a hot gram joins independently), then
+    * a hash agg back on the doc key. */
   def duplicateShingleFraction(docs: DataFrame, id: String, text: String,
                                n: Int, minDocs: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val s = saltBuckets(docs)
+    // per-doc distinct grams: salt on id alone is already uniform
     val g = docs.select(col(id), explode(shingles(col(text), n)).as("gram"))
-    g.withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .withColumn("_salt", pmod(hash(col(id)), lit(s)))
+    val dupBuckets = saltedGramCounts(g, col("_salt"), s)
+      .filter(col("df") >= minDocs)
+      .select(col("gram"), col("_salt"), lit(1).as("_hit"))
+    g.join(dupBuckets, Seq("gram", "_salt"), "left")
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df") >= minDocs, 1L).otherwise(0L)).cast("long").as("n_dup"))
+        sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_dup"))
       .withColumn("dup_frac",
         round(col("n_dup").cast("double") / col("n_shingles").cast("double"), 6))
   }

@@ -244,6 +244,29 @@ object OpsProps extends Properties("ops") {
       }
     }
 
+  property("duplicateShingleFraction == brute-force document-frequency profile") =
+    Prop.forAll(corpusGen) { docs =>
+      import spark.implicits._
+      val n = 2
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.ext.TextDedup
+        .duplicateShingleFraction(df, "doc_id", "text", n)
+        .select("doc_id", "n_shingles", "n_dup")
+        .as[(Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+      // reference: per-doc DISTINCT n-grams; df = number of docs
+      // containing the gram; dup = grams present in >= 2 docs
+      val docGrams = docs.map(_.split(" ").toSeq
+        .sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq.distinct)
+      val freq = docGrams.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      docs.indices.forall { i =>
+        val gs = docGrams(i)
+        if (gs.isEmpty) !got.contains(i.toLong) // no shingles -> no row
+        else got(i.toLong) ==
+          ((i.toLong, gs.size.toLong, gs.count(freq(_) >= 2).toLong))
+      }
+    }
+
   // ---- semanticDedup vs brute-force keep-first scan ----------------------
 
   private val vecGen: Gen[List[(Long, Array[Float], Long)]] = for {

@@ -198,11 +198,22 @@ class PlanSpec extends AnyFunSuite {
       "the training side must not shuffle by gram for the overlap join")
   }
 
-  test("duplicate-shingle fraction pays one gram window, no self-join") {
+  test("duplicate-shingle fraction: salted gram counting, no occurrence-level gram partition") {
     val p = plan("dedup_shingle_dupfrac")
-    assert(!p.contains("Join"), s"df-count must be a window, not a join-back:\n$p")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
-      s"gram window + doc agg must be the only exchanges:\n$p")
+    // document frequencies pre-aggregate per (gram, salt) BEFORE any
+    // gram-keyed exchange — a hot boilerplate gram spreads over S buckets
+    assert("HashAggregate\\(keys=\\[gram#\\d+, _salt#\\d+\\], functions=\\[partial_count"
+      .r.findAllIn(p).nonEmpty,
+      s"df-count must pre-aggregate per (gram, salt) map-side:\n$p")
+    // the only gram-ONLY exchange carries the collapsed ≤S-rows-per-gram
+    // frame into the window sum — never raw occurrences
+    assert("Exchange hashpartitioning\\(gram#\\d+, \\d+\\)".r.findAllIn(p).size == 1,
+      s"only the collapsed (gram,salt) counts may exchange by gram alone:\n$p")
+    // the dup-mark join-back keys on (gram, salt), so occurrence rows of
+    // one hot gram never co-locate
+    assert("\\[gram#\\d+, _salt#\\d+\\], \\[gram#\\d+, _salt#\\d+\\], LeftOuter"
+      .r.findAllIn(p).nonEmpty,
+      s"dup-mark join-back must key on (gram, salt):\n$p")
   }
 
   test("asof nearest rides one key exchange for both direction carries") {
@@ -295,10 +306,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("exact-substring dedup: anti-join cover removal, no cartesian anywhere") {
+  test("exact-substring dedup: anti-join cover removal, salted gram stages, no cartesian") {
     val p = plan("dedup_exact_substring")
     assert(p.contains("LeftAnti"), s"cover removal must be an anti join:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // corpus-wide gram counts pre-aggregate per (gram, salt); duplicate
+    // starts come from a semi join keyed (gram, salt) — no stage holds a
+    // hot gram's full occurrence set on one task
+    assert("HashAggregate\\(keys=\\[gram#\\d+, _salt#\\d+\\], functions=\\[partial_count"
+      .r.findAllIn(p).nonEmpty,
+      s"gram counting must pre-aggregate per (gram, salt) map-side:\n$p")
+    assert("\\[gram#\\d+, _salt#\\d+\\], \\[gram#\\d+, _salt#\\d+\\], LeftSemi"
+      .r.findAllIn(p).nonEmpty,
+      s"duplicate-start selection must semi-join on (gram, salt):\n$p")
+    // covered-position dedup keeps its map-side partial aggregate (the
+    // overlapping-span blowup collapses before the (doc,pos) exchange)
+    assert("HashAggregate\\(keys=\\[doc_id#\\d+L?, pos#\\d+\\], functions=\\[\\], output".r
+      .findAllIn(p).size >= 2,
+      s"covered dedup must partial-aggregate before its exchange:\n$p")
   }
 
   test("semantic dedup pair comparison is a bucket equi-join, never a cross product") {
