@@ -19,6 +19,46 @@ import org.apache.spark.sql.functions._
   */
 object Ops {
 
+  /** Parallel prefix sum: running total of `value` per `part` group in
+    * `ord` order — WITHOUT the single-partition-per-group window
+    * (`Window.partitionBy(part).orderBy(ord)` serializes each group onto
+    * ONE task: with a handful of groups that is a handful of tasks at any
+    * corpus size). Two-level scan instead:
+    *
+    *   1. chunk = floor(ord / span) — monotone in ord, so chunk order IS
+    *      ord order and each chunk spans at most `span` distinct ord
+    *      values (the per-task bound);
+    *   2. per-(group, chunk) sums — partial-aggregated, skew-free;
+    *   3. per-group running offsets over the COLLAPSED chunk frame (a
+    *      window per group, but over ~n/span rows, not n);
+    *   4. join offsets back on (group, chunk) + chunk-LOCAL cumsum:
+    *      offset + local running total = the exact group cumsum.
+    *
+    * Parallelism is groups × live chunks end to end. `ord` must be
+    * numeric and unique within its group (a doc/event id). */
+  def chunkedCumsum(df: DataFrame, part: String, ord: String, value: String,
+                    cumName: String, span: Long = 1024L): DataFrame = {
+    // integral divide, not floor(x/span): double division loses exactness
+    // past 2^53 and ids are BIGINT. Truncating division is monotone in
+    // ord, which is the only property chunking needs.
+    val withChunk = df.withColumn("_chunk", expr(s"$ord div $span"))
+    val offsets = withChunk
+      .groupBy(col(part), col("_chunk"))
+      .agg(sum(col(value)).as("_csum"))
+      .withColumn("_offset", coalesce(
+        sum(col("_csum")).over(Window.partitionBy(col(part))
+          .orderBy(col("_chunk")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(part), col("_chunk"), col("_offset"))
+    // no broadcast hint: offsets is ~n/span rows — small enough for AQE
+    // to broadcast at any sane scale, shuffled (skew-free key) beyond
+    withChunk.join(offsets, Seq(part, "_chunk"))
+      .withColumn(cumName, col("_offset") + sum(col(value)).over(
+        Window.partitionBy(col(part), col("_chunk")).orderBy(col(ord))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_chunk", "_offset")
+  }
+
   /** J1/J2/J4 — anti-join dedup gate: keep rows of `incoming` whose key is
     * NOT already in `loaded` (Python set lookup at load_data:54-66,
     * 181-194 → BroadcastHashJoin LeftAnti). `loaded` is reduced to

@@ -1335,8 +1335,9 @@ object PackExt {
     // Token-budget curation: per source, admit docs in doc_id order while
     // the running token total stays within budget — the mixture
     // construction step when targets are TOKENS, not documents (domain
-    // weights land as per-source budgets). One window cumsum per source
-    // + a filter; integer math end to end, no self-join.
+    // weights land as per-source budgets). The cumsum is the two-level
+    // chunked scan (Ops.chunkedCumsum): a plain per-source window would
+    // serialize each source onto ONE task at any corpus size.
     QDef("mixture_token_budget",
       """WITH d AS (SELECT source, doc_id, length(string_split(text,' ')) AS toks FROM documents),
         |c AS (SELECT source, doc_id, toks,
@@ -1346,12 +1347,11 @@ object PackExt {
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(toks) AS BIGINT) AS n_tokens
         |FROM c WHERE cum <= 2000 GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
-        .select(col("source"), col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("toks"))
-        .withColumn("cum", sum(col("toks")).over(w))
+      graft.ops.Ops.chunkedCumsum(
+          Tables.documents(s, d)
+            .select(col("source"), col("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("toks")),
+          "source", "doc_id", "toks", "cum")
         .filter(col("cum") <= 2000)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("toks")).cast("long").as("n_tokens"))

@@ -244,6 +244,30 @@ object OpsProps extends Properties("ops") {
       }
     }
 
+  property("chunkedCumsum == per-group ordered running total") =
+    Prop.forAll(
+      Gen.listOf(for {
+        g <- Gen.oneOf("a", "b", "c")
+        id <- Gen.choose(0L, 40L)
+        v <- Gen.choose(0L, 9L)
+      } yield (g, id, v)).map(_.distinctBy(r => (r._1, r._2)))
+    ) { rows =>
+      import spark.implicits._
+      rows.isEmpty || {
+        // span 4 forces multi-chunk groups at this id range
+        val got = graft.ops.Ops.chunkedCumsum(
+            rows.toDF("g", "id", "v"), "g", "id", "v", "cum", span = 4L)
+          .select("g", "id", "cum")
+          .as[(String, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+        val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+          rs.sortBy(_._2).scanLeft((g, -1L, 0L)) { case ((_, _, acc), (_, id, v)) =>
+            (g, id, acc + v)
+          }.drop(1)
+        }.map(t => (t._1, t._2) -> t._3).toMap
+        got == expected
+      }
+    }
+
   property("duplicateShingleFraction == brute-force document-frequency profile") =
     Prop.forAll(corpusGen) { docs =>
       import spark.implicits._

@@ -306,6 +306,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("token-budget cumsum is chunk-partitioned — no single-partition-per-source window") {
+    val p = plan("mixture_token_budget")
+    // the corpus-side running total windows over (source, chunk): each
+    // task holds at most `span` docs of one source, never the whole source
+    assert("windowspecdefinition\\(source#\\d+, _chunk#\\d+L?, doc_id#\\d+L? ASC"
+      .r.findAllIn(p).nonEmpty,
+      s"the doc-level cumsum must partition by (source, chunk):\n$p")
+    // the only source-ONLY window runs over the collapsed per-chunk sums
+    // (~n/span rows); its input must be the chunk aggregate, not raw docs
+    assert("Window \\[sum\\(_csum#\\d+L?\\)".r.findAllIn(p).size == 1,
+      s"per-source offsets must come from the collapsed chunk frame:\n$p")
+    assert("windowspecdefinition\\(source#\\d+, doc_id".r.findAllIn(p).isEmpty,
+      s"no window may order the raw doc stream within a source alone:\n$p")
+  }
+
   test("exact-substring dedup: anti-join cover removal, salted gram stages, no cartesian") {
     val p = plan("dedup_exact_substring")
     assert(p.contains("LeftAnti"), s"cover removal must be an anti join:\n$p")
