@@ -297,10 +297,17 @@ object TextDedup {
     * product anywhere — and the exact Hamming filter over candidates
     * makes the result identical to the quadratic form. Cost moves from
     * O(n²) comparisons to Σ|bucket|² over near-dup buckets, which is the
-    * same asymptotic bargain MinHash banding strikes (SURVEY §2.8);
-    * adversarial mega-buckets (constant band values) would need a
-    * bucket-size cap or salt, the standard LSH skew mitigation. */
-  def simhashBandPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    * same asymptotic bargain MinHash banding strikes (SURVEY §2.8).
+    *
+    * Degenerate mega-buckets (a constant band value across a huge slice
+    * of the corpus) are skipped past `maxBucketSize` — the same guard as
+    * [[lshCandidatePairs]], and the explicit recall trade of banded LSH:
+    * a bucket of B docs contributes B²/2 candidate pairs, so one hot
+    * bucket dominates the join; a pair is only LOST if every band it
+    * agrees on is capped, and mining near-dups inside a degenerate
+    * bucket belongs to a clustering pass, not pairwise LSH. */
+  def simhashBandPairs(sigs: DataFrame, maxHamming: Int,
+                       maxBucketSize: Int = 4096): DataFrame = {
     val nBands = maxHamming + 1
     require(nBands <= 63, "need at least one bit per band")
     val bands = (0 until nBands).map { b =>
@@ -322,10 +329,17 @@ object TextDedup {
     // stage that fans out of it. One narrow exchange of (id, 64-bit) rows.
     val cached = BoundedCache.persist("TextDedup.simhashBandPairs.sigs",
       sigs.repartition(col("doc_id")))
+    // bucket-size guard: one exchange-sharing window count over
+    // (band, bits), filter, done — mirrors lshCandidatePairs
+    import org.apache.spark.sql.expressions.Window
     val banded = cached.select(col("doc_id"), col("simhash"),
       explode(array(bands: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
         col("bb.band").as("band"), col("bb.bits").as("bits"))
+      .withColumn("bn", count(lit(1))
+        .over(Window.partitionBy(col("band"), col("bits"))))
+      .filter(col("bn") <= maxBucketSize)
+      .drop("bn")
     val a = banded.select(col("band"), col("bits"),
       col("doc_id").as("d1"), col("simhash").as("s1"))
     val b = banded.select(col("band"), col("bits"),

@@ -215,14 +215,27 @@ object PackExt {
     // Banded-LSH form of the SimHash pair search over the WHOLE corpus
     // (no doc_id bound): candidates from an equi-join on (band, band
     // bits) — pigeonhole-complete for ham <= 12 with 13 bands — then the
-    // exact Hamming filter. Identical output to the quadratic form; the
-    // plan is the one that scales (no cross product).
+    // exact Hamming filter. The oracle reproduces the BANDED search
+    // including the degenerate-bucket cap (no bucket reaches 4096 docs
+    // at fixture scale, so rows equal the quadratic form — but the
+    // compared semantics are the capped ones the engine ships).
     QDef("dedup_simhash_banded",
-      s"""WITH ${simhashCte("true")}
-         |SELECT a.doc_id AS d1, b.doc_id AS d2,
-         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS ham
-         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+      s"""WITH ${simhashCte("true")},
+         |bands AS (
+         |  SELECT doc_id, simhash, b AS band,
+         |         (simhash >> CAST(b*63//13 AS INTEGER))
+         |           & ((CAST(1 AS BIGINT) << CAST((b+1)*63//13 - b*63//13 AS INTEGER)) - 1) AS bits
+         |  FROM sh, range(13) t(b)),
+         |pruned AS (
+         |  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, bits) AS bn FROM bands)
+         |  WHERE bn <= 4096),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+         |         a.simhash AS s1, b.simhash AS s2
+         |  FROM pruned a JOIN pruned b
+         |    ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id)
+         |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS ham
+         |FROM cand WHERE bit_count(xor(s1, s2)) <= 12
          |ORDER BY d1, d2""".stripMargin) { (s, d) =>
       TextDedup.simhashBandPairs(
         TextDedup.simhash(Tables.documents(s, d), "doc_id", "text"), 12)

@@ -293,6 +293,29 @@ class ExtSpec extends AnyFunSuite {
     assert(native == fold)
   }
 
+  test("simhashBandPairs bucket cap skips degenerate constant-band buckets") {
+    // 12 identical signatures: every (band, bits) bucket holds all 12 docs
+    val sigs = (0L until 12L).map(i => (i, 0L)).toDF("doc_id", "simhash")
+    // uncapped: all 66 zero-Hamming pairs surface
+    assert(TextDedup.simhashBandPairs(sigs, maxHamming = 12,
+      maxBucketSize = 1024).count() == 66)
+    // cap below the bucket size: every band bucket is degenerate and
+    // skipped — the documented recall trade, zero candidates
+    assert(TextDedup.simhashBandPairs(sigs, maxHamming = 12,
+      maxBucketSize = 8).count() == 0)
+    // mixed corpus: a pair OUTSIDE the mega-bucket still surfaces while
+    // the degenerate bucket's pairs are pruned (the cap is per bucket,
+    // not global). Docs 100/101 share bits 61+62 — so in band 12
+    // (bits 58..62) they isolate in their own 2-doc bucket and survive,
+    // while every bucket containing the 12 zero-signature docs is capped.
+    val sig = (1L << 62) | (1L << 61)
+    val mixed = sigs.unionByName(
+      Seq((100L, sig), (101L, sig)).toDF("doc_id", "simhash"))
+    val rows = TextDedup.simhashBandPairs(mixed, maxHamming = 12,
+      maxBucketSize = 8).as[(Long, Long, Int)].collect().toSet
+    assert(rows == Set((100L, 101L, 0)))
+  }
+
   test("graft_simhash input contract: type check, null elements, empty array") {
     graft.plans.SimHash64.register(TestSpark.spark)
     // non-ARRAY<STRING> argument → analysis-time error, not a runtime CCE
