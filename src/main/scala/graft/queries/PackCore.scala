@@ -351,9 +351,14 @@ object PackCore {
     // ST6/K7 (live) — compensation flow: a batch whose warehouse write
     // fails lands in the error side-table with its batch id and error
     // class, and the query still completes (Step-Functions Catch →
-    // compensation, compensation_flow/lambda_function.py:22-31). Rows-only:
-    // the error detail string is environment-shaped.
-    QDef.rowsOnly("st6_compensation_error_table") { (s, d) =>
+    // compensation, compensation_flow/lambda_function.py:22-31). The
+    // injected failure is deterministic (/proc is unwritable, Spark
+    // surfaces the aborted write as SparkException from batch 0), so
+    // the error table contents are a literal oracle.
+    QDef("st6_compensation_error_table",
+      """SELECT CAST(0 AS BIGINT) AS batch_id,
+        |       'org.apache.spark.SparkException' AS error_class,
+        |       CAST(1 AS BIGINT) AS n""".stripMargin) { (s, d) =>
       val run = streamRun.incrementAndGet()
       val in = java.nio.file.Files.createTempDirectory(s"graft_st6_in$run").toString
       val err = java.nio.file.Files.createTempDirectory(s"graft_st6_err$run").toString + "/e"
@@ -445,9 +450,15 @@ object PackCore {
     // transform_data_mp:18-36). The source archives a batch's files when a
     // LATER batch commits, so the query runs two arrival rounds over one
     // checkpoint — the second run's batch archives the first round's
-    // files. Rows-only: the ingested row count is the gate, the archive
-    // listing is reported beside it.
-    QDef.rowsOnly("k6_sink_archive_move") { (s, d) =>
+    // files. Fully oracle-checked: each arrival stages exactly ONE
+    // coalesced parquet file, so after the second commit the lifecycle
+    // state is deterministic — b1's file archived, b2's file still in
+    // the inbox — and the ingested row count reproduces from events.
+    QDef("k6_sink_archive_move",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(1 AS BIGINT) AS n_archived,
+        |       CAST(1 AS BIGINT) AS n_remaining
+        |FROM events WHERE event_id % 997 = 0""".stripMargin) { (s, d) =>
       val run = streamRun.incrementAndGet()
       val in = java.nio.file.Files.createTempDirectory(s"graft_k6_in$run").toString
       val arch = java.nio.file.Files.createTempDirectory(s"graft_k6_ar$run").toString
@@ -467,17 +478,19 @@ object PackCore {
       drain()
       stageArrival(in, base.filter($"event_id" % 2 =!= 0), "b2")
       drain() // commits batch 0 → archives the b1 files
-      def archived(): Int = {
+      def parquetCount(dir: String): Int = {
         def walk(f: java.io.File): Int =
           if (f.isDirectory) f.listFiles().map(walk).sum
           else if (f.getName.endsWith(".parquet")) 1 else 0
-        walk(new java.io.File(arch))
+        walk(new java.io.File(dir))
       }
-      val deadline = System.currentTimeMillis() + 10000
-      while (archived() < 1 && System.currentTimeMillis() < deadline)
+      // the archive move is asynchronous to batch commit — bounded wait
+      val deadline = System.currentTimeMillis() + 30000
+      while (parquetCount(arch) < 1 && System.currentTimeMillis() < deadline)
         Thread.sleep(200)
       s.read.parquet(wh).agg(count(lit(1)).as("n_rows"),
-        lit(archived()).as("n_archived"))
+        lit(parquetCount(arch)).cast("long").as("n_archived"),
+        lit(parquetCount(in)).cast("long").as("n_remaining"))
     },
 
     // ---------------------------------------------------------------- scans
