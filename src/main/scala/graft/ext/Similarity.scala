@@ -293,6 +293,37 @@ object Similarity {
       .select(col("vec_id"), col(bucketCol), col("__drop").isNull.as("kept"))
   }
 
+  /** [[semanticDedup]] served from a TRAINED coarse quantizer (long-form
+    * centroid table, as [[centroids]]/[[kmeansFit]] emit and the
+    * Warehouse persists): each vector is assigned to its max-dot stored
+    * centroid — 6dp-rounded score, smallest-bucket tiebreak, the exact
+    * probe rule the stored-centroid IVF path serves with — then
+    * keep-first dedup runs inside the assigned buckets. One trained
+    * quantizer thus drives BOTH retrieval (IVF probes) and dedup
+    * (SemDeDup buckets), so the two stay consistent and the training
+    * cost is paid once. Assignment is a broadcast of the k×dims table +
+    * a bounded-heap argmax — the corpus never shuffles for it. Returns
+    * (vec_id, bucket, kept). */
+  def semanticDedupStored(corpus: DataFrame, cents: DataFrame,
+                          bucketCol: String, threshold: Double): DataFrame = {
+    val nd = nativeDot(corpus.sparkSession, _, _)
+    val byBucket = cents.groupBy(col(bucketCol))
+      .agg(array_sort(collect_list(struct(col("i"), col("mean")))).as("c"))
+      .select(col(bucketCol).as("__bucket"),
+        transform(col("c"), x => x.getField("mean")).as("__cvec"))
+    val scored = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(byBucket))
+      .withColumn("__score", round(nd(col("embedding"), col("__cvec")), 6))
+    // cache the assignment: the dedup reads it three times (both pair
+    // sides + the final kept-flag join) and the centroid scoring +
+    // bounded-heap argmax must not run per consumer
+    val assigned = BoundedCache.persist("Similarity.semanticDedupStored.assigned",
+      graft.ops.Ops.topKPerKey(scored, Seq("vec_id"),
+          Seq(("__score", true), ("__bucket", false)), 1)
+        .select(col("vec_id"), col("embedding"), col("__bucket").as("bucket")))
+    semanticDedup(assigned, "bucket", threshold)
+  }
+
   /** Recall@k of an approximate ANN result against exact ground truth —
     * the evaluation harness every production index needs before its
     * recall/cost dial is trusted. Both inputs carry (qid, nid) top-k

@@ -383,18 +383,32 @@ object PackExt {
 
     // SemDeDup (Abbas et al. 2023): keep-first semantic dedup inside
     // coarse buckets — the embedding-space counterpart of the
-    // MinHash/SimHash near-dup passes. Bucket-confined self-join
-    // (Σ|bucket|², no cross product); cosine folds are bit-identical
+    // MinHash/SimHash near-dup passes. Buckets come from the PERSISTED
+    // coarse quantizer (the same Warehouse centroid table the IVF ANN
+    // queries serve from — one trained quantizer drives both retrieval
+    // and dedup); assignment is the stored-probe rule (6dp-rounded dot,
+    // smallest-bucket tiebreak). Bucket-confined self-join (Σ|bucket|²,
+    // no cross product among vectors); cosine folds are bit-identical
     // cross-engine so the threshold compare needs no rounding.
     QDef("dedup_semantic_keep",
-      s"""WITH n AS (SELECT vec_id, label, embedding FROM embeddings),
-         |d AS (SELECT DISTINCT a.vec_id FROM n a JOIN n b
-         |        ON a.label = b.label AND b.vec_id < a.vec_id
+      s"""WITH cents AS (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean
+         |               FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+         |cvec AS (SELECT label AS cb, list(mean ORDER BY i) AS cv FROM cents GROUP BY label),
+         |asg AS (SELECT vec_id, embedding, cb AS bucket FROM (
+         |          SELECT e.vec_id, e.embedding, c.cb,
+         |                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |                   round(list_reduce(list_transform(range(1, 65),
+         |                     i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]), (a,b) -> a+b), 6) DESC,
+         |                   c.cb) AS rn
+         |          FROM embeddings e, cvec c) WHERE rn = 1),
+         |d AS (SELECT DISTINCT a.vec_id FROM asg a JOIN asg b
+         |        ON a.bucket = b.bucket AND b.vec_id < a.vec_id
          |      WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.30)
-         |SELECT e.vec_id, e.label, d.vec_id IS NULL AS kept
-         |FROM embeddings e LEFT JOIN d ON e.vec_id = d.vec_id
-         |ORDER BY e.vec_id""".stripMargin) { (s, d) =>
-      Similarity.semanticDedup(Tables.embeddings(s, d), "label", 0.30)
+         |SELECT a.vec_id, a.bucket, d.vec_id IS NULL AS kept
+         |FROM asg a LEFT JOIN d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin) { (s, d) =>
+      Similarity.semanticDedupStored(Tables.embeddings(s, d),
+          persistedCentroids(s, d), "label", 0.30)
         .orderBy(col("vec_id"))
     },
 

@@ -349,6 +349,26 @@ class ExtSpec extends AnyFunSuite {
     assert(r == Map(0L -> true, 1L -> false, 2L -> true, 3L -> true))
   }
 
+  test("semanticDedupStored serves from the trained quantizer and agrees with the label path") {
+    // well-separated clusters: the stored per-label centroids assign
+    // every vector back to its own label bucket, so the stored-quantizer
+    // path and the given-assignment path must produce identical dedup
+    // decisions — the dedup and IVF-ANN sides of one trained quantizer
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0L),
+      (1L, Array(0.99f, 0.01f, 0.0f), 0L),  // near-dup of 0 -> dropped
+      (2L, Array(0.0f, 1.0f, 0.0f), 1L),
+      (3L, Array(0.01f, 0.99f, 0.0f), 1L)   // near-dup of 2 -> dropped
+    ).toDF("vec_id", "embedding", "label")
+    val cents = Similarity.centroids(vecs, "label")
+    val stored = Similarity.semanticDedupStored(vecs, cents, "label", 0.95)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    val direct = Similarity.semanticDedup(vecs, "label", 0.95)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(stored == direct)
+    assert(stored == Map(0L -> true, 1L -> false, 2L -> true, 3L -> false))
+  }
+
   test("gopher quality flags: word-count gate and stopword gate discriminate") {
     val corpus = Seq(
       (0L, ("the and of " + Seq.fill(60)("word").mkString(" "))), // 63 words, stopwords

@@ -341,10 +341,22 @@ class PlanSpec extends AnyFunSuite {
       s"covered dedup must partial-aggregate before its exchange:\n$p")
   }
 
-  test("semantic dedup pair comparison is a bucket equi-join, never a cross product") {
+  test("semantic dedup pair comparison is a bucket equi-join, never a vector cross product") {
     val p = plan("dedup_semantic_keep")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+    assert(!p.contains("CartesianProduct"),
       s"the SemDeDup pair join must stay bucket-confined:\n$p")
+    // nested-loop joins may appear only as the bounded k-row stored-
+    // centroid broadcast feeding the bucket ASSIGNMENT (same shape as
+    // the IVF probe path) — i.e. always against a build side aggregated
+    // to one row per centroid bucket, never vector-vs-vector
+    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("TopKPerKey"),
+      s"a nest-loop join may only feed the centroid-attach argmax:\n$p")
+    assert("Join \\[ab#\\d+\\], \\[bb#\\d+\\], Inner".r.findAllIn(p).nonEmpty,
+      s"pair comparison must equi-join on the assigned bucket:\n$p")
+    // the assignment is computed ONCE (cached) and via the bounded-heap
+    // argmax, not a window sort
+    assert(p.contains("InMemoryTableScan"),
+      s"the bucket assignment must be cached for its three consumers:\n$p")
   }
 
   test("OOV rate broadcasts the vocabulary; corpus side never token-shuffles for the probe") {
