@@ -289,6 +289,74 @@ object TextDedup {
     lab
   }
 
+  /** Connected components by large-star/small-star alternation (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond") — same
+    * contract as [[connectedComponents]] ((id, label), label = min id of
+    * the component), but O(log² n) supersteps instead of O(diameter):
+    * the variant for adversarially DEEP graphs (long chains), where
+    * min-label propagation pays one superstep per hop.
+    *
+    * Edges are kept canonical (u, v) with u > v. Each round:
+    *   - large-star: every strictly-larger neighbor of u re-points to
+    *     m = min(Γ(u) ∪ {u}) — doubles star depth collapse from above;
+    *   - small-star: u and its smaller neighbors re-point to u's min
+    *     neighbor — flattens the local tree.
+    * Both are one symmetrize/group + one equi-join, vertex-keyed like
+    * the min-label superstep. Endpoint sums strictly decrease every
+    * productive round (edges only ever re-point to smaller ids), so the
+    * fixpoint check is the same scalar-aggregate trick as
+    * [[connectedComponents]]; at the fixpoint the edge set is a star
+    * forest — every non-root points directly at its component's min. */
+  def connectedComponentsStar(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def canon(e: DataFrame): DataFrame = e
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("_u"), least(col("u"), col("v")).as("_v"))
+      .select(col("_u").as("u"), col("_v").as("v"))
+      .distinct()
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("mn"))
+      sym.join(m, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("mn").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // canonical edges all point downward, so every neighbor in the
+      // grouped direction is <= u and mn is the component-local min seen
+      val m = e.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      val withMin = e.join(m, Seq("u"))
+      withMin.select(col("u"), col("mn").as("v"))
+        .union(withMin.filter(col("v") =!= col("mn"))
+          .select(col("v").as("u"), col("mn").as("v")))
+        .distinct()
+    }
+    def sums(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum((col("u") + col("v")).cast(DecimalType(38, 0))),
+          lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 0)))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var e = canon(edges.select(col("d1").as("u"), col("d2").as("v"))).localCheckpoint()
+    var prev = sums(e)
+    var prevE = e
+    var converged = e.isEmpty
+    while (!converged) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val s = sums(e)
+      // the cheap scalar pair (count, endpoint sum) screens every round;
+      // an exact set compare CONFIRMS the fixpoint (runs once, on the
+      // final star forest) so a scalar collision can never stop us early
+      converged = s == prev && e.exceptAll(prevE).isEmpty
+      prev = s
+      prevE = e
+    }
+    vertices.select(col("id"))
+      .join(e.select(col("u").as("id"), col("v").as("label")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+  }
+
   /** [[simhashPairs]] through banded LSH — the plan that survives 100 TB.
     * The 63 signature bits split into `maxHamming + 1` contiguous bands;
     * by pigeonhole, any pair within `maxHamming` differing bits agrees

@@ -293,6 +293,17 @@ class ExtSpec extends AnyFunSuite {
     assert(native == fold)
   }
 
+  test("connectedComponentsStar collapses a deep chain (the adversarial case for min-label)") {
+    // a 200-hop path: min-label propagation needs one superstep per hop;
+    // the star alternation converges in O(log^2 n) rounds
+    val n = 200L
+    val vertices = (0L until n).toDF("id")
+    val chain = (1L until n).map(i => (i - 1, i)).toDF("d1", "d2")
+    val labels = TextDedup.connectedComponentsStar(vertices, chain)
+      .as[(Long, Long)].collect()
+    assert(labels.length == n && labels.forall(_._2 == 0L))
+  }
+
   test("simhashBandPairs bucket cap skips degenerate constant-band buckets") {
     // 12 identical signatures: every (band, bits) bucket holds all 12 docs
     val sigs = (0L until 12L).map(i => (i, 0L)).toDF("doc_id", "simhash")

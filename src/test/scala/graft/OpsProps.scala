@@ -48,6 +48,17 @@ object OpsProps extends Properties("ops") {
       got == unionFind(n, edges)
     }
 
+  property("connectedComponentsStar == union-find min labels (Kiveris alternation)") =
+    Prop.forAll(graphGen) { case (n, edges) =>
+      import spark.implicits._
+      val vertices = (0L until n.toLong).toDF("id")
+      val e = if (edges.isEmpty) spark.emptyDataset[(Long, Long)].toDF("d1", "d2")
+              else edges.toDF("d1", "d2")
+      val got = graft.ext.TextDedup.connectedComponentsStar(vertices, e)
+        .as[(Long, Long)].collect().toMap
+      got == unionFind(n, edges)
+    }
+
   // ---- chunking invariants ----------------------------------------------
 
   private val textGen: Gen[String] = for {
