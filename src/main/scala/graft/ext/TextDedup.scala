@@ -52,31 +52,27 @@ object TextDedup {
 
   /** distinct n-gram word shingles (n consecutive words joined by one
     * space) — the standard MinHash/Jaccard unit for near-dup detection;
-    * n=1 degenerates to [[tokens]]. Built as a fold of zip_with over n
-    * shifted slices — n array ops per DOCUMENT, where the obvious
-    * per-position slice+join pays one array copy per TOKEN (measured 3×
-    * slower at corpus scale). No explode, no shuffle. */
-  def shingles(text: Column, n: Int): Column = {
-    if (n <= 1) tokens(text)
-    else {
-      val words = split(text, " ")
-      val m = greatest(size(words) - (n - 1), lit(0))
-      array_distinct((2 to n).foldLeft(slice(words, lit(1), m)) { (acc, k) =>
-        zip_with(acc, slice(words, lit(k), m), (a, b) => concat(a, lit(" "), b))
-      })
-    }
-  }
+    * n=1 degenerates to [[tokens]]. Computed by the native codegen'd
+    * [[graft.plans.ShingleArray]] expression: one compiled loop per row.
+    * (Earlier forms for the record: the fold of zip_with over n shifted
+    * slices paid n interpreted lambda passes + n array allocations per
+    * row — ~70% of the gram pipelines' cost; the per-position slice+join
+    * was 3× slower still.) No explode, no shuffle. */
+  def shingles(text: Column, n: Int): Column =
+    nativeShingles(text, n, distinct = true)
 
   /** Positional n-gram shingles: element i (0-based) is the gram starting
     * at token position i — NOT deduplicated, span-level dedup needs every
-    * occurrence with its position. Same fold-of-zip_with build as
-    * [[shingles]]. */
-  def positionalShingles(text: Column, n: Int): Column = {
-    val words = split(text, " ")
-    val m = greatest(size(words) - (n - 1), lit(0))
-    (2 to n).foldLeft(slice(words, lit(1), m)) { (acc, k) =>
-      zip_with(acc, slice(words, lit(k), m), (a, b) => concat(a, lit(" "), b))
-    }
+    * occurrence with its position. Same compiled loop as [[shingles]]
+    * without the dedup. */
+  def positionalShingles(text: Column, n: Int): Column =
+    nativeShingles(text, n, distinct = false)
+
+  private def nativeShingles(text: Column, n: Int, distinct: Boolean): Column = {
+    // Column-only API: resolve the session from the thread context (every
+    // query function builds its plan under an active session)
+    graft.plans.ShingleArray.register(SparkSession.active)
+    call_function("graft_shingles", split(text, " "), lit(n), lit(distinct))
   }
 
   /** Exact-substring (span-level) deduplication — the RefinedWeb /
