@@ -393,17 +393,21 @@ object TextDedup {
     // stage that fans out of it. One narrow exchange of (id, 64-bit) rows.
     val cached = BoundedCache.persist("TextDedup.simhashBandPairs.sigs",
       sigs.repartition(col("doc_id")))
-    // bucket-size guard: one exchange-sharing window count over
-    // (band, bits), filter, done — mirrors lshCandidatePairs
-    import org.apache.spark.sql.expressions.Window
-    val banded = cached.select(col("doc_id"), col("simhash"),
+    // bucket-size guard, same semantics as lshCandidatePairs' cap but a
+    // different plan: aggregate the OVERSIZED buckets (partial-agg'd,
+    // normally an empty or near-empty set — only degenerate buckets
+    // qualify) and broadcast-anti-join them out. A window count here
+    // would sit between the explode and the self-join and knock the
+    // join's probe side out of whole-stage codegen — measured 14.6 s vs
+    // 1.3 s at sf0.1 for the 15M-pair probe.
+    val raw = cached.select(col("doc_id"), col("simhash"),
       explode(array(bands: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
         col("bb.band").as("band"), col("bb.bits").as("bits"))
-      .withColumn("bn", count(lit(1))
-        .over(Window.partitionBy(col("band"), col("bits"))))
-      .filter(col("bn") <= maxBucketSize)
-      .drop("bn")
+    val oversized = raw.groupBy(col("band"), col("bits"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucketSize)
+      .select(col("band"), col("bits"))
+    val banded = raw.join(broadcast(oversized), Seq("band", "bits"), "left_anti")
     val a = banded.select(col("band"), col("bits"),
       col("doc_id").as("d1"), col("simhash").as("s1"))
     val b = banded.select(col("band"), col("bits"),
