@@ -47,8 +47,11 @@ object TextDedup {
       .drop("_c")
   }
 
-  /** distinct word tokens of a text column. */
-  def tokens(text: Column): Column = array_distinct(split(text, " "))
+  /** distinct word tokens of a text column — the n=1 case of the native
+    * [[graft.plans.ShingleArray]] loop (first-occurrence order, exactly
+    * `array_distinct(split(text, ' '))`, which it replaced: the builtin
+    * pair is two interpreted collection passes per row). */
+  def tokens(text: Column): Column = shingles(text, 1)
 
   /** distinct n-gram word shingles (n consecutive words joined by one
     * space) — the standard MinHash/Jaccard unit for near-dup detection;
