@@ -174,19 +174,27 @@ object TextDedup {
     }
     // Persist the GUARDED band frame — both self-join sides read it, and
     // everything above it (signature explode, 16 string-min aggregates,
-    // band explode, the bucket-size window) must not run twice. The
-    // degenerate-bucket guard is a window count over (band, bkey) — one
-    // exchange, no join-back (the groupBy + rejoin form pays the same
-    // exchange plus a second join application per consumer). docs ×
-    // numBands rows: small at any corpus size.
-    import org.apache.spark.sql.expressions.Window
-    val pruned = BoundedCache.persist("TextDedup.lshCandidatePairs.bands",
+    // band explode, the bucket-size guard) must not run twice. The
+    // degenerate-bucket guard aggregates the OVERSIZED buckets
+    // (partial-agg'd, normally an empty set) and broadcast-anti-joins
+    // them out — same plan rationale as [[simhashBandPairs]]: a window
+    // count would co-locate a mega-bucket's rows on one task just to
+    // count them AND break whole-stage codegen between the band explode
+    // and the pair join. docs × numBands rows: small at any corpus size.
+    // the CACHE sits below the guard (the signature pipeline must run
+    // once, and both the oversized aggregate and the anti-join probe —
+    // and both pair-join sides — read the cached frame; the broadcast
+    // build is shared via exchange reuse)
+    val rawBands = BoundedCache.persist("TextDedup.lshCandidatePairs.bands",
       sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-        .withColumn("bn", count(lit(1))
-          .over(Window.partitionBy(col("band"), col("bkey"))))
-        .filter(col("bn") <= maxBucketSize)
-        .drop("bn"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey")))
+    val oversized = rawBands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucketSize)
+      .select(col("band"), col("bkey"))
+    // the guarded frame is cached too: both pair-join sides read it
+    // directly, paying the anti-join once instead of once per side
+    val pruned = BoundedCache.persist("TextDedup.lshCandidatePairs.pruned",
+      rawBands.join(broadcast(oversized), Seq("band", "bkey"), "left_anti"))
     val a = pruned.select(col("doc_id").as("d1"), col("band"), col("bkey"))
     val b = pruned.select(col("doc_id").as("d2"), col("band"), col("bkey"))
     a.join(b, Seq("band", "bkey")).filter(col("d1") < col("d2"))
