@@ -265,6 +265,31 @@ object PackExt {
         .orderBy(col("doc_id"))
     },
 
+    // Same clustering through the large-star/small-star alternation
+    // (Kiveris et al.) — O(log² n) rounds instead of O(diameter), the
+    // variant for adversarially deep pair graphs. Identical contract and
+    // oracle as dedup_cluster_cc; the two declared forms pin that both
+    // algorithms agree on real near-dup graphs (the ScalaCheck
+    // union-find property covers random ones).
+    QDef("dedup_cluster_cc_star",
+      s"""WITH RECURSIVE ${simhashCte("doc_id < 128")},
+         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |          WHERE bit_count(xor(a.simhash, b.simhash)) <= 12),
+         |sym AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+         |reach(a, b) AS (SELECT doc_id, doc_id FROM sh
+         |                UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+         |SELECT a AS doc_id, min(b) AS cluster_id, a = min(b) AS is_canonical
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 128)
+      val pairs = TextDedup.simhashPairs(
+        TextDedup.simhash(docs, "doc_id", "text"), 12).select(col("d1"), col("d2"))
+      TextDedup.connectedComponentsStar(docs.select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+          (col("id") === col("label")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    },
+
     // ------------------------------------------------------ similarity search
 
     QDef("ann_cosine_topk",
