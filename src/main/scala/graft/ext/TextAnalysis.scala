@@ -80,16 +80,10 @@ object TextAnalysis {
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), "\\s+", " "))
 
   /** All n-gram occurrences (non-distinct, for frequency counting;
-    * TextDedup.shingles is the distinct-set variant for similarity).
-    * A fold of zip_with over n shifted slices — n array ops per row,
-    * where a per-position slice+join pays one array copy per token. */
-  def ngrams(text: Column, n: Int): Column = {
-    val words = split(text, " ")
-    val m = greatest(size(words) - (n - 1), lit(0))
-    (2 to n).foldLeft(slice(words, lit(1), m)) { (acc, k) =>
-      zip_with(acc, slice(words, lit(k), m), (a, b) => concat(a, lit(" "), b))
-    }
-  }
+    * TextDedup.shingles is the distinct-set variant for similarity) —
+    * the positional form of the native compiled shingle loop. */
+  def ngrams(text: Column, n: Int): Column =
+    graft.ext.TextDedup.positionalShingles(text, n)
 
   /** Rolling polynomial fingerprint over the token stream
     * (h = (h*31 + ascii(w) + len(w)) mod 1e9+7): order-sensitive, unlike
