@@ -164,14 +164,22 @@ object TextDedup {
     * standard guard: a bucket of B docs contributes B²/2 candidate pairs,
     * so one hot bucket can dominate the whole join; near-dup mining inside
     * a degenerate bucket belongs to a clustering pass, not pairwise LSH). */
-  def lshCandidatePairs(df: DataFrame, id: String, text: String,
-                        numHashes: Int = 16, rowsPerBand: Int = 4,
-                        maxBucketSize: Int = 64): DataFrame = {
-    val sigs = minhashSignatures(df, id, text, numHashes)
+  /** (band, bkey) rows of a signature frame: band key = md5 of the
+    * band's sigs in seed order. Shared by the self-join and the
+    * incremental (index-probe) candidate generators. */
+  private def bandRows(sigs: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val bandStructs = (0 until numHashes / rowsPerBand).map { b =>
       val bandSigs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"s$i"))
       struct(lit(b).as("band"), md5(concat(bandSigs: _*)).as("bkey"))
     }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  def lshCandidatePairs(df: DataFrame, id: String, text: String,
+                        numHashes: Int = 16, rowsPerBand: Int = 4,
+                        maxBucketSize: Int = 64): DataFrame = {
+    val sigs = minhashSignatures(df, id, text, numHashes)
     // Persist the GUARDED band frame — both self-join sides read it, and
     // everything above it (signature explode, 16 string-min aggregates,
     // band explode, the bucket-size guard) must not run twice. The
@@ -186,8 +194,7 @@ object TextDedup {
     // and both pair-join sides — read the cached frame; the broadcast
     // build is shared via exchange reuse)
     val rawBands = BoundedCache.persist("TextDedup.lshCandidatePairs.bands",
-      sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey")))
+      bandRows(sigs, numHashes, rowsPerBand))
     val oversized = rawBands.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucketSize)
       .select(col("band"), col("bkey"))
@@ -199,6 +206,34 @@ object TextDedup {
     val b = pruned.select(col("doc_id").as("d2"), col("band"), col("bkey"))
     a.join(b, Seq("band", "bkey")).filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
+  }
+
+  /** Incremental near-dup gate — the INGESTION-time dedup shape: probe a
+    * new batch against an already-indexed corpus. The corpus' band index
+    * is computed once (persist it as a Warehouse table in production —
+    * the train-once/serve-many shape persistedCentroids uses); each
+    * incoming batch signs only ITSELF and equi-joins the index on
+    * (band, bkey). No corpus self-join, no batch self-join — at 100 TB
+    * the index side is the big one and it never moves: the probe is a
+    * band-keyed join whose batch side is broadcastable whenever the
+    * batch is small, which is the definition of incremental ingestion.
+    * Returns one row per new doc: (new_id, n_cand, dup_of) with dup_of
+    * the smallest candidate index id (null + n_cand=0 when clean). */
+  def lshProbeIndex(index: DataFrame, batch: DataFrame, id: String,
+                    text: String, numHashes: Int = 16,
+                    rowsPerBand: Int = 4): DataFrame = {
+    val idxBands = bandRows(minhashSignatures(index, id, text, numHashes),
+      numHashes, rowsPerBand)
+    val newBands = bandRows(minhashSignatures(batch, id, text, numHashes),
+      numHashes, rowsPerBand)
+    val cand = newBands.select(col("doc_id").as("new_id"), col("band"), col("bkey"))
+      .join(idxBands.select(col("doc_id").as("dup_of"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .select(col("new_id"), col("dup_of")).distinct()
+    batch.select(col(id).as("new_id"))
+      .join(cand, Seq("new_id"), "left")
+      .groupBy(col("new_id"))
+      .agg(count(col("dup_of")).as("n_cand"), min(col("dup_of")).as("dup_of"))
   }
 
   /** Exact shingle-set Jaccard over candidate pairs generated by an

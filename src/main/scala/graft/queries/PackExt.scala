@@ -119,6 +119,37 @@ object PackExt {
         numHashes = 16, rowsPerBand = 4, maxBucketSize = 64).orderBy(col("d1"), col("d2"))
     },
 
+    // Ingestion-time incremental dedup: probe a NEW batch (doc_id % 10
+    // = 0) against the already-indexed rest of the corpus through the
+    // band index — no corpus self-join, no batch self-join; the 100 TB
+    // index side never moves, each batch signs only itself
+    // (TextDedup.lshProbeIndex). One row per new doc with its candidate
+    // count and smallest matched index id.
+    QDef("dedup_minhash_incremental",
+      ("""WITH words AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS w FROM documents),
+        |sigs AS (SELECT doc_id, """ +
+        (0 until 16).map(i => s"min(md5('$i|' || w)) AS s$i").mkString(", ") +
+        """ FROM words GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, md5(s0||s1||s2||s3) AS bkey FROM sigs
+        |  UNION ALL SELECT doc_id, 1, md5(s4||s5||s6||s7) FROM sigs
+        |  UNION ALL SELECT doc_id, 2, md5(s8||s9||s10||s11) FROM sigs
+        |  UNION ALL SELECT doc_id, 3, md5(s12||s13||s14||s15) FROM sigs),
+        |cand AS (SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS dup_of
+        |         FROM bands n JOIN bands i ON n.band = i.band AND n.bkey = i.bkey
+        |         WHERE n.doc_id % 10 = 0 AND i.doc_id % 10 <> 0)
+        |SELECT b.doc_id AS new_id, CAST(count(c.dup_of) AS BIGINT) AS n_cand,
+        |       min(c.dup_of) AS dup_of
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) b
+        |LEFT JOIN cand c ON b.doc_id = c.new_id
+        |GROUP BY b.doc_id ORDER BY new_id""").stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextDedup.lshProbeIndex(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+        .orderBy(col("new_id"))
+    },
+
     // MinHash accuracy harness (the dedup counterpart of
     // ann_recall_eval): signature-agreement Jaccard ESTIMATE vs the
     // exact token Jaccard for every pair in a bounded slice, with the

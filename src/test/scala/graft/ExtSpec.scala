@@ -293,6 +293,22 @@ class ExtSpec extends AnyFunSuite {
     assert(native == fold)
   }
 
+  test("lshProbeIndex flags new docs against the index, leaves clean docs unmatched") {
+    val index = docs.filter($"doc_id".isin(0L, 3L))
+    val batch = docs.filter($"doc_id".isin(1L, 4L)) // 1 = exact dup of 0; 4 = reordered 0
+    val r = TextDedup.lshProbeIndex(index, batch, "doc_id", "text")
+      .as[(Long, Long, Option[Long])].collect().map(t => t._1 -> t).toMap
+    assert(r.keySet == Set(1L, 4L), "one row per batch doc")
+    assert(r(1L)._2 >= 1 && r(1L)._3.contains(0L))
+    // signatures are functions of the distinct token SET: reorder-invariant
+    assert(r(4L)._2 >= 1 && r(4L)._3.contains(0L))
+    // a clean batch: doc 3's text shares no tokens with doc 0
+    val clean = TextDedup.lshProbeIndex(docs.filter($"doc_id" === 0L),
+        docs.filter($"doc_id" === 3L), "doc_id", "text")
+      .as[(Long, Long, Option[Long])].collect()
+    assert(clean.toSeq == Seq((3L, 0L, None)))
+  }
+
   test("connectedComponentsStar collapses a deep chain (the adversarial case for min-label)") {
     // a 200-hop path: min-label propagation needs one superstep per hop;
     // the star alternation converges in O(log^2 n) rounds
