@@ -925,8 +925,9 @@ object PackExt {
 
     // Sequence packing: assign documents to fixed-token-budget training
     // bins (512 tokens) with a per-source running count — the classic
-    // "pack short documents into full sequences" pass. Cumulative sums
-    // are per-source windows (hash-partitioned, no global prefix-sum);
+    // "pack short documents into full sequences" pass. The running count
+    // is the chunked two-level prefix sum (Ops.chunkedCumsum — a plain
+    // per-source window would serialize each source onto one task);
     // integer token counts make the fold exact on any partitioning.
     QDef("text_pack_sequences",
       """WITH t AS (SELECT source, doc_id, length(string_split(text, ' ')) AS n_tokens FROM documents),
@@ -936,12 +937,12 @@ object PackExt {
         |SELECT source, doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, cum,
         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS bin
         |FROM c ORDER BY source, doc_id""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      Tables.documents(s, d)
-        .select(col("source"), col("doc_id"),
-          size(split(col("text"), " ")).as("n_tokens"))
-        .withColumn("cum", sum(col("n_tokens"))
-          .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+      graft.ops.Ops.chunkedCumsum(
+          Tables.documents(s, d)
+            .select(col("source"), col("doc_id"),
+              size(split(col("text"), " ")).as("n_tokens")),
+          "source", "doc_id", "n_tokens", "cum")
+        .withColumn("cum", col("cum").cast("long"))
         .withColumn("bin", floor((col("cum") - col("n_tokens")) / 512).cast("long"))
         .orderBy(col("source"), col("doc_id"))
     },
@@ -958,14 +959,17 @@ object PackExt {
         |  FROM documents)
         |SELECT doc_id, source, rate FROM r WHERE rn % rate = 1
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("source"))
+      // per-source ordinal = chunked cumsum of ones (doc ids are unique,
+      // so the running count IS row_number — without the per-source
+      // single-partition window)
+      graft.ops.Ops.chunkedCumsum(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("source")).withColumn("one", lit(1L)),
+          "source", "doc_id", "one", "rn")
         .withColumn("rate",
           when(substring(col("source"), 4, 10).cast("int") % 3 === 0, 2)
             .when(substring(col("source"), 4, 10).cast("int") % 3 === 1, 5)
             .otherwise(10))
-        .withColumn("rn", row_number().over(w))
         .filter(col("rn") % col("rate") === 1)
         .select(col("doc_id"), col("source"), col("rate"))
         .orderBy(col("doc_id"))
