@@ -706,11 +706,15 @@ object PackAnalytics {
         |           FROM events)
         |SELECT event_id, event_type, rn FROM r WHERE rn % 20 = 1
         |ORDER BY event_id""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
-      Tables.events(s, d)
-        .select(col("event_id"), col("event_type"),
-          row_number().over(w).cast("long").as("rn"))
+      // per-stratum ordinal = chunked cumsum of ones over the unique
+      // monotone event id (Ops.chunkedCumsum) — a per-type window would
+      // serialize each stratum onto one task at any corpus size
+      graft.ops.Ops.chunkedCumsum(
+          Tables.events(s, d)
+            .select(col("event_id"), col("event_type")).withColumn("one", lit(1L)),
+          "event_type", "event_id", "one", "rn")
         .filter(col("rn") % 20 === 1)
+        .select(col("event_id"), col("event_type"), col("rn"))
         .orderBy(col("event_id"))
     },
 

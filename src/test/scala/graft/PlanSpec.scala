@@ -309,20 +309,24 @@ class PlanSpec extends AnyFunSuite {
   // per-source running totals/ordinals ride the chunked two-level prefix
   // sum — a plain per-source window would serialize each source onto one
   // task at any corpus size
-  for (name <- Seq("mixture_token_budget", "text_pack_sequences", "sample_mixture")) {
-    test(s"$name cumsum is chunk-partitioned — no single-partition-per-source window") {
+  for ((name, part, ord) <- Seq(
+      ("mixture_token_budget", "source", "doc_id"),
+      ("text_pack_sequences", "source", "doc_id"),
+      ("sample_mixture", "source", "doc_id"),
+      ("sample_stratified", "event_type", "event_id"))) {
+    test(s"$name cumsum is chunk-partitioned — no single-partition-per-group window") {
       val p = plan(name)
-      // the corpus-side running total windows over (source, chunk): each
-      // task holds at most `span` docs of one source, never a whole source
-      assert("windowspecdefinition\\(source#\\d+, _chunk#\\d+L?, doc_id#\\d+L? ASC"
+      // the corpus-side running total windows over (group, chunk): each
+      // task holds at most `span` rows of one group, never a whole group
+      assert(s"windowspecdefinition\\($part#\\d+, _chunk#\\d+L?, $ord#\\d+L? ASC"
         .r.findAllIn(p).nonEmpty,
-        s"the doc-level cumsum must partition by (source, chunk):\n$p")
-      // the only source-ONLY window runs over the collapsed per-chunk sums
-      // (~n/span rows); its input must be the chunk aggregate, not raw docs
+        s"the row-level cumsum must partition by ($part, chunk):\n$p")
+      // the only group-ONLY window runs over the collapsed per-chunk sums
+      // (~n/span rows); its input must be the chunk aggregate, not raw rows
       assert("Window \\[sum\\(_csum#\\d+L?\\)".r.findAllIn(p).size == 1,
-        s"per-source offsets must come from the collapsed chunk frame:\n$p")
-      assert("windowspecdefinition\\(source#\\d+, doc_id".r.findAllIn(p).isEmpty,
-        s"no window may order the raw doc stream within a source alone:\n$p")
+        s"per-group offsets must come from the collapsed chunk frame:\n$p")
+      assert(s"windowspecdefinition\\($part#\\d+, $ord".r.findAllIn(p).isEmpty,
+        s"no window may order the raw row stream within a group alone:\n$p")
     }
   }
 
