@@ -509,6 +509,44 @@ object TextDedup {
       .withColumn("contaminated", col("n_overlap") > 0)
   }
 
+  /** Span-level decontamination — the SURGICAL form of [[contamination]]:
+    * instead of flagging a training doc that overlaps the eval corpus,
+    * REMOVE every token span covered by an n-gram that appears anywhere
+    * in the eval set and stitch the survivors back in order (the
+    * exact-substring decontamination stage run against benchmarks before
+    * pretraining). Returns (id, n_tokens, n_kept, cleaned_md5).
+    *
+    * Scale shape: the same asymmetry as [[contamination]] — the eval
+    * gram set collapses to DISTINCT and broadcasts, so the 100 TB train
+    * side never shuffles by gram (a semi join per positional gram, all
+    * map-side) — composed with [[exactSubstringDedup]]'s rebuild
+    * (bounded cover explode, (doc,pos)-keyed dedup + anti join,
+    * partition-local ordered reassembly). */
+  def decontaminateSpans(train: DataFrame, eval: DataFrame, id: String,
+                         text: String, n: Int): DataFrame = {
+    val evalGrams = eval.select(explode(shingles(col(text), n)).as("gram")).distinct()
+    val toks = train.select(col(id),
+      posexplode(split(col(text), " ")).as(Seq("pos", "w")))
+    val hitStarts = train.select(col(id),
+        posexplode(positionalShingles(col(text), n)).as(Seq("gpos", "gram")))
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .select(col(id), col("gpos"))
+    val covered = hitStarts
+      .select(col(id), explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq(id, "pos"), "left_anti")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ")).as("cleaned_md5"))
+    train.select(col(id), size(split(col(text), " ")).cast("long").as("n_tokens"))
+      .join(kept, Seq(id), "left")
+      .select(col(id), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+  }
+
   /** Duplicate-shingle fraction per document (the RefinedWeb/Dolma
     * corpus-duplication profile): the share of a doc's distinct n-gram
     * shingles that occur in at least `minDocs` documents. High fractions

@@ -1338,6 +1338,43 @@ object PackExt {
         .orderBy(col("doc_id"))
     },
 
+    // Surgical decontamination: REMOVE the eval-overlapping 5-gram spans
+    // from each training doc and re-stitch the survivors (the
+    // exact-substring decontamination stage run against benchmarks),
+    // instead of flagging whole docs. Same broadcast asymmetry as
+    // decon_ngram_overlap — the train side never shuffles by gram — plus
+    // the span rebuild from dedup_exact_substring.
+    QDef("decon_span_removal",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(range(1, greatest(length(l) - 3, 1))) - 1 AS gpos,
+        |        unnest(list_transform(range(1, greatest(length(l) - 3, 1)), i -> array_to_string(l[i:i+4], ' '))) AS gram
+        |      FROM t),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 25 = 0),
+        |cov AS (SELECT DISTINCT doc_id, gpos + o AS pos
+        |        FROM g, range(5) s(o)
+        |        WHERE doc_id % 25 <> 0 AND gram IN (SELECT gram FROM ev)),
+        |toks AS (SELECT doc_id, unnest(range(1, length(l) + 1)) - 1 AS pos, unnest(l) AS w
+        |         FROM t WHERE doc_id % 25 <> 0),
+        |kept AS (SELECT k.doc_id, k.pos, k.w FROM toks k
+        |         WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.doc_id = k.doc_id AND c.pos = k.pos)),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |               md5(array_to_string(list(w ORDER BY pos), ' ')) AS cleaned_md5
+        |        FROM kept GROUP BY doc_id)
+        |SELECT tr.doc_id, CAST(length(tr.l) AS BIGINT) AS n_tokens,
+        |       COALESCE(a.n_kept, 0) AS n_kept,
+        |       COALESCE(a.cleaned_md5, md5('')) AS cleaned_md5
+        |FROM (SELECT doc_id, l FROM t WHERE doc_id % 25 <> 0) tr
+        |LEFT JOIN agg a USING (doc_id)
+        |ORDER BY tr.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextDedup.decontaminateSpans(
+          docs.filter(col("doc_id") % 25 =!= 0),
+          docs.filter(col("doc_id") % 25 === 0),
+          "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    },
+
     // Quantile-gated quality filter (the FineWeb/Gopher keep-rule shape):
     // keep docs at or above their SOURCE's 25th-percentile quality — a
     // per-domain adaptive threshold instead of one global constant. The

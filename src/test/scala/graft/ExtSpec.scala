@@ -293,6 +293,23 @@ class ExtSpec extends AnyFunSuite {
     assert(native == fold)
   }
 
+  test("decontaminateSpans removes eval-overlapping spans, keeps clean text intact") {
+    import org.apache.spark.sql.functions.md5
+    val train = Seq(
+      (0L, "keep one two three four five tail stays here"), // span 1..5 leaks
+      (1L, "entirely clean training document with original words")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "one two three four five")).toDF("doc_id", "text")
+    val r = TextDedup.decontaminateSpans(train, eval, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long, String)].collect().map(t => t._1 -> t).toMap
+    // doc 0: 9 tokens, the 5 leaked ones removed, survivors in order
+    assert(r(0L)._2 == 9L && r(0L)._3 == 4L)
+    assert(r(0L)._4 == TestSpark.spark.range(1)
+      .select(md5(lit("keep tail stays here"))).as[String].head())
+    // doc 1 untouched
+    assert(r(1L)._3 == 7L)
+  }
+
   test("lshProbeIndex flags new docs against the index, leaves clean docs unmatched") {
     val index = docs.filter($"doc_id".isin(0L, 3L))
     val batch = docs.filter($"doc_id".isin(1L, 4L)) // 1 = exact dup of 0; 4 = reordered 0
