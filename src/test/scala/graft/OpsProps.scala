@@ -279,6 +279,39 @@ object OpsProps extends Properties("ops") {
       }
     }
 
+  property("lshProbeIndex == brute-force band agreement across the split") =
+    Prop.forAll(corpusGen) { docs =>
+      import spark.implicits._
+      docs.size < 2 || {
+        val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val index = df.filter(col("doc_id") % 2 === 0)
+        val batch = df.filter(col("doc_id") % 2 =!= 0)
+        val got = graft.ext.TextDedup
+          .lshProbeIndex(index, batch, "doc_id", "text")
+          .as[(Long, Long, Option[Long])].collect().map(t => t._1 -> t).toMap
+        // independent re-derivation of the signature/band grammar:
+        // 16 md5-seeded min-hashes over distinct tokens, 4 bands keyed
+        // by md5 of the band's sigs in seed order
+        def md5hex(s: String): String =
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        def bandKeys(text: String): Set[(Int, String)] = {
+          val ws = text.split(" ").distinct
+          val sigs = (0 until 16).map(i => ws.map(w => md5hex(s"$i|$w")).min)
+          (0 until 4).map(b => b -> md5hex(sigs.slice(b * 4, b * 4 + 4).mkString)).toSet
+        }
+        val idxKeys = docs.indices.filter(_ % 2 == 0)
+          .map(i => i.toLong -> bandKeys(docs(i)))
+        docs.indices.filter(_ % 2 == 1).forall { i =>
+          val mine = bandKeys(docs(i))
+          val cands = idxKeys.filter(k => (k._2 & mine).nonEmpty).map(_._1)
+          got(i.toLong) == ((i.toLong, cands.size.toLong,
+            if (cands.isEmpty) None else Some(cands.min)))
+        }
+      }
+    }
+
   property("duplicateShingleFraction == brute-force document-frequency profile") =
     Prop.forAll(corpusGen) { docs =>
       import spark.implicits._
