@@ -19,6 +19,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleArray].getName, "graft_shingles"),
+      (exprs: Seq[Expression]) => ShingleArray.build(exprs)))
     e.injectOptimizerRule(_ => LevenshteinPrefilter)
     e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }

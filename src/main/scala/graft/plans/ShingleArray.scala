@@ -80,24 +80,28 @@ object ShingleArray {
     }
   }
 
+  /** Expression builder shared by runtime registration and
+    * [[GraftExtensions]] injection; n and distinct must be literals —
+    * they select the compiled loop, they are not data. */
+  def build(exprs: Seq[Expression]): ShingleArray = {
+    val n = exprs(1) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_shingles: n must be an INT literal, got $other")
+    }
+    val dist = exprs(2) match {
+      case Literal(v: Boolean, BooleanType) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_shingles: distinct must be a BOOLEAN literal, got $other")
+    }
+    ShingleArray(exprs.head, n, dist)
+  }
+
   /** Register `graft_shingles(arr, n, distinct)` (idempotent, same
-    * discipline as [[SimHash64.register]]); n and distinct must be
-    * literals — they select the compiled loop, they are not data. */
+    * discipline as [[SimHash64.register]]). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(new FunctionIdentifier("graft_shingles")))
-      reg.createOrReplaceTempFunction("graft_shingles", exprs => {
-        val n = exprs(1) match {
-          case Literal(v: Int, IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_shingles: n must be an INT literal, got $other")
-        }
-        val dist = exprs(2) match {
-          case Literal(v: Boolean, BooleanType) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_shingles: distinct must be a BOOLEAN literal, got $other")
-        }
-        ShingleArray(exprs.head, n, dist)
-      }, "built-in")
+      reg.createOrReplaceTempFunction("graft_shingles", build, "built-in")
   }
 }

@@ -45,8 +45,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     val v = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .head().getDouble(0)
     assert(v == 11.0)
-    // extension wiring for fresh sessions (spark.sql.extensions path)
+    // extension wiring for fresh sessions (spark.sql.extensions path):
+    // all three native functions must inject without error
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
+  test("graft_shingles is callable from SQL; literal-argument contract enforced") {
+    graft.plans.ShingleArray.register(spark)
+    val r = spark.sql(
+      """SELECT graft_shingles(split('a b a b c', ' '), 2, true) AS d,
+        |       graft_shingles(split('a b a', ' '), 2, false) AS p""".stripMargin)
+      .as[(Seq[String], Seq[String])].head()
+    assert(r._1 == Seq("a b", "b a", "b c"))
+    assert(r._2 == Seq("a b", "b a"))
+    // n must be a literal — it selects the compiled loop
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_shingles(array('a'), CAST(length('xx') AS INT), true)").collect()
+    }
+    assert(err.getMessage.contains("INT literal"))
   }
 
   test("graft_minhash typed aggregate equals the wide groupBy signature form") {
