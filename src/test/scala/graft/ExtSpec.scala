@@ -293,6 +293,26 @@ class ExtSpec extends AnyFunSuite {
     assert(native == fold)
   }
 
+  test("gram salt bucket count never changes dedup results (conf invariance)") {
+    val corpus = Seq(
+      (0L, "one two three four five six one two three four five six"),
+      (1L, "one two three four five six and unrelated tail content"),
+      (2L, "fully distinct words without any repeated gram runs at all")
+    ).toDF("doc_id", "text")
+    def run() = (
+      TextDedup.exactSubstringDedup(corpus, "doc_id", "text", n = 5)
+        .orderBy("doc_id").collect().toSeq,
+      TextDedup.duplicateShingleFraction(corpus, "doc_id", "text", n = 3)
+        .orderBy("doc_id").collect().toSeq)
+    val dflt = run()
+    TestSpark.spark.conf.set(TextDedup.GramSaltBucketsKey, "1")
+    try assert(run() == dflt, "salt count is a layout dial, not a semantic one")
+    finally TestSpark.spark.conf.unset(TextDedup.GramSaltBucketsKey)
+    TestSpark.spark.conf.set(TextDedup.GramSaltBucketsKey, "64")
+    try assert(run() == dflt)
+    finally TestSpark.spark.conf.unset(TextDedup.GramSaltBucketsKey)
+  }
+
   test("decontaminateSpans removes eval-overlapping spans, keeps clean text intact") {
     import org.apache.spark.sql.functions.md5
     val train = Seq(
