@@ -279,6 +279,35 @@ object OpsProps extends Properties("ops") {
       }
     }
 
+  property("decontaminateSpans == brute-force eval-span marking") =
+    Prop.forAll(corpusGen) { docs =>
+      import spark.implicits._
+      docs.size < 2 || {
+        val n = 3
+        val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val train = df.filter(col("doc_id") % 2 === 0)
+        val eval = df.filter(col("doc_id") % 2 =!= 0)
+        val got = graft.ext.TextDedup
+          .decontaminateSpans(train, eval, "doc_id", "text", n)
+          .select("doc_id", "n_tokens", "n_kept")
+          .as[(Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+        val evalGrams = docs.indices.filter(_ % 2 == 1)
+          .flatMap(i => docs(i).split(" ").toSeq.sliding(n).filter(_.size == n)
+            .map(_.mkString(" "))).toSet
+        docs.indices.filter(_ % 2 == 0).forall { i =>
+          val ws = docs(i).split(" ").toSeq
+          val covered = Array.fill(ws.size)(false)
+          ws.sliding(n).zipWithIndex.foreach { case (g, p) =>
+            if (g.size == n && evalGrams(g.mkString(" ")))
+              (p until p + n).foreach(covered(_) = true)
+          }
+          got(i.toLong) ==
+            ((i.toLong, ws.size.toLong, ws.indices.count(!covered(_)).toLong))
+        }
+      }
+    }
+
   property("lshProbeIndex == brute-force band agreement across the split") =
     Prop.forAll(corpusGen) { docs =>
       import spark.implicits._
