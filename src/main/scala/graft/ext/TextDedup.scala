@@ -83,8 +83,10 @@ object TextDedup {
     * any token span covered by an n-gram occurring at least `minCount`
     * times corpus-wide (including repeats within one document) is
     * removed, and the remaining tokens are stitched back in order.
-    * Returns (id, n_tokens, n_kept, dup_frac, cleaned_md5) — the cleaned
-    * text is fingerprinted so oracle comparison stays row-shaped.
+    * Returns (id, n_tokens, n_kept, dup_frac, cleaned_md5, over_length) —
+    * the cleaned text is fingerprinted so oracle comparison stays
+    * row-shaped; docs past `maxTokens` skip the rebuild and pass through
+    * flagged (`over_length = true`, dup_frac unassessed/null).
     *
     * Scale shape: one positional-gram explode, then SALTED gram counting
     * (see [[saltedGramCounts]]): the occurrence stream pre-aggregates per
@@ -97,10 +99,29 @@ object TextDedup {
     * collapses the overlapping-span blowup map-side, and the key has no
     * hot values — and the rebuild is a doc-keyed sort-free aggregation
     * (array_sort over (pos, token) structs, partition-local). */
+  /** Default rebuild cap for the span-level operators: documents longer
+    * than this many whitespace tokens are flagged and passed through
+    * un-rebuilt instead of materializing their token array in one
+    * `collect_list` aggregation buffer. Real corpora cap documents far
+    * below this (and the Gopher length rules drop such docs earlier);
+    * the gate makes the buffer bound EXPLICIT at 100 TB, where one
+    * pathological multi-GB document would otherwise pin an executor. */
+  val DefaultMaxRebuildTokens: Int = 1 << 20
+
   def exactSubstringDedup(docs: DataFrame, id: String, text: String,
-                          n: Int, minCount: Int = 2): DataFrame = {
+                          n: Int, minCount: Int = 2,
+                          maxTokens: Int = DefaultMaxRebuildTokens): DataFrame = {
     val s = saltBuckets(docs)
-    val toks = docs.select(col(id),
+    val nTok = size(split(col(text), " ")).cast("long")
+    // doc-length gate (flag-and-skip, like Gopher's length rules): docs
+    // past maxTokens are EXCLUDED from the collect_list rebuild — the
+    // only stage that materializes a whole document in one aggregation
+    // buffer — and surface flagged with their original fingerprint.
+    // Their grams still feed the corpus-wide counts (linear, streaming
+    // explode; no per-doc buffer), so every other doc's result is
+    // identical with or without the pathological neighbor.
+    val overIds = docs.filter(nTok > maxTokens).select(col(id))
+    val toks = docs.filter(nTok <= maxTokens).select(col(id),
       posexplode(split(col(text), " ")).as(Seq("pos", "w")))
     // salt on (id, gpos): within-doc repeats of one gram (log-file
     // boilerplate) spread across buckets too, not just cross-doc mass
@@ -113,6 +134,9 @@ object TextDedup {
     val dupStarts = grams
       .join(dupBuckets, Seq("gram", "_salt"), "left_semi")
       .select(col(id), col("gpos"))
+      // skipped docs need no cover positions — drop them before the
+      // n-fold cover explode (overIds is empty/tiny by construction)
+      .join(overIds, Seq(id), "left_anti")
     val covered = dupStarts
       .select(col(id), explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
       .distinct()
@@ -122,13 +146,21 @@ object TextDedup {
         md5(array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("w")))),
           x => x.getField("w")), " ")).as("cleaned_md5"))
-    docs.select(col(id), size(split(col(text), " ")).cast("long").as("n_tokens"))
+    val over = col("n_tokens") > maxTokens
+    docs.select(col(id), nTok.as("n_tokens"), col(text).as("_text"))
       .join(kept, Seq(id), "left")
       .select(col(id), col("n_tokens"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        round(lit(1.0) - coalesce(col("n_kept"), lit(0L)) / col("n_tokens"), 6)
+        // a flagged doc passes through untouched: nothing was removed,
+        // so the "cleaned" text IS the original (split+rejoin on the
+        // same delimiter is the identity) and dup_frac is unassessed
+        when(over, col("n_tokens"))
+          .otherwise(coalesce(col("n_kept"), lit(0L))).as("n_kept"),
+        when(over, lit(null).cast("double"))
+          .otherwise(round(lit(1.0) - coalesce(col("n_kept"), lit(0L)) / col("n_tokens"), 6))
           .as("dup_frac"),
-        coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+        when(over, md5(col("_text")))
+          .otherwise(coalesce(col("cleaned_md5"), md5(lit("")))).as("cleaned_md5"),
+        over.as("over_length"))
   }
 
   /** Exact dedup: group by full-content hash, keep min id
@@ -221,13 +253,38 @@ object TextDedup {
     * the smallest candidate index id (null + n_cand=0 when clean). */
   def lshProbeIndex(index: DataFrame, batch: DataFrame, id: String,
                     text: String, numHashes: Int = 16,
-                    rowsPerBand: Int = 4): DataFrame = {
-    val idxBands = bandRows(minhashSignatures(index, id, text, numHashes),
-      numHashes, rowsPerBand)
+                    rowsPerBand: Int = 4, maxBucketSize: Int = 64): DataFrame =
+    lshProbeBands(bandIndex(index, id, text, numHashes, rowsPerBand),
+      batch, id, text, numHashes, rowsPerBand, maxBucketSize)
+
+  /** The corpus band index of [[lshProbeIndex]] as a standalone frame —
+    * (doc_id, band, bkey), one row per document per band. This is the
+    * table to PERSIST (train-once/serve-many): compute it when the corpus
+    * is ingested, store it keyed by the corpus fingerprint, and let every
+    * later batch probe the stored table (see PackExt.persistedBandIndex). */
+  def bandIndex(df: DataFrame, id: String, text: String,
+                numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    bandRows(minhashSignatures(df, id, text, numHashes), numHashes, rowsPerBand)
+
+  /** Probe half of [[lshProbeIndex]] against a PRECOMPUTED (possibly
+    * stored) band index. Degenerate index buckets — a hot (band, bkey)
+    * from constant boilerplate would multiply against every matching
+    * batch doc before the per-doc aggregate — are dropped past
+    * `maxBucketSize` through the same oversized-aggregate + broadcast
+    * anti-join as [[lshCandidatePairs]]/[[simhashBandPairs]] (the window
+    * form would serialize the hot bucket onto one task AND break codegen
+    * on the probe side). */
+  def lshProbeBands(idxBands: DataFrame, batch: DataFrame, id: String,
+                    text: String, numHashes: Int = 16, rowsPerBand: Int = 4,
+                    maxBucketSize: Int = 64): DataFrame = {
+    val oversized = idxBands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucketSize)
+      .select(col("band"), col("bkey"))
+    val pruned = idxBands.join(broadcast(oversized), Seq("band", "bkey"), "left_anti")
     val newBands = bandRows(minhashSignatures(batch, id, text, numHashes),
       numHashes, rowsPerBand)
     val cand = newBands.select(col("doc_id").as("new_id"), col("band"), col("bkey"))
-      .join(idxBands.select(col("doc_id").as("dup_of"), col("band"), col("bkey")),
+      .join(pruned.select(col("doc_id").as("dup_of"), col("band"), col("bkey")),
         Seq("band", "bkey"))
       .select(col("new_id"), col("dup_of")).distinct()
     batch.select(col(id).as("new_id"))
@@ -241,10 +298,30 @@ object TextDedup {
     * counts). n-gram shingles (n≥2) make the measure discriminative on
     * small vocabularies — on the test corpus bigrams isolate the 3 true
     * near-dup pairs that unigrams drown in 3.7k noise pairs. Use after
-    * LSH at scale; standalone on bounded subsets. */
+    * LSH at scale; standalone on bounded subsets.
+    *
+    * Grams with document frequency above `maxDf` are dropped from the
+    * gram universe BEFORE the self-join (sizes and intersections both
+    * computed over the filtered sets — the standard IR stopgram trick):
+    * a stopword-heavy unigram config would otherwise make one shingle's
+    * posting list quadratic in the self-join, the exact hot-key failure
+    * the salted/capped siblings guard against. Near-ubiquitous grams
+    * carry no Jaccard signal (they inflate every pair's intersection
+    * and union alike), so the cap is a quality feature, not just a
+    * guard. Counting rides [[saltedGramCounts]] — a hot gram's document
+    * frequency pre-aggregates per (gram, salt), never pinning one task. */
   def jaccardPairs(df: DataFrame, id: String, text: String,
-                   threshold: Double, n: Int = 1): DataFrame = {
-    val t = df.select(col(id).as("doc_id"), explode(shingles(col(text), n)).as("w"))
+                   threshold: Double, n: Int = 1,
+                   maxDf: Int = 10000): DataFrame = {
+    val s = saltBuckets(df)
+    // shingles are distinct within a doc, so occurrence count == df
+    val g = df.select(col(id).as("doc_id"), explode(shingles(col(text), n)).as("gram"))
+      .withColumn("_salt", pmod(hash(col("doc_id")), lit(s)))
+    val keepBuckets = saltedGramCounts(g, col("_salt"), s)
+      .filter(col("df") <= maxDf)
+      .select(col("gram"), col("_salt"))
+    val t = g.join(keepBuckets, Seq("gram", "_salt"), "left_semi")
+      .select(col("doc_id"), col("gram").as("w"))
     val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shared = t.select(col("doc_id").as("d1"), col("w"))
       .join(t.select(col("doc_id").as("d2"), col("w")), Seq("w"))
@@ -514,7 +591,8 @@ object TextDedup {
     * REMOVE every token span covered by an n-gram that appears anywhere
     * in the eval set and stitch the survivors back in order (the
     * exact-substring decontamination stage run against benchmarks before
-    * pretraining). Returns (id, n_tokens, n_kept, cleaned_md5).
+    * pretraining). Returns (id, n_tokens, n_kept, cleaned_md5,
+    * over_length) — docs past `maxTokens` skip the rebuild, flagged.
     *
     * Scale shape: the same asymmetry as [[contamination]] — the eval
     * gram set collapses to DISTINCT and broadcasts, so the 100 TB train
@@ -523,11 +601,18 @@ object TextDedup {
     * (bounded cover explode, (doc,pos)-keyed dedup + anti join,
     * partition-local ordered reassembly). */
   def decontaminateSpans(train: DataFrame, eval: DataFrame, id: String,
-                         text: String, n: Int): DataFrame = {
+                         text: String, n: Int,
+                         maxTokens: Int = DefaultMaxRebuildTokens): DataFrame = {
+    val nTok = size(split(col(text), " ")).cast("long")
     val evalGrams = eval.select(explode(shingles(col(text), n)).as("gram")).distinct()
-    val toks = train.select(col(id),
+    // doc-length gate (same flag-and-skip as [[exactSubstringDedup]]):
+    // a train doc past maxTokens skips the whole gram-probe + rebuild
+    // path — unlike the corpus-count case its grams matter to NOBODY
+    // else (only eval grams drive removal), so the skip is total
+    val inScope = train.filter(nTok <= maxTokens)
+    val toks = inScope.select(col(id),
       posexplode(split(col(text), " ")).as(Seq("pos", "w")))
-    val hitStarts = train.select(col(id),
+    val hitStarts = inScope.select(col(id),
         posexplode(positionalShingles(col(text), n)).as(Seq("gpos", "gram")))
       .join(broadcast(evalGrams), Seq("gram"), "left_semi")
       .select(col(id), col("gpos"))
@@ -540,11 +625,15 @@ object TextDedup {
         md5(array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("w")))),
           x => x.getField("w")), " ")).as("cleaned_md5"))
-    train.select(col(id), size(split(col(text), " ")).cast("long").as("n_tokens"))
+    val over = col("n_tokens") > maxTokens
+    train.select(col(id), nTok.as("n_tokens"), col(text).as("_text"))
       .join(kept, Seq(id), "left")
       .select(col(id), col("n_tokens"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+        when(over, col("n_tokens"))
+          .otherwise(coalesce(col("n_kept"), lit(0L))).as("n_kept"),
+        when(over, md5(col("_text")))
+          .otherwise(coalesce(col("cleaned_md5"), md5(lit("")))).as("cleaned_md5"),
+        over.as("over_length"))
   }
 
   /** Duplicate-shingle fraction per document (the RefinedWeb/Dolma

@@ -37,30 +37,59 @@ object PackExt {
     * centroids. The write lands in a process-unique temp dir and is
     * RENAMED into place, so a concurrent bench/test in another process
     * either sees the complete table or none at all. */
-  private[graft] def persistedCentroids(s: SparkSession, sfDir: String) = synchronized {
-    val src = new java.io.File(sfDir, "embeddings.parquet")
-    val dataFiles =
-      if (src.isDirectory)
-        Option(src.listFiles()).getOrElse(Array.empty[java.io.File]).sortBy(_.getName)
-      else Array(src)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(src.getCanonicalPath.getBytes("UTF-8"))
-    dataFiles.foreach(f =>
-      md.update(s"|${f.getName}:${f.length}:${f.lastModified}".getBytes("UTF-8")))
-    val fp = md.digest().map("%02x".format(_)).mkString.take(16)
-    val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_ivf")
-    val path = new java.io.File(root, s"centroids_$fp")
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
-      val tmp = new java.io.File(root,
-        s"centroids_$fp.tmp.${ProcessHandle.current().pid()}")
-      Similarity.centroids(Tables.embeddings(s, sfDir), "label")
-        .write.mode("overwrite").parquet(tmp.getPath)
-      // lost the rename race → another process published the same
-      // (content-identical, fingerprint-keyed) table; drop our copy
-      if (!tmp.renameTo(path)) deleteRecursively(tmp)
+  private[graft] def persistedCentroids(s: SparkSession, sfDir: String) =
+    persistedTable(s, sfDir, "embeddings.parquet", "centroids")(
+      Similarity.centroids(Tables.embeddings(s, sfDir), "label"))
+
+  /** Train-once MinHash band index (r6 VERDICT #1): the corpus side of
+    * the incremental near-dup gate, persisted exactly like the IVF
+    * quantizer — every ingestion batch (dedup_minhash_incremental, the
+    * streaming gate) probes the STORED (doc_id, band, bkey) table
+    * instead of re-signing the whole corpus per run. The index side is
+    * the 100 TB side; it is computed when the corpus lands and never
+    * again (the warehouse-scale analog of the reference's loaded-id
+    * gates, load_data/lambda_function.py:40-73). The indexed slice is
+    * doc_id % 10 <> 0 — the already-ingested corpus of the declared
+    * incremental queries. */
+  private[graft] def persistedBandIndex(s: SparkSession, sfDir: String) =
+    persistedTable(s, sfDir, "documents.parquet", "bandindex")(
+      TextDedup.bandIndex(
+        Tables.documents(s, sfDir).filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text"))
+
+  /** Fingerprint-keyed persisted-table cache shared by the trained
+    * artifacts (IVF centroids, MinHash band index): key = canonical path
+    * + content fingerprint of every data file of `srcName` under
+    * `sfDir`, so a regenerated fixture self-invalidates; publish =
+    * write to a process-unique temp dir + atomic rename, so concurrent
+    * processes see a complete table or none. Deterministic builders
+    * only: a lost rename race keeps the other process' content-identical
+    * table. */
+  private def persistedTable(s: SparkSession, sfDir: String, srcName: String,
+                             prefix: String)(build: => org.apache.spark.sql.DataFrame) =
+    synchronized {
+      val src = new java.io.File(sfDir, srcName)
+      val dataFiles =
+        if (src.isDirectory)
+          Option(src.listFiles()).getOrElse(Array.empty[java.io.File]).sortBy(_.getName)
+        else Array(src)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(src.getCanonicalPath.getBytes("UTF-8"))
+      dataFiles.foreach(f =>
+        md.update(s"|${f.getName}:${f.length}:${f.lastModified}".getBytes("UTF-8")))
+      val fp = md.digest().map("%02x".format(_)).mkString.take(16)
+      val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_ivf")
+      val path = new java.io.File(root, s"${prefix}_$fp")
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        val tmp = new java.io.File(root,
+          s"${prefix}_$fp.tmp.${ProcessHandle.current().pid()}")
+        build.write.mode("overwrite").parquet(tmp.getPath)
+        // lost the rename race → another process published the same
+        // (content-identical, fingerprint-keyed) table; drop our copy
+        if (!tmp.renameTo(path)) deleteRecursively(tmp)
+      }
+      s.read.parquet(path.getPath)
     }
-    s.read.parquet(path.getPath)
-  }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
@@ -121,9 +150,11 @@ object PackExt {
 
     // Ingestion-time incremental dedup: probe a NEW batch (doc_id % 10
     // = 0) against the already-indexed rest of the corpus through the
-    // band index — no corpus self-join, no batch self-join; the 100 TB
-    // index side never moves, each batch signs only itself
-    // (TextDedup.lshProbeIndex). One row per new doc with its candidate
+    // PERSISTED band index (persistedBandIndex — the train-once shape:
+    // the 100 TB index side is stored at ingestion and never re-signed;
+    // each batch signs only itself, TextDedup.lshProbeBands). Degenerate
+    // index buckets past 64 docs are dropped (broadcast anti-join guard,
+    // mirrored in the iok CTE). One row per new doc with its candidate
     // count and smallest matched index id.
     QDef("dedup_minhash_incremental",
       ("""WITH words AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS w FROM documents),
@@ -135,8 +166,11 @@ object PackExt {
         |  UNION ALL SELECT doc_id, 1, md5(s4||s5||s6||s7) FROM sigs
         |  UNION ALL SELECT doc_id, 2, md5(s8||s9||s10||s11) FROM sigs
         |  UNION ALL SELECT doc_id, 3, md5(s12||s13||s14||s15) FROM sigs),
+        |iok AS (SELECT band, bkey FROM bands WHERE doc_id % 10 <> 0
+        |        GROUP BY band, bkey HAVING count(*) <= 64),
         |cand AS (SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS dup_of
         |         FROM bands n JOIN bands i ON n.band = i.band AND n.bkey = i.bkey
+        |         JOIN iok ON i.band = iok.band AND i.bkey = iok.bkey
         |         WHERE n.doc_id % 10 = 0 AND i.doc_id % 10 <> 0)
         |SELECT b.doc_id AS new_id, CAST(count(c.dup_of) AS BIGINT) AS n_cand,
         |       min(c.dup_of) AS dup_of
@@ -144,8 +178,7 @@ object PackExt {
         |LEFT JOIN cand c ON b.doc_id = c.new_id
         |GROUP BY b.doc_id ORDER BY new_id""").stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      TextDedup.lshProbeIndex(
-          docs.filter(col("doc_id") % 10 =!= 0),
+      TextDedup.lshProbeBands(persistedBandIndex(s, d),
           docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
         .orderBy(col("new_id"))
     },
@@ -208,10 +241,17 @@ object PackExt {
         .orderBy(col("d1"), col("d2"))
     },
 
+    // The df-cap (grams in > 1000 docs dropped before the inverted-index
+    // self-join — no bucket reaches it on this slice, but the compared
+    // semantics are the capped ones the engine ships) is mirrored in the
+    // keep CTE: the stopgram guard that keeps a boilerplate shingle's
+    // posting list from going quadratic.
     QDef("dedup_ngram_jaccard",
       """WITH base AS (SELECT doc_id, string_split(text,' ') AS l FROM documents WHERE doc_id < 200),
-        |t AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, length(l)),
+        |t0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, length(l)),
         |        i -> array_to_string(l[i:i+1], ' ')))) AS w FROM base),
+        |keep AS (SELECT w FROM t0 GROUP BY w HAVING count(*) <= 1000),
+        |t AS (SELECT doc_id, w FROM t0 WHERE w IN (SELECT w FROM keep)),
         |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
         |sh AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
         |       FROM t a JOIN t b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -220,7 +260,7 @@ object PackExt {
         |WHERE c*1.0/(s1.n + s2.n - c) >= 0.35
         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
       TextDedup.jaccardPairs(Tables.documents(s, d).filter(col("doc_id") < 200),
-        "doc_id", "text", 0.35, n = 2).orderBy(col("d1"), col("d2"))
+        "doc_id", "text", 0.35, n = 2, maxDf = 1000).orderBy(col("d1"), col("d2"))
     },
 
     QDef("dedup_simhash",
@@ -1362,8 +1402,11 @@ object PackExt {
         |               md5(array_to_string(list(w ORDER BY pos), ' ')) AS cleaned_md5
         |        FROM kept GROUP BY doc_id)
         |SELECT tr.doc_id, CAST(length(tr.l) AS BIGINT) AS n_tokens,
-        |       COALESCE(a.n_kept, 0) AS n_kept,
-        |       COALESCE(a.cleaned_md5, md5('')) AS cleaned_md5
+        |       CASE WHEN length(tr.l) > 1048576 THEN CAST(length(tr.l) AS BIGINT)
+        |            ELSE COALESCE(a.n_kept, 0) END AS n_kept,
+        |       CASE WHEN length(tr.l) > 1048576 THEN md5(array_to_string(tr.l, ' '))
+        |            ELSE COALESCE(a.cleaned_md5, md5('')) END AS cleaned_md5,
+        |       length(tr.l) > 1048576 AS over_length
         |FROM (SELECT doc_id, l FROM t WHERE doc_id % 25 <> 0) tr
         |LEFT JOIN agg a USING (doc_id)
         |ORDER BY tr.doc_id""".stripMargin) { (s, d) =>
@@ -1503,9 +1546,13 @@ object PackExt {
         |               md5(array_to_string(list(w ORDER BY pos), ' ')) AS cleaned_md5
         |        FROM kept GROUP BY doc_id)
         |SELECT t.doc_id, CAST(length(t.l) AS BIGINT) AS n_tokens,
-        |       COALESCE(a.n_kept, 0) AS n_kept,
-        |       round(1.0 - COALESCE(a.n_kept, 0) / length(t.l), 6) AS dup_frac,
-        |       COALESCE(a.cleaned_md5, md5('')) AS cleaned_md5
+        |       CASE WHEN length(t.l) > 1048576 THEN CAST(length(t.l) AS BIGINT)
+        |            ELSE COALESCE(a.n_kept, 0) END AS n_kept,
+        |       CASE WHEN length(t.l) > 1048576 THEN NULL
+        |            ELSE round(1.0 - COALESCE(a.n_kept, 0) / length(t.l), 6) END AS dup_frac,
+        |       CASE WHEN length(t.l) > 1048576 THEN md5(array_to_string(t.l, ' '))
+        |            ELSE COALESCE(a.cleaned_md5, md5('')) END AS cleaned_md5,
+        |       length(t.l) > 1048576 AS over_length
         |FROM t LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       TextDedup.exactSubstringDedup(Tables.documents(s, d), "doc_id", "text",

@@ -253,6 +253,7 @@ class ExtSpec extends AnyFunSuite {
       (2L, "entirely different document with unique words")
     ).toDF("doc_id", "text")
     val r = TextDedup.exactSubstringDedup(corpus, "doc_id", "text", n = 5)
+      .drop("over_length")
       .as[(Long, Long, Long, Double, String)].collect()
       .map(t => t._1 -> t).toMap
     assert(r(0L)._2 == 10L && r(0L)._3 == 4L && r(0L)._4 == 0.6)
@@ -266,6 +267,7 @@ class ExtSpec extends AnyFunSuite {
     // a fully-duplicated doc cleans to the empty string
     val dup = Seq((0L, "x y z w v"), (1L, "x y z w v")).toDF("doc_id", "text")
     val d = TextDedup.exactSubstringDedup(dup, "doc_id", "text", n = 5)
+      .drop("over_length")
       .as[(Long, Long, Long, Double, String)].collect().map(t => t._1 -> t).toMap
     assert(d(0L)._3 == 0L && d(0L)._4 == 1.0)
   }
@@ -321,6 +323,7 @@ class ExtSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
     val eval = Seq((100L, "one two three four five")).toDF("doc_id", "text")
     val r = TextDedup.decontaminateSpans(train, eval, "doc_id", "text", n = 5)
+      .drop("over_length")
       .as[(Long, Long, Long, String)].collect().map(t => t._1 -> t).toMap
     // doc 0: 9 tokens, the 5 leaked ones removed, survivors in order
     assert(r(0L)._2 == 9L && r(0L)._3 == 4L)
