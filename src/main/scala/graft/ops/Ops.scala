@@ -38,25 +38,34 @@ object Ops {
     * numeric and unique within its group (a doc/event id). */
   def chunkedCumsum(df: DataFrame, part: String, ord: String, value: String,
                     cumName: String, span: Long = 1024L): DataFrame = {
+    // public helper: internal column names must not collide with caller
+    // columns (withColumn REPLACES same-name columns — a caller "_chunk"
+    // would corrupt both its data and the cumsum), so pick the first
+    // suffix that is fresh against the input schema
+    val suffix = Iterator.from(0).map(i => if (i == 0) "" else s"_$i")
+      .find(t => !df.columns.exists(c =>
+        c == s"_chunk$t" || c == s"_offset$t" || c == s"_csum$t")).get
+    val (chunkC, offsetC, csumC) =
+      (s"_chunk$suffix", s"_offset$suffix", s"_csum$suffix")
     // integral divide, not floor(x/span): double division loses exactness
     // past 2^53 and ids are BIGINT. Truncating division is monotone in
     // ord, which is the only property chunking needs.
-    val withChunk = df.withColumn("_chunk", expr(s"$ord div $span"))
+    val withChunk = df.withColumn(chunkC, expr(s"$ord div $span"))
     val offsets = withChunk
-      .groupBy(col(part), col("_chunk"))
-      .agg(sum(col(value)).as("_csum"))
-      .withColumn("_offset", coalesce(
-        sum(col("_csum")).over(Window.partitionBy(col(part))
-          .orderBy(col("_chunk")).rowsBetween(Window.unboundedPreceding, -1)),
+      .groupBy(col(part), col(chunkC))
+      .agg(sum(col(value)).as(csumC))
+      .withColumn(offsetC, coalesce(
+        sum(col(csumC)).over(Window.partitionBy(col(part))
+          .orderBy(col(chunkC)).rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-      .select(col(part), col("_chunk"), col("_offset"))
+      .select(col(part), col(chunkC), col(offsetC))
     // no broadcast hint: offsets is ~n/span rows — small enough for AQE
     // to broadcast at any sane scale, shuffled (skew-free key) beyond
-    withChunk.join(offsets, Seq(part, "_chunk"))
-      .withColumn(cumName, col("_offset") + sum(col(value)).over(
-        Window.partitionBy(col(part), col("_chunk")).orderBy(col(ord))
+    withChunk.join(offsets, Seq(part, chunkC))
+      .withColumn(cumName, col(offsetC) + sum(col(value)).over(
+        Window.partitionBy(col(part), col(chunkC)).orderBy(col(ord))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .drop("_chunk", "_offset")
+      .drop(chunkC, offsetC)
   }
 
   /** J1/J2/J4 — anti-join dedup gate: keep rows of `incoming` whose key is

@@ -84,6 +84,10 @@ object ShingleArray {
     * [[GraftExtensions]] injection; n and distinct must be literals —
     * they select the compiled loop, they are not data. */
   def build(exprs: Seq[Expression]): ShingleArray = {
+    // session-wide SQL surface (GraftExtensions): a wrong-arity call must
+    // fail as a clean analysis error, not an IndexOutOfBoundsException
+    if (exprs.length != 3) throw new IllegalArgumentException(
+      s"graft_shingles: expected 3 arguments (arr, n, distinct), got ${exprs.length}")
     val n = exprs(1) match {
       case Literal(v: Int, IntegerType) => v
       case other => throw new IllegalArgumentException(
