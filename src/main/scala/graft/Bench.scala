@@ -18,8 +18,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    ordered.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    val broken = scala.collection.mutable.LinkedHashSet[String]()
+    ordered.foreach { case (name, fn) =>
+      try fn(spark, sfDir).count() catch {
+        case t: Throwable =>
+          broken += name
+          System.err.println(s"BENCH ERROR [$name]: ${t.getClass.getName}: ${t.getMessage}")
+      }
     }
     // two timed runs, min-of reported: single runs on a shared box swing
     // several-fold from GC/IO noise. Iterative queries (many small jobs
@@ -29,17 +34,21 @@ object Bench {
     val iterative = Set("graph_pagerank", "graph_degree_distribution",
       "dedup_cluster_cc", "dedup_cluster_summary",
       "agg_incremental_join_maintenance", "agg_incremental_maintenance")
-    val results = ordered.map { case (name, fn) =>
+    // A query that throws is EXCLUDED from total/n_queries — its wall time
+    // is time-to-throw, not engine cost, and counting it silently reports a
+    // broken engine as a fast one (the r7 failure mode). `errors` in the
+    // JSON line makes breakage impossible to read as a pass.
+    val results = ordered.filterNot(q => broken(q._1)).flatMap { case (name, fn) =>
       // settle the heap between queries so one query's garbage (exploded
       // token streams, dropped broadcasts) can't tax its successors' timings
       System.gc()
       val runs = if (iterative(name)) 3 else 2
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => broken += name }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      if (broken(name)) None else Some(name -> times.min)
     }
     // The consumer captures only the last ~2000 chars of output, so the
     // JSON line must stay well under that: per-query ms precision and only
@@ -49,7 +58,7 @@ object Bench {
     val qs = headline.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"errors":${broken.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -298,15 +298,19 @@ object PackCore {
       """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
         |  event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The streaming source needs an explicit schema; declare ts with the
+      // dtype the on-disk vintage actually has (nanos-as-INT64 vs micros
+      // NTZ) — a LongType schema over a micros file silently misreads the
+      // unit (r7's 10-vs-3385-row wrong answer).
+      val rawTs = graft.schemas.Tables.eventsRawTsType(s, d)
       val sch = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("event_id", LongType), StructField("ts", rawTs),
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
       val name = s"st4_live_run_${streamRun.incrementAndGet()}"
       val q = s.readStream.schema(sch)
         .option("pathGlobFilter", "events.parquet").parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts", graft.schemas.Tables.eventsStreamTs(rawTs))
         .groupBy(window($"ts", "1 hour"), $"event_type").count()
         .writeStream.format("memory").queryName(name)
         .outputMode("complete")
@@ -428,6 +432,57 @@ object PackCore {
       // n is monotone per user, so the latest update is max(n)
       s.read.parquet(out).groupBy($"user_id")
         .agg(max($"n").as("n")).orderBy($"user_id")
+    },
+
+    // ST5+J1 composed (live) — streaming incremental NEAR-DUP gate: the
+    // reference's pre-insert id gate (extract_data_bank_pay:137-163)
+    // upgraded from exact-id to near-duplicate semantics. Two staged
+    // arrivals of "new" docs (the doc_id % 10 = 0 slice) drain through
+    // one checkpointed AvailableNow query each; every micro-batch signs
+    // ONLY itself and probes the PERSISTED corpus band index
+    // (PackExt.persistedBandIndex — the train-once table the batch
+    // queries also serve from), and only docs with zero near-dup
+    // candidates land in the warehouse. The oracle recomputes the gate
+    // batch-independently: a doc's verdict depends only on the static
+    // index, so arrival order cannot change the final warehouse content.
+    QDef("st8_stream_neardup_gate",
+      ("""WITH words AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS w FROM documents),
+        |sigs AS (SELECT doc_id, """ +
+        (0 until 16).map(i => s"min(md5('$i|' || w)) AS s$i").mkString(", ") +
+        """ FROM words GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, md5(s0||s1||s2||s3) AS bkey FROM sigs
+        |  UNION ALL SELECT doc_id, 1, md5(s4||s5||s6||s7) FROM sigs
+        |  UNION ALL SELECT doc_id, 2, md5(s8||s9||s10||s11) FROM sigs
+        |  UNION ALL SELECT doc_id, 3, md5(s12||s13||s14||s15) FROM sigs),
+        |iok AS (SELECT band, bkey FROM bands WHERE doc_id % 10 <> 0
+        |        GROUP BY band, bkey HAVING count(*) <= 64),
+        |dirty AS (SELECT DISTINCT n.doc_id
+        |          FROM bands n JOIN bands i ON n.band = i.band AND n.bkey = i.bkey
+        |          JOIN iok ON i.band = iok.band AND i.bkey = iok.bkey
+        |          WHERE n.doc_id % 10 = 0 AND i.doc_id % 10 <> 0)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+        |ORDER BY doc_id""").stripMargin) { (s, d) =>
+      val run = streamRun.incrementAndGet()
+      val in = java.nio.file.Files.createTempDirectory(s"graft_st8_in$run").toString
+      val wh = java.nio.file.Files.createTempDirectory(s"graft_st8_wh$run").toString + "/t"
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_st8_ck$run").toString
+      val newDocs = Tables.documents(s, d).filter($"doc_id" % 10 === 0)
+        .select($"doc_id", $"text")
+      val sch = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      val idx = PackExt.persistedBandIndex(s, d)
+      def drain(): Unit = graft.streaming.StreamingOps.runGatedToWarehouse(
+        graft.streaming.StreamingOps.fileSource(s, in, sch), idx,
+        "doc_id", "text", wh, ckpt).awaitTermination()
+      stageArrival(in, newDocs.filter($"doc_id" % 20 === 0), "b1")
+      drain()
+      // second arrival: the shared checkpoint processes ONLY the new
+      // files, and the batch probes the same stored index
+      stageArrival(in, newDocs.filter($"doc_id" % 20 =!= 0), "b2")
+      drain()
+      s.read.parquet(wh).select($"doc_id").orderBy($"doc_id")
     },
 
     // K4 (live) — DDL bootstrap + catalog roundtrip: CREATE TABLE ...

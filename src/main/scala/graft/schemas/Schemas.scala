@@ -117,15 +117,48 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as raw nanos and truncate to a microsecond
-    * timestamp (what DuckDB's `CAST(ts AS TIMESTAMP)` does too, so oracle
-    * comparisons line up). */
+  /** `events.ts` has shipped in two fixture vintages: parquet
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read as
+    * raw nanos via `nanosAsLong` and truncate to micros) and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (inferred TIMESTAMP_NTZ).
+    * Branch on the dtype Spark actually loaded — never assume the physical
+    * annotation — and normalize to session-zone TimestampType (sessions run
+    * UTC, so the NTZ→LTZ cast is value-preserving and matches DuckDB's
+    * `CAST(ts AS TIMESTAMP)`). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = apply(s, d, "events")
+    import org.apache.spark.sql.functions._
+    raw.schema("ts").dataType match {
+      case LongType => // nanos vintage, read as raw INT64
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other =>
+        throw new IllegalStateException(s"unexpected events.ts dtype: $other")
+    }
+  }
+
+  /** The dtype the file-streaming reader must declare for `events.ts`,
+    * matched to the on-disk vintage (streaming requires an explicit schema,
+    * so the batch-side inference above can't help it). Paired with
+    * [[eventsStreamTs]] to normalize to TimestampType. */
+  def eventsRawTsType(s: SparkSession, d: String): DataType = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(s, d, "events").schema("ts").dataType
+  }
+
+  /** Normalize a streamed `ts` column read with [[eventsRawTsType]]'s dtype
+    * to session-zone TimestampType. */
+  def eventsStreamTs(rawType: DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    rawType match {
+      case LongType         => timestamp_micros(expr("ts div 1000"))
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case TimestampType    => col("ts")
+      case other =>
+        throw new IllegalStateException(s"unexpected events.ts dtype: $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -72,6 +72,37 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming incremental near-dup gate — the streaming analog of the
+    * reference's pre-insert id gate (extract_data_bank_pay/
+    * lambda_function.py:137-163): each arriving micro-batch is probed
+    * against the PERSISTED MinHash band index (train-once/serve-many,
+    * PackExt.persistedBandIndex) and only docs with zero near-dup
+    * candidates are appended to the warehouse. The index side — the
+    * 100 TB side — never re-signs: each batch signs only itself and
+    * equi-joins the stored (doc_id, band, bkey) table, broadcastable
+    * whenever the arrival batch is small (the definition of incremental
+    * ingestion). In production, append accepted docs' band rows back to
+    * the index table after the write so later batches also dedup against
+    * this batch's survivors. */
+  def runGatedToWarehouse(stream: DataFrame, indexBands: DataFrame,
+                          id: String, text: String, warehouseDir: String,
+                          checkpointDir: String,
+                          maxBucketSize: Int = 64): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val clean = graft.ext.TextDedup
+          .lshProbeBands(indexBands, batch.toDF(), id, text,
+            maxBucketSize = maxBucketSize)
+          .filter(col("n_cand") === 0)
+          .select(col("new_id").as(id))
+        batch.toDF().join(clean, Seq(id), "left_semi")
+          .write.mode("append").parquet(warehouseDir)
+        ()
+      }
+      .start()
+
   /** K3+K8 streaming variant — merge sink: each micro-batch UPSERTs into
     * the warehouse on `keys` (late re-deliveries overwrite instead of
     * duplicating — CDC semantics) by rewriting the table through

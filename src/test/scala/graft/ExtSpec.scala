@@ -272,6 +272,71 @@ class ExtSpec extends AnyFunSuite {
     assert(d(0L)._3 == 0L && d(0L)._4 == 1.0)
   }
 
+  test("over_length gate: flagged doc is an identity pass-through; neighbors match the ungated run") {
+    import org.apache.spark.sql.functions.{lit, md5}
+    // 22 tokens — past the 10-token override; shares the hot prefix so its
+    // grams DO feed corpus counts (that's the contract: only its own
+    // rebuild is skipped)
+    val longText = (1 to 16).map(i => s"pad$i").mkString(" ") + " a b c d e f"
+    val corpus = Seq(
+      (0L, "a b c d e f tail zero stays here"),
+      (1L, "a b c d e f other ending words kept"),
+      (2L, "entirely different document with unique words"),
+      (9L, longText)
+    ).toDF("doc_id", "text")
+    val gated = TextDedup.exactSubstringDedup(corpus, "doc_id", "text", n = 5,
+      maxTokens = 10)
+    val byId = gated.collect().map(r => r.getLong(0) -> r).toMap
+    val f = byId(9L)
+    assert(f.getBoolean(f.fieldIndex("over_length")))
+    assert(f.getLong(f.fieldIndex("n_tokens")) == 22L)
+    assert(f.getLong(f.fieldIndex("n_kept")) == 22L,
+      "a flagged doc must pass through with nothing removed")
+    assert(f.isNullAt(f.fieldIndex("dup_frac")), "dup_frac is unassessed, not 0")
+    assert(f.getString(f.fieldIndex("cleaned_md5")) ==
+      TestSpark.spark.range(1).select(md5(lit(longText))).as[String].head(),
+      "the 'cleaned' fingerprint of a flagged doc is the original text's")
+    // neighbor invariance: every in-scope doc's row is byte-identical to
+    // the ungated run's (the gate changes the flagged doc only)
+    val ungatedNeighbors = TextDedup
+      .exactSubstringDedup(corpus, "doc_id", "text", n = 5)
+      .filter($"doc_id" =!= 9L).orderBy("doc_id").collect().toSeq
+    val gatedNeighbors = gated.filter($"doc_id" =!= 9L).orderBy("doc_id")
+      .collect().toSeq
+    assert(gatedNeighbors == ungatedNeighbors)
+  }
+
+  test("over_length gate (decontaminateSpans): flagged doc pass-through; neighbors blind to its presence") {
+    import org.apache.spark.sql.functions.{lit, md5}
+    // the long doc CONTAINS the leaked eval span — the gate must still
+    // pass it through unedited (flagged), and because its grams matter to
+    // nobody else, dropping it from train entirely must not move any
+    // other row
+    val longText = (1 to 16).map(i => s"pad$i").mkString(" ") +
+      " one two three four five"
+    val train = Seq(
+      (0L, "keep one two three four five tail stays here"),
+      (1L, "entirely clean training document with original words"),
+      (9L, longText)
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "one two three four five")).toDF("doc_id", "text")
+    val gated = TextDedup.decontaminateSpans(train, eval, "doc_id", "text",
+      n = 5, maxTokens = 10)
+    val byId = gated.collect().map(r => r.getLong(0) -> r).toMap
+    val f = byId(9L)
+    assert(f.getBoolean(f.fieldIndex("over_length")))
+    assert(f.getLong(f.fieldIndex("n_kept")) == f.getLong(f.fieldIndex("n_tokens")),
+      "a flagged doc keeps every token even though it holds an eval span")
+    assert(f.getString(f.fieldIndex("cleaned_md5")) ==
+      TestSpark.spark.range(1).select(md5(lit(longText))).as[String].head())
+    val without = TextDedup.decontaminateSpans(
+        train.filter($"doc_id" =!= 9L), eval, "doc_id", "text",
+        n = 5, maxTokens = 10)
+      .orderBy("doc_id").collect().toSeq
+    assert(gated.filter($"doc_id" =!= 9L).orderBy("doc_id").collect().toSeq
+      == without)
+  }
+
   test("native SimHash64 expression == the independent SQL fold form") {
     // the HOF fold re-derives the same bit grammar through Spark's md5 /
     // conv / shift builtins — an independent evaluation path pinning the

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fixture-drift canary (round-8 harness item, VERDICT r7 #2).
+  *
+  * The driver regenerates /root/testdata between rounds and has already
+  * changed `events.ts`'s physical type once (TIMESTAMP(NANOS) →
+  * TIMESTAMP(MICROS, NTZ)), which killed 69 queries via an analysis error
+  * and — worse — produced one silently WRONG answer where an explicit
+  * LongType streaming schema misread micros as nanos and compressed 30
+  * days of data into 43 minutes.
+  *
+  * Two invariants catch both failure modes:
+  *  1. the normalized reader always yields session-zone TimestampType
+  *     (analysis-error mode fails here);
+  *  2. the loaded min/max ts span exceeds 1 day at sf0.001 (the silent
+  *     unit-misread mode fails here — a nanos-as-micros or micros-as-nanos
+  *     confusion shrinks the 30-day fixture ~1000×).
+  */
+class FixtureCanarySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("events.ts normalizes to TimestampType regardless of fixture vintage") {
+    val ev = graft.schemas.Tables.events(spark, TestSpark.sf0001)
+    assert(ev.schema("ts").dataType == TimestampType,
+      s"events.ts came back as ${ev.schema("ts").dataType}; " +
+        "Tables.events must normalize every fixture vintage to TimestampType")
+  }
+
+  test("events.ts span exceeds 1 day at sf0.001 (unit-misread canary)") {
+    val ev = graft.schemas.Tables.events(spark, TestSpark.sf0001)
+    val row = ev.agg(
+      (unix_timestamp(max($"ts")) - unix_timestamp(min($"ts"))).as("span_s")).head()
+    val spanSeconds = row.getLong(0)
+    assert(spanSeconds > 86400L,
+      s"events.ts spans only $spanSeconds s; a span under a day on the " +
+        "30-day fixture means a nanos/micros unit misread, not real data")
+  }
+
+  test("streaming ts schema matches the on-disk vintage and normalizes identically") {
+    val rawTs = graft.schemas.Tables.eventsRawTsType(spark, TestSpark.sf0001)
+    // whatever the vintage, declaring rawTs and applying eventsStreamTs must
+    // agree with the batch reader on min/max
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", rawTs),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val viaSchema = spark.read.schema(sch)
+      .parquet(s"${TestSpark.sf0001}/events.parquet")
+      .withColumn("ts", graft.schemas.Tables.eventsStreamTs(rawTs))
+    val batch = graft.schemas.Tables.events(spark, TestSpark.sf0001)
+    val a = viaSchema.agg(min($"ts"), max($"ts")).head()
+    val b = batch.agg(min($"ts"), max($"ts")).head()
+    assert(a == b, s"schema-declared read ($a) disagrees with batch reader ($b)")
+  }
+}

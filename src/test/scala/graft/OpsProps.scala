@@ -255,6 +255,40 @@ object OpsProps extends Properties("ops") {
       }
     }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  property("over_length gate: flagged rows are identity pass-throughs, in-scope rows match the ungated run") =
+    Prop.forAll(corpusGen, Gen.choose(1, 12)) { (docs, maxTok) =>
+      import spark.implicits._
+      val n = 3
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def rows(maxTokens: Int) = graft.ext.TextDedup
+        .exactSubstringDedup(df, "doc_id", "text", n, maxTokens = maxTokens)
+        .select("doc_id", "n_tokens", "n_kept", "dup_frac", "cleaned_md5", "over_length")
+        .as[(Long, Long, Long, Option[Double], String, Boolean)]
+        .collect().map(t => t._1 -> t).toMap
+      // ungated run: every corpusGen doc is ≤ 12 tokens, so Int.MaxValue
+      // and 12 are both "no gate"
+      val gated = rows(maxTok)
+      val ungated = rows(Int.MaxValue)
+      docs.indices.forall { i =>
+        val text = docs(i)
+        val nTok = text.split(" ").length.toLong
+        val g = gated(i.toLong)
+        if (nTok > maxTok)
+          // identity pass-through: nothing removed, dup_frac unassessed,
+          // fingerprint of the ORIGINAL text, flag set
+          g == ((i.toLong, nTok, nTok, None, md5hex(text), true))
+        else
+          // the gate must not perturb in-scope docs (flagged neighbors'
+          // grams still feed corpus counts)
+          g == ungated(i.toLong)
+      }
+    }
+
   property("chunkedCumsum == per-group ordered running total") =
     Prop.forAll(
       Gen.listOf(for {

@@ -17,6 +17,41 @@ class PlanSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+  import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+  import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+
+  /** Full physical-tree walk that descends through AQE wrappers, query
+    * stages, and exchange reuse — `collect` alone stops at stage borders. */
+  private def walk(pl: SparkPlan): Seq[SparkPlan] = {
+    val kids = pl match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case r: ReusedExchangeExec    => Seq(r.child)
+      case o                        => o.children
+    }
+    pl +: kids.flatMap(walk)
+  }
+
+  /** Build-side subtrees of BNLJ nodes that are NOT bounded by a grouping
+    * aggregate (one row per group, e.g. the k-row per-centroid collapse).
+    * Nonempty ⇒ an unbounded (vector-vs-vector) nested-loop join. */
+  private def unboundedBnljBuilds(exec: SparkPlan): Seq[String] =
+    walk(exec).collect { case b: BroadcastNestedLoopJoinExec => b }.flatMap { b =>
+      val build = b.buildSide match {
+        case BuildRight => b.right
+        case BuildLeft  => b.left
+      }
+      val bounded = walk(build).exists {
+        case agg: BaseAggregateExec => agg.groupingExpressions.nonEmpty
+        case _                      => false
+      }
+      if (bounded) None else Some(build.toString)
+    }
+
   test("agg_group_topk: broadcast dim join + TakeOrderedAndProject, pruned lineitem scan") {
     val p = plan("agg_group_topk")
     assert(p.contains("BroadcastHashJoin"))
@@ -351,21 +386,41 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("semantic dedup pair comparison is a bucket equi-join, never a vector cross product") {
-    val p = plan("dedup_semantic_keep")
+    val df = Pack.byName("dedup_semantic_keep").fn(spark, TestSpark.sf0001)
+    df.count()
+    val exec = df.queryExecution.executedPlan
+    val p = exec.toString
     assert(!p.contains("CartesianProduct"),
       s"the SemDeDup pair join must stay bucket-confined:\n$p")
     // nested-loop joins may appear only as the bounded k-row stored-
     // centroid broadcast feeding the bucket ASSIGNMENT (same shape as
-    // the IVF probe path) — i.e. always against a build side aggregated
-    // to one row per centroid bucket, never vector-vs-vector
-    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("TopKPerKey"),
-      s"a nest-loop join may only feed the centroid-attach argmax:\n$p")
+    // the IVF probe path): the BUILD side must be the per-centroid
+    // grouping aggregate (one row per bucket), never a raw vector frame.
+    // Checked structurally per BNLJ node — mere presence of some bounded
+    // operator elsewhere in the plan must not excuse a vector-vs-vector
+    // nest-loop (the r7 vacuous-guard finding).
+    unboundedBnljBuilds(exec).foreach { build =>
+      fail(s"BroadcastNestedLoopJoin builds a non-aggregated (unbounded) side — " +
+        s"vector-vs-vector cross product:\n$build")
+    }
     assert("Join \\[ab#\\d+\\], \\[bb#\\d+\\], Inner".r.findAllIn(p).nonEmpty,
       s"pair comparison must equi-join on the assigned bucket:\n$p")
     // the assignment is computed ONCE (cached) and via the bounded-heap
     // argmax, not a window sort
     assert(p.contains("InMemoryTableScan"),
       s"the bucket assignment must be cached for its three consumers:\n$p")
+  }
+
+  test("BNLJ detector flags an injected vector-vs-vector cross join (guard is not vacuous)") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val injected = emb.crossJoin(
+      emb.select(col("vec_id").as("v2"), col("embedding").as("e2")))
+    val offenders = unboundedBnljBuilds(injected.queryExecution.executedPlan)
+    assert(offenders.nonEmpty,
+      "the detector must flag a raw vector-vs-vector nested-loop build; " +
+        "if it passes this injection it is vacuous")
   }
 
   test("OOV rate broadcasts the vocabulary; corpus side never token-shuffles for the probe") {
