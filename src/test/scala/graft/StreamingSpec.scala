@@ -66,6 +66,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM dedup_out").as[Long].head() == 2)
   }
 
+  test("streaming near-dup gate: arrivals probe the stored band index, only clean docs land") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def stageDocs(dir: String, rows: Seq[(Long, String)], part: String): Unit = {
+      val staging = tmp("graft_stage_docs")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      new java.io.File(staging).listFiles().filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          Files.move(f.toPath, java.nio.file.Paths.get(dir, s"${part}_$i.parquet"))
+        }
+    }
+    val indexed = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "completely unrelated corpus document about databases and storage"))
+      .toDF("doc_id", "text")
+    val idx = graft.ext.TextDedup.bandIndex(indexed, "doc_id", "text")
+    val in = tmp("graft_gate_in"); val wh = tmp("graft_gate_wh") + "/t"
+    val ckpt = tmp("graft_gate_ck")
+    // batch 1: one exact dup of doc 0 (must be dropped), one clean doc
+    stageDocs(in, Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "a genuinely fresh document with novel words entirely")), "b1")
+    StreamingOps.runGatedToWarehouse(
+      StreamingOps.fileSource(spark, in, docSchema), idx,
+      "doc_id", "text", wh, ckpt).awaitTermination()
+    assert(spark.read.parquet(wh).select("doc_id").as[Long].collect().toSeq
+      == Seq(101L), "the dup must be gated out, the clean doc kept")
+    // batch 2 (same checkpoint → only new files): a reordered near-dup of
+    // doc 1 (signatures are token-SET functions → caught) + a clean doc
+    stageDocs(in, Seq(
+      (200L, "storage and databases about document corpus unrelated completely"),
+      (201L, "another distinct arrival carrying its own vocabulary here")), "b2")
+    StreamingOps.runGatedToWarehouse(
+      StreamingOps.fileSource(spark, in, docSchema), idx,
+      "doc_id", "text", wh, ckpt).awaitTermination()
+    val finalIds = spark.read.parquet(wh).select("doc_id").as[Long]
+      .collect().sorted.toSeq
+    assert(finalIds == Seq(101L, 201L),
+      s"expected only the two clean docs, got $finalIds (re-ingestion or a missed dup)")
+  }
+
   test("ST6/K7: a failing batch lands in the error table, query completes") {
     val in = tmp("graft_in4"); val err = tmp("graft_err4"); val ckpt = tmp("graft_ckpt4")
     stageBatch(in, Seq((1L, "2024-01-01 10:00:00", 1L, 1.0)), "b1")
