@@ -41,10 +41,16 @@ object Ops {
     // public helper: internal column names must not collide with caller
     // columns (withColumn REPLACES same-name columns — a caller "_chunk"
     // would corrupt both its data and the cumsum), so pick the first
-    // suffix that is fresh against the input schema
+    // suffix that is fresh against the input schema AND the requested
+    // cumName (a cumName of "_chunk" would otherwise be overwritten by
+    // the internal column and then dropped), compared case-insensitively
+    // because Spark's default resolver is case-insensitive
+    val occupied = df.columns :+ cumName
     val suffix = Iterator.from(0).map(i => if (i == 0) "" else s"_$i")
-      .find(t => !df.columns.exists(c =>
-        c == s"_chunk$t" || c == s"_offset$t" || c == s"_csum$t")).get
+      .find { t =>
+        val internals = Seq(s"_chunk$t", s"_offset$t", s"_csum$t")
+        !occupied.exists(c => internals.exists(_.equalsIgnoreCase(c)))
+      }.get
     val (chunkC, offsetC, csumC) =
       (s"_chunk$suffix", s"_offset$suffix", s"_csum$suffix")
     // integral divide, not floor(x/span): double division loses exactness

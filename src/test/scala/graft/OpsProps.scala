@@ -313,6 +313,27 @@ object OpsProps extends Properties("ops") {
       }
     }
 
+  property("chunkedCumsum is collision-safe for adversarial caller/cum column names") =
+    Prop.forAll(
+      Gen.oneOf("_chunk", "_Chunk", "_OFFSET", "_csum", "cum"),
+      Gen.oneOf("_chunk", "_Chunk", "_offset_1", "plain")
+    ) { (callerCol, cumName) =>
+      import spark.implicits._
+      // a caller column that shadows an internal name (any case) and a
+      // cumName that IS an internal name must both survive: the result
+      // keeps the caller column's data and carries the correct cumsum.
+      // (callerCol == cumName under the case-insensitive resolver is
+      // documented withColumn replacement, not a collision — skip.)
+      callerCol.equalsIgnoreCase(cumName) || locally {
+      val rows = Seq(("a", 1L, 2L, 99L), ("a", 2L, 3L, 98L), ("b", 1L, 5L, 97L))
+      val df = rows.toDF("g", "id", "v", callerCol)
+      val out = graft.ops.Ops.chunkedCumsum(df, "g", "id", "v", cumName, span = 1L)
+      val got = out.select(col("g"), col("id"), col(cumName), col(s"`$callerCol`"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      got == Set(("a", 1L, 2L, 99L), ("a", 2L, 5L, 98L), ("b", 1L, 5L, 97L))
+      }
+    }
+
   property("decontaminateSpans == brute-force eval-span marking") =
     Prop.forAll(corpusGen) { docs =>
       import spark.implicits._
