@@ -126,13 +126,21 @@ object Tables {
     * UTC, so the NTZ→LTZ cast is value-preserving and matches DuckDB's
     * `CAST(ts AS TIMESTAMP)`). */
   def events(s: SparkSession, d: String): DataFrame = {
+    // nanos vintage: read the rejected TIMESTAMP(NANOS) column as raw
+    // INT64; micros vintage: read TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    // directly as session-zone TimestampType AT THE SCAN (not via a cast
+    // above it) — sessions run UTC so values are identical, and a native
+    // scan column keeps ts predicates pushable to parquet (a cast-wrapped
+    // column would hold every watermark filter above the Project).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw = apply(s, d, "events")
     import org.apache.spark.sql.functions._
     raw.schema("ts").dataType match {
       case LongType => // nanos vintage, read as raw INT64
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType => // defensive: NTZ inference re-enabled externally
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType => raw
       case other =>
         throw new IllegalStateException(s"unexpected events.ts dtype: $other")
@@ -145,6 +153,7 @@ object Tables {
     * [[eventsStreamTs]] to normalize to TimestampType. */
   def eventsRawTsType(s: SparkSession, d: String): DataType = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     apply(s, d, "events").schema("ts").dataType
   }
 

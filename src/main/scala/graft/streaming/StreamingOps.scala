@@ -103,6 +103,44 @@ object StreamingOps {
       }
       .start()
 
+  /** Growing-index form of [[runGatedToWarehouse]] — the full analog of
+    * the reference's ACCUMULATING loaded-id set: after a batch's clean
+    * docs are appended to the warehouse, their band rows are appended to
+    * the stored index too, so later batches dedup against earlier
+    * survivors, not just the original corpus. `indexDir` is a parquet
+    * table of (doc_id, band, bkey) — seed it with
+    * [[graft.ext.TextDedup.bandIndex]] over the ingested corpus. Appends
+    * are batch-granular: the foreachBatch body is the transaction scope,
+    * exactly like the reference's per-file insert-then-record loop. At
+    * scale the index table is partitioned by band and compacted like any
+    * warehouse table; the probe reads it fresh each batch (file listing
+    * only — the data itself is lazily scanned by the band equi-join). */
+  def runGatedToWarehouseGrowing(stream: DataFrame, indexDir: String,
+                                 id: String, text: String, warehouseDir: String,
+                                 checkpointDir: String,
+                                 maxBucketSize: Int = 64): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val idx = spark.read.parquet(indexDir)
+        val clean = graft.ext.TextDedup
+          .lshProbeBands(idx, batch.toDF(), id, text,
+            maxBucketSize = maxBucketSize)
+          .filter(col("n_cand") === 0)
+          .select(col("new_id").as(id))
+        val accepted = batch.toDF().join(clean, Seq(id), "left_semi")
+          .persist() // probed once, written twice (warehouse + index)
+        try {
+          accepted.write.mode("append").parquet(warehouseDir)
+          graft.ext.TextDedup.bandIndex(accepted, id, text)
+            .write.mode("append").parquet(indexDir)
+        } finally { accepted.unpersist(); () }
+        ()
+      }
+      .start()
+
   /** K3+K8 streaming variant — merge sink: each micro-batch UPSERTs into
     * the warehouse on `keys` (late re-deliveries overwrite instead of
     * duplicating — CDC semantics) by rewriting the table through

@@ -57,4 +57,21 @@ class FixtureCanarySpec extends AnyFunSuite {
     val b = batch.agg(min($"ts"), max($"ts")).head()
     assert(a == b, s"schema-declared read ($a) disagrees with batch reader ($b)")
   }
+
+  test("documents/embeddings fixture shapes hold (drift alarm for the extension operators)") {
+    val docs = graft.schemas.Tables.documents(spark, TestSpark.sf0001)
+    assert(docs.schema("doc_id").dataType == LongType)
+    assert(docs.schema("text").dataType == StringType)
+    assert(docs.limit(1).count() == 1, "documents fixture must be non-empty")
+    val emb = graft.schemas.Tables.embeddings(spark, TestSpark.sf0001)
+    assert(emb.schema("vec_id").dataType == LongType)
+    assert(emb.schema("embedding").dataType == ArrayType(FloatType, containsNull = true)
+      || emb.schema("embedding").dataType == ArrayType(FloatType, containsNull = false),
+      s"embedding column drifted to ${emb.schema("embedding").dataType}")
+    // every ANN operator assumes a fixed dimensionality per fixture
+    val dims = emb.select(size($"embedding").as("d")).distinct()
+      .as[Int].collect().toSeq
+    assert(dims.size == 1 && dims.head > 0,
+      s"embeddings must be constant-dimension, got $dims")
+  }
 }

@@ -108,6 +108,50 @@ class StreamingSpec extends AnyFunSuite {
       s"expected only the two clean docs, got $finalIds (re-ingestion or a missed dup)")
   }
 
+  test("growing-index gate: a later batch dedups against an earlier batch's survivors") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def stageDocs(dir: String, rows: Seq[(Long, String)], part: String): Unit = {
+      val staging = tmp("graft_stage_docs_g")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      new java.io.File(staging).listFiles().filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          Files.move(f.toPath, java.nio.file.Paths.get(dir, s"${part}_$i.parquet"))
+        }
+    }
+    val corpus = Seq((0L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val in = tmp("graft_ggate_in"); val wh = tmp("graft_ggate_wh") + "/t"
+    val idxDir = tmp("graft_ggate_idx") + "/i"; val ckpt = tmp("graft_ggate_ck")
+    graft.ext.TextDedup.bandIndex(corpus, "doc_id", "text")
+      .write.parquet(idxDir) // seed with the ingested corpus
+    // batch 1: doc 100 is novel → must land AND be indexed
+    stageDocs(in, Seq(
+      (100L, "a genuinely fresh document with novel words entirely")), "b1")
+    StreamingOps.runGatedToWarehouseGrowing(
+      StreamingOps.fileSource(spark, in, docSchema), idxDir,
+      "doc_id", "text", wh, ckpt).awaitTermination()
+    assert(spark.read.parquet(wh).select("doc_id").as[Long].collect().toSeq
+      == Seq(100L))
+    // batch 2: a reordered near-dup of BATCH 1's survivor (not in the
+    // seeded corpus!) must be dropped — only a growing index catches it —
+    // plus one clean doc that must land
+    stageDocs(in, Seq(
+      (200L, "entirely words novel with document fresh genuinely a"),
+      (201L, "separate subject matter covering wholly unrelated topics")), "b2")
+    StreamingOps.runGatedToWarehouseGrowing(
+      StreamingOps.fileSource(spark, in, docSchema), idxDir,
+      "doc_id", "text", wh, ckpt).awaitTermination()
+    val finalIds = spark.read.parquet(wh).select("doc_id").as[Long]
+      .collect().sorted.toSeq
+    assert(finalIds == Seq(100L, 201L),
+      s"expected the batch-1 survivor's near-dup gated out by the GROWN index, got $finalIds")
+    // and the index itself now carries bands for corpus + both survivors
+    assert(spark.read.parquet(idxDir).select("doc_id").distinct()
+      .as[Long].collect().sorted.toSeq == Seq(0L, 100L, 201L))
+  }
+
   test("ST6/K7: a failing batch lands in the error table, query completes") {
     val in = tmp("graft_in4"); val err = tmp("graft_err4"); val ckpt = tmp("graft_ckpt4")
     stageBatch(in, Seq((1L, "2024-01-01 10:00:00", 1L, 1.0)), "b1")
