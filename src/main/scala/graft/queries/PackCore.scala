@@ -485,6 +485,68 @@ object PackCore {
       s.read.parquet(wh).select($"doc_id").orderBy($"doc_id")
     },
 
+    // ST8's GROWING-index form — the full analog of the reference's
+    // accumulating loaded-id set: batch 1's survivors are appended to
+    // the stored band index before batch 2 arrives, so batch 2 dedups
+    // against the corpus AND batch 1's survivors. The oracle unrolls
+    // both probes: dirty1/surv1 against the corpus index, then
+    // dirty2/surv2 against corpus ∪ surv1 (bucket-size guard recomputed
+    // per probe over the CURRENT index, exactly like the engine).
+    // Deterministic because the arrival split (%20) is fixed.
+    QDef("st9_stream_neardup_gate_growing",
+      ("""WITH words AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS w FROM documents),
+        |sigs AS (SELECT doc_id, """ +
+        (0 until 16).map(i => s"min(md5('$i|' || w)) AS s$i").mkString(", ") +
+        """ FROM words GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, md5(s0||s1||s2||s3) AS bkey FROM sigs
+        |  UNION ALL SELECT doc_id, 1, md5(s4||s5||s6||s7) FROM sigs
+        |  UNION ALL SELECT doc_id, 2, md5(s8||s9||s10||s11) FROM sigs
+        |  UNION ALL SELECT doc_id, 3, md5(s12||s13||s14||s15) FROM sigs),
+        |iok1 AS (SELECT band, bkey FROM bands WHERE doc_id % 10 <> 0
+        |         GROUP BY band, bkey HAVING count(*) <= 64),
+        |dirty1 AS (SELECT DISTINCT n.doc_id
+        |           FROM bands n JOIN bands i ON n.band = i.band AND n.bkey = i.bkey
+        |           JOIN iok1 ON i.band = iok1.band AND i.bkey = iok1.bkey
+        |           WHERE n.doc_id % 20 = 0 AND i.doc_id % 10 <> 0),
+        |surv1 AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 0
+        |          AND doc_id NOT IN (SELECT doc_id FROM dirty1)),
+        |idx2 AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0
+        |         UNION ALL SELECT doc_id FROM surv1),
+        |iok2 AS (SELECT b.band, b.bkey FROM bands b JOIN idx2 x ON b.doc_id = x.doc_id
+        |         GROUP BY b.band, b.bkey HAVING count(*) <= 64),
+        |dirty2 AS (SELECT DISTINCT n.doc_id
+        |           FROM bands n JOIN bands i ON n.band = i.band AND n.bkey = i.bkey
+        |           JOIN idx2 x ON i.doc_id = x.doc_id
+        |           JOIN iok2 ON i.band = iok2.band AND i.bkey = iok2.bkey
+        |           WHERE n.doc_id % 10 = 0 AND n.doc_id % 20 <> 0),
+        |surv2 AS (SELECT doc_id FROM documents
+        |          WHERE doc_id % 10 = 0 AND doc_id % 20 <> 0
+        |          AND doc_id NOT IN (SELECT doc_id FROM dirty2))
+        |SELECT doc_id FROM surv1 UNION ALL SELECT doc_id FROM surv2
+        |ORDER BY doc_id""").stripMargin) { (s, d) =>
+      val run = streamRun.incrementAndGet()
+      val in = java.nio.file.Files.createTempDirectory(s"graft_st9_in$run").toString
+      val wh = java.nio.file.Files.createTempDirectory(s"graft_st9_wh$run").toString + "/t"
+      val idxDir = java.nio.file.Files.createTempDirectory(s"graft_st9_ix$run").toString + "/i"
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_st9_ck$run").toString
+      // seed the stored index with the ingested corpus' band table (the
+      // same train-once content the static-gate queries serve from)
+      PackExt.persistedBandIndex(s, d).write.parquet(idxDir)
+      val newDocs = Tables.documents(s, d).filter($"doc_id" % 10 === 0)
+        .select($"doc_id", $"text")
+      val sch = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      def drain(): Unit = graft.streaming.StreamingOps.runGatedToWarehouseGrowing(
+        graft.streaming.StreamingOps.fileSource(s, in, sch), idxDir,
+        "doc_id", "text", wh, ckpt).awaitTermination()
+      stageArrival(in, newDocs.filter($"doc_id" % 20 === 0), "b1")
+      drain()
+      stageArrival(in, newDocs.filter($"doc_id" % 20 =!= 0), "b2")
+      drain()
+      s.read.parquet(wh).select($"doc_id").orderBy($"doc_id")
+    },
+
     // K4 (live) — DDL bootstrap + catalog roundtrip: CREATE TABLE ...
     // USING parquet, idempotent IF NOT EXISTS re-issue (the reference
     // re-runs its DDL every batch, extract_data_bank_pay:60-81), INSERT
@@ -604,6 +666,62 @@ object PackCore {
           StructField("r_regionkey", IntegerType),
           StructField("r_name", StringType))))
         .csv(out)
+        .orderBy($"r_regionkey")
+    },
+
+    // S8 LIVE — real JDBC sink + partitioned scan against embedded Derby
+    // (the Spark distribution ships the Derby driver, so this needs no
+    // new dependency): the redshift_to_bq pull (lambda_function.py:
+    // 140-170) re-expressed as df.write.jdbc → spark.read.jdbc with a
+    // partitionColumn/numPartitions parallel read and a pushed WHERE.
+    // Scale shape: the JDBC scan splits into numPartitions range-bounded
+    // queries executed concurrently (each executor pulls its own slice —
+    // the standard warehouse-offload pattern); the o_custkey predicate
+    // is pushed into the remote SQL, not evaluated in Spark. Embedded
+    // Derby is in-JVM (local mode); a networked warehouse swaps the URL.
+    QDef("s8_scan_jdbc_live",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 10 = 0 AND o_custkey > 0
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val run = streamRun.incrementAndGet()
+      val db = java.nio.file.Files.createTempDirectory(s"graft_s8_db$run")
+        .toString + "/derby"
+      val url = s"jdbc:derby:$db;create=true"
+      val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+      val src = Tables.orders(s, d).filter($"o_orderkey" % 10 === 0)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      src.coalesce(1).write.mode("overwrite").format("jdbc")
+        .option("url", url).option("driver", driver)
+        .option("dbtable", "ORDERS_SLICE").save()
+      val hi = src.agg(max($"o_orderkey")).head().getLong(0) + 1
+      s.read.format("jdbc")
+        .option("url", url).option("driver", driver)
+        .option("dbtable", "ORDERS_SLICE")
+        .option("partitionColumn", "o_orderkey")
+        .option("lowerBound", "0").option("upperBound", hi.toString)
+        .option("numPartitions", "4")
+        .load()
+        .filter($"o_custkey" > 0) // pushed into the remote WHERE
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    },
+
+    // S3 LIVE — REAL workbook ingestion, no connector dependency: stage
+    // the region table as an actual .xlsx (zip-of-XML per ECMA-376, the
+    // public OOXML spec; graft.sources.Xlsx writes the same
+    // sharedStrings/`t="s"` layout Excel does) and read it back through
+    // the JDK-only SpreadsheetML parser — binaryFile scan, per-file
+    // parse on executors, explicit-schema cast (the S2 CSV seam). This
+    // is the load_data/lambda_function.py:275-276 path done directly,
+    // not modeled; the CSV-export form above stays as the degraded-mode
+    // seam.
+    QDef("s3_scan_xlsx_real",
+      "SELECT * FROM region ORDER BY r_regionkey") { (s, d) =>
+      val dir = tmpBase(d) + "/xlsx_real"
+      graft.sources.Xlsx.writeFile(Tables.region(s, d), s"$dir/region.xlsx")
+      graft.sources.Xlsx.read(s, dir, StructType(Seq(
+          StructField("r_regionkey", IntegerType),
+          StructField("r_name", StringType))))
         .orderBy($"r_regionkey")
     },
 

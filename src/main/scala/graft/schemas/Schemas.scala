@@ -132,14 +132,12 @@ object Tables {
     // above it) — sessions run UTC so values are identical, and a native
     // scan column keeps ts predicates pushable to parquet (a cast-wrapped
     // column would hold every watermark filter above the Project).
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val raw = apply(s, d, "events")
+    val raw = withEventsReadConfs(s) { apply(s, d, "events") }
     import org.apache.spark.sql.functions._
     raw.schema("ts").dataType match {
       case LongType => // nanos vintage, read as raw INT64
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => // defensive: NTZ inference re-enabled externally
+      case TimestampNTZType => // defensive: conf scoping bypassed
         raw.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType => raw
       case other =>
@@ -147,15 +145,33 @@ object Tables {
     }
   }
 
+  /** Scope the events NTZ-inference override to one schema-inferring
+    * read: `inferTimestampNTZ=false` must NOT leak into other tables'
+    * reads or every table's timestamp dtype becomes dependent on whether
+    * an events query ran first in the session (it is inference-only, so
+    * restoring right after load() is safe — the inferred schema is baked
+    * into the returned plan). `nanosAsLong` stays session-sticky on
+    * purpose: it is consulted again at EXECUTION of the nanos-vintage
+    * scan, and it is a no-op for every table without TIMESTAMP(NANOS)
+    * columns — i.e. all of them except the nanos-vintage events file. */
+  private def withEventsReadConfs[A](s: SparkSession)(body: => A): A = synchronized {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   /** The dtype the file-streaming reader must declare for `events.ts`,
     * matched to the on-disk vintage (streaming requires an explicit schema,
     * so the batch-side inference above can't help it). Paired with
     * [[eventsStreamTs]] to normalize to TimestampType. */
-  def eventsRawTsType(s: SparkSession, d: String): DataType = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    apply(s, d, "events").schema("ts").dataType
-  }
+  def eventsRawTsType(s: SparkSession, d: String): DataType =
+    withEventsReadConfs(s) { apply(s, d, "events").schema("ts").dataType }
 
   /** Normalize a streamed `ts` column read with [[eventsRawTsType]]'s dtype
     * to session-zone TimestampType. */

@@ -1,0 +1,261 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Minimal real XLSX I/O with ZERO extra dependencies (SURVEY.md §7.4
+  * risk 3; the reference reads MP settlement workbooks directly —
+  * load_data/lambda_function.py:275-276, transform_data_mp/
+  * lambda_function.py:60-62). OOXML spreadsheets are a zip of XML parts
+  * (ECMA-376, public spec); the JDK ships both halves of what's needed
+  * (`java.util.zip`, StAX `javax.xml.stream`), so the offline-cache gap
+  * that blocks poi-ooxml does not block a working reader for the
+  * standard SpreadsheetML shapes Excel/openpyxl emit:
+  *  - shared strings (`t="s"` cells indexing xl/sharedStrings.xml — how
+  *    Excel stores ALL strings),
+  *  - inline strings (`t="inlineStr"` / `<is><t>`),
+  *  - numbers (typeless `<v>`),
+  *  - sparse rows / missing cells (gaps become nulls via the `r="C5"`
+  *    cell references).
+  *
+  * Scale shape: one workbook = one `binaryFile` row = one task; a
+  * directory of workbooks (the reference's weekly report drops)
+  * parallelizes per file, exactly like the CSV path. Values surface as
+  * strings and are cast through the caller's explicit schema — the same
+  * seam the S2/S3 CSV readers use, so downstream plans are identical.
+  * Not supported (out of scope for report ingestion): formulas beyond
+  * their cached `<v>`, styles, multiple sheets (first sheet wins),
+  * dates-as-serials (the reference's reports carry ISO strings). */
+object Xlsx {
+
+  // ---------------------------------------------------------------- read
+
+  /** Parse one workbook's bytes → rows of cell strings (first sheet).
+    * Row i maps cell `r="A.."` → column 0 etc.; absent cells are null.
+    * `headerRows` leading rows are dropped (report preamble + header —
+    * the reference skips MP report headers the same way). */
+  def parseWorkbook(bytes: Array[Byte], nCols: Int,
+                    headerRows: Int = 1): Seq[Seq[String]] = {
+    var shared: IndexedSeq[String] = IndexedSeq.empty
+    var sheet: Option[Array[Byte]] = None
+    var firstSheetName: Option[String] = None
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        val name = e.getName
+        if (name == "xl/sharedStrings.xml") shared = parseSharedStrings(readAll(zin))
+        else if (name.startsWith("xl/worksheets/sheet") && name.endsWith(".xml")) {
+          // first sheet by part name (sheet1.xml < sheet10.xml is fine for
+          // report workbooks, which are single-sheet)
+          if (firstSheetName.forall(name < _)) {
+            firstSheetName = Some(name); sheet = Some(readAll(zin))
+          }
+        }
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    val rows = sheet.map(parseSheet(_, shared, nCols)).getOrElse(Seq.empty)
+    rows.drop(headerRows)
+  }
+
+  private def readAll(in: java.io.InputStream): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  private def newReader(bytes: Array[Byte]) = {
+    val f = XMLInputFactory.newInstance()
+    // report workbooks are untrusted input: no DTDs, no external entities
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.createXMLStreamReader(new ByteArrayInputStream(bytes))
+  }
+
+  private def parseSharedStrings(bytes: Array[Byte]): IndexedSeq[String] = {
+    val r = newReader(bytes)
+    val out = IndexedSeq.newBuilder[String]
+    var inSi = false
+    val cur = new StringBuilder
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT if r.getLocalName == "si" =>
+          inSi = true; cur.clear()
+        case XMLStreamConstants.START_ELEMENT if inSi && r.getLocalName == "t" =>
+          cur ++= r.getElementText // rich-text runs concatenate their <t>s
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "si" =>
+          inSi = false; out += cur.toString
+        case _ => ()
+      }
+    }
+    r.close()
+    out.result()
+  }
+
+  /** `r="BC23"` → zero-based column 54. */
+  private[graft] def colIndex(ref: String): Int = {
+    var i = 0; var acc = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      acc = acc * 26 + (ref.charAt(i).toUpper - 'A' + 1); i += 1
+    }
+    acc - 1
+  }
+
+  private def parseSheet(bytes: Array[Byte], shared: IndexedSeq[String],
+                         nCols: Int): Seq[Seq[String]] = {
+    val r = newReader(bytes)
+    val rows = Seq.newBuilder[Seq[String]]
+    var row: Array[String] = null
+    var nextCol = 0            // sequential position for r-less cells
+    var cellCol = 0
+    var cellType = ""
+    var value: Option[String] = None
+    var inIs = false           // inside <is> (inline string)
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+          case "row" => row = Array.fill[String](nCols)(null); nextCol = 0
+          case "c" =>
+            cellCol = Option(r.getAttributeValue(null, "r"))
+              .map(colIndex).getOrElse(nextCol)
+            cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+            value = None
+          case "is" => inIs = true
+          case "v" => value = Some(r.getElementText)
+          case "t" if inIs =>
+            value = Some(value.getOrElse("") + r.getElementText)
+          case _ => ()
+        }
+        case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+          case "row" => rows += row.toSeq; row = null
+          case "is" => inIs = false
+          case "c" =>
+            val v = cellType match {
+              case "s" => value.map(i => shared(i.trim.toInt))
+              case _   => value
+            }
+            if (row != null && cellCol < nCols) row(cellCol) = v.orNull
+            nextCol = cellCol + 1
+          case _ => ()
+        }
+        case _ => ()
+      }
+    }
+    r.close()
+    rows.result()
+  }
+
+  /** Scan a path of .xlsx files into `schema` (values cast from cell
+    * strings, the CSV-reader seam): binaryFile source → per-file parse on
+    * the executors → positional cast. */
+  def read(spark: SparkSession, path: String, schema: StructType,
+           headerRows: Int = 1): DataFrame = {
+    val nCols = schema.length
+    import spark.implicits._
+    val cells: DataFrame = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xlsx").load(path)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .mapPartitions(_.flatMap(parseWorkbook(_, nCols, headerRows)))
+      .toDF("cells")
+    cells.select(schema.fields.zipWithIndex.map { case (f, i) =>
+      element_at(col("cells"), i + 1).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+  }
+
+  // --------------------------------------------------------------- write
+
+  private def xmlEscape(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"; case '<' => "&lt;"; case '>' => "&gt;"
+      case '"' => "&quot;"; case c => c.toString
+    }
+
+  private[graft] def colRef(i: Int): String = {
+    var n = i + 1; val sb = new StringBuilder
+    while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+    sb.toString
+  }
+
+  /** Serialize rows into real .xlsx bytes: numbers inline, strings via
+    * xl/sharedStrings.xml (`t="s"` cells) — the layout Excel itself
+    * writes, which is exactly what the reader must handle. */
+  def writeWorkbook(header: Seq[String], rows: Seq[Seq[Any]]): Array[Byte] = {
+    val sharedIdx = scala.collection.mutable.LinkedHashMap[String, Int]()
+    def sRef(s: String): Int = sharedIdx.getOrElseUpdate(s, sharedIdx.size)
+    def cellXml(rowNum: Int, ci: Int, v: Any): String = {
+      val ref = s"${colRef(ci)}$rowNum"
+      v match {
+        case null => ""
+        case n: Byte => s"""<c r="$ref"><v>$n</v></c>"""
+        case n: Short => s"""<c r="$ref"><v>$n</v></c>"""
+        case n: Int => s"""<c r="$ref"><v>$n</v></c>"""
+        case n: Long => s"""<c r="$ref"><v>$n</v></c>"""
+        case n: Double => s"""<c r="$ref"><v>$n</v></c>"""
+        case n: Float => s"""<c r="$ref"><v>$n</v></c>"""
+        case n: java.math.BigDecimal => s"""<c r="$ref"><v>$n</v></c>"""
+        case other => s"""<c r="$ref" t="s"><v>${sRef(other.toString)}</v></c>"""
+      }
+    }
+    val allRows = header +: rows
+    val sheetRows = allRows.zipWithIndex.map { case (cells, i) =>
+      val rn = i + 1
+      s"""<row r="$rn">${cells.zipWithIndex.map { case (v, ci) => cellXml(rn, ci, v) }.mkString}</row>"""
+    }.mkString
+    val sheetXml =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$sheetRows</sheetData></worksheet>""".stripMargin
+    val sstXml = {
+      val items = sharedIdx.keys.map(s => s"<si><t>${xmlEscape(s)}</t></si>").mkString
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="${sharedIdx.size}" uniqueCount="${sharedIdx.size}">$items</sst>""".stripMargin
+    }
+    val workbookXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin
+    val workbookRels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/><Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/></Relationships>""".stripMargin
+    val rootRels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""".stripMargin
+    val contentTypes =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/><Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/></Types>""".stripMargin
+    val out = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(out)
+    def put(name: String, content: String): Unit = {
+      z.putNextEntry(new ZipEntry(name))
+      z.write(content.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    put("[Content_Types].xml", contentTypes)
+    put("_rels/.rels", rootRels)
+    put("xl/workbook.xml", workbookXml)
+    put("xl/_rels/workbook.xml.rels", workbookRels)
+    put("xl/worksheets/sheet1.xml", sheetXml)
+    put("xl/sharedStrings.xml", sstXml)
+    z.close()
+    out.toByteArray
+  }
+
+  /** Stage a DataFrame as one real .xlsx file (driver-side collect — the
+    * WRITER exists to stage report fixtures and agent exports, both
+    * bounded; the read path is the distributed half). */
+  def writeFile(df: DataFrame, path: String): Unit = {
+    val header = df.columns.toSeq
+    val rows = df.collect().toSeq.map(r =>
+      (0 until r.length).map(i => if (r.isNullAt(i)) null else r.get(i)))
+    val bytes = writeWorkbook(header, rows)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(path).getParent)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes): Unit
+  }
+}
