@@ -103,4 +103,142 @@ object Multimodal {
       }
     }
   }
+
+  // ------------------------------------------------------- REAL PNG path
+
+  /** REAL image decode — `javax.imageio` ships a PNG/JPEG/BMP/GIF codec
+    * in the JDK itself, so the image half of the multimodal story needs
+    * no external dependency after all (only video/audio codecs remain
+    * environment-blocked). Exact integer channel sums instead of float
+    * means keep the features bit-stable for the oracle. */
+  final case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+                                 sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Deterministic two-vertical-band PNG (left half c1, right half c2):
+    * the generator for staged image fixtures. PNG is lossless, so the
+    * decoded channel sums have closed forms an oracle recomputes. */
+  def twoBandPng(w: Int, h: Int, c1: Int, c2: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val c = if (x < w / 2) c1 else c2
+        img.setRGB(x, y, (c << 16) | (c << 8) | c)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Decode a real image payload and reduce to exact features; decoder
+    * init is per-call here because ImageIO is stateless — batchwise
+    * callers still amortize the JVM-level codec registry via
+    * mapPartitions. */
+  def decodeImage(docId: Long, bytes: Array[Byte]): ImageFeatures = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"doc $docId: payload is not a decodable image")
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    ImageFeatures(docId, img.getWidth, img.getHeight, sr, sg, sb)
+  }
+
+  // ------------------------------------------------------- REAL WAV path
+
+  /** REAL audio decode — WAV/PCM is a public RIFF container (fmt + data
+    * chunks, little-endian samples) parseable with nothing but the JDK;
+    * with the image path above, only VIDEO remains genuinely
+    * environment-blocked. Exact integer sample sums keep the features
+    * oracle-checkable. */
+  final case class AudioFeatures(doc_id: Long, sample_rate: Int, n_channels: Int,
+                                 bits: Int, n_samples: Long, sum_samples: Long)
+
+  /** 16-bit PCM mono WAV bytes for the given samples (standard 44-byte
+    * header) — the deterministic audio-fixture generator. */
+  def pcmWav(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+      .putShort(2).putShort(16) // block align, bits
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(b.putShort)
+    b.array()
+  }
+
+  /** RIFF chunk walk: locate fmt + data, reduce PCM16 samples to exact
+    * count/sum. Throws on non-WAV or non-PCM16 payloads — a media
+    * pipeline must fail loudly on codec mismatch, not emit zeros. */
+  def decodeWav(docId: Long, bytes: Array[Byte]): AudioFeatures = {
+    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = { val t = new Array[Byte](4); b.get(t); new String(t, "US-ASCII") }
+    require(tag() == "RIFF", s"doc $docId: not RIFF")
+    b.getInt // riff size
+    require(tag() == "WAVE", s"doc $docId: not WAVE")
+    var rate, channels, bits = 0
+    var nSamples = 0L
+    var sum = 0L
+    var seenData = false
+    while (b.remaining() >= 8) {
+      val t = tag(); val len = b.getInt
+      t match {
+        case "fmt " =>
+          val fmt = b.getShort
+          require(fmt == 1, s"doc $docId: not PCM (fmt=$fmt)")
+          channels = b.getShort.toInt
+          rate = b.getInt
+          b.getInt; b.getShort // byte rate, block align
+          bits = b.getShort.toInt
+          require(bits == 16, s"doc $docId: only PCM16 supported (bits=$bits)")
+          b.position(b.position() + (len - 16)) // any fmt extension
+        case "data" =>
+          seenData = true
+          nSamples = len / 2L
+          var i = 0L
+          while (i < nSamples) { sum += b.getShort; i += 1 }
+        case _ => b.position(b.position() + len) // skip LIST/INFO/etc.
+      }
+    }
+    require(seenData, s"doc $docId: no data chunk")
+    AudioFeatures(docId, rate, channels, bits, nSamples, sum)
+  }
+
+  /** REAL nearest-neighbor resize (explicit floor mapping dstX →
+    * dstX*srcW/dstW so the resampling rule is engine-reproducible), PNG
+    * re-encode. A two-band source with aligned halves resizes to a
+    * two-band result — closed-form sums again. */
+  def resizePng(bytes: Array[Byte], dstW: Int, dstH: Int): Array[Byte] = {
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val dst = new java.awt.image.BufferedImage(dstW, dstH,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < dstH) {
+      var x = 0
+      while (x < dstW) {
+        dst.setRGB(x, y, src.getRGB(x * src.getWidth / dstW, y * src.getHeight / dstH))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dst, "png", out)
+    out.toByteArray
+  }
 }

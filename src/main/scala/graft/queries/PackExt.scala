@@ -1050,6 +1050,83 @@ object PackExt {
         .orderBy(col("doc_id"))
     },
 
+    // REAL image decode + resize — the JDK's own javax.imageio PNG codec
+    // closes the image half of the multimodal gap (no external codec
+    // needed; only audio/video remain environment-blocked). Fully
+    // distributed: each executor GENERATES its deterministic two-band
+    // PNG payload (left half c1 = doc_id%200, right half c2 =
+    // (doc_id*31)%200; w divisible by 4, so halves stay aligned through
+    // the 2:1 nearest-neighbor resize), really encodes it, really
+    // decodes it back, and reduces to EXACT integer channel sums with
+    // closed forms the oracle recomputes. No driver staging, no shuffle:
+    // one narrow mapPartitions over documents.
+    QDef("multimodal_decode_real",
+      """SELECT doc_id,
+        |  CAST(16 + (doc_id % 8) * 4 AS INTEGER) AS width,
+        |  CAST(8 + doc_id % 8 AS INTEGER) AS height,
+        |  CAST((doc_id % 200 + (doc_id * 31) % 200)
+        |       * ((16 + (doc_id % 8) * 4) // 2) * (8 + doc_id % 8) AS BIGINT) AS sum_r,
+        |  CAST(8 + (doc_id % 8) * 2 AS INTEGER) AS half_w,
+        |  CAST(4 + (doc_id % 8) // 2 AS INTEGER) AS half_h,
+        |  CAST((doc_id % 200 + (doc_id * 31) % 200)
+        |       * ((8 + (doc_id % 8) * 2) // 2) * (4 + (doc_id % 8) // 2) AS BIGINT) AS half_sum_r
+        |FROM documents WHERE doc_id < 256 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).filter(col("doc_id") < 256)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val w = 16 + (id % 8).toInt * 4
+            val h = 8 + (id % 8).toInt
+            val c1 = (id % 200).toInt
+            val c2 = (id * 31 % 200).toInt
+            val png = Multimodal.twoBandPng(w, h, c1, c2)
+            val full = Multimodal.decodeImage(id, png)
+            // real 2:1 nearest-neighbor resize + re-encode + re-decode:
+            // the whole codec loop runs, not metadata arithmetic
+            val halfPng = Multimodal.resizePng(png, w / 2, h / 2)
+            val half = Multimodal.decodeImage(id, halfPng)
+            (id, full.width, full.height, full.sum_r,
+              half.width, half.height, half.sum_r)
+          }
+        }
+        .toDF("doc_id", "width", "height", "sum_r", "half_w", "half_h", "half_sum_r")
+        .orderBy(col("doc_id"))
+    },
+
+    // REAL audio decode — WAV/PCM16 is a public RIFF layout and needs
+    // only the JDK; each executor generates its deterministic sawtooth
+    // (sample_i = (i*a + b) % 2000 - 1000), writes REAL WAV bytes, and
+    // the RIFF chunk-walking decoder recovers rate/channels/bits and the
+    // exact sample count + sum; the oracle recomputes the sum
+    // relationally over range(). With images real above, only VIDEO
+    // remains environment-blocked. Same distributed shape: one narrow
+    // mapPartitions, no staging, no shuffle.
+    QDef("multimodal_audio_real",
+      """SELECT doc_id,
+        |  8000 AS sample_rate, 1 AS n_channels, 16 AS bits,
+        |  CAST(1000 + (doc_id % 10) * 100 AS BIGINT) AS n_samples,
+        |  CAST(list_sum(list_transform(range(0, 1000 + (doc_id % 10) * 100),
+        |    i -> (i * (7 + doc_id % 5) + doc_id % 97) % 2000 - 1000)) AS BIGINT) AS sum_samples
+        |FROM documents WHERE doc_id < 256 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).filter(col("doc_id") < 256)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val n = 1000 + (id % 10).toInt * 100
+            val a = 7 + (id % 5).toInt
+            val b = (id % 97).toInt
+            val samples = Array.tabulate(n)(i => ((i.toLong * a + b) % 2000 - 1000).toShort)
+            val wav = Multimodal.pcmWav(samples)
+            val f = Multimodal.decodeWav(id, wav)
+            (id, f.sample_rate, f.n_channels, f.bits, f.n_samples, f.sum_samples)
+          }
+        }
+        .toDF("doc_id", "sample_rate", "n_channels", "bits", "n_samples", "sum_samples")
+        .orderBy(col("doc_id"))
+    },
+
     // resize stage: 2:1 byte-decimation stub with the real metadata
     // arithmetic (src dims from decode, 6dp scale factors); batchwise
     // mapPartitions shape like decode

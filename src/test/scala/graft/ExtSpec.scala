@@ -84,6 +84,57 @@ class ExtSpec extends AnyFunSuite {
       "rerank searches only the query's bucket")
   }
 
+  test("multimodal REAL PNG path: encode→decode roundtrip exact, nearest-neighbor resize keeps bands") {
+    // lossless roundtrip: exact channel sums for a two-band image
+    val png = Multimodal.twoBandPng(w = 12, h = 5, c1 = 10, c2 = 250)
+    assert(png.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a), "real PNG magic")
+    val f = Multimodal.decodeImage(7L, png)
+    assert(f.width == 12 && f.height == 5)
+    assert(f.sum_r == (10L + 250L) * 6 * 5 && f.sum_g == f.sum_r && f.sum_b == f.sum_r)
+    // nearest-neighbor downscale of an aligned two-band image: bands survive
+    val half = Multimodal.decodeImage(7L, Multimodal.resizePng(png, 6, 2))
+    assert(half.width == 6 && half.height == 2)
+    assert(half.sum_r == (10L + 250L) * 3 * 2)
+    // asymmetric upscale is also exact for constant bands
+    val up = Multimodal.decodeImage(7L, Multimodal.resizePng(png, 24, 5))
+    assert(up.sum_r == (10L + 250L) * 12 * 5)
+    // non-image payload fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeImage(1L, "not an image".getBytes)
+    }
+  }
+
+  test("multimodal REAL WAV path: RIFF roundtrip exact; independent JDK decoder agrees") {
+    val samples = Array.tabulate(500)(i => ((i * 13 + 5) % 2000 - 1000).toShort)
+    val wav = Multimodal.pcmWav(samples, 8000)
+    val f = Multimodal.decodeWav(3L, wav)
+    assert(f == Multimodal.AudioFeatures(3L, 8000, 1, 16, 500L,
+      samples.map(_.toLong).sum))
+    // cross-check against javax.sound.sampled — an INDEPENDENT JDK RIFF
+    // implementation must agree on the container metadata
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate == 8000f && fmt.getChannels == 1 &&
+      fmt.getSampleSizeInBits == 16)
+    assert(ais.getFrameLength == 500L)
+    // chunk walk: an unknown LIST chunk between fmt and data is skipped
+    val withList = {
+      val b = java.nio.ByteBuffer.allocate(wav.length + 12)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(wav, 0, 36) // RIFF..WAVE + fmt chunk
+      b.put("LIST".getBytes("US-ASCII")).putInt(4).put("INFO".getBytes("US-ASCII"))
+      b.put(wav, 36, wav.length - 36) // data chunk
+      b.array()
+    }
+    assert(Multimodal.decodeWav(3L, withList).sum_samples == f.sum_samples)
+    // codec mismatch fails loudly, never emits zeros
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(1L, "junk-not-riff-data".getBytes)
+    }
+  }
+
   test("multimodal: batchwise stub decode emits typed features") {
     val feats = Multimodal.extractFeatures(
       Multimodal.asMedia(docs, "doc_id", "text")).collect()
