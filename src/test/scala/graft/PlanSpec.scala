@@ -423,6 +423,14 @@ class PlanSpec extends AnyFunSuite {
         "if it passes this injection it is vacuous")
   }
 
+  test("live JDBC scan: range-partitioned parallel read, WHERE pushed into the remote SQL") {
+    val p = plan("s8_scan_jdbc_live")
+    assert(p.contains("JDBCRelation(ORDERS_SLICE) [numPartitions=4]"),
+      s"the JDBC read must split into range-bounded partitions:\n$p")
+    assert(p.contains("PushedFilters: [*IsNotNull(o_custkey), *GreaterThan(o_custkey,0)]"),
+      s"the filter must push into the remote query (starred = fully remote):\n$p")
+  }
+
   test("OOV rate broadcasts the vocabulary; corpus side never token-shuffles for the probe") {
     val p = plan("text_oov_rate")
     assert(p.contains("BroadcastHashJoin"), s"vocab must broadcast:\n$p")
