@@ -684,8 +684,11 @@ object PackCore {
         |WHERE o_orderkey % 10 = 0 AND o_custkey > 0
         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       val run = streamRun.incrementAndGet()
-      val db = java.nio.file.Files.createTempDirectory(s"graft_s8_db$run")
-        .toString + "/derby"
+      val dbRoot = java.nio.file.Files.createTempDirectory(s"graft_s8_db$run").toString
+      // keep Derby's engine log out of the process cwd (first boot wins)
+      if (System.getProperty("derby.system.home") == null)
+        System.setProperty("derby.system.home", dbRoot)
+      val db = dbRoot + "/derby"
       val url = s"jdbc:derby:$db;create=true"
       val driver = "org.apache.derby.jdbc.EmbeddedDriver"
       val src = Tables.orders(s, d).filter($"o_orderkey" % 10 === 0)
