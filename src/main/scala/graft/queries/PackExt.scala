@@ -1530,6 +1530,52 @@ object PackExt {
         .orderBy(col("doc_id"))
     },
 
+    // CCNet-style perplexity bucketing — the classic head/middle/tail
+    // split: per-source discrete tertiles of the LM score (lower avg_nll
+    // = more fluent), every doc labeled by which band it falls in (CCNet
+    // keeps head+middle for pretraining). Same cross-engine quantile
+    // discipline as text_quality_filter_quantile: ceil(q·n) rank under
+    // (value, doc_id) order == DuckDB quantile_disc; LM scores ride the
+    // 6dp-rounded decimal NLL fold of text_lm_score. Scale: the ranking
+    // window is per-source (bounded fan-in); at 100 TB swap the exact
+    // tertiles for approx_percentile per source — the label join is
+    // already a broadcast of |sources| rows.
+    QDef("text_ccnet_buckets",
+      """WITH words AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM words),
+        |nll AS (SELECT w, CAST(round(-ln(count(*) / t.total), 6) AS DECIMAL(18,6)) AS nll
+        |        FROM words, tot t GROUP BY w, t.total),
+        |sc AS (SELECT d.doc_id, round(CAST(sum(n.nll) AS DOUBLE) / count(*), 6) AS avg_nll
+        |       FROM words d JOIN nll n USING (w) GROUP BY d.doc_id),
+        |j AS (SELECT s.doc_id, doc.source, s.avg_nll
+        |      FROM sc s JOIN documents doc USING (doc_id)),
+        |p AS (SELECT source, quantile_disc(avg_nll, 0.35) AS p35,
+        |             quantile_disc(avg_nll, 0.70) AS p70
+        |      FROM j GROUP BY source)
+        |SELECT j.doc_id, j.source, j.avg_nll,
+        |  CASE WHEN j.avg_nll <= p.p35 THEN 'head'
+        |       WHEN j.avg_nll <= p.p70 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM j JOIN p USING (source) ORDER BY j.doc_id""".stripMargin) { (s, d) =>
+      val sc = TextAnalysis.lmScore(Tables.documents(s, d), "doc_id", "text")
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+      val byS = Window.partitionBy(col("source"))
+      val p = sc
+        .withColumn("rn", row_number().over(byS.orderBy(col("avg_nll"), col("doc_id"))))
+        .withColumn("cnt", count(lit(1)).over(byS))
+        .groupBy(col("source"))
+        .agg(
+          max(when(col("rn") === ceil(lit(0.35) * col("cnt")).cast("long"),
+            col("avg_nll"))).as("p35"),
+          max(when(col("rn") === ceil(lit(0.70) * col("cnt")).cast("long"),
+            col("avg_nll"))).as("p70"))
+      sc.join(broadcast(p), Seq("source"))
+        .select(col("doc_id"), col("source"), col("avg_nll"),
+          when(col("avg_nll") <= col("p35"), "head")
+            .when(col("avg_nll") <= col("p70"), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))
+    },
+
     // Domain mixture weights (DoReMi-style, sublinear exponent): per
     // source, sampling weight ∝ n_tokens^0.5 normalized over sources —
     // sqrt rather than the paper's ^0.7 because IEEE sqrt is correctly
