@@ -376,6 +376,67 @@ object PackExt {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // Hybrid retrieval with reciprocal-rank fusion — the standard
+    // lexical+vector combiner (score = Σ 1/(60+rank) over both rank
+    // lists, k=60 per the original RRF paper): token-set Jaccard ranks
+    // from an inverted-index join fused with brute cosine ranks over the
+    // aligned embedding rows. Exactness: both rank lists use integer
+    // ranks under (rounded-score DESC, nid) order, so 1/(60+r) sums are
+    // bit-identical across engines. Scale: the lexical side is the
+    // tfidf/jaccard inverted-index shape (never all-pairs), the vector
+    // side broadcasts only the query block; fusion is a (qid, nid)
+    // equi-join of two top-20 lists — tiny by construction.
+    QDef("retrieval_hybrid_rrf",
+      s"""WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS w
+         |              FROM documents WHERE doc_id < 500),
+         |sz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+         |inter AS (SELECT q.doc_id AS qid, c.doc_id AS nid, count(*) AS inter
+         |          FROM toks q JOIN toks c ON q.w = c.w AND q.doc_id < 8 AND c.doc_id >= 8
+         |          GROUP BY 1, 2),
+         |lex AS (SELECT qid, nid, inter * 1.0 / (x.n + y.n - inter) AS jac
+         |        FROM inter JOIN sz x ON qid = x.doc_id JOIN sz y ON nid = y.doc_id),
+         |lr AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY jac DESC, nid) AS lr FROM lex),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+         |cc AS (SELECT q.qid, e.vec_id AS nid, round(${cosSql("q.qe", "e.embedding")}, 6) AS cos
+         |       FROM q, embeddings e WHERE e.vec_id >= 8 AND e.vec_id < 500),
+         |vr AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS vr FROM cc),
+         |f AS (SELECT coalesce(l.qid, v.qid) AS qid, coalesce(l.nid, v.nid) AS nid,
+         |        coalesce(1.0/(60+l.lr), 0) + coalesce(1.0/(60+v.vr), 0) AS score
+         |      FROM (SELECT * FROM lr WHERE lr <= 20) l
+         |      FULL JOIN (SELECT * FROM vr WHERE vr <= 20) v
+         |        ON l.qid = v.qid AND l.nid = v.nid)
+         |SELECT qid, nid, round(score, 6) AS rrf,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS INTEGER) AS rank
+         |FROM f QUALIFY rank <= 10 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = toks.filter(col("doc_id") < 8).select(col("doc_id").as("qid"), col("w"))
+        .join(toks.filter(col("doc_id") >= 8).select(col("doc_id").as("nid"), col("w")), Seq("w"))
+        .groupBy(col("qid"), col("nid")).agg(count(lit(1)).as("inter"))
+      val lex = inter
+        .join(broadcast(sizes.select(col("doc_id").as("qid"), col("n").as("nq"))), Seq("qid"))
+        .join(sizes.select(col("doc_id").as("nid"), col("n").as("nc")), Seq("nid"))
+        .select(col("qid"), col("nid"),
+          (col("inter") * lit(1.0) / (col("nq") + col("nc") - col("inter"))).as("jac"))
+      val lexTop = lex.withColumn("lr", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("jac").desc, col("nid"))))
+        .filter(col("lr") <= 20).select(col("qid"), col("nid"), col("lr"))
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 500)
+      val vecTop = Similarity.bruteTopK(
+          e.filter(col("vec_id") >= 8), e.filter(col("vec_id") < 8), 20)
+        .select(col("qid"), col("nid"), col("rank").as("vr"))
+      lexTop.join(vecTop, Seq("qid", "nid"), "full_outer")
+        .select(col("qid"), col("nid"),
+          (coalesce(lit(1.0) / (lit(60) + col("lr")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("vr")), lit(0.0))).as("score"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("nid"), round(col("score"), 6).as("rrf"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // Single-probe IVF served from the PERSISTED coarse quantizer: the
     // query's bucket is the argmax-dot stored centroid (nprobe=1), not a
     // given assignment — the production shape: train once (Warehouse
