@@ -68,10 +68,14 @@ class FixtureCanarySpec extends AnyFunSuite {
     assert(emb.schema("embedding").dataType == ArrayType(FloatType, containsNull = true)
       || emb.schema("embedding").dataType == ArrayType(FloatType, containsNull = false),
       s"embedding column drifted to ${emb.schema("embedding").dataType}")
-    // every ANN operator assumes a fixed dimensionality per fixture
+    // every ANN operator assumes a fixed dimensionality per fixture, and
+    // the IVF/PQ DuckDB oracles hard-code it (range(1, 65) loops): a dims
+    // change must fail HERE with a pointer, not as 20 opaque hash
+    // mismatches
     val dims = emb.select(size($"embedding").as("d")).distinct()
       .as[Int].collect().toSeq
-    assert(dims.size == 1 && dims.head > 0,
-      s"embeddings must be constant-dimension, got $dims")
+    assert(dims == Seq(64),
+      s"embeddings dimensionality drifted to $dims — update the range(1, 65) " +
+        "loops in the ann_ivf_*/emb_pq_* oracles (PackExt) to match")
   }
 }
