@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Pack
+
+/** Partition-count invariance — the README's standing claim, now a
+  * standing test: declared results must not depend on
+  * `spark.sql.shuffle.partitions`. The chosen set covers the families
+  * where partitioning bugs actually surface: double aggregation
+  * (order-sensitive float sums), windows over cumulative state, salted
+  * skew rewrites, chunked prefix sums, rank-based quantiles, LSH
+  * banding, connected components (superstep fixpoints), and top-k
+  * fusion. Everything runs twice at sf0.001 — the default 4 partitions
+  * and a coprime 7 — and must collect byte-identically. */
+class PartitionInvarianceSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private val queries = Seq(
+    "q1_agg",                    // decimal-summed aggregates
+    "agg_salted_skew",           // two-level salted fold-out
+    "window_running_sum",        // cumulative window state
+    "mixture_token_budget",      // chunked two-level prefix sum
+    "text_quality_filter_quantile", // rank-rule quantile
+    "text_ccnet_buckets",        // per-source tertile labeling
+    "dedup_minhash_lsh",         // banded self-join + bucket guard
+    "dedup_cluster_cc",          // iterative superstep fixpoint
+    "retrieval_hybrid_rrf",      // two-list rank fusion
+    "graph_pagerank")            // decimal-quantized iteration
+
+  private def collectAt(name: String, partitions: String): Seq[String] = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", partitions)
+    try Pack.byName(name).fn(spark, TestSpark.sf0001)
+      .collect().map(_.toString).toSeq
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  queries.foreach { name =>
+    test(s"$name is invariant to the shuffle partition count (4 vs 7)") {
+      assert(collectAt(name, "4") == collectAt(name, "7"),
+        s"$name changed results under a different partitioning — " +
+          "an order-sensitive fold or rank leaked into the answer")
+    }
+  }
+}
