@@ -33,7 +33,12 @@ object Bench {
     // >2x on them with min-of-2; NOTES round 4).
     val iterative = Set("graph_pagerank", "graph_degree_distribution",
       "dedup_cluster_cc", "dedup_cluster_summary",
-      "agg_incremental_join_maintenance", "agg_incremental_maintenance")
+      "agg_incremental_join_maintenance", "agg_incremental_maintenance",
+      // live streaming executions: checkpoint setup + multiple jobs per
+      // run makes them scheduler-bound too — same min-of-3 treatment
+      "st4_stream_tumbling_live", "st5_trigger_file_arrival",
+      "st7_stream_running_totals", "st8_stream_neardup_gate",
+      "st9_stream_neardup_gate_growing")
     // A query that throws is EXCLUDED from total/n_queries — its wall time
     // is time-to-throw, not engine cost, and counting it silently reports a
     // broken engine as a fast one (the r7 failure mode). `errors` in the
