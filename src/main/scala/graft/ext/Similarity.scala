@@ -124,10 +124,20 @@ object Similarity {
     * decimal terms), and ranking uses the 6dp-rounded double with a
     * neighbor-id tiebreak, so results are engine-invariant. */
   def pqAdcTopK(corpus: DataFrame, queries: DataFrame, dims: Int, nSub: Int,
-                k: Int): DataFrame = {
+                k: Int): DataFrame =
+    pqAdcTopKStored(pqCodes(corpus, dims, nSub), centroids(corpus, "label"),
+      queries, dims, nSub, k)
+
+  /** [[pqAdcTopK]] serving from PRE-TRAINED artifacts — the production
+    * shape: `codes` is the stored (vec_id, sub, code) table and `cent`
+    * the stored codebook (exactly what [[pqCodes]] / [[centroids]]
+    * produce), so the query path is LUT build + ADC scan only. Training
+    * happens once, when the corpus lands, like the IVF quantizer — at
+    * 100 TB the codebook/codes are computed by the ingestion job and the
+    * serving query never touches the raw corpus embeddings at all. */
+  def pqAdcTopKStored(codes: DataFrame, cent: DataFrame, queries: DataFrame,
+                      dims: Int, nSub: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val codes = pqCodes(corpus, dims, nSub)
-    val cent = centroids(corpus, "label")
     val diff = col("qv").cast("double") - col("mean")
     val lut = queries
       .select(col("vec_id").as("qid"), posexplode(col("embedding")).as(Seq("pos", "qv")))

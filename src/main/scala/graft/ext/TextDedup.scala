@@ -548,11 +548,28 @@ object TextDedup {
       .distinct() // a pair may agree on several bands
   }
 
-  /** Hamming-distance pairs over SimHash signatures. Persists the
-    * signature frame — both sides of the self-join reference it. */
+  /** Hamming-distance pairs over SimHash signatures — the QUADRATIC
+    * evaluation form: an all-pairs cross product, O(n²) comparisons by
+    * construction. Contract: inputs are BOUNDED evaluation slices (every
+    * caller in the pack passes ≤128 docs); the corpus-scale path is
+    * [[simhashBandPairs]], which returns the same pairs through a banded
+    * equi-join. Because nothing structural stops a future caller handing
+    * this the full corpus, the input cardinality is counted up front (the
+    * frame is persisted anyway, so the count is a cheap cached scan) and
+    * anything past `graft.dedup.simhashPairsMaxSigs` signatures (default
+    * 4096 ≈ 8M comparisons) fails loudly, naming the banded alternative.
+    * Persists the signature frame — both sides of the self-join
+    * reference it. */
   def simhashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     val cached = BoundedCache.persist("TextDedup.simhashPairs.sigs",
       sigs.repartition(col("doc_id")))
+    val maxSigs = cached.sparkSession.conf
+      .getOption("graft.dedup.simhashPairsMaxSigs").map(_.toInt).getOrElse(4096)
+    val n = cached.count()
+    require(n <= maxSigs,
+      s"simhashPairs is all-pairs O(n²) and was handed $n signatures " +
+        s"(cap $maxSigs via conf graft.dedup.simhashPairsMaxSigs); " +
+        "use simhashBandPairs for corpus-scale near-dup search")
     val a = cached.select(col("doc_id").as("d1"), col("simhash").as("s1"))
     val b = cached.select(col("doc_id").as("d2"), col("simhash").as("s2"))
     a.crossJoin(b).filter(col("d1") < col("d2"))

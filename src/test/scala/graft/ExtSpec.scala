@@ -54,6 +54,27 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
   }
 
+  test("simhashPairs cardinality fence rejects corpus-scale input") {
+    // the quadratic form's contract is bounded evaluation slices; past
+    // the conf cap it must fail loudly, pointing at simhashBandPairs
+    val key = "graft.dedup.simhashPairsMaxSigs"
+    spark.conf.set(key, "3")
+    try {
+      val sigs = TextDedup.simhash(docs, "doc_id", "text") // 5 docs > cap 3
+      val e = intercept[IllegalArgumentException] {
+        TextDedup.simhashPairs(sigs, 3)
+      }
+      assert(e.getMessage.contains("simhashBandPairs"))
+      // at-or-under the cap still evaluates
+      spark.conf.set(key, "5")
+      graft.ext.BoundedCache.clear()
+      assert(TextDedup.simhashPairs(sigs, 63).count() == 10L) // C(5,2)
+    } finally {
+      spark.conf.unset(key)
+      graft.ext.BoundedCache.clear()
+    }
+  }
+
   test("cosine top-k: nearest neighbor of a vector is its duplicate") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f), 0), (1L, Array(1f, 0.01f, 0f), 0),

@@ -423,6 +423,21 @@ class PlanSpec extends AnyFunSuite {
         "if it passes this injection it is vacuous")
   }
 
+  test("PQ ADC query serves stored codes — no codebook training in the timed path") {
+    val p = plan("ann_pq_adc_topk")
+    assert(p.contains("pqcodes_"),
+      s"the ADC scan must read the persisted PQ code table:\n$p")
+    // the only raw-embedding scans allowed are the QUERY side (vec_id<10
+    // pushed down); a full-corpus embeddings scan means the query is
+    // re-encoding / re-training per run (the r8 bench-variance source)
+    val corpusScans = p.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("embeddings.parquet") &&
+        !l.contains("LessThan(vec_id,10)")).toSeq
+    assert(corpusScans.isEmpty,
+      s"full-corpus embeddings scan in the ADC query path (training leak):\n" +
+        corpusScans.mkString("\n"))
+  }
+
   test("live JDBC scan: range-partitioned parallel read, WHERE pushed into the remote SQL") {
     val p = plan("s8_scan_jdbc_live")
     assert(p.contains("JDBCRelation(ORDERS_SLICE) [numPartitions=4]"),
