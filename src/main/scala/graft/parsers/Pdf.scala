@@ -34,7 +34,14 @@ object Pdf {
     out.toByteArray
   }
 
-  private def escapeString(s: String): String =
+  private def escapeString(s: String): String = {
+    // the writer encodes text as Latin-1 literal strings; a code point
+    // above U+00FF would silently truncate to its low byte (ADVICE r8) —
+    // fail loudly instead, matching the decodeWav codec discipline
+    // (UTF-16BE hex strings are the spec'd escape hatch if fixtures ever
+    // need non-Latin-1 text)
+    require(s.forall(_.toInt <= 0xff),
+      s"PDF writer encodes Latin-1 only; non-Latin-1 char in: ${s.take(40)}")
     s.flatMap {
       case '\\' => "\\\\"
       case '(' => "\\("
@@ -45,6 +52,7 @@ object Pdf {
       case c if c < 0x20 || c > 0x7e => f"\\${c.toInt & 0xff}%03o"
       case c => c.toString
     }
+  }
 
   /** One-page PDF 1.4 with `lines` as Helvetica text, one `Tj` per line,
     * content stream FlateDecode-compressed, valid xref. Readable by any
@@ -113,8 +121,33 @@ object Pdf {
       Some(out.toByteArray)
     } catch { case _: Exception => None }
 
+  /** The direct `/Length N` entry of the dictionary immediately before a
+    * `stream` keyword at `s`, if present and not an indirect `N 0 R`
+    * reference. Scans only the dictionary window preceding the keyword. */
+  private def directLengthBefore(bytes: Array[Byte], s: Int): Option[Int] = {
+    val from = math.max(0, s - 1024)
+    val window = new String(bytes, from, s - from, "ISO-8859-1")
+    // last /Length in the window is the one in this stream's dictionary
+    LengthEntry.findAllMatchIn(window).toSeq.lastOption.flatMap { m =>
+      val after = window.substring(m.end)
+      // `/Length 12 0 R` = indirect reference — can't use it without an
+      // xref walk; fall back to the token scan. Absurd digit counts are
+      // distrusted rather than overflowed.
+      if (IndirectTail.findPrefixOf(after).isDefined) None
+      else if (m.group(1).length > 9) None
+      else Some(m.group(1).toInt)
+    }
+  }
+  private val LengthEntry = """/Length\s+(\d+)""".r
+  private val IndirectTail = """\s+\d+\s+R""".r
+
   /** Every decoded `stream … endstream` payload in document order —
-    * FlateDecode streams inflated, plain streams as-is. */
+    * FlateDecode streams inflated, plain streams as-is. Payload extent
+    * comes from the dictionary's direct `/Length` when present (ADVICE
+    * r8: a binary payload may CONTAIN the bytes `endstream`, which the
+    * token scan would mis-segment); the scan is the fallback for absent
+    * or indirect `/Length`, and for a `/Length` that provably does not
+    * land on an `endstream` keyword (a lying dictionary). */
   private[graft] def contentStreams(bytes: Array[Byte]): Seq[Array[Byte]] = {
     val streamTok = "stream".getBytes("ISO-8859-1")
     val endTok = "endstream".getBytes("ISO-8859-1")
@@ -126,17 +159,39 @@ object Pdf {
       // per spec: `stream` is followed by CRLF or LF
       if (dataStart < bytes.length && bytes(dataStart) == '\r') dataStart += 1
       if (dataStart < bytes.length && bytes(dataStart) == '\n') dataStart += 1
-      val e = indexOfBytes(bytes, endTok, dataStart)
-      if (e < 0) { s = -1 }
-      else {
-        var dataEnd = e
-        // strip the EOL that precedes `endstream`
-        if (dataEnd > dataStart && bytes(dataEnd - 1) == '\n') dataEnd -= 1
-        if (dataEnd > dataStart && bytes(dataEnd - 1) == '\r') dataEnd -= 1
-        val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
-        found += inflate(raw).getOrElse(raw)
-        pos = e + endTok.length
-        s = indexOfBytes(bytes, streamTok, pos)
+      // /Length-bounded extent, validated: the bytes after payload + EOL
+      // must actually be `endstream`, else distrust the dictionary
+      val byLength = directLengthBefore(bytes, s).flatMap { len =>
+        if (dataStart.toLong + len > bytes.length) None
+        else {
+          val dataEnd = dataStart + len
+          var a = dataEnd
+          if (a < bytes.length && bytes(a) == '\r') a += 1
+          if (a < bytes.length && bytes(a) == '\n') a += 1
+          if (a + endTok.length <= bytes.length &&
+              endTok.indices.forall(j => bytes(a + j) == endTok(j)))
+            Some((dataEnd, a))
+          else None
+        }
+      }
+      val bounds = byLength.orElse {
+        val e = indexOfBytes(bytes, endTok, dataStart)
+        if (e < 0) None
+        else {
+          var dataEnd = e
+          // strip the EOL that precedes `endstream`
+          if (dataEnd > dataStart && bytes(dataEnd - 1) == '\n') dataEnd -= 1
+          if (dataEnd > dataStart && bytes(dataEnd - 1) == '\r') dataEnd -= 1
+          Some((dataEnd, e))
+        }
+      }
+      bounds match {
+        case None => s = -1
+        case Some((dataEnd, endPos)) =>
+          val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+          found += inflate(raw).getOrElse(raw)
+          pos = endPos + endTok.length
+          s = indexOfBytes(bytes, streamTok, pos)
       }
     }
     found.result()

@@ -357,6 +357,37 @@ object PackParsers {
         .orderBy($"doc_id")
     },
 
+    // U4 — result rendering + catalog schema description declared as a
+    // query (r8 VERDICT next-round #6, ai_agent:22-36, 127-154): stage 1
+    // resolves the catalog prefix to a schema block, stages 2-3 execute
+    // SQL through Catalyst, stage 4 renders the rows as the markdown the
+    // bot replies with. Both surfaces are pure functions of (catalog
+    // schema, sorted limited rows), so the oracle reconstructs the exact
+    // lines relationally — the schema line is pinned literally because
+    // the fixture's nation schema IS a contract (FixtureCanarySpec
+    // territory; a dtype drift should fail this query). Driver-side by
+    // design (SURVEY §2.9): render/describe are the endpoint seams, and
+    // the reference's own LIMIT 20 rule bounds the collect.
+    QDef("u4_result_render",
+      """WITH r AS (SELECT n_name, n_regionkey FROM nation ORDER BY n_name LIMIT 20),
+        |n AS (SELECT row_number() OVER (ORDER BY n_name) AS rn, n_name, n_regionkey FROM r)
+        |SELECT 1 AS line_no, 'agent_nation(n_nationkey int, n_name string, n_regionkey int)' AS line
+        |UNION ALL SELECT 2, '| n_name | n_regionkey |'
+        |UNION ALL SELECT 3, '| --- | --- |'
+        |UNION ALL SELECT CAST(3 + rn AS INTEGER),
+        |  '| ' || n_name || ' | ' || CAST(n_regionkey AS VARCHAR) || ' |' FROM n
+        |ORDER BY line_no""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.nation(s, d).createOrReplaceTempView("agent_nation")
+      val block = graft.io.AgentSupport.describeSchemas(s, "agent_")
+      val md = graft.io.AgentSupport.answer(s,
+        "SELECT n_name, n_regionkey FROM agent_nation ORDER BY n_name", 20)
+      (block.linesIterator ++ md.linesIterator).toSeq.zipWithIndex
+        .map { case (l, i) => (i + 1, l) }
+        .toDF("line_no", "line")
+        .orderBy($"line_no")
+    },
+
     QDef("s5_scan_binary_pdf",
       """SELECT doc_id, text AS extracted,
         |  sha256('%PDF-1.4' || chr(10) || text) AS sha,

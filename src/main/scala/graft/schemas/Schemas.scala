@@ -132,46 +132,47 @@ object Tables {
     // above it) — sessions run UTC so values are identical, and a native
     // scan column keeps ts predicates pushable to parquet (a cast-wrapped
     // column would hold every watermark filter above the Project).
-    val raw = withEventsReadConfs(s) { apply(s, d, "events") }
+    //
+    // The micros path used to get its scan dtype by toggling the
+    // session-wide `inferTimestampNTZ.enabled` conf around the read; a
+    // concurrent schema-inferring read on another thread could observe
+    // the flipped conf (ADVICE r8). Now the vintage probe uses plain
+    // inference and the real read passes an EXPLICIT schema with
+    // ts: TimestampType — same scan column, zero session-conf writes
+    // for NTZ. `nanosAsLong` stays session-sticky on purpose: it is
+    // consulted again at EXECUTION of the nanos-vintage scan and is a
+    // no-op for every file without TIMESTAMP(NANOS) columns.
     import org.apache.spark.sql.functions._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = apply(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType => // nanos vintage, read as raw INT64
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => // defensive: conf scoping bypassed
-        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType => // micros vintage: request LTZ at the scan
+        val explicit = StructType(raw.schema.map {
+          case f if f.name == "ts" => f.copy(dataType = TimestampType)
+          case f                   => f
+        })
+        s.read.schema(explicit).parquet(s"$d/events.parquet")
       case TimestampType => raw
       case other =>
         throw new IllegalStateException(s"unexpected events.ts dtype: $other")
     }
   }
 
-  /** Scope the events NTZ-inference override to one schema-inferring
-    * read: `inferTimestampNTZ=false` must NOT leak into other tables'
-    * reads or every table's timestamp dtype becomes dependent on whether
-    * an events query ran first in the session (it is inference-only, so
-    * restoring right after load() is safe — the inferred schema is baked
-    * into the returned plan). `nanosAsLong` stays session-sticky on
-    * purpose: it is consulted again at EXECUTION of the nanos-vintage
-    * scan, and it is a no-op for every table without TIMESTAMP(NANOS)
-    * columns — i.e. all of them except the nanos-vintage events file. */
-  private def withEventsReadConfs[A](s: SparkSession)(body: => A): A = synchronized {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val key = "spark.sql.parquet.inferTimestampNTZ.enabled"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "false")
-    try body
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None    => s.conf.unset(key)
-    }
-  }
-
   /** The dtype the file-streaming reader must declare for `events.ts`,
     * matched to the on-disk vintage (streaming requires an explicit schema,
     * so the batch-side inference above can't help it). Paired with
-    * [[eventsStreamTs]] to normalize to TimestampType. */
-  def eventsRawTsType(s: SparkSession, d: String): DataType =
-    withEventsReadConfs(s) { apply(s, d, "events").schema("ts").dataType }
+    * [[eventsStreamTs]] to normalize to TimestampType. NTZ maps to
+    * TimestampType — the streaming scan declares LTZ directly, exactly
+    * like the batch explicit-schema read above. */
+  def eventsRawTsType(s: SparkSession, d: String): DataType = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(s, d, "events").schema("ts").dataType match {
+      case TimestampNTZType => TimestampType
+      case t                => t
+    }
+  }
 
   /** Normalize a streamed `ts` column read with [[eventsRawTsType]]'s dtype
     * to session-zone TimestampType. */

@@ -109,12 +109,22 @@ object StreamingOps {
     * the stored index too, so later batches dedup against earlier
     * survivors, not just the original corpus. `indexDir` is a parquet
     * table of (doc_id, band, bkey) — seed it with
-    * [[graft.ext.TextDedup.bandIndex]] over the ingested corpus. Appends
-    * are batch-granular: the foreachBatch body is the transaction scope,
-    * exactly like the reference's per-file insert-then-record loop. At
-    * scale the index table is partitioned by band and compacted like any
-    * warehouse table; the probe reads it fresh each batch (file listing
-    * only — the data itself is lazily scanned by the band equi-join). */
+    * [[graft.ext.TextDedup.bandIndex]] over the ingested corpus.
+    *
+    * Delivery contract (ADVICE r8): the warehouse append and the index
+    * append are TWO NON-ATOMIC parquet writes — this is AT-LEAST-ONCE,
+    * not transactional. A crash between the writes (or a checkpoint-
+    * driven batch retry after a partial append) can duplicate warehouse
+    * rows and/or leave the index behind the warehouse — the same
+    * exposure as the reference's per-file insert-then-record loop, which
+    * also has no cross-store transaction. Readers wanting exactly-once
+    * semantics dedup on `id` at read time (every id is content-derived
+    * and re-deliveries carry identical rows), or route both writes
+    * through a transactional table format (the AtomicSink/Delta-shaped
+    * seam) with batchId-keyed idempotence. At scale the index table is
+    * partitioned by band and compacted like any warehouse table; the
+    * probe reads it fresh each batch (file listing only — the data
+    * itself is lazily scanned by the band equi-join). */
   def runGatedToWarehouseGrowing(stream: DataFrame, indexDir: String,
                                  id: String, text: String, warehouseDir: String,
                                  checkpointDir: String,

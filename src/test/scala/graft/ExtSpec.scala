@@ -156,6 +156,43 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal REAL AVI path: DIB loop exact; MJPEG loop decodes real JPEG frames") {
+    val frames = (0 until 4).map(i =>
+      Multimodal.twoBandImage(24, 10, 40 + i * 10, 160 - i * 5))
+    // lossless DIB loop: exact closed-form channel sums
+    val dib = Multimodal.decodeAvi(7L, Multimodal.aviOf(frames, 10, mjpeg = false))
+    val expect = (0 until 4).map(i => ((40 + i * 10) + (160 - i * 5)).toLong * 12 * 10).sum
+    assert(dib == Multimodal.VideoFeatures(7L, 24, 10, 4, expect, expect, expect))
+    // MJPEG loop: REAL JDK JPEG encode/decode per frame — structure
+    // exact, pixels within JPEG's loss band of the lossless truth
+    val mj = Multimodal.decodeAvi(7L, Multimodal.aviOf(frames, 10, mjpeg = true))
+    assert(mj.width == 24 && mj.height == 10 && mj.n_frames == 4)
+    val px = 24 * 10 * 4
+    assert(math.abs(mj.sum_r - expect).toDouble / px < 3.0,
+      s"MJPEG mean per-pixel error too high: ${mj.sum_r} vs $expect")
+    assert(mj.sum_r != 0, "MJPEG loop must decode real pixels")
+    // codec mismatch fails loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeAvi(1L, "RIFFxxxxNOPE".getBytes("US-ASCII"))
+    }
+    // a corrupt MJPEG frame fails loudly, never silently skips
+    val avi = Multimodal.aviOf(frames, 10, mjpeg = true)
+    val broken = avi.clone()
+    val moviAt = {
+      // corrupt the first 00dc payload beyond its JFIF header
+      val s = new String(avi.map(b => (b & 0xff).toChar))
+      s.indexOf("00dc")
+    }
+    // zero from the SOI marker on — the JDK decoder scans forward past
+    // garbage bytes, so only destroying the JPEG start defeats it
+    java.util.Arrays.fill(broken, moviAt + 8, moviAt + 48, 0x00.toByte)
+    // require(null-image) raises IllegalArgument; a partially-readable
+    // corruption may surface as IIOException instead — loud either way
+    intercept[Exception] {
+      Multimodal.decodeAvi(2L, broken)
+    }
+  }
+
   test("multimodal: batchwise stub decode emits typed features") {
     val feats = Multimodal.extractFeatures(
       Multimodal.asMedia(docs, "doc_id", "text")).collect()

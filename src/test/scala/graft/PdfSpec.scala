@@ -43,6 +43,36 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.unescapeString("\\53") == "+") // short octal
   }
 
+  test("/Length bounds the payload even when it contains 'endstream' bytes (ADVICE r8)") {
+    // a binary payload that embeds the endstream token mid-stream: the
+    // token scan would truncate at the embedded token and emit garbage;
+    // the /Length-bounded reader must recover the whole text
+    val content = "BT (before) Tj T* (endstream inside) Tj T* (after) Tj ET"
+    val pdf = ("%PDF-1.4\n1 0 obj\n<< /Length " + content.length +
+      " >>\nstream\n" + content + "\nendstream\nendobj\ntrailer\n%%EOF\n")
+      .getBytes("ISO-8859-1")
+    assert(Pdf.extractText(pdf) == "before\nendstream inside\nafter")
+  }
+
+  test("indirect or lying /Length falls back to the token scan") {
+    val content = "BT (fallback ok) Tj ET"
+    // indirect reference form: /Length 7 0 R must NOT be read as 7
+    val indirect = ("%PDF-1.4\n1 0 obj\n<< /Length 7 0 R >>\nstream\n" +
+      content + "\nendstream\nendobj\n").getBytes("ISO-8859-1")
+    assert(Pdf.extractText(indirect) == "fallback ok")
+    // direct but wrong: points nowhere near an endstream keyword
+    val lying = ("%PDF-1.4\n1 0 obj\n<< /Length 3 >>\nstream\n" +
+      content + "\nendstream\nendobj\n").getBytes("ISO-8859-1")
+    assert(Pdf.extractText(lying) == "fallback ok")
+  }
+
+  test("writer refuses non-Latin-1 text instead of silently corrupting it") {
+    val e = intercept[IllegalArgumentException] {
+      Pdf.writePdf(Seq("total € 12")) // € is U+20AC, not Latin-1
+    }
+    assert(e.getMessage.contains("Latin-1"))
+  }
+
   test("non-PDF and truncated inputs degrade to empty, never throw") {
     assert(!Pdf.isPdf("hello".getBytes))
     assert(Pdf.extractText("no streams here".getBytes) == "")

@@ -68,6 +68,29 @@ class XlsxSpec extends AnyFunSuite {
       (2, Some("süd <öst>"), -0.25), (3, None, 0.0)))
   }
 
+  test("first-sheet selection is numeric: sheet2 beats sheet10 (ADVICE r8)") {
+    def sheetWith(v: String) =
+      s"""<?xml version="1.0"?><worksheet xmlns="$ns"><sheetData>
+         |<row r="1"><c r="A1" t="inlineStr"><is><t>$v</t></is></c></row>
+         |</sheetData></worksheet>""".stripMargin
+    // zip entry order deliberately adversarial: sheet10 first
+    val bytes = zip(
+      "xl/worksheets/sheet10.xml" -> sheetWith("tenth"),
+      "xl/worksheets/sheet2.xml" -> sheetWith("second"))
+    val rows = Xlsx.parseWorkbook(bytes, nCols = 1, headerRows = 0)
+    assert(rows == Seq(Seq("second")),
+      "lexicographic part order would pick sheet10")
+  }
+
+  test("writeFile enforces its bounded-export contract") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_bound").toString
+    val big = spark.range(Xlsx.WriteFileMaxRows + 1L).toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      Xlsx.writeFile(big, s"$dir/too_big.xlsx")
+    }
+    assert(e.getMessage.contains("bounded"))
+  }
+
   test("a directory of workbooks parallelizes per file (the weekly report drop)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_many").toString
     (1 to 3).foreach { w =>
