@@ -531,8 +531,18 @@ object PackCore {
       val idxDir = java.nio.file.Files.createTempDirectory(s"graft_st9_ix$run").toString + "/i"
       val ckpt = java.nio.file.Files.createTempDirectory(s"graft_st9_ck$run").toString
       // seed the stored index with the ingested corpus' band table (the
-      // same train-once content the static-gate queries serve from)
-      PackExt.persistedBandIndex(s, d).write.parquet(idxDir)
+      // same train-once content the static-gate queries serve from). The
+      // growing index MUTATES, so it needs a private copy — taken as a
+      // byte-level file copy, not a Spark re-encode job (the st9 cost
+      // split measured the write job at ~1.8 s of the timed query; the
+      // file copy is ~0.1 s and byte-identical)
+      val seedSrc = new java.io.File(PackExt.persistedBandIndexPath(s, d))
+      val seedDst = new java.io.File(idxDir)
+      seedDst.mkdirs()
+      seedSrc.listFiles().foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(seedDst, f.getName).toPath): Unit
+      }
       val newDocs = Tables.documents(s, d).filter($"doc_id" % 10 === 0)
         .select($"doc_id", $"text")
       val sch = StructType(Seq(StructField("doc_id", LongType),

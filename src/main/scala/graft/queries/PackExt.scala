@@ -52,7 +52,14 @@ object PackExt {
     * doc_id % 10 <> 0 — the already-ingested corpus of the declared
     * incremental queries. */
   private[graft] def persistedBandIndex(s: SparkSession, sfDir: String) =
-    persistedTable(s, sfDir, "documents.parquet", "bandindex")(
+    s.read.parquet(persistedBandIndexPath(s, sfDir))
+
+  /** Filesystem path of the persisted band index — for consumers that
+    * need a PRIVATE mutable copy (st9's growing index): a byte-level
+    * file copy of the table is ~10× cheaper than re-encoding it through
+    * a Spark write job (measured 1.8 s → 0.2 s in the st9 cost split). */
+  private[graft] def persistedBandIndexPath(s: SparkSession, sfDir: String): String =
+    persistedTablePath(s, sfDir, "documents.parquet", "bandindex")(
       TextDedup.bandIndex(
         Tables.documents(s, sfDir).filter(col("doc_id") % 10 =!= 0),
         "doc_id", "text"))
@@ -77,6 +84,10 @@ object PackExt {
     * table. */
   private def persistedTable(s: SparkSession, sfDir: String, srcName: String,
                              prefix: String)(build: => org.apache.spark.sql.DataFrame) =
+    s.read.parquet(persistedTablePath(s, sfDir, srcName, prefix)(build))
+
+  private def persistedTablePath(s: SparkSession, sfDir: String, srcName: String,
+                                 prefix: String)(build: => org.apache.spark.sql.DataFrame): String =
     synchronized {
       val src = new java.io.File(sfDir, srcName)
       val dataFiles =
@@ -98,7 +109,7 @@ object PackExt {
         // (content-identical, fingerprint-keyed) table; drop our copy
         if (!tmp.renameTo(path)) deleteRecursively(tmp)
       }
-      s.read.parquet(path.getPath)
+      path.getPath
     }
 
   private def deleteRecursively(f: java.io.File): Unit = {

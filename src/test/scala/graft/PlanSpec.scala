@@ -106,6 +106,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortAggregate"))
   }
 
+  test("salted skew join scatters on (key, salt) — the salt reaches the join keys") {
+    val p = plan("join_skew_salted")
+    assert("__salt".r.findAllIn(p).size >= 2,
+      s"both sides must carry the salt into the join:\n$p")
+    assert(p.contains("xxhash64"),
+      s"the fact side must scatter via the stable hash, not a random salt:\n$p")
+  }
+
   test("range-band join broadcasts the band dim (BNLJ, no cartesian)") {
     val p = plan("join_range_bands")
     assert(p.contains("BroadcastNestedLoopJoin"), s"band dim must broadcast:\n$p")
@@ -329,9 +337,13 @@ class PlanSpec extends AnyFunSuite {
   // blows the ceiling. Pinned to the measured counts at sf0.001 — the
   // tree-walk count is deterministic for a fixed fixture and iteration
   // schedule (pagerank: 3 setup + 1 per superstep × 5).
+  // dedup_cluster_cc went 12 → 13 in r9: the +1 is simhashPairs'
+  // cardinality fence — a deliberate scalar count over the already-
+  // persisted signature frame (one single-partition agg exchange), the
+  // price of refusing unbounded all-pairs input.
   for ((name, budget) <- Seq(
       "graph_pagerank" -> 8,
-      "dedup_cluster_cc" -> 12,
+      "dedup_cluster_cc" -> 13,
       "text_tfidf_sim_topk" -> 8,
       "ann_pq_adc_topk" -> 8)) {
     test(s"$name stays within its shuffle-exchange budget ($budget)") {
