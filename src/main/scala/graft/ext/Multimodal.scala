@@ -325,6 +325,24 @@ object Multimodal {
     * sums across all frames. Fails loudly on a non-AVI payload or an
     * undecodable frame — codec mismatch must never emit zeros. */
   def decodeAvi(docId: Long, bytes: Array[Byte]): VideoFeatures = {
+    val (w, h, n, _, sr, sg, sb) = walkAvi(docId, bytes, stride = 1)
+    VideoFeatures(docId, w, h, n, sr, sg, sb)
+  }
+
+  /** Evenly-strided frame sampling over the real container — the
+    * video-curation staple (decode every k-th frame, skip the rest
+    * WITHOUT decoding them; for MJPEG the skip is a real saving, the
+    * chunk walk just advances past the compressed payload). Counts all
+    * frames, decodes/sums only indices ≡ 0 (mod stride). */
+  final case class VideoSampleFeatures(doc_id: Long, n_frames: Int,
+                                       n_sampled: Int, sum_r: Long)
+  def sampleAviFrames(docId: Long, bytes: Array[Byte], stride: Int): VideoSampleFeatures = {
+    val (_, _, n, sampled, sr, _, _) = walkAvi(docId, bytes, stride)
+    VideoSampleFeatures(docId, n, sampled, sr)
+  }
+
+  private def walkAvi(docId: Long, bytes: Array[Byte],
+                      stride: Int): (Int, Int, Int, Int, Long, Long, Long) = {
     val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def tag(): String = { val t = new Array[Byte](4); b.get(t); new String(t, "US-ASCII") }
     require(tag() == "RIFF", s"doc $docId: not RIFF")
@@ -333,6 +351,7 @@ object Multimodal {
     var (w, h) = (0, 0)
     var (sr, sg, sb) = (0L, 0L, 0L)
     var nFrames = 0
+    var nSampled = 0
     def addImage(img: java.awt.image.BufferedImage): Unit = {
       var y = 0
       while (y < img.getHeight) {
@@ -360,31 +379,37 @@ object Multimodal {
             w = b.getInt; h = b.getInt
             b.position(next)
           case "00dc" =>
-            val payload = new Array[Byte](len); b.get(payload)
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(payload))
-            require(img != null, s"doc $docId: undecodable MJPEG frame $nFrames")
-            require(w == 0 || (img.getWidth == w && img.getHeight == h),
-              s"doc $docId: frame $nFrames decoded ${img.getWidth}x${img.getHeight}, " +
-                s"header says ${w}x$h")
-            addImage(img); nFrames += 1
+            if (nFrames % stride == 0) {
+              val payload = new Array[Byte](len); b.get(payload)
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(payload))
+              require(img != null, s"doc $docId: undecodable MJPEG frame $nFrames")
+              require(w == 0 || (img.getWidth == w && img.getHeight == h),
+                s"doc $docId: frame $nFrames decoded ${img.getWidth}x${img.getHeight}, " +
+                  s"header says ${w}x$h")
+              addImage(img); nSampled += 1
+            } // else: the compressed payload is never decoded — the point
+            nFrames += 1
             b.position(next)
           case "00db" =>
             require(w > 0 && h > 0, s"doc $docId: DIB frame before avih header")
-            val stride = (w * 3 + 3) / 4 * 4
-            require(len >= stride * h, s"doc $docId: short DIB frame")
-            val base = b.position()
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val o = base + (h - 1 - y) * stride + x * 3
-                sb += bytes(o) & 0xff
-                sg += bytes(o + 1) & 0xff
-                sr += bytes(o + 2) & 0xff
-                x += 1
+            val rowStride = (w * 3 + 3) / 4 * 4
+            require(len >= rowStride * h, s"doc $docId: short DIB frame")
+            if (nFrames % stride == 0) {
+              val base = b.position()
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val o = base + (h - 1 - y) * rowStride + x * 3
+                  sb += bytes(o) & 0xff
+                  sg += bytes(o + 1) & 0xff
+                  sr += bytes(o + 2) & 0xff
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
+              nSampled += 1
             }
             nFrames += 1
             b.position(next)
@@ -393,7 +418,7 @@ object Multimodal {
       }
     walk(bytes.length)
     require(nFrames > 0, s"doc $docId: no video frames")
-    VideoFeatures(docId, w, h, nFrames, sr, sg, sb)
+    (w, h, nFrames, nSampled, sr, sg, sb)
   }
 
   /** REAL nearest-neighbor resize (explicit floor mapping dstX →

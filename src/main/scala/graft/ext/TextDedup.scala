@@ -578,6 +578,55 @@ object TextDedup {
       .select(col("d1"), col("d2"), col("ham"))
   }
 
+  /** CCNet-style duplicated-line removal — the boilerplate scrub that
+    * precedes model training (headers, navigation bars, license blocks
+    * repeat across a crawl; CCNet drops any line seen more than once
+    * corpus-wide). Documents re-chunk into fixed `lineTokens`-token
+    * lines; every line whose exact content occurs in more than `maxDf`
+    * lines across the corpus is dropped from ALL documents, and the
+    * survivors rebuild in order. Returns
+    * (id, n_lines, n_kept, cleaned_md5).
+    *
+    * Scale shape: one narrow explode to (doc, idx, line); line
+    * frequencies are counted per (line, salt) first and folded — the hot
+    * boilerplate lines that motivate the operator never concentrate
+    * their occurrence rows on one task (same salting discipline as
+    * [[exactSubstringDedup]]'s grams); the over-DF line set is tiny by
+    * construction (it is the boilerplate vocabulary, not the corpus) and
+    * broadcasts into an anti-join; the rebuild is a doc-keyed
+    * aggregation over doc-bounded rows. */
+  def lineDedup(docs: DataFrame, id: String, text: String,
+                lineTokens: Int = 8, maxDf: Int = 1): DataFrame = {
+    val nSalt = docs.sparkSession.conf
+      .getOption("graft.dedup.gramSaltBuckets").map(_.toInt).getOrElse(16)
+    val toks = split(col(text), " ")
+    val nLines = ceil(size(toks) / lit(lineTokens.toDouble)).cast("int")
+    val lineArr = when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nLines - 1), i =>
+        array_join(slice(toks, i * lineTokens + 1, lit(lineTokens)), " ")))
+    val lines = BoundedCache.persist("TextDedup.lineDedup.lines",
+      docs.select(col(id), posexplode(lineArr).as(Seq("line_idx", "line")))
+        .repartition(col(id)))
+    val hot = lines
+      .groupBy(col("line"),
+        pmod(hash(col(id), col("line_idx")), lit(nSalt)).as("__salt"))
+      .agg(count(lit(1)).as("pn"))
+      .groupBy(col("line")).agg(sum(col("pn")).as("n"))
+      .filter(col("n") > maxDf)
+      .select(col("line"))
+    val kept = lines.join(broadcast(hot), Seq("line"), "left_anti")
+    val totals = lines.groupBy(col(id)).agg(count(lit(1)).as("n_lines"))
+    val rebuilt = kept.groupBy(col(id))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("line_idx"), col("line")))),
+          x => x.getField("line")), " ")).as("cleaned_md5"))
+    totals.join(rebuilt, Seq(id), "left")
+      .select(col(id), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+  }
+
   /** Train/eval decontamination by n-gram overlap (the GPT-3/Llama
     * pretraining hygiene step): per training doc, how many of its
     * distinct n-gram shingles also appear anywhere in the eval corpus.

@@ -135,6 +135,32 @@ object PackExt {
 
     // ------------------------------------------------------------- dedup
 
+    // CCNet-style duplicated-line removal: every 8-token line whose
+    // exact content appears more than once corpus-wide is dropped from
+    // ALL documents (boilerplate scrub). Salted (line, salt) counting —
+    // hot boilerplate lines never concentrate on one task; the over-DF
+    // line set is the boilerplate vocabulary, tiny by construction, and
+    // broadcasts into the anti-join.
+    QDef("text_line_dedup",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS i FROM toks),
+        |lines AS (SELECT doc_id, i,
+        |            array_to_string(t[(i * 8 + 1):(i * 8 + 8)], ' ') AS line FROM idx),
+        |cnt AS (SELECT line, count(*) AS n FROM lines GROUP BY line),
+        |kept AS (SELECT l.doc_id, l.i, l.line
+        |         FROM lines l JOIN cnt c USING (line) WHERE c.n <= 1),
+        |tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id),
+        |ka AS (SELECT doc_id, count(*) AS n_kept,
+        |         md5(array_to_string(list(line ORDER BY i), ' ')) AS cleaned_md5
+        |       FROM kept GROUP BY doc_id)
+        |SELECT tot.doc_id, tot.n_lines, COALESCE(ka.n_kept, 0) AS n_kept,
+        |       COALESCE(ka.cleaned_md5, md5('')) AS cleaned_md5
+        |FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id
+        |ORDER BY tot.doc_id""".stripMargin) { (s, d) =>
+      TextDedup.lineDedup(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     QDef("dedup_exact",
       """SELECT h, min(doc_id) AS keep_id, count(*) AS n
         |FROM (SELECT doc_id, md5(text) AS h FROM documents)
@@ -513,6 +539,37 @@ object PackExt {
       val e = Tables.embeddings(s, d)
       Similarity.ivfMultiProbeTopK(e, e.filter(col("vec_id") < 20),
           persistedCentroids(s, d), "label", k = 3, nprobe = 2)
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // Incremental IVF serving — the ANN counterpart of
+    // dedup_minhash_incremental: an ARRIVING batch (vec_id % 10 = 0) is
+    // assigned + searched against the EXISTING corpus through the
+    // train-once persisted quantizer; the corpus is never re-scanned for
+    // training and the batch side is the only new work. At 100 TB this
+    // is the ingestion-time "find my neighbors before admit" shape —
+    // batch cost tracks arrivals, quantizer is a stored table.
+    QDef("ann_ivf_incremental",
+      s"""WITH cents AS (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean
+         |               FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+         |cvec AS (SELECT label AS pb, list(mean ORDER BY i) AS cv FROM cents GROUP BY label),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 10 = 0),
+         |qs AS (SELECT qid, pb, row_number() OVER (PARTITION BY qid ORDER BY
+         |         round(list_reduce(list_transform(range(1, 65),
+         |           i -> CAST(qe[i] AS DOUBLE) * cv[i]), (a,b) -> a+b), 6) DESC, pb) AS pr
+         |       FROM q, cvec),
+         |probe AS (SELECT qid, pb FROM qs WHERE pr <= 1),
+         |c AS (SELECT q.qid, e.vec_id AS nid, round(${cosSql("q.qe", "e.embedding")}, 6) AS cos
+         |      FROM q JOIN probe USING (qid)
+         |      JOIN embeddings e ON e.label = probe.pb AND e.vec_id % 10 <> 0),
+         |r AS (SELECT qid, nid, cos,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
+         |      FROM c)
+         |SELECT qid, nid, cos, rank FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfMultiProbeTopK(e.filter(col("vec_id") % 10 =!= 0),
+          e.filter(col("vec_id") % 10 === 0),
+          persistedCentroids(s, d), "label", k = 3, nprobe = 1)
         .orderBy(col("qid"), col("rank"))
     },
 
@@ -1252,6 +1309,46 @@ object PackExt {
           }
         }
         .toDF("doc_id", "width", "height", "n_frames", "sum_r", "n_frames_mjpeg")
+        .orderBy(col("doc_id"))
+    },
+
+    // REAL frame sampling over the real container: decode every 2nd
+    // frame, SKIP the rest without decoding (for MJPEG the chunk walk
+    // just advances past the compressed payload — the actual saving of
+    // frame sampling at 100 TB). Channel sums ride the lossless DIB
+    // loop (closed-form oracle); the MJPEG walk must agree on total and
+    // sampled frame counts in-plan.
+    QDef("multimodal_frames_real",
+      """WITH fr AS (SELECT doc_id,
+        |              unnest(range(0, CAST(doc_id % 5 + 2 AS BIGINT))) AS i
+        |            FROM documents WHERE doc_id < 128)
+        |SELECT doc_id,
+        |  CAST(doc_id % 5 + 2 AS INTEGER) AS n_frames,
+        |  CAST((doc_id % 5 + 3) // 2 AS INTEGER) AS n_sampled,
+        |  CAST(sum(CASE WHEN i % 2 = 0 THEN
+        |        ((doc_id + i * 7) % 200 + (doc_id * 31 + i * 13) % 200)
+        |        * ((16 + (doc_id % 4) * 4) // 2) * (8 + doc_id % 4) ELSE 0 END) AS BIGINT) AS sum_r
+        |FROM fr GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).filter(col("doc_id") < 128)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val w = 16 + (id % 4).toInt * 4
+            val h = 8 + (id % 4).toInt
+            val n = (id % 5).toInt + 2
+            val frames = (0 until n).map(i => Multimodal.twoBandImage(w, h,
+              ((id + i * 7) % 200).toInt, ((id * 31 + i * 13) % 200).toInt))
+            val dib = Multimodal.sampleAviFrames(id,
+              Multimodal.aviOf(frames, 10, mjpeg = false), stride = 2)
+            val mj = Multimodal.sampleAviFrames(id,
+              Multimodal.aviOf(frames, 10, mjpeg = true), stride = 2)
+            require(mj.n_frames == dib.n_frames && mj.n_sampled == dib.n_sampled,
+              s"doc $id: MJPEG/DIB sampling mismatch")
+            (id, dib.n_frames, dib.n_sampled, dib.sum_r)
+          }
+        }
+        .toDF("doc_id", "n_frames", "n_sampled", "sum_r")
         .orderBy(col("doc_id"))
     },
 

@@ -426,6 +426,42 @@ object PackScale {
           concat(lit("s"), col("l_suppkey")).as("dst"))
       graft.ext.Graph.pageRank(edges, iters = 5)
         .orderBy(col("node"))
+    },
+
+    // Exact triangle count by degree-ordered orientation (Suri-
+    // Vassilvitskii / Cohen) over the supplier co-purchase graph
+    // (suppliers adjacent when they serve the same order; orders % 10
+    // bounds the declared slice). Orientation from the lower-(degree,id)
+    // endpoint caps every out-degree at O(sqrt(m)), so the wedge join's
+    // output is <= O(m^1.5) REGARDLESS of degree skew — a hub of degree
+    // 1M sources zero wedges once oriented away from. Both the wedge
+    // join and the closing join are hash-partitionable equi-joins; the
+    // 100 TB plan is the same plan.
+    QDef("graph_triangle_count",
+      """WITH e0 AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        |            FROM lineitem a JOIN lineitem b
+        |              ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |            WHERE a.l_orderkey % 10 = 0),
+        |deg AS (SELECT x, count(*) AS d
+        |        FROM (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0) GROUP BY x),
+        |o AS (SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e0.u < e0.v)
+        |                  THEN e0.u ELSE e0.v END AS s,
+        |             CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e0.u < e0.v)
+        |                  THEN e0.v ELSE e0.u END AS t
+        |      FROM e0 JOIN deg d1 ON d1.x = e0.u JOIN deg d2 ON d2.x = e0.v),
+        |w AS (SELECT a.s, a.t AS t1, b.t AS t2 FROM o a JOIN o b ON a.s = b.s AND a.t < b.t),
+        |tri AS (SELECT w.t1 FROM w JOIN e0 ON e0.u = w.t1 AND e0.v = w.t2)
+        |SELECT (SELECT count(*) FROM deg) AS n_vertices,
+        |       (SELECT count(*) FROM e0) AS n_edges,
+        |       (SELECT count(*) FROM w) AS n_wedges,
+        |       (SELECT count(*) FROM tri) AS n_triangles""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).filter(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val edges = li.alias("a").join(li.alias("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+      graft.ext.Graph.triangleCount(edges)
     }
   )
 }

@@ -54,6 +54,47 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
   }
 
+  test("line dedup drops corpus-repeated lines and rebuilds survivors in order") {
+    // 9-token docs chunk into an 8-token line + a 1-token tail line.
+    // docs 0/1 are exact dups → both their lines repeat → fully scrubbed;
+    // 'dog' tails docs 0,1,2 → doc 2 keeps only its unique first line;
+    // docs 3/4 are untouched (cleaned_md5 == md5(text)).
+    val out = TextDedup.lineDedup(docs, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.map(r => (r._1, r._2, r._3)) == Seq(
+      (0L, 2L, 0L), (1L, 2L, 0L), (2L, 2L, 1L), (3L, 2L, 2L), (4L, 2L, 2L)))
+    assert(out(0)._4 == m(""))
+    assert(out(2)._4 == m("the quick brown fox leaps over the lazy"))
+    assert(out(3)._4 == m("completely different words about spark engines and parquet files"))
+  }
+
+  test("triangle count: K4 + disjoint edge, duplicates and reversals canonicalized") {
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), // K4
+      (2L, 1L), (3L, 1L),                                         // reversed dups
+      (5L, 6L), (5L, 5L)                                          // path + self-loop
+    ).toDF("src", "dst")
+    val r = graft.ext.Graph.triangleCount(edges)
+      .as[(Long, Long, Long, Long)].head()
+    assert(r == ((6L, 7L, 4L, 4L)),
+      "K4 has 4 triangles via 4 wedges; the 5-6 edge and self-loop add none")
+  }
+
+  test("AVI frame sampling decodes only strided frames, counts all") {
+    val frames = (0 until 5).map(i => Multimodal.twoBandImage(16, 8, 10 * i, 100))
+    val avi = Multimodal.aviOf(frames, 10, mjpeg = false)
+    val s2 = Multimodal.sampleAviFrames(9L, avi, stride = 2)
+    assert(s2.n_frames == 5 && s2.n_sampled == 3) // frames 0, 2, 4
+    val expect = Seq(0, 2, 4).map(i => (10L * i + 100) * 8 * 8).sum
+    assert(s2.sum_r == expect)
+    val full = Multimodal.decodeAvi(9L, avi)
+    val s1 = Multimodal.sampleAviFrames(9L, avi, stride = 1)
+    assert(s1.sum_r == full.sum_r && s1.n_sampled == 5)
+  }
+
   test("simhashPairs cardinality fence rejects corpus-scale input") {
     // the quadratic form's contract is bounded evaluation slices; past
     // the conf cap it must fail loudly, pointing at simhashBandPairs
