@@ -907,6 +907,49 @@ object PackCore {
           |FROM v_orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     },
 
+    // Spark 4 RECURSIVE CTE — multi-hop reachability over the supplier
+    // co-purchase graph, executed by Spark's own recursive-CTE engine
+    // (SPARK-24497, new in 4.x) with the IDENTICAL query text running in
+    // DuckDB as the oracle. Seed = the minimum supplier in the bounded
+    // edge slice; expansion tracks hops with UNION ALL under an explicit
+    // hop bound (the cycle guard), then min-hop per node collapses path
+    // multiplicity. The recursion is the warehouse-native form of the
+    // iterative DataFrame loops (pageRank/CC) — declared so the SQL
+    // surface covers it too.
+    QDef("sql_recursive_cte",
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  WHERE a.l_orderkey % 50 = 0),
+        |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |seed AS (SELECT min(u) AS node FROM e),
+        |reach(node, hop) AS (
+        |  SELECT node, 0 FROM seed
+        |  UNION ALL
+        |  SELECT e.v, r.hop + 1 FROM reach r JOIN e ON e.u = r.node
+        |  WHERE r.hop < 3),
+        |mh AS (SELECT node, min(hop) AS hop FROM reach GROUP BY node)
+        |SELECT hop, count(*) AS n FROM mh GROUP BY hop ORDER BY hop""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .createOrReplaceTempView("v_li_rec")
+      s.sql(
+        """WITH RECURSIVE e0 AS (
+          |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+          |  FROM v_li_rec a JOIN v_li_rec b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+          |  WHERE a.l_orderkey % 50 = 0),
+          |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+          |seed AS (SELECT min(u) AS node FROM e),
+          |reach(node, hop) AS (
+          |  SELECT node, 0 FROM seed
+          |  UNION ALL
+          |  SELECT e.v, r.hop + 1 FROM reach r JOIN e ON e.u = r.node
+          |  WHERE r.hop < 3),
+          |mh AS (SELECT node, min(hop) AS hop FROM reach GROUP BY node)
+          |SELECT hop, count(*) AS n FROM mh GROUP BY hop ORDER BY hop""".stripMargin)
+    },
+
     // J10 — the NOT IN null trap, pinned down: when the subquery emits a
     // NULL, SQL's three-valued NOT IN returns UNKNOWN for every probe row
     // (zero results), while the anti-join keeps the rows with no match —

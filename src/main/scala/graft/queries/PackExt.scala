@@ -1102,6 +1102,55 @@ object PackExt {
         .orderBy(col("vec_id"), col("i"))
     },
 
+    // Quantized SEARCH over the int8 codes (the serving half of
+    // emb_quantize_int8): queries and corpus both absmax-int8-encoded,
+    // similarity = integer dot × the two scales. The integer dot is a
+    // BIGINT sum — order-free on any partitioning by construction (no
+    // decimal discipline needed), and 4× less memory bandwidth than the
+    // float scan at 100 TB. Query block broadcast, corpus scanned once,
+    // bounded-heap top-k.
+    QDef("ann_sq8_topk",
+      """WITH m AS (SELECT vec_id,
+        |             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx,
+        |             embedding
+        |           FROM embeddings),
+        |enc AS (SELECT vec_id, mx, i,
+        |          CAST(round(CAST(embedding[i] AS DOUBLE) / mx * 127) AS BIGINT) AS iq
+        |        FROM m, range(1, 65) t(i)),
+        |qs AS (SELECT vec_id AS qid, mx AS qmx, i AS qi, iq AS qq FROM enc WHERE vec_id < 10),
+        |sc AS (SELECT qs.qid, e.vec_id AS nid,
+        |         round(CAST(sum(e.iq * qs.qq) AS DOUBLE) * qs.qmx * e.mx / 16129.0, 6) AS score
+        |       FROM enc e JOIN qs ON e.i = qs.qi AND e.vec_id <> qs.qid
+        |       GROUP BY qs.qid, e.vec_id, qs.qmx, e.mx),
+        |r AS (SELECT qid, nid, score,
+        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS INTEGER) AS rank
+        |      FROM sc)
+        |SELECT qid, nid, score, rank FROM r WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val enc = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          array_max(transform(col("embedding"), x => abs(x.cast("double")))).as("mx"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("mx"), col("pos"),
+          round(col("v").cast("double") / col("mx") * 127, 0).cast("long").as("iq"))
+      val qs = enc.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("mx").as("qmx"),
+          col("pos").as("qpos"), col("iq").as("qq"))
+      val scored = enc.join(broadcast(qs),
+          col("pos") === col("qpos") && col("vec_id") =!= col("qid"))
+        .groupBy(col("qid"), col("vec_id").as("nid"), col("qmx"), col("mx"))
+        .agg(sum(col("iq") * col("qq")).as("idot"))
+        .select(col("qid"), col("nid"),
+          round(col("idot").cast("double") * col("qmx") * col("mx") / lit(16129.0), 6)
+            .as("score"))
+      val pruned = graft.ops.Ops.topKPerKey(scored, Seq("qid"),
+        Seq(("score", true), ("nid", false)), 5)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+      pruned.withColumn("rank", row_number().over(w))
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // Sequence packing: assign documents to fixed-token-budget training
     // bins (512 tokens) with a per-source running count — the classic
     // "pack short documents into full sequences" pass. The running count
