@@ -149,7 +149,7 @@ object Graph {
            (col("du") === col("dv") && col("u") < col("v")), col("v"))
         .otherwise(col("u")).as("t"))
       .persist()
-    oriented.count()
+    val nE = oriented.count() // materialize; also the edge count
     val a = oriented.select(col("s"), col("t").as("t1"))
     val b = oriented.select(col("s"), col("t").as("t2"))
     val wedges = a.join(b, Seq("s")).filter(col("t1") < col("t2"))
@@ -160,7 +160,6 @@ object Graph {
       col("t1") === col("u") && col("t2") === col("v"))
     val nV = oriented.select(col("s").as("x"))
       .union(oriented.select(col("t").as("x"))).distinct().count()
-    val nE = oriented.count()
     val nW = wedges.count()
     val nT = triangles.count()
     oriented.unpersist()

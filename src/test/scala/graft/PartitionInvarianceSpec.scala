@@ -25,7 +25,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "dedup_minhash_lsh",         // banded self-join + bucket guard
     "dedup_cluster_cc",          // iterative superstep fixpoint
     "retrieval_hybrid_rrf",      // two-list rank fusion
-    "graph_pagerank")            // decimal-quantized iteration
+    "graph_pagerank",            // decimal-quantized iteration
+    "text_line_dedup",           // salted line counts + ordered rebuild md5
+    "graph_triangle_count")      // orientation + wedge-join closure counts
 
   private def collectAt(name: String, partitions: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
