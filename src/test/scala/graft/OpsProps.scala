@@ -452,4 +452,45 @@ object OpsProps extends Properties("ops") {
         got(id) == !dropped
       }
     }
+
+  property("lineDedup == brute-force corpus line-frequency scrub") =
+    Prop.forAll(corpusGen, Gen.choose(1, 4), Gen.choose(1, 3)) {
+      (docs, lineTokens, maxDf) =>
+        import spark.implicits._
+        val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val got = graft.ext.TextDedup
+          .lineDedup(df, "doc_id", "text", lineTokens, maxDf)
+          .as[(Long, Long, Long, String)]
+          .collect().map(t => t._1 -> t).toMap
+        def linesOf(t: String): Seq[String] =
+          t.split(" ").grouped(lineTokens).map(_.mkString(" ")).toSeq
+        val freq = docs.flatMap(linesOf).groupBy(identity).map { case (l, o) => l -> o.size }
+        docs.indices.forall { i =>
+          val ls = linesOf(docs(i))
+          val kept = ls.filter(l => freq(l) <= maxDf)
+          got(i.toLong) == ((i.toLong, ls.size.toLong, kept.size.toLong,
+            md5hex(kept.mkString(" "))))
+        }
+    }
+
+  property("triangleCount == brute-force triangle enumeration") =
+    Prop.forAll(graphGen) { case (_, edges) =>
+      import spark.implicits._
+      val df =
+        if (edges.isEmpty) Seq((0L, 1L)).toDF("src", "dst") // nonempty floor
+        else edges.toDF("src", "dst")
+      val canon = (if (edges.isEmpty) Seq((0L, 1L)) else edges)
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.distinct
+      val vs = canon.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val es = canon.toSet
+      val triangles = (for {
+        a <- vs; b <- vs if a < b && es((a, b))
+        c <- vs if b < c && es((b, c)) && es((a, c))
+      } yield (a, b, c)).size.toLong
+      val r = graft.ext.Graph.triangleCount(df)
+        .as[(Long, Long, Long, Long)].head()
+      r._1 == vs.size.toLong && r._2 == canon.size.toLong && r._4 == triangles
+    }
 }
