@@ -1127,22 +1127,24 @@ object PackExt {
         |      FROM sc)
         |SELECT qid, nid, score, rank FROM r WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      // quantized vectors stay ARRAYS and the integer dot rides the
+      // codegen'd DotProduct expression: every |product| ≤ 127² and the
+      // 64-term sum ≤ 2^21, so the double accumulation is EXACT and
+      // order-free — same value as an explicit BIGINT sum, none of the
+      // exploded-join/hash-agg machinery (measured 1.8 s → sub-second)
       val enc = Tables.embeddings(s, d)
         .select(col("vec_id"),
           array_max(transform(col("embedding"), x => abs(x.cast("double")))).as("mx"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        .select(col("vec_id"), col("mx"), col("pos"),
-          round(col("v").cast("double") / col("mx") * 127, 0).cast("long").as("iq"))
+          col("embedding"))
+        .select(col("vec_id"), col("mx"),
+          transform(col("embedding"),
+            v => round(v.cast("double") / col("mx") * 127, 0)).as("qv"))
       val qs = enc.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("mx").as("qmx"),
-          col("pos").as("qpos"), col("iq").as("qq"))
-      val scored = enc.join(broadcast(qs),
-          col("pos") === col("qpos") && col("vec_id") =!= col("qid"))
-        .groupBy(col("qid"), col("vec_id").as("nid"), col("qmx"), col("mx"))
-        .agg(sum(col("iq") * col("qq")).as("idot"))
-        .select(col("qid"), col("nid"),
-          round(col("idot").cast("double") * col("qmx") * col("mx") / lit(16129.0), 6)
-            .as("score"))
+        .select(col("vec_id").as("qid"), col("mx").as("qmx"), col("qv").as("qqv"))
+      val scored = enc.join(broadcast(qs), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          round(Similarity.nativeDot(s, col("qv"), col("qqv"))
+            * col("qmx") * col("mx") / lit(16129.0), 6).as("score"))
       val pruned = graft.ops.Ops.topKPerKey(scored, Seq("qid"),
         Seq(("score", true), ("nid", false)), 5)
       val w = org.apache.spark.sql.expressions.Window
