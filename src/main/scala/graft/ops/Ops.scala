@@ -354,4 +354,19 @@ object Ops {
     org.apache.spark.sql.GraftBridge.ofRows(spark,
       graft.plans.TopKPerKey(keys.map(attr), order, k, lp))
   }
+
+  /** Morton (z-order) interleave of the low `bits` bits of two
+    * non-negative integer columns: bit i of x lands at position 2i, bit
+    * i of y at 2i+1. A static sum of shift/mask terms — whole-stage
+    * codegen'd, exact integer arithmetic, no UDF. Sorting or
+    * range-partitioning by the result clusters rows so that contiguous
+    * z-ranges are tight axis-aligned boxes in BOTH dimensions — the key
+    * property behind multi-dimensional min/max file skipping. */
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
 }

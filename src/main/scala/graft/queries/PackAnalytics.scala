@@ -1291,6 +1291,115 @@ object PackAnalytics {
           round((dbl("sy") - covN / varXN * dbl("sx")) / n, 6).as("intercept"),
           round(covN * covN / (varXN * varYN), 6).as("r2"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // Population Stability Index — the standard data-drift monitor a
+    // production pipeline runs between a reference and a current
+    // population (here: even vs odd user cohorts, value histogrammed
+    // into ten width-10 buckets clamped to [0,90+]). The full 10-bucket
+    // scaffold matters: with Laplace-smoothed proportions an empty
+    // bucket still contributes (the two cohorts' totals differ), so a
+    // sparse-only group-by would drop real PSI mass. Counts shuffle
+    // once by (event_type, cohort, bucket); the scaffold is a broadcast
+    // cross of event_types × 10. All-double PSI terms share the oracle's
+    // expression shape, then 1e12-quantized DECIMAL sums (order-free).
+    QDef("dq_drift_psi",
+      """WITH b AS (SELECT event_type, user_id % 2 AS cohort,
+        |             least(greatest(CAST(floor(value / 10) AS BIGINT), 0), 9) AS bucket
+        |           FROM events),
+        |c AS (SELECT event_type, cohort, bucket, count(*) AS cnt
+        |      FROM b GROUP BY 1, 2, 3),
+        |tot AS (SELECT event_type, cohort, sum(cnt) AS tot FROM c GROUP BY 1, 2),
+        |scaffold AS (SELECT DISTINCT e.event_type, s.bucket
+        |             FROM (SELECT DISTINCT event_type FROM events) e,
+        |                  (SELECT unnest(range(10)) AS bucket) s),
+        |p AS (SELECT s.event_type, s.bucket,
+        |        (COALESCE(r.cnt, 0) + 1.0) / (rt.tot + 10.0) AS pr,
+        |        (COALESCE(u.cnt, 0) + 1.0) / (ut.tot + 10.0) AS pc
+        |      FROM scaffold s
+        |      LEFT JOIN c r ON r.event_type = s.event_type AND r.bucket = s.bucket AND r.cohort = 0
+        |      LEFT JOIN c u ON u.event_type = s.event_type AND u.bucket = s.bucket AND u.cohort = 1
+        |      JOIN tot rt ON rt.event_type = s.event_type AND rt.cohort = 0
+        |      JOIN tot ut ON ut.event_type = s.event_type AND ut.cohort = 1)
+        |SELECT event_type,
+        |  round(CAST(sum(CAST(floor((pr - pc) * ln(pr / pc) * 1e12 + 0.5) / 1e12
+        |                      AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val D12 = DecimalType(28, 12)
+      val e = Tables.events(s, d)
+      val b = e.select(col("event_type"), (col("user_id") % 2).as("cohort"),
+        least(greatest(floor(col("value") / 10).cast("long"), lit(0L)), lit(9L)).as("bucket"))
+      val c = b.groupBy(col("event_type"), col("cohort"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val cp = graft.ext.BoundedCache.persist("pack.dq_drift_psi.counts", c)
+      val tot = cp.groupBy(col("event_type"), col("cohort")).agg(sum(col("cnt")).as("tot"))
+      val scaffold = e.select(col("event_type")).distinct()
+        .crossJoin(spark_range_buckets(s))
+      def side(coh: Int, cntN: String, totN: String) = (
+        cp.filter(col("cohort") === coh).select(col("event_type"), col("bucket"), col("cnt").as(cntN)),
+        tot.filter(col("cohort") === coh).select(col("event_type"), col("tot").as(totN)))
+      val (r0, t0) = side(0, "rcnt", "rtot")
+      val (c1, t1) = side(1, "ccnt", "ctot")
+      val p = scaffold
+        .join(broadcast(r0), Seq("event_type", "bucket"), "left")
+        .join(broadcast(c1), Seq("event_type", "bucket"), "left")
+        .join(broadcast(t0), Seq("event_type"))
+        .join(broadcast(t1), Seq("event_type"))
+        .select(col("event_type"), col("bucket"),
+          ((coalesce(col("rcnt"), lit(0L)) + lit(1.0)) / (col("rtot") + lit(10.0))).as("pr"),
+          ((coalesce(col("ccnt"), lit(0L)) + lit(1.0)) / (col("ctot") + lit(10.0))).as("pc"))
+      p.groupBy(col("event_type"))
+        .agg(round(sum((floor((col("pr") - col("pc")) * log(col("pr") / col("pc")) * lit(1e12) + lit(0.5)) / lit(1e12))
+          .cast(D12)).cast("double"), 6).as("psi"))
+        .orderBy(col("event_type"))
+    },
+
+    // Welch's unequal-variance t-test between the same two cohorts the
+    // PSI monitor compares — the OTHER standard drift check (mean shift
+    // rather than shape shift), plus the Welch–Satterthwaite effective
+    // degrees of freedom. Everything derives from four exact DECIMAL
+    // sums per (event_type, cohort) — count, Σv, Σv² — in ONE partial+
+    // final aggregate pass; the t/df arithmetic is all-double with the
+    // oracle's expression shape, so the result is bit-stable on any
+    // partitioning (NOTES exactness rule 1).
+    QDef("stats_ttest_welch",
+      """WITH m AS (SELECT event_type, user_id % 2 AS cohort,
+        |             CAST(count(*) AS DOUBLE) AS n,
+        |             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+        |             CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS svv
+        |           FROM events GROUP BY 1, 2),
+        |w AS (SELECT r.event_type,
+        |        CAST(r.n AS BIGINT) AS n_ref, CAST(c.n AS BIGINT) AS n_cur,
+        |        (r.sv / r.n) - (c.sv / c.n) AS dmean,
+        |        ((r.svv - r.sv / r.n * r.sv) / (r.n - 1)) / r.n AS vr,
+        |        ((c.svv - c.sv / c.n * c.sv) / (c.n - 1)) / c.n AS vc
+        |      FROM m r JOIN m c ON r.event_type = c.event_type
+        |      WHERE r.cohort = 0 AND c.cohort = 1)
+        |SELECT event_type, n_ref, n_cur,
+        |  round(dmean / sqrt(vr + vc), 6) AS t_stat,
+        |  round((vr + vc) * (vr + vc) / (vr * vr / (n_ref - 1) + vc * vc / (n_cur - 1)), 6) AS df_welch
+        |FROM w ORDER BY event_type""".stripMargin) { (s, d) =>
+      val m = Tables.events(s, d)
+        .groupBy(col("event_type"), (col("user_id") % 2).as("cohort"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(dec(col("value"))).cast("double").as("sv"),
+          sum(dec(col("value")) * dec(col("value"))).cast("double").as("svv"))
+      val r = m.filter(col("cohort") === 0)
+        .select(col("event_type"), col("n").as("rn"), col("sv").as("rsv"), col("svv").as("rsvv"))
+      val c = m.filter(col("cohort") === 1)
+        .select(col("event_type"), col("n").as("cn"), col("sv").as("csv"), col("svv").as("csvv"))
+      val vr = ((col("rsvv") - col("rsv") / col("rn") * col("rsv")) / (col("rn") - lit(1))) / col("rn")
+      val vc = ((col("csvv") - col("csv") / col("cn") * col("csv")) / (col("cn") - lit(1))) / col("cn")
+      r.join(broadcast(c), Seq("event_type"))
+        .select(col("event_type"),
+          col("rn").cast("long").as("n_ref"), col("cn").cast("long").as("n_cur"),
+          round((col("rsv") / col("rn") - col("csv") / col("cn")) / sqrt(vr + vc), 6).as("t_stat"),
+          round((vr + vc) * (vr + vc) / (vr * vr / (col("rn") - lit(1)) + vc * vc / (col("cn") - lit(1))), 6).as("df_welch"))
+        .orderBy(col("event_type"))
     }
   )
+
+  /** Ten-bucket scaffold frame (bucket 0..9) for the PSI histogram. */
+  private def spark_range_buckets(s: SparkSession) =
+    s.range(0, 10).select(col("id").as("bucket"))
 }

@@ -557,6 +557,51 @@ object PackCore {
       s.read.parquet(wh).select($"doc_id").orderBy($"doc_id")
     },
 
+    // ST10 (live) — watermarked STREAM-STREAM interval join: view events
+    // joined to the click events that follow them within 10 minutes for
+    // the same user. This is the one Structured Streaming join shape the
+    // pack didn't yet exercise: both sides are unbounded, state is keyed
+    // by user_id and bounded by the watermark + time-range condition
+    // (Spark evicts view-side state once the click-side watermark passes
+    // vts + 10 min), so at 100 TB/day the state store holds only the
+    // 10-minute frontier per key — arrivals, not history. The oracle is
+    // the equivalent batch interval join. Run via AvailableNow against
+    // the fixture (single batch ⇒ no late-drop nondeterminism; the
+    // watermark machinery still runs and is what the plan is pinned on).
+    QDef("st10_stream_stream_join",
+      """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+        |FROM events v JOIN events c ON v.user_id = c.user_id
+        | AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+        |ORDER BY v.user_id, view_id, click_id""".stripMargin) { (s, d) =>
+      val rawTs = graft.schemas.Tables.eventsRawTsType(s, d)
+      val sch = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", rawTs),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      def sideStream(tpe: String, userN: String, idN: String, tsN: String) =
+        s.readStream.schema(sch)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+          .withColumn("tsn", graft.schemas.Tables.eventsStreamTs(rawTs))
+          .filter($"event_type" === tpe)
+          .select($"user_id".as(userN), $"event_id".as(idN), $"tsn".as(tsN))
+          .withWatermark(tsN, "1 hour")
+      val views = sideStream("view", "user_id", "view_id", "vts")
+      val clicks = sideStream("click", "cuser", "click_id", "cts")
+      val name = s"st10_live_run_${streamRun.incrementAndGet()}"
+      val q = views.join(clicks,
+          $"user_id" === $"cuser" &&
+            $"cts" >= $"vts" &&
+            $"cts" <= $"vts" + expr("INTERVAL 10 MINUTES"))
+        .select($"user_id", $"view_id", $"click_id")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy($"user_id", $"view_id", $"click_id")
+    },
+
     // K4 (live) — DDL bootstrap + catalog roundtrip: CREATE TABLE ...
     // USING parquet, idempotent IF NOT EXISTS re-issue (the reference
     // re-runs its DDL every batch, extract_data_bank_pay:60-81), INSERT

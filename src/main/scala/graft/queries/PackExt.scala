@@ -1960,6 +1960,75 @@ object PackExt {
       TextDedup.exactSubstringDedup(Tables.documents(s, d), "doc_id", "text",
           n = 5, minCount = 2)
         .orderBy(col("doc_id"))
+    },
+
+    // BM25 retrieval (Robertson/Sparck-Jones, k1=1.2 b=0.75) — the sparse
+    // half most retrieval stacks actually run (TF-IDF cosine is the
+    // classroom form; BM25 is the production form, and the RRF fusion
+    // query's natural upgrade). Query docs (doc_id < 10) probe the
+    // corpus: the corpus-side term frequencies are the 100 TB side and
+    // are touched exactly once; the query terms are DISTINCT-collapsed
+    // and BROADCAST so the corpus never shuffles by term for the probe
+    // (decontamination precedent). Per-(query,doc,term) contributions
+    // are all-double with the same expression shape as the oracle, then
+    // 1e6-quantized into DECIMAL sums so the per-doc score is
+    // order-free on any partitioning (NOTES exactness rule 1/7).
+    QDef("retrieval_bm25_topk",
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |words AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM corpus),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf FROM words GROUP BY doc_id, w),
+        |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM words GROUP BY doc_id),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+        |df AS (SELECT w, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM words GROUP BY w),
+        |qterms AS (SELECT DISTINCT doc_id AS qid, w FROM words WHERE doc_id < 10),
+        |contrib AS (
+        |  SELECT q.qid, t.doc_id,
+        |    CAST(floor(ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+        |        * (t.tf * 2.2 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)))
+        |        * 1e6 + 0.5) / 1e6 AS DECIMAL(28,12)) AS c
+        |  FROM tf t JOIN qterms q ON t.w = q.w
+        |    JOIN df f ON t.w = f.w JOIN dl l ON t.doc_id = l.doc_id, stats s),
+        |scores AS (SELECT qid, doc_id, CAST(sum(c) AS DOUBLE) AS score
+        |           FROM contrib GROUP BY qid, doc_id),
+        |r AS (SELECT qid, doc_id, score,
+        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+        |      FROM scores)
+        |SELECT qid, doc_id, score, rank FROM r WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val D12 = org.apache.spark.sql.types.DecimalType(28, 12)
+      val corpus = Tables.documents(s, d).filter(col("doc_id") < 300)
+      val words = corpus.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      // corpus-side stats: one pass over words, reused by every probe
+      val wordsP = graft.ext.BoundedCache.persist("pack.bm25.words", words)
+      val tf = wordsP.groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val dl = wordsP.groupBy(col("doc_id")).agg(count(lit(1)).cast("double").as("dl"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+      val dfr = wordsP.groupBy(col("w")).agg(countDistinct(col("doc_id")).cast("double").as("df"))
+      val qterms = wordsP.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), col("w")).distinct()
+      // The full-vocabulary df table is corpus-sized — never broadcast
+      // it. Prune it to the query terms FIRST (qterms is the small side,
+      // broadcast into the df scan), and broadcast only the pruned
+      // (qid, term, df) probe table into the tf scan.
+      val qdf = dfr.join(broadcast(qterms), Seq("w"))
+        .select(col("qid"), col("w"), col("df"))
+      // identical double-expression shape as the oracle, then quantize
+      val contrib = tf
+        .join(broadcast(qdf), Seq("w"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("qid"), col("doc_id"),
+          (floor(
+            log(lit(1) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+              * (col("tf") * lit(2.2) / (col("tf") + lit(1.2) * (lit(1) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))))
+              * lit(1e6) + lit(0.5)) / lit(1e6)).cast(D12).as("c"))
+      val scores = contrib.groupBy(col("qid"), col("doc_id"))
+        .agg(sum(col("c")).cast("double").as("score"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+      scores.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 5)
+        .orderBy(col("qid"), col("rank"))
     }
   )
 }

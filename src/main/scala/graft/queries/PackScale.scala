@@ -462,6 +462,40 @@ object PackScale {
             col("a.l_suppkey") < col("b.l_suppkey"))
         .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
       graft.ext.Graph.triangleCount(edges)
+    },
+
+    // Z-order (Morton) clustering — the data-LAYOUT optimization behind
+    // multi-dimensional file skipping (Delta/Iceberg OPTIMIZE ZORDER).
+    // Interleaving the low 8 bits of two join/filter dimensions gives a
+    // 1-D sort key whose ranges are tight bounding boxes in BOTH
+    // dimensions, so per-file min/max stats prune 2-D predicates that a
+    // single-column sort can only prune on its leading column. The
+    // declared query verifies the transform: per 1024-cell z-range the
+    // bounding box of (x, y) must be small and the oracle pins every
+    // box exactly. ZOrderLayoutSpec demonstrates the payoff end-to-end:
+    // the same filter touches ~4× fewer files on a z-sorted layout than
+    // on an orderkey-sorted one. Pure integer bit arithmetic — no
+    // doubles, codegen'd, exact on any engine.
+    QDef("layout_zorder_stats", {
+      val zsum = (0 until 8).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
+      s"""WITH t AS (SELECT l_partkey & 255 AS x, l_suppkey & 255 AS y FROM lineitem),
+         |z AS (SELECT x, y, $zsum AS z FROM t)
+         |SELECT z >> 10 AS zbucket, count(*) AS n,
+         |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y,
+         |  (max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS bbox_area
+         |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
+    }) { (s, d) =>
+      val t = Tables.lineitem(s, d).select(
+        col("l_partkey").bitwiseAND(lit(255L)).as("x"),
+        col("l_suppkey").bitwiseAND(lit(255L)).as("y"))
+      val z = t.withColumn("z", graft.ops.Ops.zValue(col("x"), col("y"), bits = 8))
+      z.groupBy(shiftright(col("z"), 10).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+          ((max(col("x")) - min(col("x")) + lit(1L)) * (max(col("y")) - min(col("y")) + lit(1L))).as("bbox_area"))
+        .orderBy(col("zbucket"))
     }
   )
 }
