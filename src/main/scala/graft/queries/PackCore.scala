@@ -308,8 +308,7 @@ object PackCore {
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
       val name = s"st4_live_run_${streamRun.incrementAndGet()}"
-      val q = s.readStream.schema(sch)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val q = eventsStream(s, d, sch)
         .withColumn("ts", graft.schemas.Tables.eventsStreamTs(rawTs))
         .groupBy(window($"ts", "1 hour"), $"event_type").count()
         .writeStream.format("memory").queryName(name)
@@ -580,8 +579,7 @@ object PackCore {
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
       def sideStream(tpe: String, userN: String, idN: String, tsN: String) =
-        s.readStream.schema(sch)
-          .option("pathGlobFilter", "events.parquet").parquet(d)
+        eventsStream(s, d, sch)
           .withColumn("tsn", graft.schemas.Tables.eventsStreamTs(rawTs))
           .filter($"event_type" === tpe)
           .select($"user_id".as(userN), $"event_id".as(idN), $"tsn".as(tsN))
@@ -1148,6 +1146,21 @@ object PackCore {
   // memory-sink table names must be unique per execution (bench re-runs
   // each query in one session)
   private val streamRun = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Streaming reader for the events table that works on BOTH fixture
+    * layouts: the driver testdata ships `events.parquet` as a single
+    * file (glob-filter the sf dir), while generated fixtures (StressGen)
+    * write it as a parquet DIRECTORY — where a `pathGlobFilter` on the
+    * basename would silently match nothing and stream 0 rows (caught by
+    * the 10× ScaleCheck run of st10, which read empty at the stress
+    * dir). */
+  private def eventsStream(s: SparkSession, d: String,
+      sch: StructType): DataFrame = {
+    val asDir = new java.io.File(s"$d/events.parquet")
+    if (asDir.isDirectory) s.readStream.schema(sch).parquet(asDir.toString)
+    else s.readStream.schema(sch)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+  }
 
   /** Write `df` as parquet files directly inside `dir` — one arrival
     * batch per call (the streaming file source lists only the top level,
