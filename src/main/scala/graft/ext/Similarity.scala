@@ -72,6 +72,28 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: for every query
+    * vector, the top-k most-similar corpus vectors whose `label` DIFFERS
+    * from the query's — the "hard" negatives an embedding trainer pairs
+    * with each anchor (easy negatives are random; hard ones are the
+    * near-misses that actually move the loss). Same plan shape as
+    * [[bruteTopK]] — the query block (with its labels) broadcasts, the
+    * corpus never shuffles, and the label-mismatch predicate rides the
+    * broadcast join — plus the bounded-heap top-k tail. At 100 TB the
+    * candidate generation upgrades to the IVF/LSH bucketed forms exactly
+    * like the ANN queries; the mismatch filter composes unchanged. */
+  def hardNegativeTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val nd = nativeDot(corpus.sparkSession, _, _)
+    val q = broadcast(queries.select(col("vec_id").as("qid"), col("label").as("ql"),
+      col("embedding").as("qe"), sqrt(nd(col("embedding"), col("embedding"))).as("qn")))
+    val c = corpus.select(col("vec_id").as("nid"), col("label").as("neg_label"),
+      col("embedding").as("ne"), sqrt(nd(col("embedding"), col("embedding"))).as("nn"))
+    val scored = c.join(q, col("neg_label") =!= col("ql"))
+      .select(col("qid"), col("nid"), col("neg_label"),
+        round(nd(col("qe"), col("ne")) / (col("qn") * col("nn")), 6).as("cos"))
+    rankTopK(scored, k).select(col("qid"), col("nid"), col("neg_label"), col("cos"), col("rank"))
+  }
+
   /** Learn coarse-quantizer centroids as the element-wise mean embedding
     * per bucket (k-means step with assignments given; iterate with
     * [[assignToCentroids]] for full Lloyd's). Output long form

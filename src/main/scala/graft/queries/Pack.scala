@@ -4,7 +4,8 @@ package graft.queries
 object Pack {
   lazy val all: Seq[QDef] =
     PackCore.queries ++ PackFunctions.queries ++ PackParsers.queries ++
-      PackExt.queries ++ PackAnalytics.queries ++ PackScale.queries
+      PackExt.queries ++ PackAnalytics.queries ++ PackScale.queries ++
+      PackCuration.queries
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
 }

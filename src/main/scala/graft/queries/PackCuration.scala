@@ -1,0 +1,390 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.ext.{BoundedCache, Similarity, TextDedup}
+import graft.schemas.Tables
+
+/** Curation & evaluation operators — the round-9 continuation batch: the
+  * statistical drift tests a production pipeline runs beside PSI/Welch
+  * (two-sample KS, chi-squared independence), the two-stage retrieval
+  * cascade and its ranking-quality eval (dense rerank, NDCG), contrastive
+  * hard-negative mining, LSH-verified fuzzy dedup, and temperature-scaled
+  * mixture weights (the mT5/multilingual sampling scheme).
+  *
+  * Exactness discipline follows NOTES: the KS statistic is computed in
+  * PURE INTEGER arithmetic (scaled ECDF differences as BIGINT products,
+  * one final double division), chi-squared / NDCG / mixture terms are
+  * 1e9-to-1e12-quantized DECIMAL sums (order-free on any partitioning),
+  * and the temperature exponent is alpha = 0.5 so the power is sqrt —
+  * the one power IEEE 754 guarantees correctly rounded (pow(x, 0.3)
+  * would be libm-dependent across engines). */
+object PackCuration {
+
+  /** DuckDB-side sequential-double dot/cos matching Similarity.dot
+    * (same shape as PackExt's private helpers). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, length($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc,x) -> acc + x)"
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** MinHash band CTE text shared with the dedup_minhash_* oracles
+    * (16 md5-seeded hashes, 4 rows/band, 64-doc degenerate-bucket cap). */
+  private def minhashBandsCte: String =
+    """words AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS w FROM documents),
+      |sigs AS (SELECT doc_id, """.stripMargin +
+      (0 until 16).map(i => s"min(md5('$i|' || w)) AS s$i").mkString(", ") +
+      """ FROM words GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, md5(s0||s1||s2||s3) AS bkey FROM sigs
+        |  UNION ALL SELECT doc_id, 1, md5(s4||s5||s6||s7) FROM sigs
+        |  UNION ALL SELECT doc_id, 2, md5(s8||s9||s10||s11) FROM sigs
+        |  UNION ALL SELECT doc_id, 3, md5(s12||s13||s14||s15) FROM sigs),
+        |ok AS (SELECT band, bkey FROM bands GROUP BY band, bkey HAVING count(*) <= 64)""".stripMargin
+
+  private val D12 = DecimalType(28, 12)
+  /** 1eN-quantize a double expression then widen to order-free DECIMAL —
+    * the NOTES rule-0 shape shared with the PSI/BM25 queries. */
+  private def qdec(c: Column, scale: Double): Column =
+    (floor(c * lit(scale) + lit(0.5)) / lit(scale)).cast(D12)
+
+  val queries: Seq[QDef] = Seq(
+
+    // Two-sample Kolmogorov–Smirnov drift test between the even/odd user
+    // cohorts per event_type — the SHAPE-sensitive companion to
+    // dq_drift_psi (PSI needs coarse bins; KS reads the whole ECDF).
+    // Values are quantized to 100 unit-width bins (the production form:
+    // an exact full-resolution ECDF would sort every value of an
+    // event_type into one window partition — the single-partition-window
+    // anti-pattern; binned KS aggregates FIRST, so the window input is
+    // <= 100 rows per event_type regardless of data size). The statistic
+    // itself is PURE INTEGER until the last step: D = max|cr*Nc - cu*Nr|
+    // / (Nr*Nc) with BIGINT cumulative counts — no float discipline
+    // needed at all. The drifted flag applies the classical alpha=0.05
+    // threshold 1.358*sqrt((n1+n2)/(n1*n2)).
+    QDef("stats_ks_test",
+      """WITH b AS (SELECT event_type, user_id % 2 AS cohort,
+        |             least(greatest(CAST(floor(value) AS BIGINT), 0), 99) AS bucket
+        |           FROM events),
+        |c AS (SELECT event_type, bucket,
+        |        CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS rc,
+        |        CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cc
+        |      FROM b GROUP BY 1, 2),
+        |cum AS (SELECT event_type,
+        |          CAST(sum(rc) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cr,
+        |          CAST(sum(cc) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cu
+        |        FROM c),
+        |tot AS (SELECT event_type, CAST(sum(rc) AS BIGINT) AS n_ref,
+        |               CAST(sum(cc) AS BIGINT) AS n_cur
+        |        FROM c GROUP BY 1),
+        |d AS (SELECT cum.event_type, t.n_ref, t.n_cur,
+        |        CAST(max(abs(cum.cr * t.n_cur - cum.cu * t.n_ref)) AS BIGINT) AS dmax
+        |      FROM cum JOIN tot t USING (event_type) GROUP BY 1, 2, 3)
+        |SELECT event_type, n_ref, n_cur,
+        |  round(CAST(dmax AS DOUBLE) / (CAST(n_ref AS DOUBLE) * n_cur), 6) AS ks_stat,
+        |  CAST(dmax AS DOUBLE) / (CAST(n_ref AS DOUBLE) * n_cur)
+        |    > 1.358 * sqrt((n_ref + n_cur) / (CAST(n_ref AS DOUBLE) * n_cur)) AS drifted
+        |FROM d ORDER BY event_type""".stripMargin) { (s, d) =>
+      val b = Tables.events(s, d).select(col("event_type"),
+        (col("user_id") % 2).as("cohort"),
+        least(greatest(floor(col("value")).cast("long"), lit(0L)), lit(99L)).as("bucket"))
+      val c = BoundedCache.persist("pack.ks.counts",
+        b.groupBy(col("event_type"), col("bucket"))
+          .agg(sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("rc"),
+            sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("cc")))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      val cum = c.select(col("event_type"),
+        sum(col("rc")).over(w).as("cr"), sum(col("cc")).over(w).as("cu"))
+      val tot = c.groupBy(col("event_type"))
+        .agg(sum(col("rc")).as("n_ref"), sum(col("cc")).as("n_cur"))
+      val dm = cum.join(broadcast(tot), Seq("event_type"))
+        .groupBy(col("event_type"), col("n_ref"), col("n_cur"))
+        .agg(max(abs(col("cr") * col("n_cur") - col("cu") * col("n_ref"))).as("dmax"))
+      val ks = col("dmax").cast("double") / (col("n_ref").cast("double") * col("n_cur"))
+      dm.select(col("event_type"), col("n_ref"), col("n_cur"),
+          round(ks, 6).as("ks_stat"),
+          (ks > lit(1.358) * sqrt((col("n_ref") + col("n_cur"))
+            / (col("n_ref").cast("double") * col("n_cur")))).as("drifted"))
+        .orderBy(col("event_type"))
+    },
+
+    // Chi-squared test of independence between event_type and user
+    // cohort (+ Cramér's V effect size) — the categorical drift check
+    // beside the numeric KS/PSI/Welch family. The contingency table is
+    // ONE partial+final count pass; expected cells come from broadcast
+    // marginals over the full type × cohort scaffold (a sparse group-by
+    // would silently drop zero-observation cells, which still carry
+    // (0-E)^2/E mass — the PSI scaffold lesson). Per-cell terms are
+    // 1e9-quantized DECIMAL sums, order-free on any partitioning.
+    QDef("stats_chi2_independence",
+      """WITH o AS (SELECT event_type, user_id % 2 AS cohort, CAST(count(*) AS BIGINT) AS o
+        |           FROM events GROUP BY 1, 2),
+        |scaffold AS (SELECT t.event_type, c.cohort
+        |             FROM (SELECT DISTINCT event_type FROM events) t,
+        |                  (SELECT unnest(range(2)) AS cohort) c),
+        |cells AS (SELECT s.event_type, s.cohort, COALESCE(o.o, 0) AS o
+        |          FROM scaffold s LEFT JOIN o
+        |            ON o.event_type = s.event_type AND o.cohort = s.cohort),
+        |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |ct AS (SELECT cohort, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS n, CAST(count(DISTINCT event_type) AS BIGINT) AS nr
+        |      FROM cells),
+        |term AS (SELECT CAST(floor((cells.o - CAST(rt.r AS DOUBLE) * ct.c / n.n)
+        |                           * (cells.o - CAST(rt.r AS DOUBLE) * ct.c / n.n)
+        |                           / (CAST(rt.r AS DOUBLE) * ct.c / n.n) * 1e9 + 0.5) / 1e9
+        |                AS DECIMAL(28,12)) AS t, n.n AS n, n.nr AS nr
+        |         FROM cells JOIN rt USING (event_type) JOIN ct USING (cohort), n)
+        |SELECT round(CAST(sum(t) AS DOUBLE), 6) AS chi2,
+        |  CAST((nr - 1) * (2 - 1) AS BIGINT) AS df,
+        |  round(sqrt(CAST(sum(t) AS DOUBLE) / (n * least(nr - 1, 1))), 6) AS cramers_v,
+        |  n
+        |FROM term GROUP BY nr, n""".stripMargin) { (s, d) =>
+      val o = BoundedCache.persist("pack.chi2.cells",
+        Tables.events(s, d)
+          .groupBy(col("event_type"), (col("user_id") % 2).as("cohort"))
+          .agg(count(lit(1)).as("o")))
+      val scaffold = o.select(col("event_type")).distinct()
+        .crossJoin(s.range(0, 2).select(col("id").as("cohort")))
+      val cells = scaffold.join(broadcast(o), Seq("event_type", "cohort"), "left")
+        .select(col("event_type"), col("cohort"), coalesce(col("o"), lit(0L)).as("o"))
+      val rt = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+      val ct = cells.groupBy(col("cohort")).agg(sum(col("o")).as("c"))
+      val n = cells.agg(sum(col("o")).as("n"),
+        countDistinct(col("event_type")).as("nr"))
+      val e = col("r").cast("double") * col("c") / col("n")
+      val term = cells.join(broadcast(rt), Seq("event_type"))
+        .join(broadcast(ct), Seq("cohort"))
+        .crossJoin(broadcast(n))
+        .select(qdec((col("o") - e) * (col("o") - e) / e, 1e9).as("t"),
+          col("n"), col("nr"))
+      term.groupBy(col("nr"), col("n"))
+        .agg(round(sum(col("t")).cast("double"), 6).as("chi2"),
+          round(sqrt(sum(col("t")).cast("double") / (col("n") * least(col("nr") - 1, lit(1L)))), 6).as("cramers_v"))
+        .select(col("chi2"), ((col("nr") - 1) * lit(1L)).as("df"), col("cramers_v"), col("n"))
+    },
+
+    // Two-stage retrieval cascade — the production shape retrieval
+    // stacks actually deploy (and the natural sibling of
+    // retrieval_hybrid_rrf's FUSION): a cheap lexical candidate
+    // generator keeps top-20 per query from the inverted-index join,
+    // then ONLY those <=20 candidates are scored with the exact dense
+    // cosine. The corpus-side embedding table is touched by a bounded
+    // equi-join on the candidate ids — at 100 TB the dense stage cost
+    // tracks queries × 20, never the corpus.
+    QDef("retrieval_rerank_dense",
+      s"""WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS w
+         |              FROM documents WHERE doc_id < 500),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY doc_id),
+         |inter AS (SELECT q.doc_id AS qid, c.doc_id AS nid, CAST(count(*) AS BIGINT) AS inter
+         |          FROM toks q JOIN toks c ON q.w = c.w AND q.doc_id < 8 AND c.doc_id >= 8
+         |          GROUP BY 1, 2),
+         |lex AS (SELECT qid, nid, inter * 1.0 / (x.n + y.n - inter) AS jac
+         |        FROM inter JOIN sz x ON qid = x.doc_id JOIN sz y ON nid = y.doc_id),
+         |cand AS (SELECT qid, nid FROM (SELECT qid, nid,
+         |           row_number() OVER (PARTITION BY qid ORDER BY jac DESC, nid) AS lr FROM lex)
+         |         WHERE lr <= 20),
+         |scored AS (SELECT cand.qid, cand.nid,
+         |             round(${cosSql("q.embedding", "e.embedding")}, 6) AS cos
+         |           FROM cand JOIN embeddings q ON q.vec_id = cand.qid
+         |                     JOIN embeddings e ON e.vec_id = cand.nid)
+         |SELECT qid, nid, cos,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
+         |FROM scored QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      val toksP = BoundedCache.persist("pack.rerank.toks", toks)
+      val sizes = toksP.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = toksP.filter(col("doc_id") < 8).select(col("doc_id").as("qid"), col("w"))
+        .join(toksP.filter(col("doc_id") >= 8).select(col("doc_id").as("nid"), col("w")), Seq("w"))
+        .groupBy(col("qid"), col("nid")).agg(count(lit(1)).as("inter"))
+      val lex = inter
+        .join(broadcast(sizes.select(col("doc_id").as("qid"), col("n").as("nq"))), Seq("qid"))
+        .join(sizes.select(col("doc_id").as("nid"), col("n").as("nc")), Seq("nid"))
+        .select(col("qid"), col("nid"),
+          (col("inter") * lit(1.0) / (col("nq") + col("nc") - col("inter"))).as("jac"))
+      val cand = lex.withColumn("lr", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("jac").desc, col("nid"))))
+        .filter(col("lr") <= 20).select(col("qid"), col("nid"))
+      val emb = Tables.embeddings(s, d)
+      val nd = Similarity.nativeDot(s, _: Column, _: Column)
+      val scored = cand
+        .join(broadcast(emb.select(col("vec_id").as("qid"), col("embedding").as("qe"))), Seq("qid"))
+        .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne")), Seq("nid"))
+        .select(col("qid"), col("nid"),
+          round(nd(col("qe"), col("ne"))
+            / (sqrt(nd(col("qe"), col("qe"))) * sqrt(nd(col("ne"), col("ne")))), 6).as("cos"))
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))).cast("int"))
+        .filter(col("rank") <= 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // Contrastive hard-negative mining: for each anchor (vec_id < 10)
+    // the top-5 most-similar vectors with a DIFFERENT label — the
+    // near-miss negatives an embedding trainer pairs with each anchor.
+    // Same broadcast-query / corpus-never-shuffles plan as
+    // ann_cosine_topk with the label-mismatch predicate riding the
+    // broadcast join (Similarity.hardNegativeTopK).
+    QDef("mine_hard_negatives",
+      s"""WITH q AS (SELECT vec_id AS qid, label AS ql, embedding AS qe
+         |           FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT q.qid, e.vec_id AS nid, e.label AS neg_label,
+         |        round(${cosSql("q.qe", "e.embedding")}, 6) AS cos
+         |      FROM q, embeddings e WHERE e.label <> q.ql),
+         |r AS (SELECT qid, nid, neg_label, cos,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
+         |      FROM c)
+         |SELECT qid, nid, neg_label, cos, rank FROM r WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.hardNegativeTopK(e, e.filter(col("vec_id") < 10), 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // Fuzzy dedup, production-shaped: MinHash-LSH candidate generation
+    // (the banded index that never goes all-pairs — shared machinery and
+    // oracle CTE with dedup_minhash_lsh) VERIFIED by exact edit
+    // distance. The Levenshtein DP runs only on candidate pairs, whose
+    // count tracks the true near-dup density, not n²; texts are fetched
+    // for candidates only via two id equi-joins, so the corpus text
+    // column is never crossed. is_dup flags pairs within 10% edits of
+    // the longer text — integer arithmetic end to end.
+    QDef("dedup_fuzzy_levenshtein",
+      s"""WITH $minhashBandsCte,
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |         FROM bands a JOIN ok USING (band, bkey)
+         |         JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |v AS (SELECT c.d1, c.d2,
+         |        CAST(levenshtein(x.text, y.text) AS INTEGER) AS dist,
+         |        CAST(greatest(length(x.text), length(y.text)) AS INTEGER) AS len_max
+         |      FROM cand c JOIN documents x ON x.doc_id = c.d1
+         |                  JOIN documents y ON y.doc_id = c.d2)
+         |SELECT d1, d2, dist, len_max, dist * 10 <= len_max AS is_dup
+         |FROM v ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cand = TextDedup.lshCandidatePairs(docs, "doc_id", "text",
+        numHashes = 16, rowsPerBand = 4, maxBucketSize = 64)
+      val t1 = docs.select(col("doc_id").as("d1"), col("text").as("t1"))
+      val t2 = docs.select(col("doc_id").as("d2"), col("text").as("t2"))
+      cand.join(t1, Seq("d1")).join(t2, Seq("d2"))
+        .select(col("d1"), col("d2"),
+          levenshtein(col("t1"), col("t2")).cast("int").as("dist"),
+          greatest(length(col("t1")), length(col("t2"))).cast("int").as("len_max"))
+        .withColumn("is_dup", col("dist") * 10 <= col("len_max"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    // Temperature-scaled mixture weights (alpha = 0.5): w_i ∝ p_i^alpha
+    // — the standard upsampling scheme for low-resource sources/langs
+    // (mT5/XLM-R style) beside the plain proportional
+    // mixture_domain_weights. alpha is fixed at 0.5 deliberately:
+    // p^0.5 = sqrt(p) is the one power IEEE guarantees correctly
+    // rounded, so the statistic is engine-exact with no libm dependence
+    // (pow(p, 0.3) is not). The normalizer is a 1e12-quantized DECIMAL
+    // sum over sources; token counts are one map-side-combined pass.
+    QDef("mixture_temperature_weights",
+      """WITH tok AS (SELECT source, CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+        |             FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM tok),
+        |p AS (SELECT source, n_tokens, CAST(n_tokens AS DOUBLE) / tot.tot AS p FROM tok, tot),
+        |z AS (SELECT CAST(sum(CAST(floor(sqrt(p) * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12))) AS DOUBLE) AS z
+        |      FROM p)
+        |SELECT source, n_tokens, round(p, 6) AS p_raw,
+        |  round(sqrt(p) / z.z, 6) AS p_temp,
+        |  round(sqrt(p) / z.z / p, 6) AS up_factor
+        |FROM p, z ORDER BY source""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      val tokP = BoundedCache.persist("pack.mixtemp.tok", tok)
+      val tot = tokP.agg(sum(col("n_tokens")).as("tot"))
+      val p = tokP.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"),
+          (col("n_tokens").cast("double") / col("tot")).as("p"))
+      val pP = BoundedCache.persist("pack.mixtemp.p", p)
+      val z = pP.agg(sum(qdec(sqrt(col("p")), 1e12)).cast("double").as("z"))
+      pP.crossJoin(broadcast(z))
+        .select(col("source"), col("n_tokens"), round(col("p"), 6).as("p_raw"),
+          round(sqrt(col("p")) / col("z"), 6).as("p_temp"),
+          round(sqrt(col("p")) / col("z") / col("p"), 6).as("up_factor"))
+        .orderBy(col("source"))
+    },
+
+    // NDCG@10 of the lexical ranking with source-match relevance — the
+    // ranking-quality eval beside ann_recall_eval (which grades the ANN
+    // approximation; this grades the RANKER). DCG terms rel/log2(rank+1)
+    // and the ideal-DCG prefix are 1e12-quantized DECIMAL sums; the
+    // ideal list length is min(10, corpus relevant count) computed
+    // relationally (no driver-side math).
+    QDef("retrieval_ndcg_eval",
+      """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS w
+        |              FROM documents WHERE doc_id < 500),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY doc_id),
+        |inter AS (SELECT q.doc_id AS qid, c.doc_id AS nid, CAST(count(*) AS BIGINT) AS inter
+        |          FROM toks q JOIN toks c ON q.w = c.w AND q.doc_id < 8 AND c.doc_id >= 8
+        |          GROUP BY 1, 2),
+        |lex AS (SELECT qid, nid, inter * 1.0 / (x.n + y.n - inter) AS jac
+        |        FROM inter JOIN sz x ON qid = x.doc_id JOIN sz y ON nid = y.doc_id),
+        |top AS (SELECT qid, nid, rank FROM (SELECT qid, nid,
+        |          row_number() OVER (PARTITION BY qid ORDER BY jac DESC, nid) AS rank FROM lex)
+        |        WHERE rank <= 10),
+        |qsrc AS (SELECT doc_id AS qid, source AS qsource FROM documents WHERE doc_id < 8),
+        |rel AS (SELECT t.qid, t.rank, CASE WHEN d.source = q.qsource THEN 1 ELSE 0 END AS rel
+        |        FROM top t JOIN documents d ON d.doc_id = t.nid JOIN qsrc q USING (qid)),
+        |dcg AS (SELECT qid, CAST(sum(CAST(floor(rel / (ln(rank + 1) / ln(2)) * 1e12 + 0.5) / 1e12
+        |                                  AS DECIMAL(28,12))) AS DOUBLE) AS dcg
+        |        FROM rel GROUP BY qid),
+        |nrel AS (SELECT q.qid, CAST(count(*) AS BIGINT) AS n_rel
+        |         FROM qsrc q JOIN documents d
+        |           ON d.source = q.qsource AND d.doc_id >= 8 AND d.doc_id < 500
+        |         GROUP BY q.qid),
+        |ideal AS (SELECT n.qid,
+        |            CAST(sum(CAST(floor(1 / (ln(i + 1) / ln(2)) * 1e12 + 0.5) / 1e12
+        |                          AS DECIMAL(28,12))) AS DOUBLE) AS idcg
+        |          FROM nrel n, range(1, 11) t(i) WHERE i <= n.n_rel GROUP BY n.qid)
+        |SELECT d.qid, n.n_rel, round(d.dcg / i.idcg, 6) AS ndcg
+        |FROM dcg d JOIN nrel n USING (qid) JOIN ideal i USING (qid)
+        |ORDER BY qid""".stripMargin) { (s, d) =>
+      val docsAll = Tables.documents(s, d)
+      val toks = docsAll.filter(col("doc_id") < 500)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      val toksP = BoundedCache.persist("pack.ndcg.toks", toks)
+      val sizes = toksP.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = toksP.filter(col("doc_id") < 8).select(col("doc_id").as("qid"), col("w"))
+        .join(toksP.filter(col("doc_id") >= 8).select(col("doc_id").as("nid"), col("w")), Seq("w"))
+        .groupBy(col("qid"), col("nid")).agg(count(lit(1)).as("inter"))
+      val lex = inter
+        .join(broadcast(sizes.select(col("doc_id").as("qid"), col("n").as("nq"))), Seq("qid"))
+        .join(sizes.select(col("doc_id").as("nid"), col("n").as("nc")), Seq("nid"))
+        .select(col("qid"), col("nid"),
+          (col("inter") * lit(1.0) / (col("nq") + col("nc") - col("inter"))).as("jac"))
+      val top = lex.withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("jac").desc, col("nid"))))
+        .filter(col("rank") <= 10).select(col("qid"), col("nid"), col("rank"))
+      val qsrc = broadcast(docsAll.filter(col("doc_id") < 8)
+        .select(col("doc_id").as("qid"), col("source").as("qsource")))
+      val rel = top
+        .join(docsAll.select(col("doc_id").as("nid"), col("source")), Seq("nid"))
+        .join(qsrc, Seq("qid"))
+        .select(col("qid"), col("rank"),
+          when(col("source") === col("qsource"), 1).otherwise(0).as("rel"))
+      val dcg = rel.groupBy(col("qid"))
+        .agg(sum(qdec(col("rel") / (log(col("rank") + 1) / log(lit(2.0))), 1e12))
+          .cast("double").as("dcg"))
+      val nrel = qsrc
+        .join(docsAll.filter(col("doc_id") >= 8 && col("doc_id") < 500)
+          .select(col("source").as("qsource")), Seq("qsource"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+      val ideal = nrel.crossJoin(s.range(1, 11).select(col("id").as("i")))
+        .filter(col("i") <= col("n_rel"))
+        .groupBy(col("qid"))
+        .agg(sum(qdec(lit(1) / (log(col("i") + 1) / log(lit(2.0))), 1e12))
+          .cast("double").as("idcg"))
+      dcg.join(broadcast(nrel), Seq("qid")).join(broadcast(ideal), Seq("qid"))
+        .select(col("qid"), col("n_rel"), round(col("dcg") / col("idcg"), 6).as("ndcg"))
+        .orderBy(col("qid"))
+    }
+  )
+}

@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Similarity, TextDedup}
+import graft.queries.Pack
+
+/** Round-9 continuation batch: KS/chi-squared drift tests, dense rerank,
+  * hard-negative mining, LSH-verified fuzzy dedup, temperature mixture
+  * weights, NDCG eval. Each gets an independent in-test reference
+  * (the DuckDB oracle is the driver's check; these pin semantics
+  * locally on hand-built inputs). */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val sf = TestSpark.sf0001
+
+  // ------------------------------------------------------------------ KS
+
+  test("stats_ks_test matches a hand-computed ECDF max-gap and pure-integer path") {
+    val rows = Pack.byName("stats_ks_test").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent reference: recompute D per event_type from raw events
+    val ev = graft.schemas.Tables.events(spark, sf)
+      .select($"event_type", ($"user_id" % 2).as("cohort"),
+        least(greatest(floor($"value").cast("long"), lit(0L)), lit(99L)).as("bucket"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = ev.groupBy(_._1)
+    rows.foreach { r =>
+      val et = r.getString(r.fieldIndex("event_type"))
+      val xs = byType(et)
+      val ref = xs.filter(_._2 == 0L).map(_._3)
+      val cur = xs.filter(_._2 == 1L).map(_._3)
+      assert(r.getLong(r.fieldIndex("n_ref")) == ref.length.toLong)
+      assert(r.getLong(r.fieldIndex("n_cur")) == cur.length.toLong)
+      val d = (0L to 99L).map { b =>
+        math.abs(ref.count(_ <= b).toLong * cur.length - cur.count(_ <= b).toLong * ref.length)
+      }.max
+      val expected = math.rint(d.toDouble / (ref.length.toDouble * cur.length) * 1e6) / 1e6
+      assert(math.abs(r.getDouble(r.fieldIndex("ks_stat")) - expected) < 1e-9, et)
+    }
+  }
+
+  test("KS detects an injected location shift and passes identical cohorts") {
+    // identical cohorts -> D = 0; shifted cohort -> large D
+    def ks(vals0: Seq[Double], vals1: Seq[Double]): (Double, Boolean) = {
+      val df = vals0.map(v => (0L, v)) ++ vals1.map(v => (1L, v))
+      val d = df.toDF("u", "value")
+        .select(lit("t").as("event_type"), $"u".as("user_id"), $"value",
+          lit(1L).as("event_id"), lit("x").as("props"),
+          current_timestamp().as("ts"))
+      // reuse the declared query's arithmetic inline (bucketed integer KS)
+      val b = d.select($"event_type", ($"user_id" % 2).as("cohort"),
+        least(greatest(floor($"value").cast("long"), lit(0L)), lit(99L)).as("bucket"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      val r0 = b.filter(_._1 == 0L).map(_._2); val r1 = b.filter(_._1 == 1L).map(_._2)
+      val dmax = (0L to 99L).map(x =>
+        math.abs(r0.count(_ <= x).toLong * r1.length - r1.count(_ <= x).toLong * r0.length)).max
+      val stat = dmax.toDouble / (r0.length.toDouble * r1.length)
+      (stat, stat > 1.358 * math.sqrt((r0.length + r1.length) / (r0.length.toDouble * r1.length)))
+    }
+    val base = (0 until 400).map(i => (i % 50).toDouble)
+    val (d0, f0) = ks(base, base)
+    assert(d0 == 0.0 && !f0)
+    val (d1, f1) = ks(base, base.map(_ + 30.0))
+    assert(d1 > 0.5 && f1)
+  }
+
+  // ---------------------------------------------------------------- chi2
+
+  test("chi-squared is ~0 on an independent table and exact on a hand 2x2") {
+    // hand 2x2: O = [[10, 20], [30, 40]]; chi2 = sum (O-E)^2/E
+    val o = Seq(("a", 0L, 10L), ("a", 1L, 20L), ("b", 0L, 30L), ("b", 1L, 40L))
+    val n = 100.0
+    val rt = Map("a" -> 30.0, "b" -> 70.0); val ct = Map(0L -> 40.0, 1L -> 60.0)
+    val expected = o.map { case (t, c, obs) =>
+      val e = rt(t) * ct(c) / n; (obs - e) * (obs - e) / e
+    }.sum
+    // reproduce the declared query's arithmetic on the same table shape
+    val cells = o.toDF("event_type", "cohort", "o")
+    val rtDf = cells.groupBy($"event_type").agg(sum($"o").as("r"))
+    val ctDf = cells.groupBy($"cohort").agg(sum($"o").as("c"))
+    val nDf = cells.agg(sum($"o").as("n"))
+    val e = $"r".cast("double") * $"c" / $"n"
+    val chi2 = cells.join(broadcast(rtDf), Seq("event_type"))
+      .join(broadcast(ctDf), Seq("cohort")).crossJoin(broadcast(nDf))
+      .select((($"o" - e) * ($"o" - e) / e).as("t"))
+      .agg(sum($"t")).head.getDouble(0)
+    assert(math.abs(chi2 - expected) < 1e-9)
+    // declared query on fixture data: chi2 >= 0, V in [0, 1]
+    val r = Pack.byName("stats_chi2_independence").fn(spark, sf).head()
+    assert(r.getDouble(r.fieldIndex("chi2")) >= 0.0)
+    val v = r.getDouble(r.fieldIndex("cramers_v"))
+    assert(v >= 0.0 && v <= 1.0)
+  }
+
+  // ------------------------------------------------------ hard negatives
+
+  test("hard negatives never share the query's label and match brute-filter reference") {
+    val e = graft.schemas.Tables.embeddings(spark, sf)
+    val got = Similarity.hardNegativeTopK(e, e.filter($"vec_id" < 5), 3).collect()
+    val labels = e.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    got.foreach { r =>
+      val q = r.getLong(r.fieldIndex("qid")); val n = r.getLong(r.fieldIndex("nid"))
+      assert(labels(q) != labels(n), s"q=$q n=$n share label")
+      assert(labels(n) == r.getInt(r.fieldIndex("neg_label")))
+    }
+    // reference: full brute top-k with a big k, filtered to label mismatch
+    val brute = Similarity.bruteTopK(e, e.filter($"vec_id" < 5), 500).collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("nid")),
+        r.getDouble(r.fieldIndex("cos"))))
+    val refTop = brute.groupBy(_._1).map { case (q, xs) =>
+      q -> xs.filter { case (_, n, _) => labels(n) != labels(q) }
+        .sortBy { case (_, n, c) => (-c, n) }.take(3).map(_._2).toSeq
+    }
+    got.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val ours = rs.sortBy(_.getInt(rs.head.fieldIndex("rank"))).map(_.getLong(rs.head.fieldIndex("nid"))).toSeq
+      assert(ours == refTop(q), s"query $q")
+    }
+  }
+
+  // ------------------------------------------------------------ fuzzy dedup
+
+  test("LSH-verified fuzzy dedup surfaces a near-identical pair with a small distance") {
+    val base = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok7", "tok7x") // one token edited -> 1 char
+    val far = (0 until 40).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, far)).toDF("doc_id", "text")
+    val cand = TextDedup.lshCandidatePairs(docs, "doc_id", "text",
+      numHashes = 16, rowsPerBand = 4, maxBucketSize = 64)
+    val t1 = docs.select($"doc_id".as("d1"), $"text".as("t1"))
+    val t2 = docs.select($"doc_id".as("d2"), $"text".as("t2"))
+    val v = cand.join(t1, Seq("d1")).join(t2, Seq("d2"))
+      .select($"d1", $"d2", levenshtein($"t1", $"t2").as("dist"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(v.contains((1L, 2L)), s"near-dup pair not surfaced: $v")
+    assert(v((1L, 2L)) == 1)
+    assert(!v.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      "unrelated doc should not be a candidate")
+  }
+
+  test("declared fuzzy-dedup flags satisfy the integer threshold contract") {
+    val rows = Pack.byName("dedup_fuzzy_levenshtein").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dup = r.getBoolean(r.fieldIndex("is_dup"))
+      val ok = r.getInt(r.fieldIndex("dist")) * 10 <= r.getInt(r.fieldIndex("len_max"))
+      assert(dup == ok)
+    }
+  }
+
+  // ---------------------------------------------------- temperature mixture
+
+  test("temperature weights sum to 1 and upsample rare sources") {
+    val rows = Pack.byName("mixture_temperature_weights").fn(spark, sf).collect()
+    assert(rows.length > 1)
+    val ps = rows.map(r => (r.getDouble(r.fieldIndex("p_raw")),
+      r.getDouble(r.fieldIndex("p_temp")), r.getDouble(r.fieldIndex("up_factor"))))
+    assert(math.abs(ps.map(_._2).sum - 1.0) < 1e-4)
+    // sqrt flattening: up_factor strictly decreases as p_raw grows
+    val sorted = ps.sortBy(_._1)
+    sorted.sliding(2).foreach { case Array((p1, _, u1), (p2, _, u2)) =>
+      if (p2 > p1) assert(u2 <= u1, s"up_factor must fall with p: $sorted")
+    }
+    // w ∝ sqrt(p): ratio check on the extremes
+    val (pLo, wLo, _) = sorted.head; val (pHi, wHi, _) = sorted.last
+    assert(math.abs(wHi / wLo - math.sqrt(pHi / pLo)) < 1e-2)
+  }
+
+  // -------------------------------------------------------------- NDCG
+
+  test("NDCG is 1 for a perfect ranking and <1 when a non-relevant doc intrudes") {
+    def ndcg(rels: Seq[Int], nRel: Int): Double = {
+      val dcg = rels.zipWithIndex.map { case (r, i) => r / (math.log(i + 2) / math.log(2)) }.sum
+      val idcg = (1 to math.min(10, nRel)).map(i => 1.0 / (math.log(i + 1) / math.log(2))).sum
+      dcg / idcg
+    }
+    assert(math.abs(ndcg(Seq.fill(10)(1), 100) - 1.0) < 1e-12)
+    assert(ndcg(Seq(0, 1, 1, 1, 1, 1, 1, 1, 1, 1), 100) < 1.0)
+    val rows = Pack.byName("retrieval_ndcg_eval").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getDouble(r.fieldIndex("ndcg"))
+      assert(v >= 0.0 && v <= 1.0 + 1e-9)
+    }
+  }
+}
