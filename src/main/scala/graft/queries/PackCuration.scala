@@ -385,6 +385,185 @@ object PackCuration {
       dcg.join(broadcast(nrel), Seq("qid")).join(broadcast(ideal), Seq("qid"))
         .select(col("qid"), col("n_rel"), round(col("dcg") / col("idcg"), 6).as("ndcg"))
         .orderBy(col("qid"))
+    },
+
+    // Rule-based data-quality expectations (the Great-Expectations-style
+    // contract check a warehouse load runs before publish): per rule,
+    // checked/failed counts and the pass rate. The four column rules
+    // share ONE lineitem scan (conditional partial+final sums, then an
+    // explode into rule rows — never four scans); referential integrity
+    // is a left join with a null-probe count; key uniqueness aggregates
+    // per-key counts. Everything is integer until the final pass-rate
+    // division.
+    QDef("dq_expectations",
+      """WITH li AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        |    CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+        |    CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS f4
+        |  FROM lineitem),
+        |fk AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS f
+        |       FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |uq AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(COALESCE(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0) AS BIGINT) AS f
+        |       FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY 1)),
+        |r AS (
+        |  SELECT 'shipdate_not_null' AS rule, n, f1 AS n_failed FROM li
+        |  UNION ALL SELECT 'discount_in_range', n, f2 FROM li
+        |  UNION ALL SELECT 'quantity_positive', n, f3 FROM li
+        |  UNION ALL SELECT 'price_positive', n, f4 FROM li
+        |  UNION ALL SELECT 'orderkey_fk_orders', n, f FROM fk
+        |  UNION ALL SELECT 'orderkey_unique', n, f FROM uq)
+        |SELECT rule, n AS n_checked, n_failed,
+        |  round(CAST(n - n_failed AS DOUBLE) / n, 6) AS pass_rate
+        |FROM r ORDER BY rule""".stripMargin) { (s, d) =>
+      def fail(c: Column) = sum(when(c, 1L).otherwise(0L))
+      val li = Tables.lineitem(s, d)
+      val liAgg = li.agg(count(lit(1)).as("n"),
+        fail(col("l_shipdate").isNull).as("f1"),
+        fail(col("l_discount") < 0 || col("l_discount") > 0.1).as("f2"),
+        fail(col("l_quantity") <= 0).as("f3"),
+        fail(col("l_extendedprice") <= 0).as("f4"))
+      val liRules = liAgg.select(explode(array(
+          struct(lit("shipdate_not_null").as("rule"), col("n"), col("f1").as("n_failed")),
+          struct(lit("discount_in_range").as("rule"), col("n"), col("f2").as("n_failed")),
+          struct(lit("quantity_positive").as("rule"), col("n"), col("f3").as("n_failed")),
+          struct(lit("price_positive").as("rule"), col("n"), col("f4").as("n_failed"))))
+          .as("r"))
+        .select(col("r.rule").as("rule"), col("r.n").as("n"), col("r.n_failed").as("n_failed"))
+      val fk = li.select(col("l_orderkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(count(lit(1)).as("n"), fail(col("o_orderkey").isNull).as("n_failed"))
+        .select(lit("orderkey_fk_orders").as("rule"), col("n"), col("n_failed"))
+      val uq = Tables.orders(s, d).groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(when(col("c") > 1, col("c")).otherwise(0L)), lit(0L)).as("n_failed"))
+        .select(lit("orderkey_unique").as("rule"), col("n"), col("n_failed"))
+      liRules.unionByName(fk).unionByName(uq)
+        .select(col("rule"), col("n").as("n_checked"), col("n_failed"),
+          round((col("n") - col("n_failed")).cast("double") / col("n"), 6).as("pass_rate"))
+        .orderBy(col("rule"))
+    },
+
+    // Rolling z-score anomaly detection per user — the self-calibrating
+    // outlier monitor (each point scored against ITS OWN trailing 20
+    // events, so regime changes don't poison a global threshold; the
+    // global form is stats_zscore_outliers). Trailing mean/variance come
+    // from exact DECIMAL window sums over the (user, event order) frame
+    // — the Welch recipe applied to a moving window; only frames with
+    // >= 10 points score. Partitioned by user: each history sorts
+    // within its own task, no global window.
+    QDef("ts_anomaly_rolling",
+      """WITH w AS (SELECT event_id, user_id, value,
+        |    CAST(count(value) OVER fr AS BIGINT) AS n_frame,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) OVER fr AS DOUBLE) AS sv,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER fr AS DOUBLE) AS svv
+        |  FROM events
+        |  WINDOW fr AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT event_id, user_id, value, n_frame,
+        |        (value - sv / n_frame) / sqrt((svv - sv / n_frame * sv) / (n_frame - 1)) AS z
+        |      FROM w WHERE n_frame >= 10)
+        |SELECT event_id, user_id, value, n_frame, round(z, 6) AS z_score
+        |FROM z WHERE abs(z) > 3 ORDER BY event_id""".stripMargin) { (s, d) =>
+      val D = DecimalType(18, 2)
+      def dec(c: Column) = c.cast(D)
+      val fr = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(-20, -1)
+      val w = Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"),
+        count(col("value")).over(fr).as("n_frame"),
+        sum(dec(col("value"))).over(fr).cast("double").as("sv"),
+        sum(dec(col("value")) * dec(col("value"))).over(fr).cast("double").as("svv"))
+      val z = (col("value") - col("sv") / col("n_frame")) /
+        sqrt((col("svv") - col("sv") / col("n_frame") * col("sv")) / (col("n_frame") - lit(1)))
+      w.filter(col("n_frame") >= 10)
+        .select(col("event_id"), col("user_id"), col("value"), col("n_frame"),
+          z.as("z"))
+        .filter(abs(col("z")) > 3)
+        .select(col("event_id"), col("user_id"), col("value"), col("n_frame"),
+          round(col("z"), 6).as("z_score"))
+        .orderBy(col("event_id"))
+    },
+
+    // Cluster-then-select — the curation ACTION on top of the near-dup
+    // clustering family (dedup_cluster_cc labels, dedup_cluster_summary
+    // reports; this picks the survivor): within each SimHash-pair
+    // connected component, keep the longest document (tie: smallest id).
+    // Selection is a per-cluster bounded argmax over the labeled frame —
+    // clusters are near-dup sets, small by construction.
+    QDef("dedup_cluster_keep_best",
+      s"""WITH RECURSIVE ${PackExt.simhashCte("doc_id < 128")},
+         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |          WHERE bit_count(xor(a.simhash, b.simhash)) <= 12),
+         |sym AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+         |reach(a, b) AS (SELECT doc_id, doc_id FROM sh
+         |                UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         |lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |j AS (SELECT l.cluster_id, l.doc_id, d.n_chars
+         |      FROM lab l JOIN documents d USING (doc_id)),
+         |best AS (SELECT cluster_id, doc_id AS keep_id, n_chars AS keep_chars,
+         |           row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+         |         FROM j),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs FROM j GROUP BY 1)
+         |SELECT b.cluster_id, b.keep_id, b.keep_chars, sz.n_docs
+         |FROM best b JOIN sz USING (cluster_id) WHERE b.rn = 1
+         |ORDER BY cluster_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 128)
+      val pairs = TextDedup.simhashPairs(
+        TextDedup.simhash(docs, "doc_id", "text"), 12).select(col("d1"), col("d2"))
+      val lab = TextDedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      val j = BoundedCache.persist("pack.keepbest.j",
+        lab.join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id")))
+      val best = j.withColumn("rn", row_number().over(
+          Window.partitionBy(col("cluster_id")).orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keep_id"), col("n_chars").as("keep_chars"))
+      val sz = j.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
+      best.join(sz, Seq("cluster_id"))
+        .select(col("cluster_id"), col("keep_id"), col("keep_chars"), col("n_docs"))
+        .orderBy(col("cluster_id"))
+    },
+
+    // Nearest-centroid classification eval: assign every vector to the
+    // argmax-dot stored centroid and grade against its label — the
+    // quantizer-quality eval beside ann_recall_eval (recall grades the
+    // SEARCH; this grades the coarse PARTITIONER the IVF family serves
+    // from). All k centroid vectors ride in ONE broadcast row-set and
+    // the argmax runs through the bounded-heap top-1 per vector; the
+    // corpus is touched once, map-side.
+    QDef("emb_centroid_assign_eval",
+      s"""WITH cents AS (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean
+         |               FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+         |cvec AS (SELECT label AS pb, list(mean ORDER BY i) AS cv FROM cents GROUP BY label),
+         |asg AS (SELECT e.vec_id, e.label AS true_label, c.pb,
+         |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |            round(${dotSql("e.embedding", "c.cv")}, 6) DESC, c.pb) AS rn
+         |        FROM embeddings e, cvec c)
+         |SELECT true_label AS label, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN pb = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  round(CAST(sum(CASE WHEN pb = true_label THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS accuracy
+         |FROM asg WHERE rn = 1 GROUP BY true_label ORDER BY label""".stripMargin) { (s, d) =>
+      val nd = Similarity.nativeDot(s, _: Column, _: Column)
+      val cents = PackExt.persistedCentroids(s, d)
+      val byBucket = cents.groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("i"), col("mean")))).as("c"))
+        .select(col("label").as("pb"), transform(col("c"), x => x.getField("mean")).as("cvec"))
+      val scored = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").as("true_label"), col("embedding"))
+        .crossJoin(broadcast(byBucket))
+        .select(col("vec_id"), col("true_label"), col("pb"),
+          round(nd(col("embedding"), col("cvec")), 6).as("score"))
+      val top1 = graft.ops.Ops.topKPerKey(
+          scored, Seq("vec_id"), Seq(("score", true), ("pb", false)), 1)
+      top1.groupBy(col("true_label"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pb") === col("true_label"), 1L).otherwise(0L)).as("n_correct"))
+        .select(col("true_label").as("label"), col("n"), col("n_correct"),
+          round(col("n_correct").cast("double") / col("n"), 6).as("accuracy"))
+        .orderBy(col("label"))
     }
   )
 }

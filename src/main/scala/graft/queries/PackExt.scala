@@ -118,7 +118,7 @@ object PackExt {
   }
 
   /** SimHash signature CTE (shared by the two simhash queries). */
-  private def simhashCte(pred: String): String =
+  private[queries] def simhashCte(pred: String): String =
     s"""words AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS w
        |          FROM documents WHERE $pred),
        |bits AS (SELECT doc_id, b,

@@ -184,4 +184,137 @@ class CurationSpec extends AnyFunSuite {
       assert(v >= 0.0 && v <= 1.0 + 1e-9)
     }
   }
+
+  // ---------------------------------------------------------- expectations
+
+  test("dq_expectations: rates are consistent and FK rule matches an independent anti-join") {
+    val rows = Pack.byName("dq_expectations").fn(spark, sf).collect()
+      .map(r => r.getString(r.fieldIndex("rule")) ->
+        (r.getLong(r.fieldIndex("n_checked")), r.getLong(r.fieldIndex("n_failed")),
+          r.getDouble(r.fieldIndex("pass_rate")))).toMap
+    assert(rows.size == 6)
+    rows.foreach { case (rule, (n, f, p)) =>
+      assert(f >= 0 && f <= n, rule)
+      assert(math.abs(p - math.rint((n - f).toDouble / n * 1e6) / 1e6) < 1e-12, rule)
+    }
+    // independent FK reference: LEFT ANTI count
+    val li = graft.schemas.Tables.lineitem(spark, sf)
+    val ord = graft.schemas.Tables.orders(spark, sf)
+    val orphans = li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti").count()
+    assert(rows("orderkey_fk_orders")._2 == orphans)
+    assert(rows("orderkey_fk_orders")._1 == li.count())
+  }
+
+  test("dq_expectations flags injected violations (not vacuously green)") {
+    // the declared query runs on the (clean) fixture; prove the rule
+    // arithmetic catches dirt by replaying it on a dirtied frame
+    val dirty = Seq[(java.lang.Double, java.lang.Double)]((5.0, 0.05), (-1.0, 0.05), (3.0, 0.5), (null, 0.02))
+      .toDF("l_quantity", "l_discount")
+    val agg = dirty.agg(
+      sum(when($"l_quantity" <= 0, 1L).otherwise(0L)).as("neg_qty"),
+      sum(when($"l_discount" < 0 || $"l_discount" > 0.1, 1L).otherwise(0L)).as("bad_disc"),
+      sum(when($"l_quantity".isNull, 1L).otherwise(0L)).as("null_qty")).head
+    assert(agg.getLong(0) == 1 && agg.getLong(1) == 1 && agg.getLong(2) == 1)
+  }
+
+  // ------------------------------------------------------- rolling anomaly
+
+  test("ts_anomaly_rolling matches a hand-rolled trailing-window reference") {
+    val got = Pack.byName("ts_anomaly_rolling").fn(spark, sf).collect()
+      .map(r => r.getLong(r.fieldIndex("event_id")) -> r.getDouble(r.fieldIndex("z_score"))).toMap
+    // reference: per user, scan the ordered history with an explicit loop
+    val ev = graft.schemas.Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = scala.collection.mutable.Map[Long, Double]()
+    ev.groupBy(_._2).foreach { case (_, xs) =>
+      val h = xs.sortBy(_._1)
+      for (i <- h.indices) {
+        val frame = h.slice(math.max(0, i - 20), i).map(_._3)
+        if (frame.length >= 10) {
+          // BigDecimal(2dp) sums mirror the query's DECIMAL(18,2) discipline
+          val sv = frame.map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+          val svv = frame.map { v =>
+            val d = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP); d * d
+          }.sum.toDouble
+          val n = frame.length.toDouble
+          val z = (h(i)._3 - sv / n) / math.sqrt((svv - sv / n * sv) / (n - 1))
+          if (math.abs(z) > 3) expected(h(i)._1) = math.rint(z * 1e6) / 1e6
+        }
+      }
+    }
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, z) => assert(math.abs(z - expected(id)) < 1e-9, s"event $id") }
+  }
+
+  // ------------------------------------------------------- cluster keep-best
+
+  test("dedup_cluster_keep_best keeps the longest member of every cluster") {
+    val keep = Pack.byName("dedup_cluster_keep_best").fn(spark, sf).collect()
+    assert(keep.nonEmpty)
+    // reference members from the cluster summary (same labeling machinery,
+    // but the ASSERTION below checks against raw doc lengths)
+    val lens = graft.schemas.Tables.documents(spark, sf).filter($"doc_id" < 128)
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect().toMap
+    val summary = Pack.byName("dedup_cluster_summary").fn(spark, sf).collect()
+      .map(r => r.getLong(r.fieldIndex("cluster_id")) ->
+        r.getString(r.fieldIndex("members")).stripPrefix("[").stripSuffix("]")
+          .split(",").filter(_.nonEmpty).map(_.trim.toLong).toSeq).toMap
+    assert(keep.map(_.getLong(0)).toSet == summary.keySet)
+    keep.foreach { r =>
+      val cid = r.getLong(r.fieldIndex("cluster_id"))
+      val kid = r.getLong(r.fieldIndex("keep_id"))
+      val members = summary(cid)
+      assert(r.getLong(r.fieldIndex("n_docs")) == members.size.toLong)
+      val maxLen = members.map(lens).max
+      assert(lens(kid) == maxLen, s"cluster $cid keeps $kid")
+      // tie discipline: smallest id among max-length members
+      assert(kid == members.filter(m => lens(m) == maxLen).min)
+    }
+  }
+
+  // --------------------------------------------------- centroid assignment
+
+  test("centroid assignment matches a driver-side argmax for sampled vectors") {
+    val got = Pack.byName("emb_centroid_assign_eval").fn(spark, sf).collect()
+    val n = got.map(_.getLong(1)).sum
+    assert(n == graft.schemas.Tables.embeddings(spark, sf).count())
+    got.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_correct")) <= r.getLong(r.fieldIndex("n")))
+      val acc = r.getDouble(r.fieldIndex("accuracy"))
+      assert(acc >= 0.0 && acc <= 1.0)
+    }
+    // independent reference: collected centroids, literal argmax per vector
+    val e = graft.schemas.Tables.embeddings(spark, sf)
+    val cents = e.select($"label", $"embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble)))
+      .groupBy(_._1).map { case (l, xs) =>
+        val dims = xs.head._2.length
+        l -> (0 until dims).map(i =>
+          math.rint(xs.map(_._2(i)).sum / xs.length * 1e6) / 1e6)
+      }
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val vecs = e.filter($"vec_id" < 20)
+      .select($"vec_id", $"label", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble)))
+    // per-label accuracy over the sample must agree with a literal argmax
+    val refAssign = vecs.map { case (id, _, emb) =>
+      id -> cents.toSeq.map { case (l, cv) =>
+        (math.rint(dot(emb, cv) * 1e6) / 1e6, l)
+      }.maxBy { case (s, l) => (s, -l) }._2
+    }.toMap
+    // recompute the engine's top-1 for the same sample through the query machinery
+    val nd = graft.ext.Similarity.nativeDot(spark, _, _)
+    val byBucket = graft.ext.Similarity.centroids(e, "label")
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"i", $"mean"))).as("c"))
+      .select($"label".as("pb"), transform($"c", x => x.getField("mean")).as("cvec"))
+    val engine = e.filter($"vec_id" < 20).crossJoin(broadcast(byBucket))
+      .select($"vec_id", $"pb", round(nd($"embedding", $"cvec"), 6).as("score"))
+    val engineTop = graft.ops.Ops.topKPerKey(engine, Seq("vec_id"),
+        Seq(("score", true), ("pb", false)), 1)
+      .select($"vec_id", $"pb").as[(Long, Int)].collect().toMap
+    refAssign.foreach { case (id, l) => assert(engineTop(id) == l, s"vec $id") }
+  }
 }

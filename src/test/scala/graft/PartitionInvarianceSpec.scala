@@ -27,7 +27,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "retrieval_hybrid_rrf",      // two-list rank fusion
     "graph_pagerank",            // decimal-quantized iteration
     "text_line_dedup",           // salted line counts + ordered rebuild md5
-    "graph_triangle_count")      // orientation + wedge-join closure counts
+    "graph_triangle_count",      // orientation + wedge-join closure counts
+    "stats_ks_test",             // integer ECDF products over window cumsums
+    "ts_anomaly_rolling",        // decimal rolling moments + double z threshold
+    "mixture_temperature_weights", // quantized-decimal sqrt normalizer
+    "mine_hard_negatives")       // broadcast scoring + bounded-heap ranks
 
   private def collectAt(name: String, partitions: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

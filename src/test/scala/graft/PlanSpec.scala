@@ -465,6 +465,62 @@ class PlanSpec extends AnyFunSuite {
       "the corpus must not shuffle by token for the vocab probe")
   }
 
+  test("KS drift test: every ECDF window reads pre-binned aggregates, never raw events") {
+    val df = Pack.byName("stats_ks_test").fn(spark, TestSpark.sf0001)
+    df.count()
+    val exec = df.queryExecution.executedPlan
+    val wins = walk(exec).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, s"the cumulative ECDF must be a window:\n$exec")
+    // the window partitions by event_type alone — safe ONLY because its
+    // input is the (event_type, bucket) aggregate (<= 100 rows per type
+    // at any corpus size); a window over raw events would serialize each
+    // event_type's full history onto one task. The binned frame is
+    // BoundedCache-persisted, so the walk must descend into the cached
+    // relation's plan to find the aggregate.
+    def walkCached(pl: SparkPlan): Seq[SparkPlan] = walk(pl).flatMap {
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        im +: walkCached(im.relation.cachedPlan)
+      case o => Seq(o)
+    }
+    wins.foreach { w =>
+      assert(walkCached(w.child).exists {
+        case a: BaseAggregateExec => a.groupingExpressions.nonEmpty
+        case _                    => false
+      }, s"ECDF window input must be the binned aggregate, got:\n${w.child}")
+    }
+  }
+
+  test("hard-negative mining: query block broadcasts; corpus streams scan-to-join unshuffled") {
+    val df = Pack.byName("mine_hard_negatives").fn(spark, TestSpark.sf0001)
+    df.count()
+    val exec = df.queryExecution.executedPlan
+    val bnlj = walk(exec).collect { case b: BroadcastNestedLoopJoinExec => b }
+    assert(bnlj.size == 1, s"exactly one broadcast scoring join expected:\n$exec")
+    val stream = bnlj.head.buildSide match {
+      case BuildRight => bnlj.head.left
+      case BuildLeft  => bnlj.head.right
+    }
+    assert(!walk(stream).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
+      s"the corpus side must reach the scoring join without a shuffle:\n$stream")
+  }
+
+  test("fuzzy dedup verifies banded-LSH candidates: equi-joins only, no cross product") {
+    val p = plan("dedup_fuzzy_levenshtein")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation and text fetch must stay equi-joins:\n$p")
+    assert(p.contains("levenshtein"),
+      s"the verification stage must compute the edit distance in-plan:\n$p")
+  }
+
+  test("dense rerank cascade: candidate and embedding joins are equi-joins, no cross product") {
+    val p = plan("retrieval_rerank_dense")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the dense stage must score only id-joined candidates:\n$p")
+  }
+
   test("bucketed SMB join consumes bucket files with zero join exchanges") {
     val p = plan("join_bucketed_smb")
     assert(p.contains("SortMergeJoin"), s"must sort-merge over buckets:\n$p")
