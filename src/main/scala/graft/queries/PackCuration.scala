@@ -564,6 +564,184 @@ object PackCuration {
         .select(col("true_label").as("label"), col("n"), col("n_correct"),
           round(col("n_correct").cast("double") / col("n"), 6).as("accuracy"))
         .orderBy(col("label"))
+    },
+
+    // Rolling DISCRETE median per user — the robust companion of
+    // ts_anomaly_rolling's mean/std (one wild spike shifts a trailing
+    // mean for 20 rows; the median shrugs it off). Discrete (lower
+    // middle, matching DuckDB quantile_disc ties) deliberately: the
+    // answer is always an ACTUAL data value, so no interpolation
+    // arithmetic exists to diverge between engines — the statistic is
+    // selection, not float math. The 11-row frame materializes as a
+    // bounded sorted array per row; the window partitions per user.
+    QDef("ts_rolling_median",
+      """SELECT event_id, user_id, value,
+        |  quantile_disc(value, 0.5) OVER
+        |    (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS roll_med
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val fr = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(-10, 0)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          sort_array(collect_list(col("value")).over(fr)).as("a"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          element_at(col("a"), ((size(col("a")) + 1) / 2).cast("int")).as("roll_med"))
+        .orderBy(col("event_id"))
+    },
+
+    // Common-neighbor link prediction over the co-purchase graph (the
+    // graph_triangle_count edge set): for non-adjacent supplier pairs,
+    // the number of shared neighbors and the neighborhood Jaccard —
+    // the classic "you may also know" scorer. Wedges enumerate through
+    // CENTERS of degree <= 512 (mirrored in the oracle): a hub center of
+    // degree d sources d² wedges, so the cap bounds the wedge join at
+    // 512·m under ANY skew — the documented recall tradeoff every
+    // production similarity miner makes (high-degree centers carry the
+    // least signal per Adamic-Adar anyway). Candidates must be
+    // non-edges: a broadcast anti-join against the edge set. Jaccard is
+    // an integer ratio (exact double); top-20 by (cn, jaccard) with id
+    // tiebreaks through the bounded-heap operator.
+    QDef("graph_common_neighbors",
+      """WITH e0 AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        |            FROM lineitem a JOIN lineitem b
+        |              ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |            WHERE a.l_orderkey % 20 = 0),
+        |adj AS (SELECT u AS x, v AS y FROM e0 UNION ALL SELECT v, u FROM e0),
+        |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY x),
+        |ctr AS (SELECT adj.x, adj.y FROM adj JOIN deg ON deg.x = adj.x WHERE deg.d <= 512),
+        |w AS (SELECT a.y AS u, b.y AS v, CAST(count(*) AS BIGINT) AS cn
+        |      FROM ctr a JOIN ctr b ON a.x = b.x AND a.y < b.y
+        |      GROUP BY 1, 2),
+        |nonedge AS (SELECT w.u, w.v, w.cn FROM w
+        |            LEFT JOIN e0 ON e0.u = w.u AND e0.v = w.v WHERE e0.u IS NULL),
+        |scored AS (SELECT n.u, n.v, n.cn,
+        |             round(CAST(n.cn AS DOUBLE) / (du.d + dv.d - n.cn), 6) AS jaccard
+        |           FROM nonedge n JOIN deg du ON du.x = n.u JOIN deg dv ON dv.x = n.v)
+        |SELECT u, v, cn, jaccard,
+        |  CAST(row_number() OVER (ORDER BY cn DESC, jaccard DESC, u, v) AS INTEGER) AS rank
+        |FROM scored QUALIFY rank <= 20 ORDER BY rank""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val e0 = BoundedCache.persist("pack.cn.edges",
+        li.alias("a").join(li.alias("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_suppkey") < col("b.l_suppkey"))
+          .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v")).distinct())
+      val adj = e0.select(col("u").as("x"), col("v").as("y"))
+        .unionAll(e0.select(col("v").as("x"), col("u").as("y")))
+      val adjP = BoundedCache.persist("pack.cn.adj", adj)
+      val deg = BoundedCache.persist("pack.cn.deg",
+        adjP.groupBy(col("x")).agg(count(lit(1)).as("d")))
+      val ctr = adjP.join(broadcast(deg.filter(col("d") <= 512)), Seq("x"))
+        .select(col("x"), col("y"))
+      val w = ctr.alias("a").join(ctr.alias("b"),
+          col("a.x") === col("b.x") && col("a.y") < col("b.y"))
+        .groupBy(col("a.y").as("u"), col("b.y").as("v"))
+        .agg(count(lit(1)).as("cn"))
+      val nonedge = w.join(e0, Seq("u", "v"), "left_anti")
+      val scored = nonedge
+        .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+        .select(col("u"), col("v"), col("cn"),
+          round(col("cn").cast("double") / (col("du") + col("dv") - col("cn")), 6).as("jaccard"))
+      val top = graft.ops.Ops.topKPerKey(
+        scored.withColumn("_g", lit(1)), Seq("_g"),
+        Seq(("cn", true), ("jaccard", true), ("u", false), ("v", false)), 20)
+      top.withColumn("rank", row_number().over(
+          Window.partitionBy(col("_g"))
+            .orderBy(col("cn").desc, col("jaccard").desc, col("u"), col("v"))).cast("int"))
+        .select(col("u"), col("v"), col("cn"), col("jaccard"), col("rank"))
+        .orderBy(col("rank"))
+    },
+
+    // Maximal-Marginal-Relevance diversified reranking (Carbonell &
+    // Goldstein), lambda = 0.7, k = 3, unrolled: each pick maximizes
+    // 0.7·relevance − 0.3·(max similarity to already-picked). The
+    // candidate pool is the dense top-10 per query, so every MMR step
+    // is a bounded argmax over <= 10 rows and the pairwise
+    // candidate-candidate similarity matrix is <= 90 rows per query —
+    // the cascade shape again: corpus work is the candidate gen, the
+    // diversification never touches the corpus. All scores are
+    // 6dp-rounded cosines combined with one double expression per step,
+    // identical in the oracle.
+    QDef("retrieval_mmr_diversify",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+         |base AS (SELECT q.qid, e.vec_id AS nid, e.embedding AS ne,
+         |           round(${cosSql("q.qe", "e.embedding")}, 6) AS rel
+         |         FROM q, embeddings e WHERE e.vec_id >= 8 AND e.vec_id < 500),
+         |cand AS (SELECT qid, nid, ne, rel FROM (SELECT qid, nid, ne, rel,
+         |           row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rn FROM base)
+         |         WHERE rn <= 10),
+         |sims AS (SELECT x.qid, x.nid AS a, y.nid AS b, round(${cosSql("x.ne", "y.ne")}, 6) AS sim
+         |         FROM cand x JOIN cand y ON x.qid = y.qid AND x.nid <> y.nid),
+         |s1 AS (SELECT qid, nid, rel FROM (SELECT qid, nid, rel,
+         |         row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rn FROM cand)
+         |       WHERE rn = 1),
+         |m2 AS (SELECT c.qid, c.nid, 0.7 * c.rel - 0.3 * s.sim AS score
+         |       FROM cand c JOIN s1 ON c.qid = s1.qid AND c.nid <> s1.nid
+         |       JOIN sims s ON s.qid = c.qid AND s.a = c.nid AND s.b = s1.nid),
+         |s2 AS (SELECT qid, nid, score FROM (SELECT qid, nid, score,
+         |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn FROM m2)
+         |       WHERE rn = 1),
+         |m3 AS (SELECT c.qid, c.nid,
+         |         0.7 * c.rel - 0.3 * greatest(x1.sim, x2.sim) AS score
+         |       FROM cand c JOIN s1 ON c.qid = s1.qid AND c.nid <> s1.nid
+         |       JOIN s2 ON c.qid = s2.qid AND c.nid <> s2.nid
+         |       JOIN sims x1 ON x1.qid = c.qid AND x1.a = c.nid AND x1.b = s1.nid
+         |       JOIN sims x2 ON x2.qid = c.qid AND x2.a = c.nid AND x2.b = s2.nid),
+         |s3 AS (SELECT qid, nid, score FROM (SELECT qid, nid, score,
+         |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn FROM m3)
+         |       WHERE rn = 1)
+         |SELECT qid, nid, rank, round(mmr, 6) AS mmr FROM (
+         |  SELECT qid, nid, 1 AS rank, rel AS mmr FROM s1
+         |  UNION ALL SELECT qid, nid, 2, score FROM s2
+         |  UNION ALL SELECT qid, nid, 3, score FROM s3)
+         |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val nd = Similarity.nativeDot(s, _: Column, _: Column)
+      def cosC(a: Column, b: Column) =
+        round(nd(a, b) / (sqrt(nd(a, a)) * sqrt(nd(b, b))), 6)
+      val emb = Tables.embeddings(s, d)
+      val q = broadcast(emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+      val corpus = emb.filter(col("vec_id") >= 8 && col("vec_id") < 500)
+        .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      val base = corpus.crossJoin(q)
+        .select(col("qid"), col("nid"), col("ne"), cosC(col("qe"), col("ne")).as("rel"))
+      val cand = BoundedCache.persist("pack.mmr.cand",
+        graft.ops.Ops.topKPerKey(base, Seq("qid"), Seq(("rel", true), ("nid", false)), 10))
+      val sims = BoundedCache.persist("pack.mmr.sims",
+        cand.select(col("qid"), col("nid").as("a"), col("ne").as("ae"))
+          .join(cand.select(col("qid"), col("nid").as("b"), col("ne").as("be")), Seq("qid"))
+          .filter(col("a") =!= col("b"))
+          .select(col("qid"), col("a"), col("b"), cosC(col("ae"), col("be")).as("sim")))
+      def top1(df: org.apache.spark.sql.DataFrame, score: String) =
+        df.withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col(score).desc, col("nid"))))
+          .filter(col("rn") === 1).drop("rn")
+      val s1 = top1(cand.select(col("qid"), col("nid"), col("rel")), "rel")
+      val s1k = broadcast(s1.select(col("qid"), col("nid").as("p1")))
+      // sims renamed per use so every join key is unambiguous
+      def simsTo(pick: String, simName: String) = sims.select(
+        col("qid"), col("a").as("nid"), col("b").as(pick), col("sim").as(simName))
+      val m2 = cand.select(col("qid"), col("nid"), col("rel"))
+        .join(s1k, Seq("qid")).filter(col("nid") =!= col("p1"))
+        .join(simsTo("p1", "sim"), Seq("qid", "nid", "p1"))
+        .select(col("qid"), col("nid"), (lit(0.7) * col("rel") - lit(0.3) * col("sim")).as("score"))
+      val s2 = top1(m2, "score")
+      val s2k = broadcast(s2.select(col("qid"), col("nid").as("p2")))
+      val m3 = cand.select(col("qid"), col("nid"), col("rel"))
+        .join(s1k, Seq("qid")).join(s2k, Seq("qid"))
+        .filter(col("nid") =!= col("p1") && col("nid") =!= col("p2"))
+        .join(simsTo("p1", "sim1"), Seq("qid", "nid", "p1"))
+        .join(simsTo("p2", "sim2"), Seq("qid", "nid", "p2"))
+        .select(col("qid"), col("nid"),
+          (lit(0.7) * col("rel") - lit(0.3) * greatest(col("sim1"), col("sim2"))).as("score"))
+      val s3 = top1(m3, "score")
+      s1.select(col("qid"), col("nid"), lit(1).as("rank"), col("rel").as("mmr"))
+        .unionByName(s2.select(col("qid"), col("nid"), lit(2).as("rank"), col("score").as("mmr")))
+        .unionByName(s3.select(col("qid"), col("nid"), lit(3).as("rank"), col("score").as("mmr")))
+        .select(col("qid"), col("nid"), col("rank"), round(col("mmr"), 6).as("mmr"))
+        .orderBy(col("qid"), col("rank"))
     }
   )
 }

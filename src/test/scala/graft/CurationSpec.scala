@@ -305,16 +305,113 @@ class CurationSpec extends AnyFunSuite {
       }.maxBy { case (s, l) => (s, -l) }._2
     }.toMap
     // recompute the engine's top-1 for the same sample through the query machinery
-    val nd = graft.ext.Similarity.nativeDot(spark, _, _)
+    val nd0 = graft.ext.Similarity.nativeDot(spark, _, _)
     val byBucket = graft.ext.Similarity.centroids(e, "label")
       .groupBy($"label")
       .agg(array_sort(collect_list(struct($"i", $"mean"))).as("c"))
       .select($"label".as("pb"), transform($"c", x => x.getField("mean")).as("cvec"))
     val engine = e.filter($"vec_id" < 20).crossJoin(broadcast(byBucket))
-      .select($"vec_id", $"pb", round(nd($"embedding", $"cvec"), 6).as("score"))
+      .select($"vec_id", $"pb", round(nd0($"embedding", $"cvec"), 6).as("score"))
     val engineTop = graft.ops.Ops.topKPerKey(engine, Seq("vec_id"),
         Seq(("score", true), ("pb", false)), 1)
       .select($"vec_id", $"pb").as[(Long, Int)].collect().toMap
     refAssign.foreach { case (id, l) => assert(engineTop(id) == l, s"vec $id") }
+  }
+
+  // --------------------------------------------------------- rolling median
+
+  test("ts_rolling_median matches a hand-rolled discrete median and shrugs off a spike") {
+    val got = Pack.byName("ts_rolling_median").fn(spark, sf).collect()
+      .map(r => r.getLong(r.fieldIndex("event_id")) -> r.getDouble(r.fieldIndex("roll_med"))).toMap
+    val ev = graft.schemas.Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    ev.groupBy(_._2).foreach { case (_, xs) =>
+      val h = xs.sortBy(_._1)
+      for (i <- h.indices) {
+        val frame = h.slice(math.max(0, i - 10), i + 1).map(_._3).sorted
+        val expect = frame((frame.length + 1) / 2 - 1) // discrete lower middle
+        assert(got(h(i)._1) == expect, s"event ${h(i)._1}")
+      }
+    }
+    // robustness: a 1000x spike in a frame moves the mean but not the median
+    val calm = Seq(10.0, 11.0, 9.0, 10.5, 10.0, 10000.0, 9.5, 10.2, 10.8, 9.9, 10.1).sorted
+    assert(calm((calm.length + 1) / 2 - 1) < 20.0)
+    assert(calm.sum / calm.length > 900.0)
+  }
+
+  // ------------------------------------------------------- common neighbors
+
+  test("common-neighbor predictions match a brute-force reference and are all non-edges") {
+    // sf0.001's co-purchase graph is the complete K10 (no non-edges) — the
+    // declared query legitimately returns 0 rows there; reference-check at
+    // sf0.01 where 545 non-edge candidate pairs exist
+    val sf01 = "/root/testdata/sf0.01"
+    val got = Pack.byName("graph_common_neighbors").fn(spark, sf01).collect()
+    assert(got.length == 20)
+    // brute-force reference from the same edge definition
+    val li = graft.schemas.Tables.lineitem(spark, sf01)
+      .filter($"l_orderkey" % 20 === 0).select($"l_orderkey", $"l_suppkey")
+      .as[(Long, Long)].collect()
+    val edges = li.groupBy(_._1).values.flatMap { grp =>
+      val ks = grp.map(_._2).distinct.sorted
+      for (i <- ks.indices; j <- (i + 1) until ks.length) yield (ks(i), ks(j))
+    }.toSet
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set())
+    edges.foreach { case (u, v) => adj(u) += v; adj(v) += u }
+    val nodes = adj.keys.toSeq.sorted
+    val cand = for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      u = nodes(i); v = nodes(j)
+      if !edges.contains((u, v))
+      cn = (adj(u) intersect adj(v)).size if cn > 0
+    } yield (u, v, cn.toLong,
+      math.rint(cn.toDouble / (adj(u).size + adj(v).size - cn) * 1e6) / 1e6)
+    val refTop = cand.sortBy { case (u, v, cn, j) => (-cn, -j, u, v) }.take(20)
+    val gotT = got.sortBy(_.getInt(got.head.fieldIndex("rank"))).map(r =>
+      (r.getLong(r.fieldIndex("u")), r.getLong(r.fieldIndex("v")),
+        r.getLong(r.fieldIndex("cn")), r.getDouble(r.fieldIndex("jaccard"))))
+    assert(gotT.toSeq == refTop.toSeq)
+    gotT.foreach { case (u, v, _, _) => assert(!edges.contains((u, v)), s"($u,$v) is an edge") }
+  }
+
+  // ------------------------------------------------------------------- MMR
+
+  test("MMR diversification matches a greedy reference implementation") {
+    val got = Pack.byName("retrieval_mmr_diversify").fn(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(rs.head.fieldIndex("rank")))
+          .map(r => (r.getLong(r.fieldIndex("nid")), r.getDouble(r.fieldIndex("mmr")))).toSeq
+      }
+    assert(got.nonEmpty)
+    // reference: greedy MMR over collected 6dp cosines
+    val e = graft.schemas.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      def dot(x: Seq[Double], y: Seq[Double]) =
+        x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p * q }
+      math.rint(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 1e6) / 1e6
+    }
+    val corpusIds = e.keys.filter(id => id >= 8 && id < 500).toSeq.sorted
+    (0L until 8L).filter(e.contains).foreach { q =>
+      val rel = corpusIds.map(n => n -> cos(e(q), e(n))).toMap
+      val cand = corpusIds.sortBy(n => (-rel(n), n)).take(10)
+      val p1 = cand.maxBy(n => (rel(n), -n))
+      val p2 = cand.filter(_ != p1)
+        .maxBy(n => (0.7 * rel(n) - 0.3 * cos(e(n), e(p1)), -n))
+      val s2score = 0.7 * rel(p2) - 0.3 * cos(e(p2), e(p1))
+      val p3 = cand.filter(n => n != p1 && n != p2)
+        .maxBy(n => (0.7 * rel(n) - 0.3 * math.max(cos(e(n), e(p1)), cos(e(n), e(p2))), -n))
+      val s3score = 0.7 * rel(p3) - 0.3 * math.max(cos(e(p3), e(p1)), cos(e(p3), e(p2)))
+      val expected = Seq((p1, rel(p1)),
+        (p2, math.rint(s2score * 1e6) / 1e6), (p3, math.rint(s3score * 1e6) / 1e6))
+      val g = got(q)
+      assert(g.map(_._1) == expected.map(_._1), s"query $q picks")
+      g.zip(expected).foreach { case ((_, gs), (_, es)) =>
+        assert(math.abs(gs - es) < 1e-9, s"query $q score")
+      }
+    }
   }
 }

@@ -71,9 +71,24 @@ class PackSmokeSpec extends AnyFunSuite {
       s"uncast integer sum() -> DuckDB HUGEINT hash divergence: ${offenders.mkString(", ")}")
   }
 
+  /** Queries whose CORRECT sf0.001 answer is the empty set, with the
+    * structural reason — and a replacement non-emptiness gate at sf0.01
+    * below, so "empty" stays a verified property, not an excuse. */
+  private val emptyAtSf0001: Map[String, String] = Map(
+    "graph_common_neighbors" ->
+      ("sf0.001's co-purchase graph is the complete K10 (10 suppliers, " +
+        "every pair co-occurs) - link prediction over non-edges has " +
+        "nothing to predict; non-edges appear from sf0.01 up"))
+
   Pack.all.foreach { q =>
-    test(s"${q.name} returns rows at sf0.001") {
-      assert(q.fn(spark, TestSpark.sf0001).count() > 0, q.name)
-    }
+    if (emptyAtSf0001.contains(q.name))
+      test(s"${q.name} is empty at sf0.001 (complete graph) but returns rows at sf0.01") {
+        assert(q.fn(spark, TestSpark.sf0001).count() == 0, emptyAtSf0001(q.name))
+        assert(q.fn(spark, "/root/testdata/sf0.01").count() > 0, q.name)
+      }
+    else
+      test(s"${q.name} returns rows at sf0.001") {
+        assert(q.fn(spark, TestSpark.sf0001).count() > 0, q.name)
+      }
   }
 }
