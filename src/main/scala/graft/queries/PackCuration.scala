@@ -742,6 +742,89 @@ object PackCuration {
         .unionByName(s3.select(col("qid"), col("nid"), lit(3).as("rank"), col("score").as("mmr")))
         .select(col("qid"), col("nid"), col("rank"), round(col("mmr"), 6).as("mmr"))
         .orderBy(col("qid"), col("rank"))
+    },
+
+    // Freshness monitoring — the DQ dimension dq_expectations (validity)
+    // and dq_drift_psi (distribution) don't cover: how far behind is
+    // each stream? Per event_type: last event time and its lag behind
+    // the dataset high-water mark, flagged stale past 24 h. Lag is
+    // integer epoch-microsecond arithmetic (exact cross-engine); the
+    // high-water mark is one scalar broadcast over the per-type
+    // aggregate — two partial+final passes over the scan, nothing else.
+    QDef("dq_freshness",
+      """WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |             max(ts) AS last_ts
+        |           FROM events GROUP BY 1),
+        |g AS (SELECT max(last_ts) AS gmax FROM m)
+        |SELECT event_type, n_events, last_ts,
+        |  (epoch_us(g.gmax) - epoch_us(last_ts)) // 1000000 AS secs_behind,
+        |  (epoch_us(g.gmax) - epoch_us(last_ts)) // 1000000 > 86400 AS stale
+        |FROM m, g ORDER BY event_type""".stripMargin) { (s, d) =>
+      val m = BoundedCache.persist("pack.fresh.m",
+        Tables.events(s, d).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts")))
+      val g = m.agg(max(col("last_ts")).as("gmax"))
+      val lag = floor((unix_micros(col("gmax")) - unix_micros(col("last_ts"))) / lit(1000000L)).cast("long")
+      m.crossJoin(broadcast(g))
+        .select(col("event_type"), col("n_events"), col("last_ts"),
+          lag.as("secs_behind"), (lag > 86400L).as("stale"))
+        .orderBy(col("event_type"))
+    },
+
+    // Importance-weighted sampling — keep probability proportional to a
+    // quality proxy (here min(1, n_chars/200)), decided by a
+    // DETERMINISTIC md5-derived uniform per doc (the split_train_test
+    // hash-bucket recipe widened to 16 bits), so the sample is
+    // reproducible on any cluster with no shared RNG. The accept test
+    // is PURE INTEGER (u16·200 < n_chars·65536), so not even the
+    // weight computation can diverge; the reported expected rate is a
+    // 1e12-quantized decimal mean. One scan, one aggregate.
+    QDef("sample_importance",
+      """WITH u AS (SELECT source, n_chars,
+        |    ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) AS u16
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN u16 * 200 < n_chars * 65536 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  round(CAST(sum(CASE WHEN u16 * 200 < n_chars * 65536 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS keep_rate,
+        |  round(CAST(sum(CAST(floor(least(CAST(1 AS DOUBLE), n_chars / CAST(200 AS DOUBLE)) * 1e12 + 0.5) / 1e12
+        |                      AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS expected_rate
+        |FROM u GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val u16 = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+      val kept = sum(when(col("u16") * 200 < col("n_chars") * 65536, 1L).otherwise(0L))
+      Tables.documents(s, d)
+        .select(col("source"), col("n_chars"), u16.as("u16"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), kept.as("n_kept"),
+          round(kept.cast("double") / count(lit(1)), 6).as("keep_rate"),
+          round(sum(qdec(least(lit(1).cast("double"), col("n_chars") / lit(200).cast("double")), 1e12))
+            .cast("double") / count(lit(1)), 6).as("expected_rate"))
+        .orderBy(col("source"))
+    },
+
+    // Johnson-Lindenstrauss random projection to 16 dims — the
+    // dimensionality-reduction sibling of ann_matryoshka_topk (prefix
+    // truncation) and emb_pq_codes (quantization): project every vector
+    // onto 16 data-derived hyperplanes (the first 16 corpus vectors —
+    // deterministic and engine-reproducible, the lshAssign convention;
+    // a seeded Gaussian drops into the same plan). The plane block
+    // broadcasts once; the corpus is touched map-side — 4× less scan
+    // bandwidth downstream at 100 TB. Long-form output so the oracle
+    // checks every projected component.
+    QDef("emb_project_rp",
+      s"""WITH planes AS (SELECT vec_id AS j, embedding AS pe FROM embeddings WHERE vec_id < 16)
+         |SELECT e.vec_id, p.j, round(${dotSql("e.embedding", "p.pe")}, 6) AS v
+         |FROM embeddings e, planes p
+         |ORDER BY e.vec_id, p.j""".stripMargin) { (s, d) =>
+      val nd = Similarity.nativeDot(s, _: Column, _: Column)
+      val emb = Tables.embeddings(s, d)
+      val planes = broadcast(emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("j"), col("embedding").as("pe")))
+      emb.select(col("vec_id"), col("embedding")).crossJoin(planes)
+        .select(col("vec_id"), col("j"), round(nd(col("embedding"), col("pe")), 6).as("v"))
+        .orderBy(col("vec_id"), col("j"))
     }
   )
 }

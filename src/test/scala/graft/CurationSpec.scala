@@ -414,4 +414,84 @@ class CurationSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ------------------------------------------------------------- freshness
+
+  test("dq_freshness lag is exact epoch arithmetic; the freshest stream lags zero") {
+    val rows = Pack.byName("dq_freshness").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val lags = rows.map(r => r.getLong(r.fieldIndex("secs_behind")))
+    assert(lags.min == 0L, "one event_type must carry the high-water mark")
+    rows.foreach { r =>
+      val lag = r.getLong(r.fieldIndex("secs_behind"))
+      assert(lag >= 0)
+      assert(r.getBoolean(r.fieldIndex("stale")) == (lag > 86400L))
+    }
+    // independent reference for one type via collected timestamps
+    val ref = graft.schemas.Tables.events(spark, sf)
+      .groupBy($"event_type").agg(max($"ts").as("t")).collect()
+      .map(r => r.getString(0) -> r.getTimestamp(1)).toMap
+    val gmax = ref.values.map(_.getTime).max
+    rows.foreach { r =>
+      val et = r.getString(r.fieldIndex("event_type"))
+      val expect = (gmax - ref(et).getTime) / 1000L // millis -> whole seconds
+      assert(r.getLong(r.fieldIndex("secs_behind")) == expect, et)
+    }
+  }
+
+  // ---------------------------------------------------- importance sampling
+
+  test("importance sampling is deterministic md5 and keeps every full-weight doc") {
+    val docs = graft.schemas.Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def u16(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(4), 16)
+    }
+    val ref = docs.groupBy(_._2).map { case (src, xs) =>
+      src -> (xs.length.toLong,
+        xs.count { case (id, _, nc) => u16(id) * 200 < nc * 65536 }.toLong)
+    }
+    val got = Pack.byName("sample_importance").fn(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSet == ref.keySet)
+    got.foreach { r =>
+      val (n, k) = ref(r.getString(r.fieldIndex("source")))
+      assert(r.getLong(r.fieldIndex("n_docs")) == n)
+      assert(r.getLong(r.fieldIndex("n_kept")) == k, r.getString(0))
+      // realized rate tracks the expected (weight-mean) rate
+      assert(math.abs(r.getDouble(r.fieldIndex("keep_rate")) -
+        r.getDouble(r.fieldIndex("expected_rate"))) < 0.25)
+    }
+    // every doc at or past the full-weight threshold is always kept
+    docs.filter(_._3 >= 200).foreach { case (id, _, nc) =>
+      assert(u16(id) * 200 < nc * 65536, s"doc $id (n_chars=$nc) must be kept")
+    }
+  }
+
+  // ------------------------------------------------------ random projection
+
+  test("random projection emits 16 components per vector; self-planes project to norm^2") {
+    val rows = Pack.byName("emb_project_rp").fn(spark, sf).collect()
+    val n = graft.schemas.Tables.embeddings(spark, sf).count()
+    assert(rows.length == n * 16)
+    val e = graft.schemas.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    // a plane vector projected onto ITS OWN plane is its squared norm
+    rows.filter(r => r.getLong(0) < 16 && r.getLong(0) == r.getLong(1)).foreach { r =>
+      val id = r.getLong(0)
+      val expect = math.rint(dot(e(id), e(id)) * 1e6) / 1e6
+      assert(math.abs(r.getDouble(r.fieldIndex("v")) - expect) < 1e-9, s"vec $id")
+    }
+    // spot-check arbitrary components against the driver-side fold
+    rows.take(50).foreach { r =>
+      val expect = math.rint(dot(e(r.getLong(0)), e(r.getLong(1))) * 1e6) / 1e6
+      assert(math.abs(r.getDouble(r.fieldIndex("v")) - expect) < 1e-9)
+    }
+  }
 }
