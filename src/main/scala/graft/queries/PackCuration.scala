@@ -825,6 +825,42 @@ object PackCuration {
       emb.select(col("vec_id"), col("embedding")).crossJoin(planes)
         .select(col("vec_id"), col("j"), round(nd(col("embedding"), col("pe")), 6).as("v"))
         .orderBy(col("vec_id"), col("j"))
+    },
+
+    // ST11 — offline STATE-STORE inspection (Spark 4 State Data Source):
+    // run a checkpointed streaming aggregation, then read the
+    // checkpoint's state store back AS A TABLE with
+    // `spark.read.format("statestore")` — the state-debugging /
+    // state-migration surface every production streaming deployment
+    // eventually needs (what keys does my job hold? is state leaking?).
+    // The declared result is the state itself (per-type counts pulled
+    // from the store, NOT from the sink), which must equal the batch
+    // aggregate — pinning that the store holds exactly the semantics
+    // the oracle predicts.
+    QDef("st11_state_reader",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events WHERE event_id % 31 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types._
+      val run = st11Run.incrementAndGet()
+      val in = java.nio.file.Files.createTempDirectory(s"graft_st11_in$run").toString
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_st11_ck$run").toString
+      Tables.events(s, d).filter(col("event_id") % 31 === 0)
+        .select(col("event_id"), col("event_type"))
+        .coalesce(1).write.parquet(in + "/b1")
+      val sch = StructType(Seq(StructField("event_id", LongType),
+        StructField("event_type", StringType)))
+      val q = s.readStream.schema(sch).parquet(in + "/*")
+        .groupBy(col("event_type")).count()
+        .writeStream.format("noop").outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.format("statestore").option("path", ckpt).load()
+        .select(col("key.event_type").as("event_type"), col("value.count").as("n"))
+        .orderBy(col("event_type"))
     }
   )
+
+  private val st11Run = new java.util.concurrent.atomic.AtomicInteger(0)
 }

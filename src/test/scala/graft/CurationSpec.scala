@@ -494,4 +494,34 @@ class CurationSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(r.fieldIndex("v")) - expect) < 1e-9)
     }
   }
+
+  // ----------------------------------------------------------- state reader
+
+  test("state reader surfaces checkpoint-accumulated state across two incremental runs") {
+    import org.apache.spark.sql.types._
+    val in = java.nio.file.Files.createTempDirectory("cur_st11_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cur_st11_ck").toString
+    val sch = StructType(Seq(StructField("event_id", LongType),
+      StructField("event_type", StringType)))
+    def run(): Unit = {
+      val q = spark.readStream.schema(sch).parquet(in + "/*")
+        .groupBy($"event_type").count()
+        .writeStream.format("noop").outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def state(): Map[String, Long] =
+      spark.read.format("statestore").option("path", ckpt).load()
+        .select($"key.event_type", $"value.count")
+        .as[(String, Long)].collect().toMap
+    Seq((1L, "a"), (2L, "a"), (3L, "a")).toDF("event_id", "event_type")
+      .coalesce(1).write.parquet(in + "/b1")
+    run()
+    assert(state() == Map("a" -> 3L))
+    Seq((4L, "a"), (5L, "b")).toDF("event_id", "event_type")
+      .coalesce(1).write.parquet(in + "/b2")
+    run() // same checkpoint: the second run must ACCUMULATE, not restart
+    assert(state() == Map("a" -> 4L, "b" -> 1L))
+  }
 }
