@@ -859,6 +859,107 @@ object PackCuration {
       s.read.format("statestore").option("path", ckpt).load()
         .select(col("key.event_type").as("event_type"), col("value.count").as("n"))
         .orderBy(col("event_type"))
+    },
+
+    // Lag-1 autocorrelation per event_type — the seasonality/stickiness
+    // probe for time-series features (an AR(1) signal says "yesterday
+    // predicts today"; ~0 says the feature is noise). Consecutive pairs
+    // come from a lag window per (event_type, user) — each user's
+    // history sorts within its own task — and the Pearson correlation
+    // over pairs derives from six exact DECIMAL moments in one
+    // partial+final pass (the agg_corr_stats / Welch recipe).
+    QDef("ts_autocorr_lag1",
+      """WITH p AS (SELECT event_type, value AS y,
+        |             lag(value) OVER (PARTITION BY event_type, user_id ORDER BY event_id) AS x
+        |           FROM events),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |        CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |        CAST(sum(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |        CAST(sum(CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |        CAST(sum(CAST(x AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |      FROM p WHERE x IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n AS n_pairs,
+        |  round((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS autocorr
+        |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+      val D = DecimalType(18, 2)
+      def dc(c: Column) = c.cast(D)
+      val w = Window.partitionBy(col("event_type"), col("user_id")).orderBy(col("event_id"))
+      val p = Tables.events(s, d)
+        .select(col("event_type"), col("value").as("y"),
+          lag(col("value"), 1).over(w).as("x"))
+        .filter(col("x").isNotNull)
+      val m = p.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(dc(col("x"))).cast("double").as("sx"),
+        sum(dc(col("y"))).cast("double").as("sy"),
+        sum(dc(col("x")) * dc(col("x"))).cast("double").as("sxx"),
+        sum(dc(col("y")) * dc(col("y"))).cast("double").as("syy"),
+        sum(dc(col("x")) * dc(col("y"))).cast("double").as("sxy"))
+      m.select(col("event_type"), col("n").as("n_pairs"),
+          round((col("sxy") - col("sx") * col("sy") / col("n"))
+            / sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+              * (col("syy") - col("sy") * col("sy") / col("n"))), 6).as("autocorr"))
+        .orderBy(col("event_type"))
+    },
+
+    // Pairwise covariance/correlation matrix over the three numeric
+    // lineitem measures in ONE scan: every moment (three sums, three
+    // sums of squares, three cross products, one count) is a
+    // conditional-aggregation column of the same partial+final pass —
+    // the dq_expectations single-scan discipline applied to second-order
+    // statistics. Exact DECIMAL moments; cov and corr derive in doubles
+    // with the oracle's expression shape.
+    QDef("stats_cov_matrix",
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sdd,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sqd,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS spd
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT 'quantity_price' AS pair, n, (sqp - sq * sp / n) / (n - 1) AS cov,
+        |    (sqp - sq * sp / n) / sqrt((sqq - sq * sq / n) * (spp - sp * sp / n)) AS corr FROM m
+        |  UNION ALL
+        |  SELECT 'quantity_discount', n, (sqd - sq * sd / n) / (n - 1),
+        |    (sqd - sq * sd / n) / sqrt((sqq - sq * sq / n) * (sdd - sd * sd / n)) FROM m
+        |  UNION ALL
+        |  SELECT 'price_discount', n, (spd - sp * sd / n) / (n - 1),
+        |    (spd - sp * sd / n) / sqrt((spp - sp * sp / n) * (sdd - sd * sd / n)) FROM m)
+        |SELECT pair, n, round(cov, 6) AS cov, round(corr, 6) AS corr
+        |FROM r ORDER BY pair""".stripMargin) { (s, d) =>
+      val D = DecimalType(18, 2)
+      def dc(c: String) = col(c).cast(D)
+      val m = Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n"),
+        sum(dc("l_quantity")).cast("double").as("sq"),
+        sum(dc("l_extendedprice")).cast("double").as("sp"),
+        sum(dc("l_discount")).cast("double").as("sd"),
+        sum(dc("l_quantity") * dc("l_quantity")).cast("double").as("sqq"),
+        sum(dc("l_extendedprice") * dc("l_extendedprice")).cast("double").as("spp"),
+        sum(dc("l_discount") * dc("l_discount")).cast("double").as("sdd"),
+        sum(dc("l_quantity") * dc("l_extendedprice")).cast("double").as("sqp"),
+        sum(dc("l_quantity") * dc("l_discount")).cast("double").as("sqd"),
+        sum(dc("l_extendedprice") * dc("l_discount")).cast("double").as("spd"))
+      def pairRow(name: String, sxy: Column, sx: Column, sy: Column,
+                  sxx: Column, syy: Column) = struct(
+        lit(name).as("pair"), col("n"),
+        ((sxy - sx * sy / col("n")) / (col("n") - lit(1))).as("cov"),
+        ((sxy - sx * sy / col("n"))
+          / sqrt((sxx - sx * sx / col("n")) * (syy - sy * sy / col("n")))).as("corr"))
+      m.select(explode(array(
+          pairRow("quantity_price", col("sqp"), col("sq"), col("sp"), col("sqq"), col("spp")),
+          pairRow("quantity_discount", col("sqd"), col("sq"), col("sd"), col("sqq"), col("sdd")),
+          pairRow("price_discount", col("spd"), col("sp"), col("sd"), col("spp"), col("sdd"))))
+          .as("r"))
+        .select(col("r.pair").as("pair"), col("r.n").as("n"),
+          round(col("r.cov"), 6).as("cov"), round(col("r.corr"), 6).as("corr"))
+        .orderBy(col("pair"))
     }
   )
 

@@ -524,4 +524,73 @@ class CurationSpec extends AnyFunSuite {
     run() // same checkpoint: the second run must ACCUMULATE, not restart
     assert(state() == Map("a" -> 4L, "b" -> 1L))
   }
+
+  // ------------------------------------------------------------- autocorr
+
+  test("lag-1 autocorrelation matches a hand loop and is 1 for a constant-increment series") {
+    def dec2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val got = Pack.byName("ts_autocorr_lag1").fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val ev = graft.schemas.Tables.events(spark, sf)
+      .select($"event_type", $"user_id", $"event_id", $"value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    ev.groupBy(_._1).foreach { case (et, xs) =>
+      val pairs = xs.groupBy(_._2).values.flatMap { h =>
+        val s = h.sortBy(_._3).map(_._4)
+        s.zip(s.drop(1)) // (x = prev, y = next)
+      }.toSeq
+      val n = pairs.length.toDouble
+      val sx = pairs.map(p => dec2(p._1)).sum.toDouble
+      val sy = pairs.map(p => dec2(p._2)).sum.toDouble
+      val sxx = pairs.map(p => dec2(p._1) * dec2(p._1)).sum.toDouble
+      val syy = pairs.map(p => dec2(p._2) * dec2(p._2)).sum.toDouble
+      val sxy = pairs.map(p => dec2(p._1) * dec2(p._2)).sum.toDouble
+      val expect = math.rint((sxy - sx * sy / n)
+        / math.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) * 1e6) / 1e6
+      assert(got(et)._1 == pairs.length.toLong, et)
+      assert(math.abs(got(et)._2 - expect) < 1e-9, et)
+    }
+    // sanity: x_t = x_{t-1} + c is perfectly lag-1 correlated
+    val s = (1 to 50).map(_.toDouble * 2)
+    val pairs = s.zip(s.drop(1))
+    val n = pairs.length.toDouble
+    val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val r = (pairs.map(p => p._1 * p._2).sum - sx * sy / n) /
+      math.sqrt((pairs.map(p => p._1 * p._1).sum - sx * sx / n)
+        * (pairs.map(p => p._2 * p._2).sum - sy * sy / n))
+    assert(math.abs(r - 1.0) < 1e-9)
+  }
+
+  // ------------------------------------------------------------ cov matrix
+
+  test("covariance matrix matches a decimal-exact hand computation") {
+    def dec2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val li = graft.schemas.Tables.lineitem(spark, sf)
+      .select($"l_quantity", $"l_extendedprice", $"l_discount").collect()
+      .map(r => (dec2(r.getDouble(0)), dec2(r.getDouble(1)), dec2(r.getDouble(2))))
+    val n = li.length.toDouble
+    def moments(f: ((BigDecimal, BigDecimal, BigDecimal)) => BigDecimal,
+                g: ((BigDecimal, BigDecimal, BigDecimal)) => BigDecimal) =
+      (li.map(f).sum.toDouble, li.map(g).sum.toDouble,
+        li.map(t => f(t) * f(t)).sum.toDouble, li.map(t => g(t) * g(t)).sum.toDouble,
+        li.map(t => f(t) * g(t)).sum.toDouble)
+    val expect = Map(
+      "quantity_price" -> moments(_._1, _._2),
+      "quantity_discount" -> moments(_._1, _._3),
+      "price_discount" -> moments(_._2, _._3)
+    ).map { case (k, (sx, sy, sxx, syy, sxy)) =>
+      k -> (math.rint((sxy - sx * sy / n) / (n - 1) * 1e6) / 1e6,
+        math.rint((sxy - sx * sy / n)
+          / math.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) * 1e6) / 1e6)
+    }
+    val got = Pack.byName("stats_cov_matrix").fn(spark, sf).collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      val (cov, corr) = expect(r.getString(r.fieldIndex("pair")))
+      assert(r.getLong(r.fieldIndex("n")) == li.length.toLong)
+      assert(math.abs(r.getDouble(r.fieldIndex("cov")) - cov) < 1e-9, r.getString(0))
+      assert(math.abs(r.getDouble(r.fieldIndex("corr")) - corr) < 1e-9, r.getString(0))
+      assert(math.abs(r.getDouble(r.fieldIndex("corr"))) <= 1.0 + 1e-9)
+    }
+  }
 }
