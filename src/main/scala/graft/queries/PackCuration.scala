@@ -964,4 +964,123 @@ object PackCuration {
   )
 
   private val st11Run = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Second query group of the continuation batches (kept in a second
+    * Seq only to keep the first one readable). */
+  val queries2: Seq[QDef] = Seq(
+
+    // Time-weighted average value per user (TWAP) — the right mean for
+    // irregular event streams, where a value that persisted for an hour
+    // must outweigh one that lasted a second (the plain mean is
+    // stats_column_profile's job). Interval weights are integer epoch
+    // seconds from a lead() window per user; the weighted numerator is
+    // an exact DECIMAL sum, so the statistic is order-free.
+    QDef("window_twap",
+      """WITH iv AS (SELECT user_id, value,
+        |    (epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY event_id)) - epoch_us(ts)) // 1000000 AS dt
+        |  FROM events),
+        |w AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |        CAST(sum(dt) AS BIGINT) AS total_secs,
+        |        CAST(sum(CAST(value AS DECIMAL(18,2)) * dt) AS DOUBLE) AS wsum
+        |      FROM iv WHERE dt IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_intervals, total_secs,
+        |  round(wsum / total_secs, 6) AS twap
+        |FROM w WHERE total_secs > 0 ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val iv = Tables.events(s, d).select(col("user_id"), col("value"),
+          floor((unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts"))) / lit(1000000L))
+            .cast("long").as("dt"))
+        .filter(col("dt").isNotNull)
+      iv.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"), sum(col("dt")).as("total_secs"),
+          sum(col("value").cast(DecimalType(18, 2)) * col("dt")).cast("double").as("wsum"))
+        .filter(col("total_secs") > 0)
+        .select(col("user_id"), col("n_intervals"), col("total_secs"),
+          round(col("wsum") / col("total_secs"), 6).as("twap"))
+        .orderBy(col("user_id"))
+    },
+
+    // Per-document keyword extraction: top-5 terms by TF-IDF — the
+    // text_tfidf scoring surface turned into the operation users
+    // actually run (tag every document with its salient terms). The
+    // |vocab|-sized df table broadcasts so the corpus never shuffles by
+    // term; per-doc selection is the bounded-heap top-k, not a window
+    // sort over every (doc, term) row.
+    QDef("text_keywords_topk",
+      """WITH words AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w),
+        |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY w),
+        |n AS (SELECT count(*) AS total FROM documents),
+        |scored AS (SELECT t.doc_id, t.w,
+        |             round(t.tf * ln((n.total + 1.0) / (d.df + 1.0)), 6) AS tfidf
+        |           FROM tf t JOIN df d USING (w) CROSS JOIN n),
+        |r AS (SELECT doc_id, w, tfidf,
+        |        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS INTEGER) AS rank
+        |      FROM scored)
+        |SELECT doc_id, w, tfidf, rank FROM r WHERE rank <= 5
+        |ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val wordsP = BoundedCache.persist("pack.kw.words", words)
+      val tf = wordsP.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val df = wordsP.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("total"))
+      val scored = tf.join(broadcast(df), Seq("w")).crossJoin(broadcast(n))
+        .select(col("doc_id"), col("w"),
+          round(col("tf") * log((col("total") + 1.0) / (col("df") + 1.0)), 6).as("tfidf"))
+      val top = graft.ops.Ops.topKPerKey(
+        scored, Seq("doc_id"), Seq(("tfidf", true), ("w", false)), 5)
+      top.withColumn("rank", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("w"))).cast("int"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
+    // Embedding outlier detection — distance to the vector's OWN stored
+    // label centroid, flagged past mean + 2σ of its label's distance
+    // distribution (the data-cleaning pass before embedding-space
+    // training: mislabeled or corrupted vectors sit far from their
+    // centroid). Squared-distance terms are 12dp-quantized DECIMAL sums
+    // (the PQ discipline); per-label mean/σ from quantized moments. The
+    // centroid table is the persisted train-once artifact, broadcast
+    // into the exploded corpus — one pass, one (vec, label) aggregate.
+    QDef("emb_outlier_centroid_dist",
+      """WITH cents AS (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean
+        |               FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+        |terms AS (SELECT e.vec_id, e.label,
+        |            CAST(floor((CAST(e.embedding[t.i] AS DOUBLE) - c.mean)
+        |                       * (CAST(e.embedding[t.i] AS DOUBLE) - c.mean) * 1e12 + 0.5) / 1e12
+        |                 AS DECIMAL(28,12)) AS t
+        |          FROM embeddings e, range(1, 65) t(i)
+        |          JOIN cents c ON c.label = e.label AND c.i = t.i),
+        |dist AS (SELECT vec_id, label, CAST(sum(t) AS DOUBLE) AS dist
+        |         FROM terms GROUP BY vec_id, label),
+        |stats AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |            CAST(sum(CAST(floor(dist * 1e9 + 0.5) / 1e9 AS DECIMAL(28,12))) AS DOUBLE) AS sd,
+        |            CAST(sum(CAST(floor(dist * dist * 1e9 + 0.5) / 1e9 AS DECIMAL(28,12))) AS DOUBLE) AS sdd
+        |          FROM dist GROUP BY label)
+        |SELECT d.vec_id, d.label, round(d.dist, 6) AS dist,
+        |  d.dist > s.sd / s.n + 2 * sqrt((s.sdd - s.sd / s.n * s.sd) / (s.n - 1)) AS is_outlier
+        |FROM dist d JOIN stats s USING (label)
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val cent = broadcast(PackExt.persistedCentroids(s, d)
+        .select(col("label").as("clabel"), col("i"), col("mean")))
+      val diff = col("v").cast("double") - col("mean")
+      val terms = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .join(cent, col("label") === col("clabel") && (col("pos") + 1) === col("i"))
+        .select(col("vec_id"), col("label"), qdec(diff * diff, 1e12).as("t"))
+      val dist = terms.groupBy(col("vec_id"), col("label"))
+        .agg(sum(col("t")).cast("double").as("dist"))
+      val distP = BoundedCache.persist("pack.emboutlier.dist", dist)
+      val stats = distP.groupBy(col("label")).agg(count(lit(1)).as("n"),
+        sum(qdec(col("dist"), 1e9)).cast("double").as("sd"),
+        sum(qdec(col("dist") * col("dist"), 1e9)).cast("double").as("sdd"))
+      distP.join(broadcast(stats), Seq("label"))
+        .select(col("vec_id"), col("label"), round(col("dist"), 6).as("dist"),
+          (col("dist") > col("sd") / col("n")
+            + lit(2) * sqrt((col("sdd") - col("sd") / col("n") * col("sd")) / (col("n") - lit(1))))
+            .as("is_outlier"))
+        .orderBy(col("vec_id"))
+    }
+  )
 }

@@ -593,4 +593,78 @@ class CurationSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(r.fieldIndex("corr"))) <= 1.0 + 1e-9)
     }
   }
+
+  // ----------------------------------------------------------------- TWAP
+
+  test("TWAP matches a hand interval-weighted mean per user") {
+    def dec2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val got = Pack.byName("window_twap").fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val ev = graft.schemas.Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"value", unix_micros($"ts").as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    ev.groupBy(_._1).foreach { case (u, xs) =>
+      val h = xs.sortBy(_._2)
+      val iv = h.zip(h.drop(1)).map { case ((_, _, v, t0), (_, _, _, t1)) =>
+        (v, math.floorDiv(t1 - t0, 1000000L)) }
+      val secs = iv.map(_._2).sum
+      if (secs > 0) {
+        val wsum = iv.map { case (v, dt) => dec2(v) * BigDecimal(dt) }.sum.toDouble
+        val (n, ts, twap) = got(u)
+        assert(n == iv.length.toLong, s"user $u")
+        assert(ts == secs, s"user $u")
+        assert(math.abs(twap - math.rint(wsum / secs * 1e6) / 1e6) < 1e-9, s"user $u")
+      } else assert(!got.contains(u))
+    }
+    // a constant series has TWAP equal to the constant regardless of spacing
+    val iv = Seq((7.5, 10L), (7.5, 9000L), (7.5, 1L))
+    val tw = iv.map { case (v, dt) => v * dt }.sum / iv.map(_._2).sum
+    assert(math.abs(tw - 7.5) < 1e-12)
+  }
+
+  // -------------------------------------------------------------- keywords
+
+  test("keyword extraction ranks match a driver-side TF-IDF reference for sampled docs") {
+    val got = Pack.byName("text_keywords_topk").fn(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    val docs = graft.schemas.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val total = docs.length.toDouble
+    val tf = docs.map { case (id, t) =>
+      id -> t.split(" ").groupBy(identity).map { case (w, xs) => w -> xs.length } }.toMap
+    val df = docs.flatMap { case (_, t) => t.split(" ").distinct }
+      .groupBy(identity).map { case (w, xs) => w -> xs.length }
+    docs.take(25).foreach { case (id, _) =>
+      val scored = tf(id).map { case (w, f) =>
+        w -> math.rint(f * math.log((total + 1.0) / (df(w) + 1.0)) * 1e6) / 1e6 }
+      val ref = scored.toSeq.sortBy { case (w, s) => (-s, w) }.take(5).map(_._1)
+      val ours = got(id).sortBy(_.getInt(got(id).head.fieldIndex("rank")))
+        .map(_.getString(got(id).head.fieldIndex("w"))).toSeq
+      assert(ours == ref, s"doc $id")
+    }
+    // every doc in the corpus got keywords
+    assert(got.size == docs.length)
+  }
+
+  // ------------------------------------------------------- embedding outliers
+
+  test("embedding outlier flags equal the recomputed mean+2-sigma threshold per label") {
+    val rows = Pack.byName("emb_outlier_centroid_dist").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.length == graft.schemas.Tables.embeddings(spark, sf).count())
+    rows.groupBy(_._2).foreach { case (label, xs) =>
+      // recompute the threshold from the REPORTED (6dp) distances — the
+      // flag itself was computed on unrounded dists, so allow the
+      // threshold tolerance of the rounding
+      val n = xs.length.toDouble
+      val sd = xs.map(_._3).sum; val sdd = xs.map(x => x._3 * x._3).sum
+      val thr = sd / n + 2 * math.sqrt((sdd - sd / n * sd) / (n - 1))
+      xs.foreach { case (id, _, dist, flag) =>
+        if (math.abs(dist - thr) > 1e-4)
+          assert(flag == (dist > thr), s"vec $id (label $label)")
+      }
+      // sanity: 2-sigma flags a small minority
+      assert(xs.count(_._4).toDouble / n < 0.2, s"label $label")
+    }
+  }
 }
