@@ -1081,6 +1081,120 @@ object PackCuration {
             + lit(2) * sqrt((col("sdd") - col("sd") / col("n") * col("sd")) / (col("n") - lit(1))))
             .as("is_outlier"))
         .orderBy(col("vec_id"))
+    },
+
+    // CUSUM change-point detection per event_type — the TIME-LOCALIZED
+    // member of the drift family (PSI/KS find that shape changed; CUSUM
+    // finds WHEN the mean moved): hourly value sums aggregate first
+    // (the KS pre-binning discipline — the window sees bounded bucket
+    // rows, never raw events), then the cumulative sum of per-hour
+    // deviations from the overall mean peaks at the change point.
+    // Deviation terms and the running sum are evaluated in identical
+    // order in both engines (hour-ordered window), one final rounding.
+    QDef("ts_cusum_drift",
+      """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |             CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+        |           FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot,
+        |        CAST(sum(CAST(sv AS DECIMAL(28,6))) AS DOUBLE) AS gsv
+        |      FROM b GROUP BY 1),
+        |cs AS (SELECT b.event_type, b.h,
+        |         sum(b.sv - b.n * (g.gsv / g.tot)) OVER
+        |           (PARTITION BY b.event_type ORDER BY b.h) AS s
+        |       FROM b JOIN g USING (event_type)),
+        |r AS (SELECT event_type, h, s,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY abs(s) DESC, h) AS rn
+        |      FROM cs)
+        |SELECT event_type, h AS drift_hour, round(s, 6) AS max_cusum
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      val b = BoundedCache.persist("pack.cusum.b",
+        Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sv")))
+      val g = b.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("tot"),
+          sum(col("sv").cast(DecimalType(28, 6))).cast("double").as("gsv"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val cs = b.join(broadcast(g), Seq("event_type"))
+        .select(col("event_type"), col("h"),
+          sum(col("sv") - col("n") * (col("gsv") / col("tot"))).over(w).as("s"))
+      cs.withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(abs(col("s")).desc, col("h"))))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("h").as("drift_hour"), round(col("s"), 6).as("max_cusum"))
+        .orderBy(col("event_type"))
+    },
+
+    // Pseudo-relevance feedback (RM3-lite query expansion) — the
+    // retrieval family's remaining production stage: retrieve top-3
+    // feedback docs lexically, harvest their 5 most frequent NEW terms
+    // (not already in the query), and re-score the corpus by expanded
+    // overlap. Every score here is an INTEGER count with string
+    // tiebreaks — the one retrieval operator with zero float surface.
+    // Scale: both retrieval passes are the inverted-index join; the
+    // expansion term set is ≤ 5 terms/query, broadcast.
+    QDef("retrieval_prf_expansion",
+      """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS w
+        |              FROM documents WHERE doc_id < 500),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY doc_id),
+        |inter AS (SELECT q.doc_id AS qid, c.doc_id AS nid, CAST(count(*) AS BIGINT) AS inter
+        |          FROM toks q JOIN toks c ON q.w = c.w AND q.doc_id < 8 AND c.doc_id >= 8
+        |          GROUP BY 1, 2),
+        |lex AS (SELECT qid, nid, inter * 1.0 / (x.n + y.n - inter) AS jac
+        |        FROM inter JOIN sz x ON qid = x.doc_id JOIN sz y ON nid = y.doc_id),
+        |fb AS (SELECT qid, nid FROM (SELECT qid, nid,
+        |         row_number() OVER (PARTITION BY qid ORDER BY jac DESC, nid) AS rn FROM lex)
+        |       WHERE rn <= 3),
+        |cand_terms AS (SELECT f.qid, t.w, CAST(count(*) AS BIGINT) AS cnt
+        |               FROM fb f JOIN toks t ON t.doc_id = f.nid
+        |               LEFT JOIN toks q ON q.doc_id = f.qid AND q.w = t.w
+        |               WHERE q.w IS NULL GROUP BY 1, 2),
+        |exp AS (SELECT qid, w FROM (SELECT qid, w,
+        |          row_number() OVER (PARTITION BY qid ORDER BY cnt DESC, w) AS rn FROM cand_terms)
+        |        WHERE rn <= 5),
+        |scored AS (SELECT e.qid, t.doc_id AS nid, CAST(count(*) AS BIGINT) AS score
+        |           FROM exp e JOIN toks t ON t.w = e.w AND t.doc_id >= 8
+        |           GROUP BY 1, 2),
+        |r AS (SELECT qid, nid, score,
+        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS INTEGER) AS rank
+        |      FROM scored)
+        |SELECT qid, nid, score, rank FROM r WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      val toksP = BoundedCache.persist("pack.prf.toks", toks)
+      val sizes = toksP.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = toksP.filter(col("doc_id") < 8).select(col("doc_id").as("qid"), col("w"))
+        .join(toksP.filter(col("doc_id") >= 8).select(col("doc_id").as("nid"), col("w")), Seq("w"))
+        .groupBy(col("qid"), col("nid")).agg(count(lit(1)).as("inter"))
+      val lex = inter
+        .join(broadcast(sizes.select(col("doc_id").as("qid"), col("n").as("nq"))), Seq("qid"))
+        .join(sizes.select(col("doc_id").as("nid"), col("n").as("nc")), Seq("nid"))
+        .select(col("qid"), col("nid"),
+          (col("inter") * lit(1.0) / (col("nq") + col("nc") - col("inter"))).as("jac"))
+      val fb = lex.withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("jac").desc, col("nid"))))
+        .filter(col("rn") <= 3).select(col("qid"), col("nid"))
+      val qtoks = toksP.filter(col("doc_id") < 8)
+        .select(col("doc_id").as("qqid"), col("w").as("qw"))
+      val candTerms = fb
+        .join(toksP.select(col("doc_id").as("nid"), col("w")), Seq("nid"))
+        .join(broadcast(qtoks), col("qid") === col("qqid") && col("w") === col("qw"), "left")
+        .filter(col("qw").isNull)
+        .select(col("qid"), col("w"))
+        .groupBy(col("qid"), col("w")).agg(count(lit(1)).as("cnt"))
+      val exp5 = broadcast(candTerms.withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cnt").desc, col("w"))))
+        .filter(col("rn") <= 5).select(col("qid"), col("w")))
+      val scored = toksP.filter(col("doc_id") >= 8).select(col("doc_id").as("nid"), col("w"))
+        .join(exp5, Seq("w"))
+        .groupBy(col("qid"), col("nid")).agg(count(lit(1)).as("score"))
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))).cast("int"))
+        .filter(col("rank") <= 5)
+        .orderBy(col("qid"), col("rank"))
     }
   )
 }

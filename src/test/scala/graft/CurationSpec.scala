@@ -667,4 +667,63 @@ class CurationSpec extends AnyFunSuite {
       assert(xs.count(_._4).toDouble / n < 0.2, s"label $label")
     }
   }
+
+  // ------------------------------------------------------------------ CUSUM
+
+  test("CUSUM matches a hand loop on the fixture and localizes an injected mean shift") {
+    def dec2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val got = Pack.byName("ts_cusum_drift").fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getTimestamp(1), r.getDouble(2))).toMap
+    val ev = graft.schemas.Tables.events(spark, sf)
+      .select($"event_type", date_trunc("hour", $"ts").as("h"), $"value").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+    ev.groupBy(_._1).foreach { case (et, xs) =>
+      val buckets = xs.groupBy(_._2).map { case (h, ys) =>
+        (h, ys.length.toLong, ys.map(y => dec2(y._3)).sum.toDouble)
+      }.toSeq.sortBy(_._1.getTime)
+      val tot = buckets.map(_._2).sum.toDouble
+      val gsv = buckets.map(b => BigDecimal(b._3).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      val mean = gsv / tot
+      var s = 0.0
+      var best: (java.sql.Timestamp, Double) = null
+      buckets.foreach { case (h, n, sv) =>
+        s += sv - n * mean
+        if (best == null || math.abs(s) > math.abs(best._2)) best = (h, s)
+      }
+      assert(got(et)._1 == best._1, et)
+      assert(math.abs(got(et)._2 - math.rint(best._2 * 1e6) / 1e6) < 1e-6, et)
+    }
+    // synthetic: a level shift at bucket 10 of 20 peaks the CUSUM there
+    val series = (0 until 20).map(i => if (i < 10) 5.0 else 15.0)
+    val m = series.sum / series.length
+    val cusum = series.scanLeft(0.0)(_ + _ - m).drop(1)
+    assert(cusum.zipWithIndex.maxBy { case (v, _) => math.abs(v) }._2 == 9)
+  }
+
+  // -------------------------------------------------------------------- PRF
+
+  test("PRF expansion terms exclude query terms and scores are exact overlap counts") {
+    val docs = graft.schemas.Tables.documents(spark, sf)
+      .filter($"doc_id" < 500).select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ").distinct.toSet }.toMap
+    // hand re-derivation of the full pipeline
+    def jac(a: Set[String], b: Set[String]) =
+      a.intersect(b).size.toDouble / (a.size + b.size - a.intersect(b).size)
+    val corpus = docs.keys.filter(_ >= 8).toSeq.sorted
+    val expect = docs.keys.filter(_ < 8).toSeq.sorted.flatMap { q =>
+      val fb = corpus.filter(n => docs(q).intersect(docs(n)).nonEmpty)
+        .sortBy(n => (-jac(docs(q), docs(n)), n)).take(3)
+      val terms = fb.flatMap(n => docs(n).toSeq).filterNot(docs(q))
+        .groupBy(identity).map { case (w, xs) => (w, xs.length) }
+      val exp5 = terms.toSeq.sortBy { case (w, c) => (-c, w) }.take(5).map(_._1).toSet
+      if (exp5.isEmpty) Seq()
+      else corpus.map(n => (q, n, docs(n).intersect(exp5).size))
+        .filter(_._3 > 0).sortBy { case (_, n, s) => (-s, n) }.take(5)
+        .zipWithIndex.map { case ((qq, n, s), i) => (qq, n, s.toLong, i + 1) }
+    }
+    val got = Pack.byName("retrieval_prf_expansion").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.sortBy(g => (g._1, g._4)).toSeq == expect.sortBy(g => (g._1, g._4)))
+  }
 }
