@@ -1195,6 +1195,36 @@ object PackCuration {
           Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))).cast("int"))
         .filter(col("rank") <= 5)
         .orderBy(col("qid"), col("rank"))
+    },
+
+    // Benford's-law first-digit audit on the money column — the
+    // classic forensic DQ check (organic monetary amounts follow
+    // P(d) = log10(1 + 1/d); fabricated or truncated data doesn't).
+    // Digit extraction is INTEGER+STRING only: first digit of the
+    // cent-scaled integer equals the first significant digit of the
+    // amount, so no log10-near-power float edge can flip a digit.
+    // One count pass; expected shares are ln(1+1/d)/ln(10) with the
+    // oracle's expression shape.
+    QDef("stats_benford_digits",
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |           FROM lineitem WHERE l_extendedprice > 0),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+        |SELECT digit, n,
+        |  round(CAST(n AS DOUBLE) / t.tot, 6) AS obs_p,
+        |  round(ln(1 + 1.0 / digit) / ln(10), 6) AS exp_p
+        |FROM c, t ORDER BY digit""".stripMargin) { (s, d) =>
+      val dig = Tables.lineitem(s, d).filter(col("l_extendedprice") > 0)
+        .select(substring(floor(col("l_extendedprice") * 100 + 0.5).cast("long").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+      val c = BoundedCache.persist("pack.benford.c",
+        dig.groupBy(col("digit")).agg(count(lit(1)).as("n")))
+      val t = c.agg(sum(col("n")).as("tot"))
+      c.crossJoin(broadcast(t))
+        .select(col("digit"), col("n"),
+          round(col("n").cast("double") / col("tot"), 6).as("obs_p"),
+          round(log(lit(1) + lit(1.0) / col("digit")) / log(lit(10.0)), 6).as("exp_p"))
+        .orderBy(col("digit"))
     }
   )
 }

@@ -726,4 +726,27 @@ class CurationSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
     assert(got.sortBy(g => (g._1, g._4)).toSeq == expect.sortBy(g => (g._1, g._4)))
   }
+
+  // ---------------------------------------------------------------- Benford
+
+  test("Benford digit extraction is exact on hand amounts and counts sum to the table") {
+    // integer-cents first-digit reference, incl. sub-1 amounts
+    val cases = Seq(123.45 -> 1, 0.05 -> 5, 999.99 -> 9, 20.00 -> 2, 0.37 -> 3)
+    cases.foreach { case (v, d) =>
+      val cents = math.floor(v * 100 + 0.5).toLong
+      assert(cents.toString.head.asDigit == d, s"$v")
+    }
+    val rows = Pack.byName("stats_benford_digits").fn(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 9))
+    val total = graft.schemas.Tables.lineitem(spark, sf)
+      .filter($"l_extendedprice" > 0).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      val d = r.getInt(0)
+      val expP = math.rint(math.log(1 + 1.0 / d) / math.log(10) * 1e6) / 1e6
+      assert(math.abs(r.getDouble(r.fieldIndex("exp_p")) - expP) < 1e-9)
+    }
+    // obs probabilities sum to 1
+    assert(math.abs(rows.map(_.getDouble(rows.head.fieldIndex("obs_p"))).sum - 1.0) < 1e-4)
+  }
 }

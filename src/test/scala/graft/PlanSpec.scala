@@ -345,7 +345,14 @@ class PlanSpec extends AnyFunSuite {
       "graph_pagerank" -> 8,
       "dedup_cluster_cc" -> 13,
       "text_tfidf_sim_topk" -> 8,
-      "ann_pq_adc_topk" -> 8)) {
+      "ann_pq_adc_topk" -> 8,
+      // continuation-session heavy queries, same pinned-cold-count rule:
+      // common-neighbors = adj degree agg + wedge agg + final sort feed;
+      // fuzzy dedup rides the persisted LSH candidate frame (1); PRF's 7
+      // are its two inverted-index passes + two top-k windows + scoring
+      "graph_common_neighbors" -> 3,
+      "dedup_fuzzy_levenshtein" -> 1,
+      "retrieval_prf_expansion" -> 7)) {
     test(s"$name stays within its shuffle-exchange budget ($budget)") {
       val got = shuffleExchangesAcross(name)
       assert(got <= budget, s"$name now triggers $got shuffle exchanges " +
