@@ -1225,6 +1225,40 @@ object PackCuration {
           round(col("n").cast("double") / col("tot"), 6).as("obs_p"),
           round(log(lit(1) + lit(1.0) / col("digit")) / log(lit(10.0)), 6).as("exp_p"))
         .orderBy(col("digit"))
+    },
+
+    // Hour-of-day seasonality profile per event_type — the diurnal
+    // fingerprint (peak hour, peak share, and the concentration factor
+    // peak/uniform) feeding capacity planning and the CUSUM/KS drift
+    // baselines. One count pass into 24 buckets; peak selection is an
+    // integer max with a min-hour tiebreak — all integer until the two
+    // final share divisions.
+    QDef("ts_seasonality_hod",
+      """WITH h AS (SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot, CAST(max(n) AS BIGINT) AS mx
+        |      FROM h GROUP BY 1),
+        |p AS (SELECT h.event_type, CAST(min(h.hod) AS INTEGER) AS peak_hour
+        |      FROM h JOIN t USING (event_type) WHERE h.n = t.mx GROUP BY 1)
+        |SELECT t.event_type, p.peak_hour, t.tot AS n_events,
+        |  round(CAST(t.mx AS DOUBLE) / t.tot, 6) AS peak_share,
+        |  round(CAST(t.mx AS DOUBLE) * 24 / t.tot, 6) AS concentration
+        |FROM t JOIN p USING (event_type) ORDER BY event_type""".stripMargin) { (s, d) =>
+      val h = BoundedCache.persist("pack.hod.h",
+        Tables.events(s, d)
+          .groupBy(col("event_type"), hour(col("ts")).cast("int").as("hod"))
+          .agg(count(lit(1)).as("n")))
+      val t = h.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("tot"), max(col("n")).as("mx"))
+      val p = h.join(broadcast(t), Seq("event_type"))
+        .filter(col("n") === col("mx"))
+        .groupBy(col("event_type")).agg(min(col("hod")).cast("int").as("peak_hour"))
+      t.join(broadcast(p), Seq("event_type"))
+        .select(col("event_type"), col("peak_hour"), col("tot").as("n_events"),
+          round(col("mx").cast("double") / col("tot"), 6).as("peak_share"),
+          round(col("mx").cast("double") * 24 / col("tot"), 6).as("concentration"))
+        .orderBy(col("event_type"))
     }
   )
 }

@@ -749,4 +749,26 @@ class CurationSpec extends AnyFunSuite {
     // obs probabilities sum to 1
     assert(math.abs(rows.map(_.getDouble(rows.head.fieldIndex("obs_p"))).sum - 1.0) < 1e-4)
   }
+
+  // ------------------------------------------------------------ seasonality
+
+  test("hour-of-day profile matches a hand histogram; concentration is 1 for uniform") {
+    val got = Pack.byName("ts_seasonality_hod").fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2), r.getDouble(4))).toMap
+    val ev = graft.schemas.Tables.events(spark, sf)
+      .select($"event_type", hour($"ts").as("hod")).collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    ev.groupBy(_._1).foreach { case (et, xs) =>
+      val hist = xs.groupBy(_._2).map { case (h, ys) => h -> ys.length }
+      val mx = hist.values.max
+      val peak = hist.filter(_._2 == mx).keys.min
+      val (gPeak, gN, gConc) = got(et)
+      assert(gPeak == peak, et)
+      assert(gN == xs.length.toLong, et)
+      assert(math.abs(gConc - math.rint(mx.toDouble * 24 / xs.length * 1e6) / 1e6) < 1e-9, et)
+    }
+    // uniform 24-hour activity has concentration exactly 1
+    val uniform = (0 until 24).map(_ -> 10)
+    assert(uniform.map(_._2).max.toDouble * 24 / uniform.map(_._2).sum == 1.0)
+  }
 }
