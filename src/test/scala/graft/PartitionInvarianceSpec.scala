@@ -31,7 +31,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "stats_ks_test",             // integer ECDF products over window cumsums
     "ts_anomaly_rolling",        // decimal rolling moments + double z threshold
     "mixture_temperature_weights", // quantized-decimal sqrt normalizer
-    "mine_hard_negatives")       // broadcast scoring + bounded-heap ranks
+    "mine_hard_negatives",       // broadcast scoring + bounded-heap ranks
+    "ts_autocorr_lag1",          // lag-window pairs + decimal moment corr
+    "stats_cov_matrix",          // ten-moment single-pass decimal covariances
+    "ts_cusum_drift",            // hour-ordered running deviation peak
+    "window_twap",               // decimal interval-weighted numerator
+    "stats_benford_digits")      // integer-string digit histogram
 
   private def collectAt(name: String, partitions: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
