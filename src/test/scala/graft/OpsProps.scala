@@ -493,4 +493,46 @@ object OpsProps extends Properties("ops") {
         .as[(Long, Long, Long, Long)].head()
       r._1 == vs.size.toLong && r._2 == canon.size.toLong && r._4 == triangles
     }
+
+  // ---- hard-negative mining vs brute filter over random labels ----------
+
+  private val labeledVecsGen: Gen[List[(Long, Int, List[Float])]] = for {
+    n <- Gen.choose(6, 20)
+    dims <- Gen.const(4)
+    vecs <- Gen.sequence[List[(Long, Int, List[Float])], (Long, Int, List[Float])](
+      (0 until n).map { i =>
+        for {
+          label <- Gen.choose(0, 2)
+          emb <- Gen.listOfN(dims, Gen.choose(-100, 100).map(_ / 10.0f))
+          if emb.exists(_ != 0f) // zero vectors have undefined cosine
+        } yield (i.toLong, label, emb)
+      }.toList)
+  } yield vecs
+
+  property("hardNegativeTopK == brute-force filtered argsort on random labeled vectors") =
+    Prop.forAll(labeledVecsGen) { vecs =>
+      import spark.implicits._
+      val labels = vecs.map(v => v._1 -> v._2).toMap
+      val df = vecs.map { case (id, l, e) => (id, l, e.toArray) }
+        .toDF("vec_id", "label", "embedding")
+      val queries = df.filter($"vec_id" < 3)
+      val got = graft.ext.Similarity.hardNegativeTopK(df, queries, 3).collect()
+        .map(r => (r.getLong(r.fieldIndex("qid")), r.getInt(r.fieldIndex("rank")),
+          r.getLong(r.fieldIndex("nid"))))
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        def dot(x: Seq[Float], y: Seq[Float]) =
+          x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+        math.rint(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 1e6) / 1e6
+      }
+      val byId = vecs.map(v => v._1 -> v._3).toMap
+      val expect = vecs.filter(_._1 < 3).flatMap { case (q, ql, qe) =>
+        vecs.filter(_._2 != ql)
+          .map { case (n, _, ne) => (cos(qe, ne), n) }
+          .sortBy { case (c, n) => (-c, n) }.take(3)
+          .zipWithIndex.map { case ((_, n), i) => (q, i + 1, n) }
+      }.toSet
+      val gotSet = got.map { case (q, r, n) => (q, r, n) }.toSet
+      // results never share the query's label, and match the reference
+      got.forall { case (q, _, n) => labels(q) != labels(n) } && gotSet == expect
+    }
 }
