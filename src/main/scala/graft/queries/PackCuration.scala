@@ -81,7 +81,8 @@ object PackCuration {
         |        FROM c GROUP BY 1),
         |d AS (SELECT cum.event_type, t.n_ref, t.n_cur,
         |        CAST(max(abs(cum.cr * t.n_cur - cum.cu * t.n_ref)) AS BIGINT) AS dmax
-        |      FROM cum JOIN tot t USING (event_type) GROUP BY 1, 2, 3)
+        |      FROM cum JOIN tot t USING (event_type)
+        |      WHERE t.n_ref > 0 AND t.n_cur > 0 GROUP BY 1, 2, 3)
         |SELECT event_type, n_ref, n_cur,
         |  round(CAST(dmax AS DOUBLE) / (CAST(n_ref AS DOUBLE) * n_cur), 6) AS ks_stat,
         |  CAST(dmax AS DOUBLE) / (CAST(n_ref AS DOUBLE) * n_cur)
@@ -99,7 +100,10 @@ object PackCuration {
         sum(col("rc")).over(w).as("cr"), sum(col("cc")).over(w).as("cu"))
       val tot = c.groupBy(col("event_type"))
         .agg(sum(col("rc")).as("n_ref"), sum(col("cc")).as("n_cur"))
+      // One-sided cohorts (n_ref or n_cur = 0) are "not testable", not a
+      // divide-by-zero: NULL-vs-inf divergence across engines otherwise.
       val dm = cum.join(broadcast(tot), Seq("event_type"))
+        .filter(col("n_ref") > 0 && col("n_cur") > 0)
         .groupBy(col("event_type"), col("n_ref"), col("n_cur"))
         .agg(max(abs(col("cr") * col("n_cur") - col("cu") * col("n_ref"))).as("dmax"))
       val ks = col("dmax").cast("double") / (col("n_ref").cast("double") * col("n_cur"))
@@ -138,7 +142,7 @@ object PackCuration {
         |         FROM cells JOIN rt USING (event_type) JOIN ct USING (cohort), n)
         |SELECT round(CAST(sum(t) AS DOUBLE), 6) AS chi2,
         |  CAST((nr - 1) * (2 - 1) AS BIGINT) AS df,
-        |  round(sqrt(CAST(sum(t) AS DOUBLE) / (n * least(nr - 1, 1))), 6) AS cramers_v,
+        |  round(sqrt(CAST(sum(t) AS DOUBLE) / (n * greatest(least(nr - 1, 1), 1))), 6) AS cramers_v,
         |  n
         |FROM term GROUP BY nr, n""".stripMargin) { (s, d) =>
       val o = BoundedCache.persist("pack.chi2.cells",
@@ -161,7 +165,10 @@ object PackCuration {
           col("n"), col("nr"))
       term.groupBy(col("nr"), col("n"))
         .agg(round(sum(col("t")).cast("double"), 6).as("chi2"),
-          round(sqrt(sum(col("t")).cast("double") / (col("n") * least(col("nr") - 1, lit(1L)))), 6).as("cramers_v"))
+          // greatest(…,1) guards the nr=1 degenerate table (V undefined,
+          // but a 0 denominator would diverge NULL-vs-inf across engines)
+          round(sqrt(sum(col("t")).cast("double") /
+            (col("n") * greatest(least(col("nr") - 1, lit(1L)), lit(1L)))), 6).as("cramers_v"))
         .select(col("chi2"), ((col("nr") - 1) * lit(1L)).as("df"), col("cramers_v"), col("n"))
     },
 
@@ -464,7 +471,7 @@ object PackCuration {
         |  WINDOW fr AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
         |z AS (SELECT event_id, user_id, value, n_frame,
         |        (value - sv / n_frame) / sqrt((svv - sv / n_frame * sv) / (n_frame - 1)) AS z
-        |      FROM w WHERE n_frame >= 10)
+        |      FROM w WHERE n_frame >= 10 AND svv * n_frame > sv * sv)
         |SELECT event_id, user_id, value, n_frame, round(z, 6) AS z_score
         |FROM z WHERE abs(z) > 3 ORDER BY event_id""".stripMargin) { (s, d) =>
       val D = DecimalType(18, 2)
@@ -477,7 +484,12 @@ object PackCuration {
         sum(dec(col("value")) * dec(col("value"))).over(fr).cast("double").as("svv"))
       val z = (col("value") - col("sv") / col("n_frame")) /
         sqrt((col("svv") - col("sv") / col("n_frame") * col("sv")) / (col("n_frame") - lit(1)))
-      w.filter(col("n_frame") >= 10)
+      // Zero-variance frames (all trailing values identical) make the z
+      // denominator sqrt(0): Spark Divide yields NULL (row silently
+      // dropped) while IEEE division yields inf/NaN — guard to positive
+      // variance so both engines agree the frame is unscorable.
+      w.filter(col("n_frame") >= 10 &&
+          col("svv") * col("n_frame") > col("sv") * col("sv"))
         .select(col("event_id"), col("user_id"), col("value"), col("n_frame"),
           z.as("z"))
         .filter(abs(col("z")) > 3)
@@ -1089,8 +1101,11 @@ object PackCuration {
     // (the KS pre-binning discipline — the window sees bounded bucket
     // rows, never raw events), then the cumulative sum of per-hour
     // deviations from the overall mean peaks at the change point.
-    // Deviation terms and the running sum are evaluated in identical
-    // order in both engines (hour-ordered window), one final rounding.
+    // Each per-hour deviation term is 1e6-quantized to DECIMAL(28,12)
+    // BEFORE the window sum (the NOTES rule-0 shape): the cumulative sum
+    // is then exact and order-free, immune to tree-ordered window
+    // aggregation or scale pushing a raw-double sequential sum past the
+    // final 6dp round.
     QDef("ts_cusum_drift",
       """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS h,
         |             CAST(count(*) AS BIGINT) AS n,
@@ -1100,13 +1115,14 @@ object PackCuration {
         |        CAST(sum(CAST(sv AS DECIMAL(28,6))) AS DOUBLE) AS gsv
         |      FROM b GROUP BY 1),
         |cs AS (SELECT b.event_type, b.h,
-        |         sum(b.sv - b.n * (g.gsv / g.tot)) OVER
+        |         sum(CAST(floor((b.sv - b.n * (g.gsv / g.tot)) * 1e6 + 0.5) / 1e6
+        |                  AS DECIMAL(28,12))) OVER
         |           (PARTITION BY b.event_type ORDER BY b.h) AS s
         |       FROM b JOIN g USING (event_type)),
         |r AS (SELECT event_type, h, s,
         |        row_number() OVER (PARTITION BY event_type ORDER BY abs(s) DESC, h) AS rn
         |      FROM cs)
-        |SELECT event_type, h AS drift_hour, round(s, 6) AS max_cusum
+        |SELECT event_type, h AS drift_hour, round(CAST(s AS DOUBLE), 6) AS max_cusum
         |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin) { (s, d) =>
       val b = BoundedCache.persist("pack.cusum.b",
         Tables.events(s, d)
@@ -1119,11 +1135,13 @@ object PackCuration {
       val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
       val cs = b.join(broadcast(g), Seq("event_type"))
         .select(col("event_type"), col("h"),
-          sum(col("sv") - col("n") * (col("gsv") / col("tot"))).over(w).as("s"))
+          sum(qdec(col("sv") - col("n") * (col("gsv") / col("tot")), 1e6))
+            .over(w).as("s"))
       cs.withColumn("rn", row_number().over(
           Window.partitionBy(col("event_type")).orderBy(abs(col("s")).desc, col("h"))))
         .filter(col("rn") === 1)
-        .select(col("event_type"), col("h").as("drift_hour"), round(col("s"), 6).as("max_cusum"))
+        .select(col("event_type"), col("h").as("drift_hour"),
+          round(col("s").cast("double"), 6).as("max_cusum"))
         .orderBy(col("event_type"))
     },
 
