@@ -125,7 +125,17 @@ object Graph {
     * contributes ZERO wedges as a source once oriented away from it).
     * Both joins are hash-partitionable equi-joins; nothing broadcasts
     * but the plan's own small sides, nothing is quadratic in n.
-    * Returns one row: (n_vertices, n_edges, n_wedges, n_triangles). */
+    * Returns one row: (n_vertices, n_edges, n_wedges, n_triangles).
+    *
+    * Execution shape: the oriented edge set is materialized once and its
+    * COUNT gates a broadcast of the wedge-probe and closing sides (≤
+    * [[RankBroadcastMaxNodesKey]] edges — the same flip the pageRank
+    * rank side uses): under the gate the whole wedge-enumerate + close +
+    * count pipeline is ONE codegen stage with no shuffle; past it the
+    * same plan runs as shuffled equi-joins. n_wedges and n_triangles
+    * come from a single pass — the closing join is a LEFT join against
+    * the canonical edge set (unique (u,v) pairs, so no fan-out), with
+    * count(*) = wedges and count(matched) = triangles. */
   def triangleCount(edges: DataFrame): DataFrame = {
     val canon = edges
       .select(least(col("src"), col("dst")).as("u"),
@@ -133,14 +143,23 @@ object Graph {
       .filter(col("u") =!= col("v"))
       .distinct()
       .persist()
+    val nE = canon.count() // materialize; oriented is 1:1 with canon
+    val s = edges.sparkSession
+    val maxBcast = s.conf
+      .get(RankBroadcastMaxNodesKey, RankBroadcastMaxNodesDefault.toString).toLong
+    def gated(df: DataFrame): DataFrame =
+      if (nE <= maxBcast) broadcast(df) else df
     val deg = canon.select(col("u").as("x"))
       .union(canon.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      .persist()
+    val nV = deg.count() // every vertex appears in deg exactly once
     // orient from the lower (degree, id) endpoint: ties break on id so
-    // the orientation is total and deterministic
+    // the orientation is total and deterministic; deg is node-sized so
+    // it rides the same broadcast gate as the wedge sides
     val withDeg = canon
-      .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
-      .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+      .join(gated(deg.select(col("x").as("u"), col("d").as("du"))), Seq("u"))
+      .join(gated(deg.select(col("x").as("v"), col("d").as("dv"))), Seq("v"))
     val oriented = withDeg.select(
       when(col("du") < col("dv") ||
            (col("du") === col("dv") && col("u") < col("v")), col("u"))
@@ -149,22 +168,20 @@ object Graph {
            (col("du") === col("dv") && col("u") < col("v")), col("v"))
         .otherwise(col("u")).as("t"))
       .persist()
-    val nE = oriented.count() // materialize; also the edge count
     val a = oriented.select(col("s"), col("t").as("t1"))
     val b = oriented.select(col("s"), col("t").as("t2"))
-    val wedges = a.join(b, Seq("s")).filter(col("t1") < col("t2"))
+    val wedges = a.join(gated(b), Seq("s")).filter(col("t1") < col("t2"))
     // wedges carry t1 < t2 and canon is (u < v)-canonical, so the wedge
-    // closes iff (t1, t2) is a canonical edge — one equi-join, no
-    // orientation unions
-    val triangles = wedges.join(canon,
-      col("t1") === col("u") && col("t2") === col("v"))
-    val nV = oriented.select(col("s").as("x"))
-      .union(oriented.select(col("t").as("x"))).distinct().count()
-    val nW = wedges.count()
-    val nT = triangles.count()
+    // closes iff (t1, t2) is a canonical edge — one LEFT equi-join (canon
+    // pairs are unique, so no fan-out) counts wedges AND triangles in a
+    // single pass over the wedge stream
+    val counts = wedges.join(gated(canon),
+        col("t1") === col("u") && col("t2") === col("v"), "left")
+      .agg(count(lit(1)).as("nW"), count(col("u")).as("nT")).head()
+    val (nW, nT) = (counts.getLong(0), counts.getLong(1))
     oriented.unpersist()
     canon.unpersist()
-    val s = edges.sparkSession
+    deg.unpersist()
     import s.implicits._
     Seq((nV, nE, nW, nT)).toDF("n_vertices", "n_edges", "n_wedges", "n_triangles")
   }

@@ -119,6 +119,81 @@ object Profile {
             sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_dup")).count())
     }
 
+    if (names.contains("cn")) {
+      import graft.schemas.Tables
+      val li = Tables.lineitem(spark, d).filter($"l_orderkey" % 20 === 0)
+        .select($"l_orderkey", $"l_suppkey")
+      val e0 = li.alias("a").join(li.alias("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_suppkey" < $"b.l_suppkey")
+        .select($"a.l_suppkey".as("u"), $"b.l_suppkey".as("v")).distinct()
+        .persist()
+      time("cn_edges")(e0.count())
+      val adj = e0.select($"u".as("x"), $"v".as("y"))
+        .unionAll(e0.select($"v".as("x"), $"u".as("y"))).persist()
+      time("cn_adj")(adj.count())
+      val deg = adj.groupBy($"x").agg(count(lit(1)).as("d")).persist()
+      time("cn_deg")(deg.count())
+      val ctr = adj.join(broadcast(deg.filter($"d" <= 512)), Seq("x"))
+        .select($"x", $"y")
+      time("cn_ctr")(ctr.count())
+      val w = ctr.alias("a").join(ctr.alias("b"),
+          $"a.x" === $"b.x" && $"a.y" < $"b.y")
+        .groupBy($"a.y".as("u"), $"b.y".as("v"))
+        .agg(count(lit(1)).as("cn"))
+      time("cn_wedge_agg")(w.count())
+      val wB = ctr.alias("a").join(broadcast(ctr.alias("b")),
+          $"a.x" === $"b.x" && $"a.y" < $"b.y")
+        .groupBy($"a.y".as("u"), $"b.y".as("v"))
+        .agg(count(lit(1)).as("cn"))
+      time("cn_wedge_agg_bcast")(wB.count())
+      // pair generation via per-center sorted neighbor arrays + posexplode
+      val nbr = adj.groupBy($"x").agg(sort_array(collect_list($"y")).as("ys"), count(lit(1)).as("dd"))
+        .filter($"dd" <= 512)
+      val wA = nbr
+        .select(posexplode($"ys").as(Seq("i", "u")), $"ys")
+        .select($"u", explode(slice($"ys", $"i" + 2, size($"ys"))).as("v"))
+        .groupBy($"u", $"v").agg(count(lit(1)).as("cn"))
+      time("cn_wedge_agg_array")(wA.count())
+      val wp = w.persist(); wp.count()
+      val nonedge = wp.join(e0, Seq("u", "v"), "left_anti")
+      time("cn_nonedge(from warm w)")(nonedge.count())
+      val scored = nonedge
+        .join(deg.select($"x".as("u"), $"d".as("du")), Seq("u"))
+        .join(deg.select($"x".as("v"), $"d".as("dv")), Seq("v"))
+        .select($"u", $"v", $"cn",
+          round($"cn".cast("double") / ($"du" + $"dv" - $"cn"), 6).as("jaccard"))
+      time("cn_scored(from warm w)")(scored.count())
+      val top = graft.ops.Ops.topKPerKey(
+        scored.withColumn("_g", lit(1)), Seq("_g"),
+        Seq(("cn", true), ("jaccard", true), ("u", false), ("v", false)), 20)
+      time("cn_topk(from warm w)")(top.count())
+      val full = graft.queries.Pack.byName("graph_common_neighbors").fn
+      time("cn_declared")(full(spark, d).count())
+    }
+
+    if (names.contains("tri")) {
+      import graft.schemas.Tables
+      val li = Tables.lineitem(spark, d).filter($"l_orderkey" % 10 === 0)
+        .select($"l_orderkey", $"l_suppkey")
+      val edges = li.alias("a").join(li.alias("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_suppkey" < $"b.l_suppkey")
+        .select($"a.l_suppkey".as("src"), $"b.l_suppkey".as("dst"))
+      time("tri_edges_raw")(edges.count())
+      val canon = edges.select(least($"src", $"dst").as("u"),
+          greatest($"src", $"dst").as("v"))
+        .filter($"u" =!= $"v").distinct()
+      time("tri_canon")(canon.count())
+      val cp = canon.persist(); cp.count()
+      val deg = cp.select($"u".as("x")).union(cp.select($"v".as("x")))
+        .groupBy($"x").agg(count(lit(1)).as("d"))
+      val withDeg = cp
+        .join(deg.select($"x".as("u"), $"d".as("du")), Seq("u"))
+        .join(deg.select($"x".as("v"), $"d".as("dv")), Seq("v"))
+      time("tri_oriented(warm canon)")(withDeg.count())
+      time("tri_declared")(graft.queries.Pack.byName("graph_triangle_count")
+        .fn(spark, d).count())
+    }
+
     if (names.contains("pagerank")) {
       import graft.schemas.Tables
       val edges = Tables.lineitem(spark, d).select($"l_orderkey", $"l_suppkey")
