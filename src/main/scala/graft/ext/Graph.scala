@@ -111,6 +111,66 @@ object Graph {
     ranks
   }
 
+  /** Semi-supervised label propagation: spread seed labels over an
+    * undirected graph for a FIXED number of synchronous rounds. Each
+    * round, every still-unlabeled node adopts the MODAL label among its
+    * labeled neighbors (ties broken to the smallest label — the total
+    * order that makes the algorithm deterministic on any partitioning);
+    * labeled nodes are clamped (seeds and earlier adoptions never flip).
+    * The label-spreading workhorse for training-data pipelines: a small
+    * hand-labeled seed set (domain, language, quality tier) extends over
+    * a similarity/co-occurrence graph without a model.
+    *
+    * `edges` needs columns (src, dst); `seeds` (node, label: LONG).
+    * Returns (node, label) for every node labeled after `rounds`.
+    *
+    * Scale shape: one round = one neighbor-label equi-join (the label
+    * side is node-sized and rides the same size-gated broadcast flip as
+    * pageRank's ranks) + one (node, label) count + one per-node argmax —
+    * all vertex-partitioned; per-node work is bounded by degree. Labels
+    * persist per round so lineage never grows with round count. */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val s = edges.sparkSession
+    val maxBcast = s.conf
+      .get(RankBroadcastMaxNodesKey, RankBroadcastMaxNodesDefault.toString).toLong
+    val adj = edges
+      .select(col("src").as("x"), col("dst").as("y"))
+      .unionAll(edges.select(col("dst").as("x"), col("src").as("y")))
+      .distinct()
+      .persist()
+    adj.count(): Unit
+    var labels = seeds.select(col("node"), col("label")).persist()
+    var nLabels = labels.count()
+    var toFree = List.empty[DataFrame]
+    (1 to rounds).foreach { _ =>
+      val lbl = labels.select(col("node").as("y"), col("label"))
+      val lblSide = if (nLabels <= maxBcast) broadcast(lbl) else lbl
+      val counts = adj.join(lblSide, Seq("y"))
+        .join(labels.select(col("node").as("x")), Seq("x"), "left_anti")
+        .groupBy(col("x"), col("label")).agg(count(lit(1)).as("c"))
+      // argmax by (count desc, label asc): max of (c, -label) needs no
+      // second shuffle beyond the per-node aggregation
+      val adopted = counts
+        .groupBy(col("x"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("x").as("node"), (-col("m.nl")).as("label"))
+      val next = labels.unionByName(adopted).persist()
+      nLabels = next.count()
+      toFree = labels :: toFree
+      labels = next
+    }
+    toFree.foreach(df => try df.unpersist() catch { case _: Exception => () })
+    adj.unpersist()
+    // same retention discipline as pageRank's lastRanks: the result stays
+    // persisted for the caller, the previous run's result is evicted
+    val prev = lastLabels.getAndSet(labels)
+    if (prev != null && !prev.eq(labels))
+      try prev.unpersist() catch { case _: Exception => () }
+    labels
+  }
+  private val lastLabels =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   /** Exact triangle count by degree-ordered orientation (the standard
     * distributed algorithm, Cohen's MapReduce formulation / Suri-Vassilvitskii):
     * canonicalize to undirected distinct edges, orient each edge from its

@@ -335,6 +335,48 @@ object TextDedup {
       .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Asymmetric shingle-set CONTAINMENT over inverted-index candidate
+    * pairs (Broder's second resemblance measure): C(A,B) = |A∩B| / |A|.
+    * Near-1 containment with low Jaccard is the "small doc swallowed by
+    * a big one" case — a quote, a boilerplate block, a chapter inside a
+    * compilation — which symmetric near-dup misses by construction
+    * (Jaccard is bounded by |A|/|B|). Emits BOTH directions of each
+    * intersecting pair: (src, within, containment) meaning `containment`
+    * of src's shingles also appear in `within`.
+    *
+    * Same scale discipline as [[jaccardPairs]]: grams with document
+    * frequency above `maxDf` are dropped BEFORE the self-join (salted
+    * df counting), so no posting list goes quadratic; sizes and
+    * intersections are both computed over the filtered universe. */
+  def containmentPairs(df: DataFrame, id: String, text: String,
+                       threshold: Double, n: Int = 1,
+                       maxDf: Int = 10000): DataFrame = {
+    val s = saltBuckets(df)
+    val g = df.select(col(id).as("doc_id"), explode(shingles(col(text), n)).as("gram"))
+      .withColumn("_salt", pmod(hash(col("doc_id")), lit(s)))
+    val keepBuckets = saltedGramCounts(g, col("_salt"), s)
+      .filter(col("df") <= maxDf)
+      .select(col("gram"), col("_salt"))
+    val t = g.join(keepBuckets, Seq("gram", "_salt"), "left_semi")
+      .select(col("doc_id"), col("gram").as("w"))
+    val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = t.select(col("doc_id").as("d1"), col("w"))
+      .join(t.select(col("doc_id").as("d2"), col("w")), Seq("w"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
+    val sized = shared
+      .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+    // one undirected intersection row fans to its two directed readings
+    val directed = sized.select(col("d1").as("src"), col("d2").as("within"),
+        (col("c") * lit(1.0) / col("n1")).as("containment"))
+      .unionAll(sized.select(col("d2").as("src"), col("d1").as("within"),
+        (col("c") * lit(1.0) / col("n2")).as("containment")))
+    directed.filter(col("containment") >= threshold)
+      .select(col("src"), col("within"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** 63-bit SimHash (bits 0..62 keep the value in a signed BIGINT):
     * bit b of md5(token)'s leading 16 hex chars, majority-voted across the
     * doc's tokens, packed with shiftleft. Engine-portable bit grammar.

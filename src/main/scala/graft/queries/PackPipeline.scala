@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ext.{BoundedCache, Similarity, TextDedup}
+import graft.schemas.Tables
+
+/** Round-10 pipeline batch: the data-governance and curation operators a
+  * production training-data platform runs beside the dedup/retrieval
+  * families — k-anonymity risk profiling, asymmetric containment dedup,
+  * semi-supervised label propagation, retrieval recall/MRR eval, and the
+  * small-file compaction sink every long-lived warehouse table needs.
+  *
+  * Exactness discipline per NOTES rule 0: integer counts and ratios of
+  * integers everywhere (k-anonymity, containment, recall, MRR, label
+  * votes are ALL integer-derived; the only doubles are final one-step
+  * divisions of exact integers, identical across engines). */
+object PackPipeline {
+
+  /** DuckDB-side sequential-double dot/cos matching Similarity.dot. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, length($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc,x) -> acc + x)"
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  val queries: Seq[QDef] = Seq(
+
+    // K-anonymity risk profile over the quasi-identifier tuple
+    // (nation, market segment, account-balance band): the re-identification
+    // audit a data platform runs before releasing "anonymized" records —
+    // a row whose QI equivalence class has k members hides among only k
+    // people. Output is the k-histogram (n classes and rows per class
+    // size) with the k<5 risk flag; the release decision reads the small
+    // end. Pure integers: two cascaded count aggregations, partial agg on
+    // both, the k histogram is tiny however large the table. At 100 TB
+    // the QI groupBy is the one shuffle; floor(bal/1000) is engine-exact
+    // IEEE division.
+    QDef("dq_k_anonymity",
+      """WITH q AS (SELECT c_nationkey, c_mktsegment,
+        |             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |             CAST(count(*) AS BIGINT) AS k
+        |           FROM customer GROUP BY 1, 2, 3)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_classes,
+        |       CAST(sum(k) AS BIGINT) AS n_rows,
+        |       k < 5 AS risky
+        |FROM q GROUP BY k ORDER BY k""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+        .agg(count(lit(1)).as("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_rows"))
+        .select(col("k"), col("n_classes"), col("n_rows"),
+          (col("k") < 5).as("risky"))
+        .orderBy(col("k"))
+    },
+
+    // Asymmetric CONTAINMENT dedup (Broder): C(A,B) = |A∩B|/|A| — the
+    // "small doc swallowed by a big one" detector that symmetric Jaccard
+    // misses by construction (J ≤ |A|/|B|, so a page quoted inside a
+    // book scores near zero). Candidates come from the same df-capped
+    // inverted-index join as dedup_ngram_jaccard (posting lists above
+    // maxDf dropped BEFORE the self-join — the cap that keeps the join
+    // from going quadratic on stopwords at any corpus size); each
+    // undirected intersection row fans to its two directed readings.
+    QDef("dedup_containment",
+      """WITH t0 AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS w
+        |            FROM documents WHERE doc_id < 200),
+        |keep AS (SELECT w FROM t0 GROUP BY w HAVING count(*) <= 1000),
+        |t AS (SELECT doc_id, w FROM t0 WHERE w IN (SELECT w FROM keep)),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY doc_id),
+        |sh AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS c
+        |       FROM t a JOIN t b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |sized AS (SELECT sh.d1, sh.d2, sh.c, s1.n AS n1, s2.n AS n2
+        |          FROM sh JOIN sz s1 ON sh.d1 = s1.doc_id
+        |                  JOIN sz s2 ON sh.d2 = s2.doc_id),
+        |dir AS (SELECT d1 AS src, d2 AS within, c * 1.0 / n1 AS containment FROM sized
+        |        UNION ALL
+        |        SELECT d2, d1, c * 1.0 / n2 FROM sized)
+        |SELECT src, within, round(containment, 6) AS containment
+        |FROM dir WHERE containment >= 0.8
+        |ORDER BY src, within""".stripMargin) { (s, d) =>
+      TextDedup.containmentPairs(
+          Tables.documents(s, d).filter(col("doc_id") < 200),
+          "doc_id", "text", threshold = 0.8, n = 1, maxDf = 1000)
+        .orderBy(col("src"), col("within"))
+    },
+
+    // Semi-supervised label propagation over the supplier co-purchase
+    // graph: a seed set (suppliers ≡ 0 mod 7, labeled by suppkey mod 3 —
+    // standing in for a small hand-labeled domain/quality tier) spreads
+    // for two synchronous rounds; each round an unlabeled node adopts
+    // the MODAL label among labeled neighbors, ties to the smallest
+    // label, labeled nodes clamped. Integer votes + total tie order ⇒
+    // deterministic on any partitioning. The oracle unrolls both rounds.
+    QDef("graph_label_propagation",
+      """WITH e0 AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        |            FROM lineitem a JOIN lineitem b
+        |              ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |            WHERE a.l_orderkey % 20 = 0),
+        |adj AS (SELECT u AS x, v AS y FROM e0 UNION SELECT v, u FROM e0),
+        |lab0 AS (SELECT DISTINCT x AS node, x % 3 AS label FROM adj WHERE x % 7 = 0),
+        |n1 AS (SELECT a.x, l.label, CAST(count(*) AS BIGINT) AS c
+        |       FROM adj a JOIN lab0 l ON a.y = l.node
+        |       WHERE a.x NOT IN (SELECT node FROM lab0) GROUP BY 1, 2),
+        |a1 AS (SELECT x AS node, label FROM
+        |        (SELECT x, label, row_number() OVER
+        |           (PARTITION BY x ORDER BY c DESC, label) AS rn FROM n1)
+        |       WHERE rn = 1),
+        |lab1 AS (SELECT node, label FROM lab0 UNION ALL SELECT node, label FROM a1),
+        |n2 AS (SELECT a.x, l.label, CAST(count(*) AS BIGINT) AS c
+        |       FROM adj a JOIN lab1 l ON a.y = l.node
+        |       WHERE a.x NOT IN (SELECT node FROM lab1) GROUP BY 1, 2),
+        |a2 AS (SELECT x AS node, label FROM
+        |        (SELECT x, label, row_number() OVER
+        |           (PARTITION BY x ORDER BY c DESC, label) AS rn FROM n2)
+        |       WHERE rn = 1),
+        |lab2 AS (SELECT node, label FROM lab1 UNION ALL SELECT node, label FROM a2)
+        |SELECT node, label FROM lab2 ORDER BY node""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val e0 = li.alias("a").join(li.alias("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+        .distinct()
+      val nodes = e0.select(col("src").as("node"))
+        .unionAll(e0.select(col("dst").as("node"))).distinct()
+      val seeds = nodes.filter(col("node") % 7 === 0)
+        .select(col("node"), (col("node") % 3).as("label"))
+      graft.ext.Graph.labelPropagation(e0, seeds, rounds = 2)
+        .orderBy(col("node"))
+    },
+
+    // Recall@10 + MRR retrieval eval — the OTHER two numbers every
+    // retrieval stack reports beside NDCG (retrieval_ndcg_eval grades
+    // graded relevance; recall grades coverage, MRR grades how early the
+    // first relevant hit lands). Ground truth = exact dense top-5 per
+    // query; system = the lexical Jaccard top-10 the cascade's first
+    // stage produces. All metrics are one-step ratios of integers
+    // (n_hits/5, 1/first_rank) — engine-exact. Scale: truth and system
+    // are both per-query bounded top-k (corpus touched by the candidate
+    // joins only); the eval join is queries × 10 rows.
+    QDef("retrieval_recall_mrr_eval",
+      s"""WITH qs AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 8),
+         |truth AS (SELECT qid, nid FROM (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${cosSql("q.embedding", "e.embedding")}, 6) DESC, e.vec_id) AS rn
+         |  FROM embeddings q JOIN embeddings e
+         |    ON q.vec_id < 8 AND e.vec_id >= 8 AND e.vec_id < 500)
+         |  WHERE rn <= 5),
+         |toks AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS w
+         |         FROM documents WHERE doc_id < 500),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY doc_id),
+         |inter AS (SELECT q.doc_id AS qid, c.doc_id AS nid, CAST(count(*) AS BIGINT) AS inter
+         |          FROM toks q JOIN toks c ON q.w = c.w AND q.doc_id < 8 AND c.doc_id >= 8
+         |          GROUP BY 1, 2),
+         |sys AS (SELECT qid, nid, srank FROM (
+         |  SELECT i.qid, i.nid,
+         |    row_number() OVER (PARTITION BY i.qid
+         |      ORDER BY i.inter * 1.0 / (x.n + y.n - i.inter) DESC, i.nid) AS srank
+         |  FROM inter i JOIN sz x ON i.qid = x.doc_id JOIN sz y ON i.nid = y.doc_id)
+         |  WHERE srank <= 10),
+         |hits AS (SELECT s.qid, CAST(count(*) AS BIGINT) AS n_hits,
+         |                CAST(min(s.srank) AS BIGINT) AS first_rank
+         |         FROM sys s JOIN truth t ON s.qid = t.qid AND s.nid = t.nid
+         |         GROUP BY s.qid)
+         |SELECT qs.qid, COALESCE(h.n_hits, 0) AS n_hits,
+         |  round(COALESCE(h.n_hits, 0) / 5.0, 6) AS recall_at_10,
+         |  round(COALESCE(1.0 / h.first_rank, 0), 6) AS mrr
+         |FROM qs LEFT JOIN hits h ON qs.qid = h.qid
+         |ORDER BY qs.qid""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val nd = Similarity.nativeDot(s, _: Column, _: Column)
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val corpus = emb.filter(col("vec_id") >= 8 && col("vec_id") < 500)
+        .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      val truth = corpus.join(broadcast(q))
+        .select(col("qid"), col("nid"),
+          round(nd(col("qe"), col("ne"))
+            / (sqrt(nd(col("qe"), col("qe"))) * sqrt(nd(col("ne"), col("ne")))), 6).as("cos"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))))
+        .filter(col("rn") <= 5).select(col("qid"), col("nid"))
+      val toks = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      val toksP = BoundedCache.persist("pack.recall.toks", toks)
+      val sizes = toksP.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = toksP.filter(col("doc_id") < 8).select(col("doc_id").as("qid"), col("w"))
+        .join(toksP.filter(col("doc_id") >= 8).select(col("doc_id").as("nid"), col("w")), Seq("w"))
+        .groupBy(col("qid"), col("nid")).agg(count(lit(1)).as("inter"))
+      val sys = inter
+        .join(broadcast(sizes.select(col("doc_id").as("qid"), col("n").as("nq"))), Seq("qid"))
+        .join(sizes.select(col("doc_id").as("nid"), col("n").as("nc")), Seq("nid"))
+        .withColumn("srank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(
+            (col("inter") * lit(1.0) / (col("nq") + col("nc") - col("inter"))).desc,
+            col("nid"))))
+        .filter(col("srank") <= 10).select(col("qid"), col("nid"), col("srank"))
+      val hits = sys.join(truth, Seq("qid", "nid"))
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_hits"), min(col("srank")).as("first_rank"))
+      q.select(col("qid")).join(broadcast(hits), Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)) / lit(5.0), 6).as("recall_at_10"),
+          round(coalesce(lit(1.0) / col("first_rank"), lit(0.0)), 6).as("mrr"))
+        .orderBy(col("qid"))
+    },
+
+    // K11 (live) — small-file COMPACTION sink: the maintenance operation
+    // every streaming-append warehouse table needs (a year of
+    // micro-batches leaves thousands of KB-sized files; scan cost and
+    // NameNode/listing pressure are per-FILE). Stage a fragmented table
+    // (64 round-robin files), then compact with coalesce() — the
+    // SHUFFLE-FREE narrowing where each output task concatenates several
+    // input files — into ceil(n/50k)-row bins. The declared result pins
+    // the full lifecycle: row count and an exact content checksum prove
+    // the rewrite lost nothing, the before/after file counts prove the
+    // compaction happened (64 staged files; bin count is row-derived so
+    // the oracle can state it).
+    QDef("k11_sink_compact",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(64 AS BIGINT) AS n_files_before,
+        |  CAST(ceil(count(*) / 50000.0) AS BIGINT) AS n_files_after,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_event_id
+        |FROM events WHERE event_id % 5 = 0""".stripMargin) { (s, d) =>
+      val base = s"${sys.props("java.io.tmpdir")}/graft_${new java.io.File(d).getName}"
+      val frag = s"$base/k11_frag"
+      val comp = s"$base/k11_compact"
+      val src = Tables.events(s, d).filter(col("event_id") % 5 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      src.repartition(64).write.mode("overwrite").parquet(frag)
+      def parquetFiles(dir: String): Long =
+        Option(new java.io.File(dir).listFiles()).map(
+          _.count(f => f.getName.endsWith(".parquet")).toLong).getOrElse(0L)
+      val nBefore = parquetFiles(frag)
+      val fragDf = s.read.parquet(frag)
+      val bins = math.ceil(fragDf.count() / 50000.0).toLong
+      fragDf.coalesce(bins.toInt).write.mode("overwrite").parquet(comp)
+      val nAfter = parquetFiles(comp)
+      s.read.parquet(comp)
+        .agg(count(lit(1)).as("n_rows"),
+          lit(nBefore).as("n_files_before"),
+          lit(nAfter).as("n_files_after"),
+          sum(col("event_id")).as("sum_event_id"))
+    }
+  )
+}

@@ -651,6 +651,62 @@ class ExtSpec extends AnyFunSuite {
     assert(stored == Map(0L -> true, 1L -> false, 2L -> true, 3L -> false))
   }
 
+  test("containmentPairs catches a doc swallowed by a larger one that Jaccard misses") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma"),                                        // contained in 1
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "unrelated words entirely here")
+    ).toDF("doc_id", "text")
+    val c = TextDedup.containmentPairs(corpus, "doc_id", "text", threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    // C(0,1) = 3/3 = 1.0; C(1,0) = 3/10 < 0.9 (direction matters); 2 matches nothing
+    assert(c == Set((0L, 1L, 1.0)))
+    // and the symmetric Jaccard of the same pair is 0.3 — below any dedup bar
+    val j = TextDedup.jaccardPairs(corpus, "doc_id", "text", 0.5)
+    assert(j.count() == 0)
+  }
+
+  test("containmentPairs equals the brute-force definition on random corpora") {
+    val rnd = new scala.util.Random(7)
+    val vocab = ('a' to 'p').map(_.toString)
+    val corpus = (0L until 24L).map { i =>
+      val k = 1 + rnd.nextInt(8)
+      (i, Seq.fill(k)(vocab(rnd.nextInt(vocab.size))).distinct.mkString(" "))
+    }
+    val got = TextDedup.containmentPairs(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", threshold = 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    val sets = corpus.map { case (i, t) => i -> t.split(" ").toSet }.toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a != b
+      inter = (sets(a) & sets(b)).size if inter > 0
+      cont = inter.toDouble / sets(a).size if cont >= 0.6
+    } yield (a, b, math.floor(cont * 1e6 + 0.5) / 1e6)).toSet
+    assert(got == want)
+  }
+
+  test("labelPropagation: modal adoption, min-label ties, clamped seeds, bounded rounds") {
+    // 1 -- 2 -- 3   seeds: 1->10, 3->20; node 2 sees both -> tie -> min(10,20)=10
+    // 4 -- 5        seed 4->30; 5 adopts 30 in round 1
+    // 6 -- 7 -- 8   seed 6->40: 7 adopts in r1, 8 needs r2 (bounded-rounds check)
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (6L, 7L), (7L, 8L))
+      .toDF("src", "dst")
+    val seeds = Seq((1L, 10L), (3L, 20L), (4L, 30L), (6L, 40L)).toDF("node", "label")
+    val r1 = graft.ext.Graph.labelPropagation(edges, seeds, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 10L, 3L -> 20L, 4L -> 30L, 6L -> 40L,
+      2L -> 10L, 5L -> 30L, 7L -> 40L))   // 8 unreached after one round
+    val r2 = graft.ext.Graph.labelPropagation(edges, seeds, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == r1 + (8L -> 40L))
+    // seeds never flip even when outvoted: 2 neighbors of 3 both carry 10
+    val edges2 = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val seeds2 = Seq((1L, 10L), (2L, 10L), (3L, 20L)).toDF("node", "label")
+    val r3 = graft.ext.Graph.labelPropagation(edges2, seeds2, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r3(3L) == 20L)
+  }
+
   test("gopher quality flags: word-count gate and stopword gate discriminate") {
     val corpus = Seq(
       (0L, ("the and of " + Seq.fill(60)("word").mkString(" "))), // 63 words, stopwords
