@@ -211,6 +211,28 @@ object PackPipeline {
         .orderBy(col("qid"))
     },
 
+    // K12/S11 (live) — Avro container ROUNDTRIP on avro-core alone (the
+    // Spark avro datasource module doesn't ship here; the runtime jars
+    // do — the same close-the-gap-with-what's-on-the-classpath precedent
+    // as the XLSX/PDF/JDBC sources). Write side: one deflate-compressed
+    // container file per partition through the Hadoop FileSystem API
+    // (cluster-correct, not local-disk-only). Read side: one task per
+    // self-describing container file. The nullable-union bridge is
+    // exercised by a deliberately NULLed column; the oracle is the plain
+    // source selection — the format must be invisible in the data.
+    QDef("k12_sink_avro_roundtrip",
+      """SELECT event_id, user_id, event_type,
+        |  CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+        |FROM events WHERE event_id % 23 = 0 ORDER BY event_id""".stripMargin) { (s, d) =>
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_${new java.io.File(d).getName}/k12_avro"
+      val src = Tables.events(s, d).filter(col("event_id") % 23 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          when(col("event_type") === "click", lit(null).cast("double"))
+            .otherwise(col("value")).as("v"))
+      graft.sources.AvroIo.write(src, dir): Unit
+      graft.sources.AvroIo.read(s, dir, src.schema).orderBy(col("event_id"))
+    },
+
     // K11 (live) — small-file COMPACTION sink: the maintenance operation
     // every streaming-append warehouse table needs (a year of
     // micro-batches leaves thousands of KB-sized files; scan cost and

@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Avro object-container read/write on avro-core alone (the Spark avro
+  * DATASOURCE module doesn't ship in this distribution; the Avro runtime
+  * jars do) — same JDK-only-closure discipline as the Xlsx/Pdf sources.
+  *
+  * Both directions are DISTRIBUTED and cluster-correct:
+  *  - write: one container file per input partition, streamed through the
+  *    Hadoop FileSystem API (works on HDFS/object stores, not just local
+  *    disk), deflate-compressed, schema embedded per Avro spec;
+  *  - read: one input split per container file fanned over the cluster,
+  *    each task streaming its file through `DataFileStream` (the
+  *    container framing makes files self-describing and splittable at
+  *    block granularity; per-file tasks are the right granularity for the
+  *    many-medium-files layout the write side produces).
+  *
+  * Type bridge covers the engine's scalar core (long, double, string,
+  * boolean — each as a nullable union per Avro convention). Timestamps
+  * travel as epoch micros (logicalType timestamp-micros annotation on a
+  * long), converted at the Spark boundary by the caller.
+  */
+object AvroIo {
+
+  /** Avro record schema for a Spark StructType (nullable unions). */
+  def avroSchema(st: StructType, name: String = "row"): Schema = {
+    def leaf(dt: DataType): Schema = dt match {
+      case LongType    => Schema.create(Schema.Type.LONG)
+      case IntegerType => Schema.create(Schema.Type.INT)
+      case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+      case StringType  => Schema.create(Schema.Type.STRING)
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case other => throw new IllegalArgumentException(
+        s"AvroIo type bridge does not cover $other")
+    }
+    val fields = st.fields.map { f =>
+      val u = Schema.createUnion(
+        List(Schema.create(Schema.Type.NULL), leaf(f.dataType)).asJava)
+      new Schema.Field(f.name, u, null, null)
+    }
+    val rec = Schema.createRecord(name, null, "graft.avro", false)
+    rec.setFields(fields.toList.asJava)
+    rec
+  }
+
+  /** Write `df` as one Avro container file per partition under `dir`
+    * (cleared first — overwrite semantics). Empty partitions write no
+    * file. Returns the number of files written. */
+  def write(df: DataFrame, dir: String): Long = {
+    val st = df.schema
+    val schemaJson = avroSchema(st).toString // Schema is not serializable pre-1.9-style; ship JSON
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sessionState.newHadoopConf())
+    val fs = FileSystem.get(new java.net.URI(dir), conf.value)
+    val base = new Path(dir)
+    if (fs.exists(base)) fs.delete(base, true)
+    fs.mkdirs(base)
+    val written = df.sparkSession.sparkContext.longAccumulator("avro_files")
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val schema = new Schema.Parser().parse(schemaJson)
+        val path = new Path(f"$dir/part-$pid%05d.avro")
+        val pfs = FileSystem.get(path.toUri, conf.value)
+        val out = pfs.create(path, true)
+        val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+        w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+        w.create(schema, out)
+        try rows.foreach { r =>
+          val rec = new GenericData.Record(schema)
+          var i = 0
+          while (i < r.length) {
+            rec.put(i, if (r.isNullAt(i)) null else r.get(i))
+            i += 1
+          }
+          w.append(rec)
+        } finally w.close()
+        written.add(1L)
+      }
+    }
+    written.value
+  }
+
+  /** Read every container file under `dir` into a DataFrame with schema
+    * `st` — one task per file, each streaming through DataFileStream. */
+  def read(spark: SparkSession, dir: String, st: StructType): DataFrame = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val fs = FileSystem.get(new java.net.URI(dir), conf.value)
+    val files = fs.listStatus(new Path(dir))
+      .filter(_.getPath.getName.endsWith(".avro"))
+      .map(_.getPath.toString).sorted.toSeq
+    val names = st.fieldNames
+    val rdd = spark.sparkContext
+      .parallelize(files, math.max(files.size, 1))
+      .flatMap { file =>
+        val pfs = FileSystem.get(new java.net.URI(file), conf.value)
+        val in = pfs.open(new Path(file))
+        val reader = new DataFileStream[GenericRecord](in,
+          new GenericDatumReader[GenericRecord]())
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        try reader.iterator().asScala.foreach { rec =>
+          out += Row.fromSeq(names.toIndexedSeq.map { n =>
+            rec.get(n) match {
+              case u: org.apache.avro.util.Utf8 => u.toString
+              case v => v
+            }
+          })
+        } finally reader.close()
+        out
+      }
+    spark.createDataFrame(rdd, st)
+  }
+}

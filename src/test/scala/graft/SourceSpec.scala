@@ -232,4 +232,37 @@ class SourceSpec extends AnyFunSuite {
       s"reader must materialize only the needed columns:\n$plan")
     assert(!plan.contains("cols=id,"), "id must be pruned from the reader")
   }
+
+  test("AvroIo roundtrips all bridged types with nulls, one container per partition") {
+    import graft.sources.AvroIo
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_t").toString + "/t"
+    val df = Seq(
+      (1L, 1, 1.5, "a", true),
+      (2L, 2, 2.5, "b", false),
+      (3L, 3, 3.5, "c", true),
+      (4L, 4, 4.5, "d", false)
+    ).toDF("l", "i", "d", "s", "b")
+      .select($"l", $"i", $"d",
+        when($"l" % 2 === 0, $"s").as("s"),      // null string on odd rows
+        when($"l" > 2, $"b").as("b"))            // null boolean on low rows
+      .repartition(3)
+    val nFiles = AvroIo.write(df, dir)
+    assert(nFiles == 3 &&
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".avro")) == 3)
+    val back = AvroIo.read(spark, dir, df.schema)
+      .as[(Long, Int, Double, Option[String], Option[Boolean])].collect().sortBy(_._1)
+    assert(back.toSeq == Seq(
+      (1L, 1, 1.5, None, None), (2L, 2, 2.5, Some("b"), None),
+      (3L, 3, 3.5, None, Some(true)), (4L, 4, 4.5, Some("d"), Some(false))))
+    // overwrite semantics: a second smaller write replaces, never accretes
+    val n2 = AvroIo.write(df.filter($"l" === 1L).coalesce(1), dir)
+    assert(n2 == 1 && AvroIo.read(spark, dir, df.schema).count() == 1)
+    // empty partitions write no file
+    val n3 = AvroIo.write(df.filter($"l" < 0L).repartition(4), dir)
+    assert(n3 == 0 && AvroIo.read(spark, dir, df.schema).count() == 0)
+    // the type bridge refuses what it can't faithfully carry
+    intercept[IllegalArgumentException] {
+      AvroIo.avroSchema(Seq((Array(1.0f), 1L)).toDF("emb", "x").schema)
+    }
+  }
 }
