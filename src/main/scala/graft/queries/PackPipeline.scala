@@ -211,6 +211,85 @@ object PackPipeline {
         .orderBy(col("qid"))
     },
 
+    // Binned quantile estimation — the percentile that actually runs at
+    // 100 TB: agg_percentiles' exact form materializes every value of a
+    // group in one aggregation buffer, which is the memory cliff at
+    // scale; the production form counts into FIXED-WIDTH bins first (one
+    // partial+final pass, bounded state) and selects the smallest bin
+    // whose cumulative count reaches ceil(q·n) — error bounded by bin
+    // width, cost independent of n. Same aggregate-BEFORE-window
+    // discipline as stats_ks_test: the cumsum window sees ≤ #bins rows
+    // per group. Pure integer throughout (rank test by cross-multiply,
+    // bin lower bound reported).
+    QDef("stats_quantile_binned",
+      """WITH b AS (SELECT l_returnflag, CAST(floor(l_extendedprice / 100) AS BIGINT) AS bin,
+        |             CAST(count(*) AS BIGINT) AS c
+        |           FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT l_returnflag, CAST(sum(c) AS BIGINT) AS n FROM b GROUP BY 1),
+        |cum AS (SELECT l_returnflag, bin,
+        |          CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin) AS BIGINT) AS cc
+        |        FROM b)
+        |SELECT cum.l_returnflag, t.n,
+        |  CAST(min(CASE WHEN cc * 100 >= t.n * 50 THEN bin END) * 100 AS BIGINT) AS p50_lo,
+        |  CAST(min(CASE WHEN cc * 100 >= t.n * 95 THEN bin END) * 100 AS BIGINT) AS p95_lo,
+        |  CAST(min(CASE WHEN cc * 100 >= t.n * 99 THEN bin END) * 100 AS BIGINT) AS p99_lo
+        |FROM cum JOIN t USING (l_returnflag) GROUP BY 1, 2
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val b = BoundedCache.persist("pack.qbin.b",
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"),
+            floor(col("l_extendedprice") / 100).cast("long").as("bin"))
+          .agg(count(lit(1)).as("c")))
+      val t = b.groupBy(col("l_returnflag")).agg(sum(col("c")).as("n"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
+      val cum = b.select(col("l_returnflag"), col("bin"),
+        sum(col("c")).over(w).as("cc"))
+      def qbin(pct: Int) =
+        (min(when(col("cc") * 100 >= col("n") * pct, col("bin"))) * 100).cast("long")
+      cum.join(broadcast(t), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"), col("n"))
+        .agg(qbin(50).as("p50_lo"), qbin(95).as("p95_lo"), qbin(99).as("p99_lo"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Balanced downsampling across sources — the domain-rebalancing
+    // sampler (every source capped to the smallest source's count in
+    // EXPECTATION) with a deterministic per-doc accept: the same md5
+    // 16-bit uniform as sample_importance (no shared RNG — reproducible
+    // on any cluster, any partitioning), accept iff u16·n_source <
+    // 65536·n_min, an exact integer cross-multiply. Source counts ride a
+    // broadcast; one counting pass + one accept pass.
+    QDef("sample_balance_sources",
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source),
+        |m AS (SELECT CAST(min(n) AS BIGINT) AS nmin FROM c),
+        |u AS (SELECT source,
+        |    ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) AS u16
+        |  FROM documents)
+        |SELECT u.source, CAST(count(*) AS BIGINT) AS n_docs, m.nmin AS n_target,
+        |  CAST(sum(CASE WHEN u16 * c.n < 65536 * m.nmin THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  round(CAST(sum(CASE WHEN u16 * c.n < 65536 * m.nmin THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 6) AS keep_rate
+        |FROM u JOIN c ON u.source = c.source, m
+        |GROUP BY u.source, m.nmin ORDER BY u.source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val c = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val m = c.agg(min(col("n")).as("nmin"))
+      val u16 = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+      val kept = sum(when(col("u16") * col("n") < lit(65536L) * col("nmin"), 1L).otherwise(0L))
+      docs.select(col("source"), u16.as("u16"))
+        .join(broadcast(c), Seq("source"))
+        .crossJoin(broadcast(m))
+        .groupBy(col("source"), col("nmin"))
+        .agg(count(lit(1)).as("n_docs"), kept.as("n_kept"),
+          round(kept.cast("double") / count(lit(1)), 6).as("keep_rate"))
+        .select(col("source"), col("n_docs"), col("nmin").as("n_target"),
+          col("n_kept"), col("keep_rate"))
+        .orderBy(col("source"))
+    },
+
     // K12/S11 (live) — Avro container ROUNDTRIP on avro-core alone (the
     // Spark avro datasource module doesn't ship here; the runtime jars
     // do — the same close-the-gap-with-what's-on-the-classpath precedent

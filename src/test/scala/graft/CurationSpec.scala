@@ -685,14 +685,16 @@ class CurationSpec extends AnyFunSuite {
       val gsv = buckets.map(b => BigDecimal(b._3).setScale(6, BigDecimal.RoundingMode.HALF_UP))
         .sum.toDouble
       val mean = gsv / tot
-      var s = 0.0
-      var best: (java.sql.Timestamp, Double) = null
+      // terms are 1e6-quantized BEFORE the running sum (the query's
+      // rule-0 order-free discipline) — mirror it exactly
+      var s = BigDecimal(0)
+      var best: (java.sql.Timestamp, BigDecimal) = null
       buckets.foreach { case (h, n, sv) =>
-        s += sv - n * mean
-        if (best == null || math.abs(s) > math.abs(best._2)) best = (h, s)
+        s += BigDecimal(math.floor((sv - n * mean) * 1e6 + 0.5)) / BigDecimal(1000000)
+        if (best == null || s.abs > best._2.abs) best = (h, s)
       }
       assert(got(et)._1 == best._1, et)
-      assert(math.abs(got(et)._2 - math.rint(best._2 * 1e6) / 1e6) < 1e-6, et)
+      assert(math.abs(got(et)._2 - (math.rint(best._2.toDouble * 1e6) / 1e6)) < 1e-6, et)
     }
     // synthetic: a level shift at bucket 10 of 20 peaks the CUSUM there
     val series = (0 until 20).map(i => if (i < 10) 5.0 else 15.0)
@@ -770,5 +772,43 @@ class CurationSpec extends AnyFunSuite {
     // uniform 24-hour activity has concentration exactly 1
     val uniform = (0 until 24).map(_ -> 10)
     assert(uniform.map(_._2).max.toDouble * 24 / uniform.map(_._2).sum == 1.0)
+  }
+
+  test("stats_quantile_binned brackets the exact percentile within one bin width") {
+    val rows = Pack.byName("stats_quantile_binned").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val prices = graft.schemas.Tables.lineitem(spark, sf)
+      .select($"l_returnflag", $"l_extendedprice")
+      .as[(String, Double)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+    rows.foreach { r =>
+      val g = r.getString(r.fieldIndex("l_returnflag"))
+      val xs = prices(g)
+      assert(r.getLong(r.fieldIndex("n")) == xs.length.toLong)
+      for ((colName, q) <- Seq(("p50_lo", 0.50), ("p95_lo", 0.95), ("p99_lo", 0.99))) {
+        val exact = xs((math.ceil(q * xs.length) - 1).toInt.max(0)) // q-th order statistic
+        val lo = r.getLong(r.fieldIndex(colName)).toDouble
+        assert(lo <= exact && exact < lo + 100, s"$g.$colName: bin [$lo,${lo + 100}) vs exact $exact")
+      }
+    }
+  }
+
+  test("sample_balance_sources: min source keeps all, accept is the integer cross-multiply") {
+    val rows = Pack.byName("sample_balance_sources").fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val nmin = rows.map(_._2).min
+    assert(rows.forall(_._3 == nmin)) // one global target for every source
+    // a source already at the target accepts every doc (u16 < 65536 always)
+    rows.filter(_._2 == nmin).foreach { case (_, n, _, kept) => assert(kept == n) }
+    // independent accept reference for one source
+    val docs = graft.schemas.Tables.documents(spark, sf)
+      .select($"source", $"doc_id").as[(String, Long)].collect()
+    val (src, n, _, kept) = rows.maxBy(_._2)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val ref = docs.filter(_._1 == src).count { case (_, id) =>
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      java.lang.Long.parseLong(hex, 16) * n < 65536L * nmin
+    }
+    assert(kept == ref.toLong)
   }
 }
