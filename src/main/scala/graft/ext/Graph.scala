@@ -51,6 +51,25 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
                teleport: Double = 0.15): DataFrame = {
+    // AQE off for the duration of the fixed-point loop: a Pregel loop's
+    // value is the ITERATION-STABLE partitioning (the cached hash(src)
+    // frame feeds every superstep), and AQE's per-stage re-planning +
+    // runtime partition re-coalescing both fight that reuse and pay
+    // ~0.1 s of re-optimization per micro-job (measured 4.4 → 3.9 s for
+    // 5 supersteps at sf0.1). Skew is handled structurally (size-gated
+    // rank broadcast; degree is folded in, never re-joined), which is
+    // why the loop doesn't need AQE's skew-join either. Restored on
+    // exit; the session conf is read per-action so only this loop is
+    // affected.
+    val sess = edges.sparkSession
+    val aqePrev = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try pageRankLoop(edges, iters, damping, teleport)
+    finally sess.conf.set("spark.sql.adaptive.enabled", aqePrev)
+  }
+
+  private def pageRankLoop(edges: DataFrame, iters: Int, damping: Double,
+                           teleport: Double): DataFrame = {
     // the retained frame may belong to an already-stopped session (suite
     // teardown in the same JVM) — eviction must never fail the new run
     Option(lastRanks.getAndSet(null)).foreach(p =>

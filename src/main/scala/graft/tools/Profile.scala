@@ -206,6 +206,9 @@ object Profile {
       time("pr_1iter")(graft.ext.Graph.pageRank(edges, 1).count())
       time("pr_3iter")(graft.ext.Graph.pageRank(edges, 3).count())
       time("pr_5iter")(graft.ext.Graph.pageRank(edges, 5).count())
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      time("pr_5iter_noAQE")(graft.ext.Graph.pageRank(edges, 5).count())
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
 
     spark.stop()
