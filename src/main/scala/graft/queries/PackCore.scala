@@ -1155,7 +1155,7 @@ object PackCore {
 
   // memory-sink table names must be unique per execution (bench re-runs
   // each query in one session)
-  private val streamRun = new java.util.concurrent.atomic.AtomicInteger()
+  private[queries] val streamRun = new java.util.concurrent.atomic.AtomicInteger()
 
   /** Run `body` with the session's shuffle-partition count temporarily
     * right-sized for a live fixture-scale STATEFUL streaming execution.
@@ -1171,7 +1171,7 @@ object PackCore {
     * partitions) vs 2.2 s (8) on identical data; the batch-equivalent
     * join is 0.45 s. Restores the previous value on exit; results are
     * partition-count invariant (pinned by PartitionInvarianceSpec). */
-  private def withStreamPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+  private[queries] def withStreamPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, n.toString)
@@ -1196,7 +1196,7 @@ object PackCore {
   /** Write `df` as parquet files directly inside `dir` — one arrival
     * batch per call (the streaming file source lists only the top level,
     * so nested write directories would be invisible). */
-  private def stageArrival(dir: String, df: DataFrame, part: String): Unit = {
+  private[queries] def stageArrival(dir: String, df: DataFrame, part: String): Unit = {
     val staging = java.nio.file.Files.createTempDirectory("graft_stage").toString
     df.coalesce(1).write.mode("overwrite").parquet(staging)
     new java.io.File(staging).listFiles()

@@ -290,6 +290,70 @@ object PackPipeline {
         .orderBy(col("source"))
     },
 
+    // ST12 (live) — streaming SESSION windows with WATERMARK-DRIVEN
+    // emission: the one streaming windowing shape the pack hadn't
+    // exercised live (st4 = tumbling/complete; window_session_native =
+    // batch sessions). Append-mode session_window state emits a session
+    // only once the watermark passes its end — so the query stages the
+    // real arrivals, drains, then stages a far-future SENTINEL event and
+    // drains again: the sentinel advances the watermark past every real
+    // session's end, deterministically flushing them to the parquet sink
+    // (the sentinel's own session never closes and stays in state —
+    // exactly the semantics the operator exists to provide). At 100 TB
+    // state holds only open sessions per key — the watermark bounds it
+    // to the gap frontier, arrivals not history. Oracle = batch
+    // sessionization of the same slice.
+    QDef("st12_stream_session_window",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |           WHERE event_id % 13 = 0),
+        |d AS (SELECT user_id, ts,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |             THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts,
+        |        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM d)
+        |SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      val run = PackCore.streamRun.incrementAndGet()
+      val in = java.nio.file.Files.createTempDirectory(s"graft_st12_in$run").toString
+      val out = java.nio.file.Files.createTempDirectory(s"graft_st12_out$run").toString + "/t"
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_st12_ck$run").toString
+      val base = Tables.events(s, d).filter(col("event_id") % 13 === 0)
+        .select(col("user_id"), col("ts"))
+      val sentinel = base.agg(max(col("ts")).as("mx"))
+        .select(lit(-1L).as("user_id"),
+          (col("mx") + expr("INTERVAL 240 HOURS")).as("ts"))
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType)))
+      def drain(): Unit = {
+        val q = s.readStream.schema(sch).parquet(in)
+          .withWatermark("ts", "1 hour")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"), col("session_window.start").as("session_start"), col("n"))
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      PackCore.withStreamPartitions(s, 8) {
+        PackCore.stageArrival(in, base, "b1")
+        drain()
+        PackCore.stageArrival(in, sentinel, "b2")
+        drain() // sentinel pushes the watermark past every real session
+      }
+      s.read.parquet(out).filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("session_start"))
+    },
+
     // K12/S11 (live) — Avro container ROUNDTRIP on avro-core alone (the
     // Spark avro datasource module doesn't ship here; the runtime jars
     // do — the same close-the-gap-with-what's-on-the-classpath precedent
