@@ -149,6 +149,18 @@ object Graph {
     * all vertex-partitioned; per-node work is bounded by degree. Labels
     * persist per round so lineage never grows with round count. */
   def labelPropagation(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    // fixed-point loop: AQE off for the duration, same rationale and
+    // measurement as pageRank (iteration-stable partitioning + no
+    // shuffle join for AQE to improve under the broadcast gate)
+    val sess = edges.sparkSession
+    val aqePrev = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try labelPropagationLoop(edges, seeds, rounds)
+    finally sess.conf.set("spark.sql.adaptive.enabled", aqePrev)
+  }
+
+  private def labelPropagationLoop(edges: DataFrame, seeds: DataFrame,
+                                   rounds: Int): DataFrame = {
     val s = edges.sparkSession
     val maxBcast = s.conf
       .get(RankBroadcastMaxNodesKey, RankBroadcastMaxNodesDefault.toString).toLong
@@ -157,15 +169,22 @@ object Graph {
       .unionAll(edges.select(col("dst").as("x"), col("src").as("y")))
       .distinct()
       .persist()
-    adj.count(): Unit
+    // one setup action: the edge count is a conservative gate for the
+    // node-sized label table (labels ⊆ nodes ≤ 2·edges). Per-round label
+    // counting would cost an extra job per round for a tighter bound the
+    // fixture never needs; past the gate the joins degrade to shuffles.
+    val nAdj = adj.count()
+    def gated(df: DataFrame): DataFrame =
+      if (nAdj <= maxBcast) broadcast(df) else df
     var labels = seeds.select(col("node"), col("label")).persist()
-    var nLabels = labels.count()
     var toFree = List.empty[DataFrame]
-    (1 to rounds).foreach { _ =>
+    (1 to rounds).foreach { r =>
       val lbl = labels.select(col("node").as("y"), col("label"))
-      val lblSide = if (nLabels <= maxBcast) broadcast(lbl) else lbl
-      val counts = adj.join(lblSide, Seq("y"))
-        .join(labels.select(col("node").as("x")), Seq("x"), "left_anti")
+      // the anti side rides the same gate: without it the EDGE-sized
+      // neighbor-label stream would shuffle just to subtract the
+      // node-sized labeled set
+      val counts = adj.join(gated(lbl), Seq("y"))
+        .join(gated(labels.select(col("node").as("x"))), Seq("x"), "left_anti")
         .groupBy(col("x"), col("label")).agg(count(lit(1)).as("c"))
       // argmax by (count desc, label asc): max of (c, -label) needs no
       // second shuffle beyond the per-node aggregation
@@ -174,10 +193,13 @@ object Graph {
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("x").as("node"), (-col("m.nl")).as("label"))
       val next = labels.unionByName(adopted).persist()
-      nLabels = next.count()
+      // no per-round count: the NEXT round's broadcast collect (or the
+      // caller's first action on the final frame) materializes the
+      // persisted plan — per-round persists still bound lineage
       toFree = labels :: toFree
       labels = next
     }
+    labels.count(): Unit // materialize before freeing parents
     toFree.foreach(df => try df.unpersist() catch { case _: Exception => () })
     adj.unpersist()
     // same retention discipline as pageRank's lastRanks: the result stays

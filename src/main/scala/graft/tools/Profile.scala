@@ -194,6 +194,25 @@ object Profile {
         .fn(spark, d).count())
     }
 
+    if (names.contains("lp")) {
+      import graft.schemas.Tables
+      val li = Tables.lineitem(spark, d).filter($"l_orderkey" % 20 === 0)
+        .select($"l_orderkey", $"l_suppkey")
+      val e0 = li.alias("a").join(li.alias("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_suppkey" < $"b.l_suppkey")
+        .select($"a.l_suppkey".as("src"), $"b.l_suppkey".as("dst")).distinct()
+      time("lp_edges")(e0.count())
+      val ep = e0.persist(); ep.count()
+      val nodes = ep.select($"src".as("node")).unionAll(ep.select($"dst".as("node"))).distinct()
+      val seeds = nodes.filter($"node" % 7 === 0)
+        .select($"node", ($"node" % 3).as("label"))
+      time("lp_seeds(warm edges)")(seeds.count())
+      time("lp_1round(warm edges)")(graft.ext.Graph.labelPropagation(ep, seeds, 1).count())
+      time("lp_2rounds(warm edges)")(graft.ext.Graph.labelPropagation(ep, seeds, 2).count())
+      time("lp_declared")(graft.queries.Pack.byName("graph_label_propagation")
+        .fn(spark, d).count())
+    }
+
     if (names.contains("pagerank")) {
       import graft.schemas.Tables
       val edges = Tables.lineitem(spark, d).select($"l_orderkey", $"l_suppkey")
