@@ -368,10 +368,17 @@ object TextDedup {
       .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
       .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
     // one undirected intersection row fans to its two directed readings
-    val directed = sized.select(col("d1").as("src"), col("d2").as("within"),
-        (col("c") * lit(1.0) / col("n1")).as("containment"))
-      .unionAll(sized.select(col("d2").as("src"), col("d1").as("within"),
-        (col("c") * lit(1.0) / col("n2")).as("containment")))
+    // IN THE SAME PASS (explode of a 2-element struct array, an Expand —
+    // a unionAll of two projections would re-execute the whole upstream
+    // posting join per branch: 16 scans / 22 exchanges in PLANSTATS vs
+    // 8 / 11 for this form)
+    val directed = sized.select(explode(array(
+        struct(col("d1").as("src"), col("d2").as("within"),
+          (col("c") * lit(1.0) / col("n1")).as("containment")),
+        struct(col("d2").as("src"), col("d1").as("within"),
+          (col("c") * lit(1.0) / col("n2")).as("containment")))).as("p"))
+      .select(col("p.src").as("src"), col("p.within").as("within"),
+        col("p.containment").as("containment"))
     directed.filter(col("containment") >= threshold)
       .select(col("src"), col("within"),
         round(col("containment"), 6).as("containment"))
