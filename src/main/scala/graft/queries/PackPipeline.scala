@@ -354,6 +354,50 @@ object PackPipeline {
         .orderBy(col("user_id"), col("session_start"))
     },
 
+    // ST13 (live) — STREAM-STATIC enrichment join inside the streaming
+    // plan itself (distinct from st8's foreachBatch probe, which is a
+    // batch join the engine stages manually): the static dimension is
+    // (re)read and broadcast per micro-batch by Structured Streaming, no
+    // state store involved — the standard dimension-enrichment deployment
+    // for an event firehose, where the 100 TB/day side streams and the
+    // dimension rides a broadcast. Stateless ⇒ append mode, one drain.
+    // The stream key maps onto the dimension with a modulo computed from
+    // the dimension's own cardinality (oracle-reproducible at any sf).
+    QDef("st13_stream_static_enrich",
+      """SELECT e.event_id, e.user_id, c.c_mktsegment
+        |FROM events e JOIN customer c
+        |  ON c.c_custkey = e.user_id % (SELECT count(*) FROM customer)
+        |WHERE e.event_id % 101 = 0
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val run = PackCore.streamRun.incrementAndGet()
+      val in = java.nio.file.Files.createTempDirectory(s"graft_st13_in$run").toString
+      val out = java.nio.file.Files.createTempDirectory(s"graft_st13_out$run").toString + "/t"
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_st13_ck$run").toString
+      val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      val nCust = cust.count()
+      PackCore.stageArrival(in,
+        Tables.events(s, d).filter(col("event_id") % 101 === 0)
+          .select(col("event_id"), col("user_id")), "b1")
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType)))
+      PackCore.withStreamPartitions(s, 8) {
+        val q = s.readStream.schema(sch).parquet(in)
+          .withColumn("ck", col("user_id") % nCust)
+          .join(broadcast(cust), col("ck") === col("c_custkey"))
+          .select(col("event_id"), col("user_id"), col("c_mktsegment"))
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out).orderBy(col("event_id"))
+    },
+
     // K12/S11 (live) — Avro container ROUNDTRIP on avro-core alone (the
     // Spark avro datasource module doesn't ship here; the runtime jars
     // do — the same close-the-gap-with-what's-on-the-classpath precedent
