@@ -1,6 +1,7 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Warehouse layout conventions (SURVEY.md §7.1 item 6).
   *
@@ -35,6 +36,47 @@ object Warehouse {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** Targeted (GDPR-style right-to-be-forgotten) delete from a
+    * partitioned parquet warehouse: rewrite ONLY the partitions that
+    * contain matching rows, leave every other partition's files
+    * untouched.
+    *
+    * Three steps, each scale-shaped: (1) discover affected partitions
+    * with a column-pruned scan (only `partitionCol` + the predicate's
+    * columns are read); (2) re-read JUST those partitions (partition
+    * filter ⇒ pruned at the listing) minus the matching rows and
+    * dynamic-overwrite them; (3) partitions whose rows were ALL deleted
+    * produce no rows in the rewrite — dynamic overwrite would leave
+    * their stale files, so they are dropped explicitly. At any table
+    * size the rewrite cost tracks the affected partitions, never the
+    * table. Returns (n partitions in table, n partitions rewritten or
+    * dropped). */
+  def deleteWhere(spark: SparkSession, path: String, partitionCol: String,
+                  pred: Column): (Long, Long) = {
+    val all = read(spark, path)
+    val totalParts = all.select(col(partitionCol)).distinct().count()
+    val affected = all.filter(pred)
+      .select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    if (affected.nonEmpty) {
+      val pruned = all.filter(col(partitionCol).isin(affected: _*))
+      val keep = pruned.filter(!pred)
+      val keptParts = keep.select(col(partitionCol)).distinct()
+        .collect().map(_.get(0)).toSet
+      overwritePartitions(keep, path, Seq(partitionCol))
+      // fully-emptied partitions: no rows reached the dynamic overwrite,
+      // so their directories still hold the deleted rows — drop them
+      affected.filterNot(keptParts).foreach { v =>
+        def rmRf(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRf))
+          f.delete(); ()
+        }
+        rmRf(new java.io.File(s"$path/$partitionCol=$v"))
+      }
+    }
+    (totalParts, affected.size.toLong)
+  }
 
   /** Create-or-append a bucketed warehouse table (bucketing requires the
     * session catalog, i.e. saveAsTable). Readers joining on `bucketCol`

@@ -420,6 +420,76 @@ object PackPipeline {
       graft.sources.AvroIo.read(s, dir, src.schema).orderBy(col("event_id"))
     },
 
+    // S12 (live) — SCHEMA-EVOLUTION scan: two parquet batches with
+    // different schemas (an upstream producer added a column) land in one
+    // table directory; mergeSchema reconciles them at the reader and the
+    // old batch's missing column reads as NULL. The pattern every
+    // long-lived ingestion directory eventually needs — without it the
+    // reader silently takes ONE footer's schema and either drops the new
+    // column or errors. Column-order independence and NULL semantics are
+    // pinned by the oracle's two-branch union.
+    QDef("s12_scan_schema_evolution",
+      """SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS v
+        |FROM events WHERE event_id % 41 = 0 AND event_id % 82 = 0
+        |UNION ALL
+        |SELECT event_id, user_id, value AS v
+        |FROM events WHERE event_id % 41 = 0 AND event_id % 82 <> 0
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_${new java.io.File(d).getName}/s12_evo"
+      def rmRf(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRf))
+        f.delete(); ()
+      }
+      rmRf(new java.io.File(dir))
+      val base = Tables.events(s, d).filter(col("event_id") % 41 === 0)
+      // vintage 1: the narrow producer (no value column yet)
+      base.filter(col("event_id") % 82 === 0)
+        .select(col("event_id"), col("user_id"))
+        .write.mode("append").parquet(dir)
+      // vintage 2: the evolved producer
+      base.filter(col("event_id") % 82 =!= 0)
+        .select(col("event_id"), col("user_id"), col("value").as("v"))
+        .write.mode("append").parquet(dir)
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .select(col("event_id"), col("user_id"), col("v"))
+        .orderBy(col("event_id"))
+    },
+
+    // K13 (live) — targeted right-to-be-forgotten DELETE from a
+    // partitioned warehouse (Warehouse.deleteWhere): the table partitions
+    // by a coarse user band, the erasure request names users in ONE
+    // band, and the rewrite touches exactly that band's directory —
+    // discovery is a column-pruned scan, the rewrite a dynamic partition
+    // overwrite, untouched partitions keep their files byte-for-byte
+    // (IoSpec pins that via mtimes). The declared result is the
+    // surviving table content plus the partition accounting; the oracle
+    // reproduces both relationally.
+    QDef("k13_sink_targeted_delete",
+      """WITH src AS (SELECT event_id, user_id, user_id // 100 AS band
+        |             FROM events WHERE event_id % 11 = 0),
+        |del AS (SELECT * FROM src WHERE band = 0 AND user_id % 3 = 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+        |  (SELECT CAST(count(DISTINCT band) AS BIGINT) FROM src) AS n_partitions,
+        |  CAST(1 AS BIGINT) AS n_rewritten
+        |FROM src WHERE NOT (band = 0 AND user_id % 3 = 0)""".stripMargin) { (s, d) =>
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_${new java.io.File(d).getName}/k13_del"
+      def rmRf(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRf))
+        f.delete(); ()
+      }
+      rmRf(new java.io.File(dir))
+      val src = Tables.events(s, d).filter(col("event_id") % 11 === 0)
+        .select(col("event_id"), col("user_id"),
+          (col("user_id") / 100).cast("long").as("band"))
+      graft.io.Warehouse.appendPartitioned(src, dir, Seq("band"))
+      val (nParts, nRewritten) = graft.io.Warehouse.deleteWhere(
+        s, dir, "band", col("band") === 0 && col("user_id") % 3 === 0)
+      graft.io.Warehouse.read(s, dir)
+        .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("sum_event_id"),
+          lit(nParts).as("n_partitions"), lit(nRewritten).as("n_rewritten"))
+    },
+
     // K11 (live) — small-file COMPACTION sink: the maintenance operation
     // every streaming-append warehouse table needs (a year of
     // micro-batches leaves thousands of KB-sized files; scan cost and

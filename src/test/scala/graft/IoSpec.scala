@@ -98,4 +98,35 @@ class IoSpec extends AnyFunSuite {
     assert(m("rows") == spark.read.parquet(out).count())
     assert(m("bad_price") == 0L)
   }
+
+  test("deleteWhere rewrites only affected partitions; untouched files stay byte-identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_del").toString + "/t"
+    val src = (0L until 300L).map(i => (i, i % 3)).toDF("id", "band")
+    graft.io.Warehouse.appendPartitioned(src, dir, Seq("band"))
+    def files(band: Long) =
+      Option(new java.io.File(s"$dir/band=$band").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val before0 = files(0); val before2 = files(2)
+    assert(before0.nonEmpty && before2.nonEmpty)
+    // delete the even ids of band 1 only
+    val (nParts, nRewritten) = graft.io.Warehouse.deleteWhere(
+      spark, dir, "band", col("band") === 1 && col("id") % 2 === 0)
+    assert(nParts == 3 && nRewritten == 1)
+    // survivors: band 1 keeps only odd ids; bands 0 and 2 intact
+    val back = spark.read.parquet(dir).select($"id", $"band")
+      .as[(Long, Long)].collect().toSet
+    val expect = (0L until 300L).map(i => (i, i % 3))
+      .filterNot { case (i, b) => b == 1 && i % 2 == 0 }.toSet
+    assert(back == expect)
+    // untouched partitions: same file names, same mtimes — never rewritten
+    assert(files(0) == before0 && files(2) == before2)
+    // a predicate that empties a partition drops its directory entirely
+    val (_, r2) = graft.io.Warehouse.deleteWhere(spark, dir, "band", col("band") === 2)
+    assert(r2 == 1 && !new java.io.File(s"$dir/band=2").exists())
+    assert(spark.read.parquet(dir).select($"band").distinct().count() == 2)
+    // and the other partitions again kept their files
+    assert(files(0) == before0)
+  }
 }
