@@ -482,12 +482,44 @@ object PackPipeline {
       val src = Tables.events(s, d).filter(col("event_id") % 11 === 0)
         .select(col("event_id"), col("user_id"),
           (col("user_id") / 100).cast("long").as("band"))
+        // one writer task per partition value: without this every task
+        // writes a sliver into every band dir (tasks × bands files), and
+        // file-commit overhead — not data — dominated the 10× ScaleCheck
+        .repartition(col("band"))
       graft.io.Warehouse.appendPartitioned(src, dir, Seq("band"))
       val (nParts, nRewritten) = graft.io.Warehouse.deleteWhere(
         s, dir, "band", col("band") === 0 && col("user_id") % 3 === 0)
       graft.io.Warehouse.read(s, dir)
         .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("sum_event_id"),
           lit(nParts).as("n_partitions"), lit(nRewritten).as("n_rewritten"))
+    },
+
+    // K14 (live) — TIME TRAVEL through the transactional sink's retained
+    // snapshots: k9 proves the commit protocol is invisible in the data;
+    // this declares the versioned-read half (SourceSpec covers the
+    // abort/isolation edges). Write v1, append v2, then read BACK AT
+    // VERSION 1 through the manifest — the oracle is the v1 selection
+    // alone: an append that leaked into the old snapshot, or a version
+    // pointer off by one, fails the compare. The audit/debug/reproduce
+    // surface every lakehouse table format ships (Delta VERSION AS OF).
+    QDef("k14_sink_time_travel",
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE o_orderkey % 5 = 0 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val loc = s"${sys.props("java.io.tmpdir")}/graft_${new java.io.File(d).getName}/k14_tt"
+      def rmRf(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRf))
+        f.delete(); ()
+      }
+      rmRf(new java.io.File(loc))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      o.filter(col("o_orderkey") % 5 === 0).write.format("graft-atomic")
+        .option("path", loc).mode("overwrite").save()
+      o.filter(col("o_orderkey") % 5 === 1).write.format("graft-atomic")
+        .option("path", loc).mode("append").save()
+      val v1 = graft.sources.AtomicSink.versions(loc).min
+      s.read.schema(o.schema).format("graft-atomic")
+        .option("version", v1).load(loc)
+        .orderBy(col("o_orderkey"))
     },
 
     // K11 (live) — small-file COMPACTION sink: the maintenance operation
