@@ -36,7 +36,13 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "stats_cov_matrix",          // ten-moment single-pass decimal covariances
     "ts_cusum_drift",            // hour-ordered running deviation peak
     "window_twap",               // decimal interval-weighted numerator
-    "stats_benford_digits")      // integer-string digit histogram
+    "stats_benford_digits",      // integer-string digit histogram
+    // round-10 additions where partitioning bugs would surface:
+    "graph_label_propagation",   // per-round modal votes + min-label ties
+    "dedup_containment",         // salted df caps + directed expand
+    "stats_quantile_binned",     // binned cumsum + cross-multiply rank
+    "sample_balance_sources",    // md5-uniform accepts against broadcast marginals
+    "retrieval_recall_mrr_eval") // two rankings joined into integer metrics
 
   private def collectAt(name: String, partitions: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
