@@ -312,7 +312,20 @@ object TextDedup {
     * frequency pre-aggregates per (gram, salt), never pinning one task. */
   def jaccardPairs(df: DataFrame, id: String, text: String,
                    threshold: Double, n: Int = 1,
-                   maxDf: Int = 10000): DataFrame = {
+                   maxDf: Int = 10000): DataFrame =
+    cappedIntersections(df, id, text, n, maxDf)
+      .withColumn("jaccard", col("c") * lit(1.0) / (col("n1") + col("n2") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** The df-capped inverted-index intersection pipeline shared by the
+    * set-similarity scorers ([[jaccardPairs]], [[containmentPairs]]):
+    * returns one row per intersecting unordered pair with the overlap
+    * and both filtered set sizes — (d1, d2, c, n1, n2), d1 < d2. The
+    * cap/salting semantics live HERE once; scorers only differ in the
+    * measure they derive from these five integers. */
+  private def cappedIntersections(df: DataFrame, id: String, text: String,
+                                  n: Int, maxDf: Int): DataFrame = {
     val s = saltBuckets(df)
     // shingles are distinct within a doc, so occurrence count == df
     val g = df.select(col(id).as("doc_id"), explode(shingles(col(text), n)).as("gram"))
@@ -330,9 +343,6 @@ object TextDedup {
     shared
       .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
       .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
-      .withColumn("jaccard", col("c") * lit(1.0) / (col("n1") + col("n2") - col("c")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Asymmetric shingle-set CONTAINMENT over inverted-index candidate
@@ -351,22 +361,7 @@ object TextDedup {
   def containmentPairs(df: DataFrame, id: String, text: String,
                        threshold: Double, n: Int = 1,
                        maxDf: Int = 10000): DataFrame = {
-    val s = saltBuckets(df)
-    val g = df.select(col(id).as("doc_id"), explode(shingles(col(text), n)).as("gram"))
-      .withColumn("_salt", pmod(hash(col("doc_id")), lit(s)))
-    val keepBuckets = saltedGramCounts(g, col("_salt"), s)
-      .filter(col("df") <= maxDf)
-      .select(col("gram"), col("_salt"))
-    val t = g.join(keepBuckets, Seq("gram", "_salt"), "left_semi")
-      .select(col("doc_id"), col("gram").as("w"))
-    val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shared = t.select(col("doc_id").as("d1"), col("w"))
-      .join(t.select(col("doc_id").as("d2"), col("w")), Seq("w"))
-      .filter(col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
-    val sized = shared
-      .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
-      .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+    val sized = cappedIntersections(df, id, text, n, maxDf)
     // one undirected intersection row fans to its two directed readings
     // IN THE SAME PASS (explode of a 2-element struct array, an Expand —
     // a unionAll of two projections would re-execute the whole upstream

@@ -54,28 +54,47 @@ object Warehouse {
     * dropped). */
   def deleteWhere(spark: SparkSession, path: String, partitionCol: String,
                   pred: Column): (Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, lit, max, when}
     val all = read(spark, path)
-    val totalParts = all.select(col(partitionCol)).distinct().count()
-    val affected = all.filter(pred)
-      .select(col(partitionCol)).distinct()
-      .collect().map(_.get(0)).toSeq
+    // ONE column-pruned discovery pass yields both the table's partition
+    // count and the affected set (a second distinct scan would double
+    // the discovery I/O that dominates this operation's cost)
+    val parts = all.groupBy(col(partitionCol))
+      .agg(max(when(pred, 1).otherwise(0)).as("hit"))
+      .collect().map(r => r.get(0) -> (r.getInt(1) == 1))
+    val affected = parts.collect { case (v, true) => v }.toSeq
     if (affected.nonEmpty) {
       val pruned = all.filter(col(partitionCol).isin(affected: _*))
-      val keep = pruned.filter(!pred)
+      // NULL-predicate rows did NOT match the delete request and must
+      // survive: filter(!pred) alone drops them (NULL is not true), so
+      // the erasure would over-delete — keep rows where pred is not TRUE
+      val keep = pruned.filter(!coalesce(pred, lit(false)))
       val keptParts = keep.select(col(partitionCol)).distinct()
         .collect().map(_.get(0)).toSet
       overwritePartitions(keep, path, Seq(partitionCol))
       // fully-emptied partitions: no rows reached the dynamic overwrite,
       // so their directories still hold the deleted rows — drop them
+      // through the Hadoop FS (works on HDFS/object stores, and uses
+      // Spark's own partition-path escaping so values containing '/',
+      // ':' or NULL resolve to the directory Spark actually wrote)
       affected.filterNot(keptParts).foreach { v =>
-        def rmRf(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRf))
-          f.delete(); ()
-        }
-        rmRf(new java.io.File(s"$path/$partitionCol=$v"))
+        val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(partitionCol,
+            if (v == null) null else v.toString)
+        deleteRecursively(spark, s"$path/$dirName")
       }
     }
-    (totalParts, affected.size.toLong)
+    (parts.length.toLong, affected.size.toLong)
+  }
+
+  /** Recursive delete through the Hadoop FileSystem API — correct on
+    * local disk AND remote stores (a java.io.File delete on an
+    * hdfs://… path silently no-ops). Shared by the delete/lifecycle
+    * helpers and the sink queries' staging resets. */
+  def deleteRecursively(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) { fs.delete(p, true); () }
   }
 
   /** Create-or-append a bucketed warehouse table (bucketing requires the

@@ -436,11 +436,7 @@ object PackPipeline {
         |FROM events WHERE event_id % 41 = 0 AND event_id % 82 <> 0
         |ORDER BY event_id""".stripMargin) { (s, d) =>
       val dir = s"${sys.props("java.io.tmpdir")}/graft_${new java.io.File(d).getName}/s12_evo"
-      def rmRf(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRf))
-        f.delete(); ()
-      }
-      rmRf(new java.io.File(dir))
+      graft.io.Warehouse.deleteRecursively(s, dir)
       val base = Tables.events(s, d).filter(col("event_id") % 41 === 0)
       // vintage 1: the narrow producer (no value column yet)
       base.filter(col("event_id") % 82 === 0)
@@ -474,11 +470,7 @@ object PackPipeline {
         |  CAST(1 AS BIGINT) AS n_rewritten
         |FROM src WHERE NOT (band = 0 AND user_id % 3 = 0)""".stripMargin) { (s, d) =>
       val dir = s"${sys.props("java.io.tmpdir")}/graft_${new java.io.File(d).getName}/k13_del"
-      def rmRf(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRf))
-        f.delete(); ()
-      }
-      rmRf(new java.io.File(dir))
+      graft.io.Warehouse.deleteRecursively(s, dir)
       val src = Tables.events(s, d).filter(col("event_id") % 11 === 0)
         .select(col("event_id"), col("user_id"),
           (col("user_id") / 100).cast("long").as("band"))
@@ -506,11 +498,7 @@ object PackPipeline {
       """SELECT o_orderkey, o_orderpriority FROM orders
         |WHERE o_orderkey % 5 = 0 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       val loc = s"${sys.props("java.io.tmpdir")}/graft_${new java.io.File(d).getName}/k14_tt"
-      def rmRf(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRf))
-        f.delete(); ()
-      }
-      rmRf(new java.io.File(loc))
+      graft.io.Warehouse.deleteRecursively(s, loc)
       val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
       o.filter(col("o_orderkey") % 5 === 0).write.format("graft-atomic")
         .option("path", loc).mode("overwrite").save()
@@ -536,7 +524,7 @@ object PackPipeline {
     QDef("k11_sink_compact",
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(64 AS BIGINT) AS n_files_before,
-        |  CAST(ceil(count(*) / 50000.0) AS BIGINT) AS n_files_after,
+        |  CAST(least(64, greatest(1, ceil(count(*) / 50000.0))) AS BIGINT) AS n_files_after,
         |  CAST(sum(event_id) AS BIGINT) AS sum_event_id
         |FROM events WHERE event_id % 5 = 0""".stripMargin) { (s, d) =>
       val base = s"${sys.props("java.io.tmpdir")}/graft_${new java.io.File(d).getName}"
@@ -550,7 +538,12 @@ object PackPipeline {
           _.count(f => f.getName.endsWith(".parquet")).toLong).getOrElse(0L)
       val nBefore = parquetFiles(frag)
       val fragDf = s.read.parquet(frag)
-      val bins = math.ceil(fragDf.count() / 50000.0).toLong
+      // clamp to [1, nBefore]: coalesce only NARROWS (a target above the
+      // input file count is a no-op, and past it compaction has nothing
+      // to do anyway — the oracle mirrors the clamp), and an empty slice
+      // still needs one output partition
+      val bins = math.min(64L,
+        math.max(1L, math.ceil(fragDf.count() / 50000.0).toLong))
       fragDf.coalesce(bins.toInt).write.mode("overwrite").parquet(comp)
       val nAfter = parquetFiles(comp)
       s.read.parquet(comp)

@@ -129,4 +129,19 @@ class IoSpec extends AnyFunSuite {
     // and the other partitions again kept their files
     assert(files(0) == before0)
   }
+
+  test("deleteWhere keeps NULL-predicate rows — an erasure must not over-delete") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_deln").toString + "/t"
+    val src = Seq((Some(2L), 0L), (Some(3L), 0L), (None, 0L), (Some(4L), 1L))
+      .toDF("id", "band")
+    graft.io.Warehouse.appendPartitioned(src, dir, Seq("band"))
+    // pred is NULL for the (None, 0) row: it did not match the request
+    val (_, n) = graft.io.Warehouse.deleteWhere(
+      spark, dir, "band", col("id") % 2 === 0)
+    assert(n == 2) // both bands held a matching row
+    val back = spark.read.parquet(dir).select($"id", $"band")
+      .as[(Option[Long], Long)].collect().toSet
+    assert(back == Set((Some(3L), 0L), (None, 0L)))
+  }
 }
