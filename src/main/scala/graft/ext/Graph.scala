@@ -161,6 +161,16 @@ object Graph {
 
   private def labelPropagationLoop(edges: DataFrame, seeds: DataFrame,
                                    rounds: Int): DataFrame = {
+    // Evict the previous run's retained result BEFORE this run persists
+    // anything (same discipline as pageRankLoop). Evicting at the END is
+    // wrong in a subtle way: a rerun of the same query on the same input
+    // canonicalizes to the SAME logical plan, so the new persist() is a
+    // cache hit on the old entry — and unpersisting `prev` afterwards
+    // would evict the shared entry out from under the frame we just
+    // returned, silently recomputing the whole loop lineage on the
+    // caller's first action (observed: 3 → 10 shuffles on a warm JVM).
+    Option(lastLabels.getAndSet(null)).foreach(p =>
+      try p.unpersist() catch { case _: Exception => () })
     val s = edges.sparkSession
     val maxBcast = s.conf
       .get(RankBroadcastMaxNodesKey, RankBroadcastMaxNodesDefault.toString).toLong
@@ -203,10 +213,9 @@ object Graph {
     toFree.foreach(df => try df.unpersist() catch { case _: Exception => () })
     adj.unpersist()
     // same retention discipline as pageRank's lastRanks: the result stays
-    // persisted for the caller, the previous run's result is evicted
-    val prev = lastLabels.getAndSet(labels)
-    if (prev != null && !prev.eq(labels))
-      try prev.unpersist() catch { case _: Exception => () }
+    // persisted for the caller; the PREVIOUS run's result was evicted at
+    // loop entry (see above — never after the re-persist)
+    lastLabels.set(labels)
     labels
   }
   private val lastLabels =

@@ -371,6 +371,27 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  // Warm-JVM rerun of the retained-result loops: a second run of the same
+  // query canonicalizes to the SAME logical plan, so the retention
+  // eviction (lastRanks/lastLabels) must happen BEFORE the new run
+  // persists — evicting afterwards removes the shared cache entry out
+  // from under the frame just returned and the caller's first action
+  // recomputes the whole loop lineage (label propagation regressed
+  // 3 → 10 shuffles exactly this way when a prior suite had already run
+  // the query in the same JVM).
+  for ((name, budget) <- Seq(
+      "graph_label_propagation" -> 3,
+      "graph_pagerank" -> 8)) {
+    test(s"$name budget holds on a warm rerun (retention eviction order)") {
+      shuffleExchangesAcross(name): Unit // warm the retained result
+      val got = shuffleExchangesAcross(name)
+      assert(got <= budget, s"$name triggers $got shuffle exchanges on a " +
+        s"warm rerun (budget $budget) — the retained previous result was " +
+        "evicted after the identical-plan re-persist, killing the live " +
+        "cache entry")
+    }
+  }
+
   // per-source running totals/ordinals ride the chunked two-level prefix
   // sum — a plain per-source window would serialize each source onto one
   // task at any corpus size
