@@ -551,6 +551,150 @@ object PackPipeline {
           lit(nBefore).as("n_files_before"),
           lit(nAfter).as("n_files_after"),
           sum(col("event_id")).as("sum_event_id"))
+    },
+
+    // K15 (live) — IDEMPOTENT BACKFILL via dynamic partition overwrite
+    // (Warehouse.overwritePartitions, previously only spec-covered): load
+    // a month-partitioned table, then re-run ONE month's load with
+    // corrected values (custkey negated as the v2 marker) under
+    // partitionOverwriteMode=dynamic. The declared result is the whole
+    // table after the backfill: the target month must hold ONLY v2 rows
+    // (stale v1 files left behind would surface as positive custkeys →
+    // hash mismatch) and every other month must be untouched v1. This is
+    // the re-run-a-day's-load primitive — static overwrite mode would
+    // wipe the table; at 100 TB the rewrite touches exactly the
+    // backfilled month's directory, never the table.
+    QDef("k15_sink_backfill_overwrite",
+      """WITH src AS (SELECT o_orderkey, o_custkey,
+        |               strftime(o_orderdate, '%Y-%m') AS month
+        |             FROM orders WHERE o_orderkey % 3 = 0),
+        |m AS (SELECT min(month) AS tm FROM src)
+        |SELECT o_orderkey, o_custkey, month
+        |FROM src WHERE month <> (SELECT tm FROM m)
+        |UNION ALL
+        |SELECT o_orderkey, -o_custkey AS o_custkey, month
+        |FROM src WHERE month = (SELECT tm FROM m)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_${new java.io.File(d).getName}/k15_bf"
+      graft.io.Warehouse.deleteRecursively(s, dir)
+      val src = Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      // v1: the full load (one writer task per month — k13's discipline)
+      graft.io.Warehouse.appendPartitioned(
+        src.repartition(col("month")), dir, Seq("month"))
+      // v2: the backfill recomputes the EARLIEST month only
+      val target = src.agg(min(col("month"))).head().getString(0)
+      val fix = src.filter(col("month") === lit(target))
+        .select(col("o_orderkey"), (-col("o_custkey")).as("o_custkey"),
+          col("month"))
+      graft.io.Warehouse.overwritePartitions(
+        fix.repartition(col("month")), dir, Seq("month"))
+      graft.io.Warehouse.read(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("month"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ST14 (live) — stream-stream LEFT OUTER join with WATERMARK-DRIVEN
+    // null emission: st10 declared the inner form; the outer form is the
+    // one with real streaming-only semantics — an unmatched left row can
+    // only emit once the watermark proves no match can still arrive, so
+    // its state lifetime IS the join window. Two drains: the real
+    // arrivals (matched rows stream out append-mode), then a far-future
+    // sentinel on BOTH sides (the global watermark is the min across
+    // sources) advances the watermark past every view's match window and
+    // flushes the never-matched views with NULL click_id (the engine's
+    // no-data micro-batch applies the advanced watermark within the
+    // drain). The sentinels themselves never emit: their own windows
+    // stay ahead of the watermark, and user_id -1/-2 never match. At
+    // 100 TB state holds one join window of arrivals per side — the
+    // watermark bounds it to the frontier, not history. Oracle = the
+    // equivalent batch LEFT JOIN.
+    QDef("st14_stream_stream_left_outer",
+      """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+        |FROM events v LEFT JOIN events c ON v.user_id = c.user_id
+        | AND c.event_type = 'click'
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+        |WHERE v.event_type = 'view'
+        |ORDER BY v.user_id, view_id, click_id""".stripMargin) { (s, d) =>
+      val run = PackCore.streamRun.incrementAndGet()
+      val vin = java.nio.file.Files.createTempDirectory(s"graft_st14_v$run").toString
+      val cin = java.nio.file.Files.createTempDirectory(s"graft_st14_c$run").toString
+      val out = java.nio.file.Files.createTempDirectory(s"graft_st14_o$run").toString + "/t"
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_st14_k$run").toString
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("vts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cuser"), col("event_id").as("click_id"),
+          col("ts").as("cts"))
+      val far = ev.agg(max(col("ts")).as("mx"))
+        .select((col("mx") + expr("INTERVAL 240 HOURS")).as("far"))
+      val lt = org.apache.spark.sql.types.LongType
+      val tt = org.apache.spark.sql.types.TimestampType
+      val vsch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", lt),
+        org.apache.spark.sql.types.StructField("view_id", lt),
+        org.apache.spark.sql.types.StructField("vts", tt)))
+      val csch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cuser", lt),
+        org.apache.spark.sql.types.StructField("click_id", lt),
+        org.apache.spark.sql.types.StructField("cts", tt)))
+      def drain(): Unit = {
+        val vs = s.readStream.schema(vsch).parquet(vin).withWatermark("vts", "1 hour")
+        val cs = s.readStream.schema(csch).parquet(cin).withWatermark("cts", "1 hour")
+        val q = vs.join(cs,
+            col("user_id") === col("cuser") &&
+              col("cts") >= col("vts") &&
+              col("cts") <= col("vts") + expr("INTERVAL 10 MINUTES"),
+            "leftOuter")
+          .select(col("user_id"), col("view_id"), col("click_id"))
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      PackCore.withStreamPartitions(s, 8) {
+        PackCore.stageArrival(vin, views, "b1")
+        PackCore.stageArrival(cin, clicks, "b1")
+        drain()
+        PackCore.stageArrival(vin, far.select(lit(-1L).as("user_id"),
+          lit(-1L).as("view_id"), col("far").as("vts")), "b2")
+        PackCore.stageArrival(cin, far.select(lit(-2L).as("cuser"),
+          lit(-1L).as("click_id"), col("far").as("cts")), "b2")
+        drain() // watermark passes every real view's window → nulls flush
+      }
+      s.read.parquet(out).filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("view_id"), col("click_id"))
+    },
+
+    // Exact-distinct BITMAP aggregation (plans/BitmapAgg — ClickHouse
+    // groupBitmap / Doris BITMAP_UNION re-expressed as a Catalyst
+    // TypedImperativeAggregate): count distinct users per event type by
+    // segmenting the id domain — group by (key, id >> 16) OR-ing an
+    // 8 KiB fixed bitset over (id & 0xFFFF), then SUM the per-segment
+    // popcounts (segments partition the domain, so exact counts add).
+    // The scale contrast with count(DISTINCT): the shuffle carries one
+    // constant-size row per occupied (key, segment) instead of one row
+    // per distinct (key, id) pair, the buffer is mergeable partial state
+    // (map-side combine), and the answer is EXACT where
+    // approx_count_distinct trades error for the same bounded shape.
+    QDef("agg_bitmap_distinct",
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      graft.plans.BitmapAgg.register(s)
+      Tables.events(s, d)
+        .select(col("event_type"), shiftright(col("user_id"), 16).as("seg"),
+          col("user_id").bitwiseAND(lit(65535L)).as("off"))
+        .groupBy(col("event_type"), col("seg"))
+        .agg(expr("graft_bitmap_card(off)").as("card"),
+          count(lit(1)).as("n"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("card")).as("n_users"), sum(col("n")).as("n_rows"))
+        .orderBy(col("event_type"))
     }
   )
 }

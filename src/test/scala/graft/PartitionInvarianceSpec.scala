@@ -42,7 +42,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "dedup_containment",         // salted df caps + directed expand
     "stats_quantile_binned",     // binned cumsum + cross-multiply rank
     "sample_balance_sources",    // md5-uniform accepts against broadcast marginals
-    "retrieval_recall_mrr_eval") // two rankings joined into integer metrics
+    "retrieval_recall_mrr_eval", // two rankings joined into integer metrics
+    "agg_bitmap_distinct")       // OR-merged bitmap buffers + popcount sums
 
   private def collectAt(name: String, partitions: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

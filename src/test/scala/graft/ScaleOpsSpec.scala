@@ -80,6 +80,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(agg == wideMap)
   }
 
+  test("graft_bitmap_card equals exact count(DISTINCT) and is partition-shape-proof") {
+    graft.plans.BitmapAgg.register(spark)
+    // ids crafted to span segments and repeat across partitions
+    val ids = (0L until 500L).flatMap(i => Seq(i * 131L % 200000L)) ++
+      (0L until 300L).map(i => i * 131L % 200000L) // repeats
+    val df = ids.map(id => (id % 3, id)).toDF("k", "id")
+    def bitmapCount(parts: Int): Map[Long, Long] = df.repartition(parts)
+      .selectExpr("k", "id >> 16 AS seg", "id & 65535 AS off")
+      .groupBy($"k", $"seg").agg(expr("graft_bitmap_card(off)").as("c"))
+      .groupBy($"k").agg(sum($"c").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val exact = df.groupBy($"k").agg(countDistinct($"id").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(bitmapCount(1) == exact, "single-partition bitmap must be exact")
+    assert(bitmapCount(7) == exact, "OR-merge across partitions must be exact")
+    // nulls are skipped, matching COUNT DISTINCT
+    val withNull = Seq((0L, Some(1L)), (0L, None), (0L, Some(1L))).toDF("k", "id")
+    val n = withNull.filter($"id".isNotNull)
+      .selectExpr("k", "id >> 16 AS seg", "id & 65535 AS off")
+      .groupBy($"k", $"seg").agg(expr("graft_bitmap_card(off)").as("c"))
+      .agg(sum($"c")).as[Long].head()
+    assert(n == 1L)
+    // an out-of-range offset fails loudly — never a silently-wrong count
+    val e = intercept[org.apache.spark.SparkException] {
+      Seq(70000L).toDF("off").selectExpr("graft_bitmap_card(off)").collect()
+    }
+    assert(e.getMessage.contains("graft_bitmap_card") ||
+      Option(e.getCause).exists(_.getMessage.contains("graft_bitmap_card")))
+  }
+
   test("graft_parse_ticket generator equals the typed-flatMap parser via LATERAL VIEW") {
     graft.plans.TicketItemsGenerator.register(spark)
     val text = graft.parsers.TicketParser.render(42L, "05/03/24", 100.0, Seq(
