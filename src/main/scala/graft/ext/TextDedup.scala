@@ -182,8 +182,9 @@ object TextDedup {
     * row per doc before the exchange. The tall layout (doc_id, i, sig)
     * needed two shuffles of a tokens×seeds intermediate. */
   def minhashSignatures(df: DataFrame, id: String, text: String,
-                        numHashes: Int): DataFrame = {
-    val w = df.select(col(id).as("doc_id"), explode(tokens(col(text))).as("w"))
+                        numHashes: Int, gramN: Int = 1): DataFrame = {
+    val w = df.select(col(id).as("doc_id"),
+      explode(shingles(col(text), gramN)).as("w"))
     val mins = (0 until numHashes).map(i =>
       min(md5(concat(lit(s"$i|"), col("w")))).as(s"s$i"))
     w.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
@@ -291,6 +292,55 @@ object TextDedup {
       .join(cand, Seq("new_id"), "left")
       .groupBy(col("new_id"))
       .agg(count(col("dup_of")).as("n_cand"), min(col("dup_of")).as("dup_of"))
+  }
+
+  /** Cross-split near-dup detection (the leakage check behind a
+    * leakage-safe train/test split): returns the DISTINCT `train` doc ids
+    * whose estimated Jaccard with ANY `test` doc reaches
+    * `minAgree`/`numHashes` — LSH-then-VERIFY, never pairwise. Band-bucket
+    * collision alone over-fires on a near-dup-heavy corpus (one shared
+    * band = one 4-sig run agreeing, compatible with J ≈ 0.5^(1/4) ≈ 0.3
+    * one time in four bands), so each candidate pair is verified by full
+    * signature agreement before it can cost a training document.
+    *
+    * Scale shape: the eval side is the small side by construction — its
+    * band rows are the probe target with the standard oversized-bucket
+    * cap; the train side signs itself once (signatures persisted via
+    * BoundedCache, reused by the verify join) and equi-joins on (band,
+    * bkey). The verify join touches candidate pairs only. */
+  def crossSplitNearDups(train: DataFrame, test: DataFrame, id: String,
+                         text: String, numHashes: Int = 16,
+                         rowsPerBand: Int = 4, maxBucketSize: Int = 64,
+                         minAgree: Int = 8, gramN: Int = 2): DataFrame = {
+    // BIGRAM shingles by default: on a small-vocabulary corpus random
+    // unigram sets already overlap heavily (the fixture's 31-word pool
+    // puts RANDOM doc pairs at J ≈ 0.67 — every split decision would
+    // fire), while bigrams put random pairs near 0.03 and true edited
+    // copies near 1 — the same discrimination jaccardPairs documents.
+    val sigT = BoundedCache.persist("textdedup.crosssplit.sigT",
+      minhashSignatures(train, id, text, numHashes, gramN))
+    val sigE = BoundedCache.persist("textdedup.crosssplit.sigE",
+      minhashSignatures(test, id, text, numHashes, gramN))
+    val bT = bandRows(sigT, numHashes, rowsPerBand)
+    val bE = bandRows(sigE, numHashes, rowsPerBand)
+    val oversized = bE.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucketSize)
+      .select(col("band"), col("bkey"))
+    val prunedE = bE.join(broadcast(oversized), Seq("band", "bkey"), "left_anti")
+    val cand = bT.select(col("doc_id").as("t_id"), col("band"), col("bkey"))
+      .join(prunedE.select(col("doc_id").as("e_id"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .select(col("t_id"), col("e_id")).distinct()
+    val sigTr = sigT.select(col("doc_id").as("t_id") +:
+      (0 until numHashes).map(i => col(s"s$i").as(s"ts$i")): _*)
+    val sigEr = sigE.select(col("doc_id").as("e_id") +:
+      (0 until numHashes).map(i => col(s"s$i").as(s"es$i")): _*)
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"ts$i") === col(s"es$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sigTr, Seq("t_id")).join(sigEr, Seq("e_id"))
+      .filter(agree >= lit(minAgree))
+      .select(col("t_id").as("doc_id")).distinct()
   }
 
   /** Exact shingle-set Jaccard over candidate pairs generated by an

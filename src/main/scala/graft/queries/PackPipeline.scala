@@ -695,6 +695,183 @@ object PackPipeline {
         .groupBy(col("event_type"))
         .agg(sum(col("card")).as("n_users"), sum(col("n")).as("n_rows"))
         .orderBy(col("event_type"))
+    },
+
+    // LEAKAGE-SAFE train/test split — the split you actually ship:
+    // hash-bucket assignment (split_train_test's recipe) composed with
+    // cross-split near-dup removal, because a test doc whose near-
+    // duplicate sits in train invalidates the eval no matter how clean
+    // the hash split was. LSH-then-VERIFY (TextDedup.crossSplitNearDups):
+    // band-bucket candidates are confirmed by full signature agreement
+    // (≥ 8/16 ⇒ est Jaccard ≥ 0.5) before a training doc is dropped —
+    // bucket collision alone over-fires on a near-dup-heavy corpus and
+    // would cost real data. Test stays authoritative; train is what
+    // shrinks. Scale shape: the eval side is the small side by
+    // construction, the 100 TB train side signs itself once and
+    // equi-joins on (band, bkey); the verify join touches candidate
+    // pairs only; nothing is pairwise. Signatures are BIGRAM-shingled
+    // (the jaccardPairs discrimination rationale — this fixture's
+    // 31-word vocabulary puts random unigram pairs at J ≈ 0.67) with
+    // dedup_minhash_lsh's md5 grammar, so the oracle reproduces them
+    // exactly.
+    QDef("split_leakage_safe",
+      ("""WITH base AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+        |words AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, length(l)),
+        |            i -> array_to_string(l[i:i+1], ' ')))) AS w FROM base),
+        |sigs AS (SELECT doc_id, """ +
+        (0 until 16).map(i => s"min(md5('$i|' || w)) AS s$i").mkString(", ") +
+        """ FROM words GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, md5(s0||s1||s2||s3) AS bkey FROM sigs
+        |  UNION ALL SELECT doc_id, 1, md5(s4||s5||s6||s7) FROM sigs
+        |  UNION ALL SELECT doc_id, 2, md5(s8||s9||s10||s11) FROM sigs
+        |  UNION ALL SELECT doc_id, 3, md5(s12||s13||s14||s15) FROM sigs),
+        |bk AS (SELECT doc_id,
+        |         strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS bucket
+        |       FROM documents),
+        |tok AS (SELECT band, bkey FROM bands JOIN bk USING (doc_id)
+        |        WHERE bucket >= 13 GROUP BY band, bkey HAVING count(*) <= 64),
+        |cand AS (SELECT DISTINCT t.doc_id AS t_id, e.doc_id AS e_id
+        |         FROM bands t, bk bt, bands e, bk be, tok
+        |         WHERE t.doc_id = bt.doc_id AND bt.bucket < 13
+        |           AND e.doc_id = be.doc_id AND be.bucket >= 13
+        |           AND t.band = e.band AND t.bkey = e.bkey
+        |           AND tok.band = e.band AND tok.bkey = e.bkey),
+        |leak AS (SELECT DISTINCT c.t_id AS doc_id
+        |         FROM cand c JOIN sigs st ON c.t_id = st.doc_id
+        |         JOIN sigs se ON c.e_id = se.doc_id
+        |         WHERE (""" +
+        (0 until 16).map(i =>
+          s"CASE WHEN st.s$i = se.s$i THEN 1 ELSE 0 END").mkString(" + ") +
+        """) >= 8)
+        |SELECT d.doc_id,
+        |  CASE WHEN bk.bucket >= 13 THEN 'test'
+        |       WHEN l.doc_id IS NOT NULL THEN 'dropped'
+        |       ELSE 'train' END AS split
+        |FROM documents d JOIN bk ON d.doc_id = bk.doc_id
+        |LEFT JOIN leak l ON d.doc_id = l.doc_id
+        |ORDER BY d.doc_id""").stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+        .cast("int")
+      val tagged = docs.withColumn("bucket", bucket)
+      val train = tagged.filter(col("bucket") < 13)
+      val test = tagged.filter(col("bucket") >= 13)
+      val leaked = TextDedup.crossSplitNearDups(train, test, "doc_id", "text")
+        .withColumn("leak", lit(1))
+      tagged.join(leaked, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("bucket") >= 13, "test")
+            .when(col("leak").isNotNull, "dropped")
+            .otherwise("train").as("split"))
+        .orderBy(col("doc_id"))
+    },
+
+    // K16 (live) — sharded JSONL TRAINING EXPORT: the terminal sink of a
+    // curation pipeline (webdataset/JSONL shard convention — downstream
+    // loaders stream whole shards, so shards must be token-bounded and
+    // each shard ONE file). Shard id = global running token count div
+    // budget via the chunked two-level prefix sum (a naive global window
+    // would serialize the corpus onto one task); repartition(shard)
+    // before partitionBy(shard) puts each shard in exactly one writer
+    // task → exactly one JSONL file per shard dir. The declared result
+    // is the manifest read back FROM THE SINK — doc counts, token sums
+    // and id ranges per shard — so a lost doc, a split shard, or a
+    // mis-assigned boundary all fail the oracle.
+    QDef("k16_sink_training_shards",
+      """WITH t AS (SELECT doc_id, source,
+        |             CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM t)
+        |SELECT CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_${new java.io.File(d).getName}/k16_shards"
+      graft.io.Warehouse.deleteRecursively(s, dir)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("all", lit("x"))
+      val sharded = graft.ops.Ops
+        .chunkedCumsum(docs, "all", "doc_id", "n_tokens", "cum")
+        .withColumn("shard",
+          ((col("cum") - col("n_tokens")) / 2000).cast("long"))
+        .select(col("doc_id"), col("source"), col("text"),
+          col("n_tokens"), col("shard"))
+      sharded.repartition(col("shard"))
+        .write.partitionBy("shard").mode("overwrite").json(dir)
+      val lt = org.apache.spark.sql.types.LongType
+      val st = org.apache.spark.sql.types.StringType
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", lt),
+        org.apache.spark.sql.types.StructField("source", st),
+        org.apache.spark.sql.types.StructField("text", st),
+        org.apache.spark.sql.types.StructField("n_tokens", lt)))
+      s.read.schema(sch).json(dir)
+        .withColumn("shard", input_file_name())
+        .withColumn("shard",
+          regexp_extract(col("shard"), "shard=(\\d+)", 1).cast("long"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard"))
+    },
+
+    // Referential-integrity audit — the DQ check every warehouse load
+    // runs before publishing: per foreign-key edge, how many child rows
+    // point at a missing parent. Three edges in ONE job: child keys are
+    // tagged by edge and LEFT-joined against the union of parent key
+    // sets (column-pruned to the key alone — the parent scan reads one
+    // column however wide the table), orphans = unmatched rows. At
+    // 100 TB this is one hash join on (edge, key) with both sides
+    // key-only; a bloom pre-filter (join_semi_bloom) slots in front
+    // unchanged when the parent side outgrows the shuffle budget.
+    QDef("dq_referential_integrity",
+      """SELECT fk, n_child, n_orphans FROM (
+        |  SELECT 'events.user_id->supplier' AS fk,
+        |    CAST(count(*) AS BIGINT) AS n_child,
+        |    CAST(sum(CASE WHEN p.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        |  FROM events c LEFT JOIN supplier p ON c.user_id = p.s_suppkey
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey->orders',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN p.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem c LEFT JOIN orders p ON c.l_orderkey = p.o_orderkey
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN p.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders c LEFT JOIN customer p ON c.o_custkey = p.c_custkey
+        |) ORDER BY fk""".stripMargin) { (s, d) =>
+      // the first edge is DELIBERATELY violated (event actors are not
+      // suppliers) so the audit's nonzero path is exercised; the two
+      // TPC-H-consistent edges pin the clean case
+      val children =
+        Tables.events(s, d).select(col("user_id").as("k"))
+          .withColumn("fk", lit("events.user_id->supplier"))
+        .unionByName(Tables.lineitem(s, d).select(col("l_orderkey").as("k"))
+          .withColumn("fk", lit("lineitem.l_orderkey->orders")))
+        .unionByName(Tables.orders(s, d).select(col("o_custkey").as("k"))
+          .withColumn("fk", lit("orders.o_custkey->customer")))
+      val parents =
+        Tables.supplier(s, d).select(col("s_suppkey").as("pk")).distinct()
+          .withColumn("fk", lit("events.user_id->supplier"))
+        .unionByName(Tables.orders(s, d).select(col("o_orderkey").as("pk")).distinct()
+          .withColumn("fk", lit("lineitem.l_orderkey->orders")))
+        .unionByName(Tables.customer(s, d).select(col("c_custkey").as("pk")).distinct()
+          .withColumn("fk", lit("orders.o_custkey->customer")))
+        .withColumn("hit", lit(1))
+      children.join(parents, col("k") === col("pk") &&
+          children("fk") === parents("fk"), "left")
+        .select(children("fk").as("fk"), col("hit"))
+        .groupBy(col("fk"))
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .orderBy(col("fk"))
     }
   )
 }

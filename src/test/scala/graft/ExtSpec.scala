@@ -530,6 +530,30 @@ class ExtSpec extends AnyFunSuite {
     finally TestSpark.spark.conf.unset(TextDedup.GramSaltBucketsKey)
   }
 
+  test("crossSplitNearDups flags the edited copy, spares the merely-same-vocab doc") {
+    // train doc 0 = near-copy of test doc 100 (one word edited); train
+    // doc 1 reuses the same small vocabulary but in a different order —
+    // unigram signatures would confuse them, bigram ones must not
+    val train = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "kappa iota theta eta zeta epsilon delta gamma beta alpha")
+    ).toDF("doc_id", "text")
+    val test_ = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota lambda")
+    ).toDF("doc_id", "text")
+    graft.ext.BoundedCache.clear()
+    val flagged = TextDedup.crossSplitNearDups(train, test_, "doc_id", "text")
+      .as[Long].collect().toSeq
+    assert(flagged == Seq(0L),
+      s"only the edited copy may be dropped, got $flagged")
+    // repartitioning must not change the decision (the split is shipped)
+    graft.ext.BoundedCache.clear()
+    val flagged7 = TextDedup.crossSplitNearDups(
+      train.repartition(7), test_.repartition(3), "doc_id", "text")
+      .as[Long].collect().toSeq
+    assert(flagged7 == Seq(0L))
+  }
+
   test("decontaminateSpans removes eval-overlapping spans, keeps clean text intact") {
     import org.apache.spark.sql.functions.md5
     val train = Seq(

@@ -43,7 +43,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "stats_quantile_binned",     // binned cumsum + cross-multiply rank
     "sample_balance_sources",    // md5-uniform accepts against broadcast marginals
     "retrieval_recall_mrr_eval", // two rankings joined into integer metrics
-    "agg_bitmap_distinct")       // OR-merged bitmap buffers + popcount sums
+    "agg_bitmap_distinct",       // OR-merged bitmap buffers + popcount sums
+    "split_leakage_safe",        // band candidates + signature-agreement verify
+    "k16_sink_training_shards")  // global chunked cumsum shard assignment
 
   private def collectAt(name: String, partitions: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
