@@ -821,6 +821,48 @@ object PackPipeline {
         .orderBy(col("shard"))
     },
 
+    // ST15 (live) — streaming dedup with WATERMARK-BOUNDED state
+    // (dropDuplicatesWithinWatermark, the Spark 3.5+ API): plain
+    // dropDuplicates on a streaming frame keeps key state FOREVER unless
+    // the event-time column itself is part of the dedup key — the
+    // classic unbounded-state footgun for "dedup by id" at 100 TB/day.
+    // The WithinWatermark form expires each key's state once the
+    // watermark passes its event time + delay, so state tracks the
+    // frontier, not history. Emitted VALUES are arrival-order-dependent
+    // under parallelism, so the declared result is the deduped KEY SET
+    // only (deterministic by construction); the delay is sized past the
+    // fixture's span so every duplicate collapses and the batch DISTINCT
+    // oracle is exact — at deploy the same plan runs with the real
+    // lateness budget.
+    QDef("st15_stream_dedup_within_watermark",
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      val run = PackCore.streamRun.incrementAndGet()
+      val in = java.nio.file.Files.createTempDirectory(s"graft_st15_in$run").toString
+      PackCore.stageArrival(in,
+        Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts")), "b1")
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType)))
+      val name = s"st15_live_run_$run"
+      PackCore.withStreamPartitions(s, 8) {
+        val q = s.readStream.schema(sch).parquet(in)
+          .withWatermark("ts", "90 days")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select(col("user_id"), col("event_type"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table(name).orderBy(col("user_id"), col("event_type"))
+    },
+
     // Referential-integrity audit — the DQ check every warehouse load
     // runs before publishing: per foreign-key edge, how many child rows
     // point at a missing parent. Three edges in ONE job: child keys are

@@ -103,6 +103,29 @@ object OpsProps extends Properties("ops") {
       norm(folded) == norm(oneShot)
     }
 
+  // ---- segmented bitmap distinct vs exact count(DISTINCT) ---------------
+
+  private val bitmapGen: Gen[(List[Long], Int)] = for {
+    n <- Gen.choose(1, 200)
+    // ids spanning several 2^16 segments, with repeats likely
+    ids <- Gen.listOfN(n, Gen.choose(0L, 300000L))
+    parts <- Gen.choose(1, 5)
+  } yield (ids, parts)
+
+  property("segmented graft_bitmap_card sums == count(DISTINCT) on random ids") =
+    Prop.forAll(bitmapGen) { case (ids, parts) =>
+      import spark.implicits._
+      graft.plans.BitmapAgg.register(spark)
+      val df = ids.map(id => (id % 2, id)).toDF("k", "id").repartition(parts)
+      val viaBitmap = df
+        .selectExpr("k", "id >> 16 AS seg", "id & 65535 AS off")
+        .groupBy($"k", $"seg").agg(expr("graft_bitmap_card(off)").as("c"))
+        .groupBy($"k").agg(sum($"c").as("n"))
+        .as[(Long, Long)].collect().toMap
+      val exact = ids.groupBy(_ % 2).view.mapValues(_.distinct.size.toLong).toMap
+      viaBitmap == exact
+    }
+
   // ---- custom TopKPerKey operator vs window row_number ------------------
 
   private val topkGen: Gen[(List[(Long, Long, Double)], Int)] = for {

@@ -81,6 +81,19 @@ class PlanSpec extends AnyFunSuite {
       s"watermark must reach the parquet reader:\n$p")
   }
 
+  test("bitmap distinct partial-aggregates BEFORE the shuffle (buffers ride the exchange)") {
+    val p = plan("agg_bitmap_distinct")
+    val partial = p.indexOf("partial_graft_bitmap_card")
+    val exchange = p.indexOf("Exchange hashpartitioning")
+    assert(partial >= 0, s"the bitmap aggregate must partial-aggregate map-side:\n$p")
+    // toString prints top-down: the partial agg must sit BELOW (after)
+    // the (key, seg) exchange — the shuffle carries one fixed 8 KiB
+    // buffer per (key, segment) per mapper, never raw id rows
+    assert(p.lastIndexOf("Exchange hashpartitioning") < partial,
+      s"the shuffle must consume partial bitmap buffers, not raw ids:\n$p")
+    assert(exchange >= 0)
+  }
+
   test("minhash LSH has no cross product (band-key equi-join only)") {
     val p = plan("dedup_minhash_lsh")
     assert(!p.contains("CartesianProduct"))
@@ -363,7 +376,14 @@ class PlanSpec extends AnyFunSuite {
       // with the two directed readings EXPANDED in-pass, not unioned
       "graph_label_propagation" -> 3,
       "graph_triangle_count" -> 4,
-      "dedup_containment" -> 5)) {
+      "dedup_containment" -> 5,
+      // continuation batch: the leakage-safe split's cold count is ONE
+      // visible exchange — the signature aggregations build inside the
+      // BoundedCache'd InMemoryRelations (cache builds are the train-
+      // once cost, not per-query), the band-candidate and verify joins
+      // broadcast at fixture scale, and count() prunes the final sort.
+      // A corpus-sized shuffle sneaking into the verify stage blows this
+      "split_leakage_safe" -> 1)) {
     test(s"$name stays within its shuffle-exchange budget ($budget)") {
       val got = shuffleExchangesAcross(name)
       assert(got <= budget, s"$name now triggers $got shuffle exchanges " +
