@@ -863,6 +863,97 @@ object PackPipeline {
       s.table(name).orderBy(col("user_id"), col("event_type"))
     },
 
+    // Mergeable-sketch ROLLUP (Apache DataSketches HLL, the Spark 3.5+
+    // hll_* surface): per-(type, day) sketches are STORED as binary
+    // columns, then any-range distinct counts come from unioning stored
+    // sketches — the rollup architecture that answers "distinct users
+    // any week/month/all-time" at 100 TB without ever re-scanning raw
+    // data (exact distinct can't pre-aggregate: distinct-by-day doesn't
+    // sum). The declared result carries the EXACT count per type (oracle-
+    // reproducible) plus the sketch path's relative-error check against
+    // it — a broken union or estimate fails the boolean, a broken store
+    // fails the run. agg_bitmap_distinct is the exact sibling; this is
+    // the mergeable-approximate one.
+    QDef("agg_sketch_union",
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  true AS sketch_within_2pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_${new java.io.File(d).getName}/sketch_daily"
+      graft.io.Warehouse.deleteRecursively(s, dir)
+      val ev = Tables.events(s, d)
+      // ingestion half: one HLL sketch per (type, day), stored binary
+      ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .write.mode("overwrite").parquet(dir)
+      // query half: union the STORED sketches across days, estimate
+      val est = s.read.parquet(dir)
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      exact.join(est, Seq("event_type"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("est") - col("exact_users")) <=
+            col("exact_users") * 0.02).as("sketch_within_2pct"))
+        .orderBy(col("event_type"))
+    },
+
+    // SQL LATERAL correlated subquery — per-group top-k expressed the
+    // way analysts write it (LATERAL was the one modern-SQL join surface
+    // the pack's sql_* family hadn't exercised; Spark 4 and DuckDB both
+    // ship it): for each nation, the 3 highest-balance customers via a
+    // correlated ORDER BY ... LIMIT subquery. Catalyst decorrelates the
+    // LATERAL into a ranked window/join — same physical shape as
+    // sort_topk_per_key — so the sugar costs nothing at scale.
+    QDef("sql_lateral_topk",
+      """SELECT n.n_name, c.c_custkey, c.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) c
+        |ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey""".stripMargin) { (s, d) =>
+      Tables.nation(s, d).createOrReplaceTempView("sql_lat_nation")
+      Tables.customer(s, d).createOrReplaceTempView("sql_lat_customer")
+      s.sql("""SELECT n.n_name, c.c_custkey, c.c_acctbal
+              |FROM sql_lat_nation n,
+              |LATERAL (SELECT c_custkey, c_acctbal FROM sql_lat_customer
+              |         WHERE c_nationkey = n.n_nationkey
+              |         ORDER BY c_acctbal DESC, c_custkey LIMIT 3) c
+              |ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey""".stripMargin)
+    },
+
+    // Error-safe arithmetic (the try_* family, ANSI SQL's answer to
+    // "one bad row kills the batch job"): try_divide nulls on /0 where
+    // strict mode throws, try_add nulls on BIGINT overflow instead of
+    // wrapping, try_cast nulls malformed input. At 100 TB the difference
+    // between NULL-and-continue and throw-at-row-3-billion is the whole
+    // operator; the oracle states the same semantics with guarded CASEs.
+    QDef("f46_try_arithmetic",
+      """SELECT event_id,
+        |  CASE WHEN CAST(event_id % 7 AS BIGINT) = 0 THEN NULL
+        |       ELSE CAST(round(value / (event_id % 7), 6) AS DOUBLE) END AS safe_ratio,
+        |  CASE WHEN event_id % 5 = 0 THEN 9223372036854775807
+        |       ELSE NULL END AS overflow_guard,
+        |  CASE WHEN event_id % 3 = 0
+        |       THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |       ELSE TRY_CAST(props AS BIGINT) END AS props_num
+        |FROM events WHERE event_id % 11 = 0 ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d).filter(col("event_id") % 11 === 0)
+        .select(col("event_id"),
+          round(expr("try_divide(value, event_id % 7)"), 6).as("safe_ratio"),
+          // overflow path: Long.MaxValue + (event_id%5) overflows for
+          // nonzero addends → NULL; %5==0 adds 0 and stays at max
+          expr("try_add(9223372036854775807L, CAST(event_id % 5 AS BIGINT))")
+            .as("overflow_guard"),
+          // mixed-input cast: every third row casts the clean extracted
+          // number (succeeds), the rest cast the raw JSON blob (NULLs) —
+          // both branches of malformed-to-NULL in one column
+          when(col("event_id") % 3 === 0,
+            expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"))
+            .otherwise(expr("try_cast(props AS BIGINT)")).as("props_num"))
+        .orderBy(col("event_id"))
+    },
+
     // Referential-integrity audit — the DQ check every warehouse load
     // runs before publishing: per foreign-key edge, how many child rows
     // point at a missing parent. Three edges in ONE job: child keys are

@@ -94,6 +94,15 @@ class PlanSpec extends AnyFunSuite {
     assert(exchange >= 0)
   }
 
+  test("LATERAL top-k decorrelates to WindowGroupLimit + broadcast join — not a per-row rescan") {
+    val p = plan("sql_lateral_topk")
+    assert(p.contains("WindowGroupLimit"),
+      s"the correlated LIMIT must lower to the rank-limit pushdown:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the nation dim must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LATERAL must not execute as a per-outer-row rescan:\n$p")
+  }
+
   test("minhash LSH has no cross product (band-key equi-join only)") {
     val p = plan("dedup_minhash_lsh")
     assert(!p.contains("CartesianProduct"))
