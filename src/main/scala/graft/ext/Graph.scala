@@ -126,7 +126,13 @@ object Graph {
       } else ranks = next
     }
     withDeg.unpersist()
-    lastRanks.set(ranks)
+    // same race guard as labelPropagationLoop's exit: a concurrent run's
+    // retained frame must not leak, but a same-semantics frame shares
+    // this run's cache entry and must not be evicted
+    val stale = lastRanks.getAndSet(ranks)
+    if (stale != null && !stale.eq(ranks) &&
+        !(try stale.sameSemantics(ranks) catch { case _: Exception => true }))
+      try stale.unpersist() catch { case _: Exception => () }
     ranks
   }
 
@@ -214,8 +220,16 @@ object Graph {
     adj.unpersist()
     // same retention discipline as pageRank's lastRanks: the result stays
     // persisted for the caller; the PREVIOUS run's result was evicted at
-    // loop entry (see above — never after the re-persist)
-    lastLabels.set(labels)
+    // loop entry (see above — never after the re-persist). getAndSet
+    // still handles a CONCURRENT run racing this one: its retained frame
+    // must not leak for the session — but only unpersist it when its
+    // plan genuinely differs, because a same-semantics frame SHARES this
+    // run's cache entry and unpersisting it would evict the result we
+    // are about to return (the warm-JVM bug the entry-eviction fixed).
+    val stale = lastLabels.getAndSet(labels)
+    if (stale != null && !stale.eq(labels) &&
+        !(try stale.sameSemantics(labels) catch { case _: Exception => true }))
+      try stale.unpersist() catch { case _: Exception => () }
     labels
   }
   private val lastLabels =

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -33,11 +33,15 @@ case class BitmapAgg(
     child: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] {
+  extends TypedImperativeAggregate[Array[Long]] with ImplicitCastInputTypes {
 
   private val bits = 1 << 16
   private val words = bits / 64 // 1024 longs = 8 KiB
 
+  // integral inputs coerce to BIGINT at analysis; a string/double/array
+  // argument fails resolution cleanly instead of ClassCastException-ing
+  // inside an executor task (same contract as ShingleArray.build)
+  override def inputTypes = Seq(LongType)
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
@@ -91,8 +95,13 @@ case class BitmapAgg(
 }
 
 object BitmapAgg {
-  /** Register `graft_bitmap_card` (idempotent). */
+  /** Register `graft_bitmap_card` (idempotent). Wrong arity fails as a
+    * clean error at resolution, not NoSuchElementException. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bitmap_card", exprs => BitmapAgg(exprs.head), "built-in")
+      "graft_bitmap_card", exprs => {
+        if (exprs.length != 1) throw new IllegalArgumentException(
+          s"graft_bitmap_card(offset) takes exactly 1 argument, got ${exprs.length}")
+        BitmapAgg(exprs.head)
+      }, "built-in")
 }

@@ -48,6 +48,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "k16_sink_training_shards")  // global chunked cumsum shard assignment
 
   private def collectAt(name: String, partitions: String): Seq[String] = {
+    // cold per run: a BoundedCache'd intermediate (minhash signatures,
+    // band frames, tf-idf weights) persisted by the FIRST run would
+    // otherwise serve the second partition count from cached blocks,
+    // hiding a partition-sensitive bug in exactly the stage under test
+    graft.ext.BoundedCache.clear()
+    spark.catalog.clearCache()
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
     try Pack.byName(name).fn(spark, TestSpark.sf0001)

@@ -95,9 +95,11 @@ class ScaleOpsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(bitmapCount(1) == exact, "single-partition bitmap must be exact")
     assert(bitmapCount(7) == exact, "OR-merge across partitions must be exact")
-    // nulls are skipped, matching COUNT DISTINCT
+    // nulls are skipped INSIDE the aggregate, matching COUNT DISTINCT —
+    // no pre-filter: the null id flows through as a null offset and must
+    // exercise update()'s skip branch, not be removed before it
     val withNull = Seq((0L, Some(1L)), (0L, None), (0L, Some(1L))).toDF("k", "id")
-    val n = withNull.filter($"id".isNotNull)
+    val n = withNull
       .selectExpr("k", "id >> 16 AS seg", "id & 65535 AS off")
       .groupBy($"k", $"seg").agg(expr("graft_bitmap_card(off)").as("c"))
       .agg(sum($"c")).as[Long].head()
