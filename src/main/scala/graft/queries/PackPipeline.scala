@@ -954,6 +954,129 @@ object PackPipeline {
         .orderBy(col("event_id"))
     },
 
+    // ST16 (live) — streaming foreachBatch → JDBC UPSERT with BATCH-ID
+    // idempotence: the most common production sink (stream → RDBMS
+    // rollup table) done with its real exactly-once recipe. Each batch
+    // aggregates DISTRIBUTED (per-user count + cent-exact totals), then
+    // the SMALL aggregated frame upserts into embedded Derby via MERGE
+    // inside ONE transaction that also records the batch id — a replayed
+    // batch (checkpoint loss, redelivery) sees its id in BATCH_LOG and
+    // SKIPS, so the accumulating MERGE never double-counts. The query
+    // PROVES it: the same input is drained twice with two fresh
+    // checkpoints (forced redelivery of batch 0); totals must equal ONE
+    // delivery, which is exactly what the batch oracle states. Values
+    // are 2-decimal fixture doubles → cent BIGINTs, exact on any engine.
+    QDef("st16_stream_jdbc_upsert",
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events WHERE event_id % 3 = 0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val run = PackCore.streamRun.incrementAndGet()
+      val in = java.nio.file.Files.createTempDirectory(s"graft_st16_in$run").toString
+      val dbRoot = java.nio.file.Files.createTempDirectory(s"graft_st16_db$run").toString
+      if (System.getProperty("derby.system.home") == null)
+        System.setProperty("derby.system.home", dbRoot)
+      val url = s"jdbc:derby:$dbRoot/derby;create=true"
+      val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+      Class.forName(driver)
+      val boot = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = boot.createStatement()
+        st.executeUpdate(
+          "CREATE TABLE USER_TOTALS (USER_ID BIGINT PRIMARY KEY, N BIGINT, CENTS BIGINT)")
+        st.executeUpdate("CREATE TABLE BATCH_LOG (BATCH_ID BIGINT PRIMARY KEY)")
+      } finally boot.close()
+      PackCore.stageArrival(in,
+        Tables.events(s, d).filter(col("event_id") % 3 === 0)
+          .select(col("user_id"), col("value")), "b1")
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      def drain(): Unit = {
+        val ckpt = java.nio.file.Files.createTempDirectory(s"graft_st16_ck$run").toString
+        val q = s.readStream.schema(sch).parquet(in)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            // heavy half distributed; the per-user rollup is small
+            batch.groupBy(col("user_id"))
+              .agg(count(lit(1)).as("n"),
+                sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+              .coalesce(1) // ONE connection ⇒ ONE transaction with the log
+              .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+                val c = java.sql.DriverManager.getConnection(url)
+                try {
+                  c.setAutoCommit(false)
+                  val seen = c.prepareStatement(
+                    "SELECT 1 FROM BATCH_LOG WHERE BATCH_ID = ?")
+                  seen.setLong(1, batchId)
+                  if (!seen.executeQuery().next()) {
+                    val m = c.prepareStatement(
+                      """MERGE INTO USER_TOTALS t USING SYSIBM.SYSDUMMY1 s
+                        |ON t.USER_ID = ?
+                        |WHEN MATCHED THEN UPDATE SET t.N = t.N + ?, t.CENTS = t.CENTS + ?
+                        |WHEN NOT MATCHED THEN INSERT (USER_ID, N, CENTS) VALUES (?, ?, ?)""".stripMargin)
+                    var pending = 0
+                    rows.foreach { r =>
+                      val (u, n, cents) = (r.getLong(0), r.getLong(1), r.getLong(2))
+                      m.setLong(1, u); m.setLong(2, n); m.setLong(3, cents)
+                      m.setLong(4, u); m.setLong(5, n); m.setLong(6, cents)
+                      m.addBatch(); pending += 1
+                      // statement batching: one network/executor round per
+                      // 1000 upserts, not per row — the constant that
+                      // dominates a per-row executeUpdate loop at scale
+                      if (pending == 1000) { m.executeBatch(); pending = 0 }
+                    }
+                    if (pending > 0) m.executeBatch(): Unit
+                    val log = c.prepareStatement(
+                      "INSERT INTO BATCH_LOG (BATCH_ID) VALUES (?)")
+                    log.setLong(1, batchId)
+                    log.executeUpdate()
+                  } // else: redelivered batch — committed already, skip
+                  c.commit()
+                } finally c.close()
+              }
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      PackCore.withStreamPartitions(s, 8) {
+        drain()
+        drain() // fresh checkpoint ⇒ batch 0 REDELIVERED ⇒ must be skipped
+      }
+      s.read.format("jdbc").option("url", url).option("driver", driver)
+        .option("dbtable", "USER_TOTALS").load()
+        .select(col("USER_ID").as("user_id"), col("N").as("n"),
+          col("CENTS").as("total_cents"))
+        .orderBy(col("user_id"))
+    },
+
+    // SQL join-strategy HINTS — the escape hatch when the optimizer's
+    // size estimates are wrong (a "small" dim behind a selective filter
+    // Catalyst can't see through, or a broadcast that OOMs the driver at
+    // deploy): /*+ SHUFFLE_HASH */ forces a shuffled hash join where the
+    // planner would broadcast. The declared result pins that the hinted
+    // plan computes the SAME answer (hints must never change semantics);
+    // PlanSpec pins that the hint actually reaches the planner and that
+    // MERGE/BROADCAST each select their strategy.
+    QDef("sql_join_hints",
+      """SELECT o.o_orderkey, c.c_mktsegment
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderkey % 25 = 0
+        |ORDER BY o.o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("hint_orders")
+      Tables.customer(s, d).createOrReplaceTempView("hint_customer")
+      s.sql("""SELECT /*+ SHUFFLE_HASH(c) */ o.o_orderkey, c.c_mktsegment
+              |FROM hint_orders o JOIN hint_customer c
+              |  ON o.o_custkey = c.c_custkey
+              |WHERE o.o_orderkey % 25 = 0
+              |ORDER BY o.o_orderkey""".stripMargin)
+    },
+
     // Referential-integrity audit — the DQ check every warehouse load
     // runs before publishing: per foreign-key edge, how many child rows
     // point at a missing parent. Three edges in ONE job: child keys are

@@ -94,6 +94,19 @@ class PlanSpec extends AnyFunSuite {
     assert(exchange >= 0)
   }
 
+  test("join hints reach the planner: SHUFFLE_HASH / MERGE / BROADCAST each select their strategy") {
+    graft.queries.Pack.byName("sql_join_hints").fn(spark, TestSpark.sf0001).count()
+    def planWith(hint: String): String = spark.sql(
+      s"""SELECT /*+ $hint(c) */ o.o_orderkey, c.c_mktsegment
+         |FROM hint_orders o JOIN hint_customer c ON o.o_custkey = c.c_custkey
+         |WHERE o.o_orderkey % 25 = 0""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(planWith("SHUFFLE_HASH").contains("ShuffledHashJoin"),
+      "SHUFFLE_HASH must override the default broadcast")
+    assert(planWith("MERGE").contains("SortMergeJoin"))
+    assert(planWith("BROADCAST").contains("BroadcastHashJoin"))
+  }
+
   test("LATERAL top-k decorrelates to WindowGroupLimit + broadcast join — not a per-row rescan") {
     val p = plan("sql_lateral_topk")
     assert(p.contains("WindowGroupLimit"),
