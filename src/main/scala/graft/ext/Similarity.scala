@@ -181,6 +181,60 @@ object Similarity {
     pruned.withColumn("rank", row_number().over(w))
   }
 
+  /** Full IVF-PQ serving — the production ANN index (FAISS's IndexIVFPQ
+    * shape) composed from the two stored halves this library already
+    * trains: the IVF coarse quantizer routes each query to its
+    * top-`nprobe` cells (6dp-rounded centroid dots, reproducible), and
+    * the ADC scan then reads ONLY the probed cells' PQ codes — the
+    * corpus side is a broadcast-probe equi-join on the cell id followed
+    * by `nSub` table lookups per candidate, so the scan cost is the
+    * probed fraction of an already-8x-compressed table, never the
+    * corpus. `codes` = stored (vec_id, sub, code), `cent` = stored
+    * codebook (also the coarse centroids — cells and subquantizers share
+    * the label codebook here, as [[pqCodes]] trains them), `cells` =
+    * (vec_id, cell) assignment stored at encoding time. */
+  def ivfPqAdcTopKStored(codes: DataFrame, cent: DataFrame, cells: DataFrame,
+                         queries: DataFrame, dims: Int, nSub: Int, k: Int,
+                         nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val nd = nativeDot(queries.sparkSession, _, _)
+    // coarse routing: same probe selection as ivfMultiProbeTopK
+    val byBucket = cent.groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("i"), col("mean")))).as("c"))
+      .select(col("label").as("pb"), transform(col("c"), x => x.getField("mean")).as("cvec"))
+    val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("pb"))
+    val probes = q.crossJoin(broadcast(byBucket))
+      .withColumn("score", round(nd(col("qe"), col("cvec")), 6))
+      .withColumn("pr", row_number().over(wProbe)).filter(col("pr") <= nprobe)
+      .select(col("qid"), col("pb"))
+    // per-query subspace lookup tables (as pqAdcTopKStored)
+    val diff = col("qv").cast("double") - col("mean")
+    val lut = queries
+      .select(col("vec_id").as("qid"), posexplode(col("embedding")).as(Seq("pos", "qv")))
+      .join(broadcast(cent), col("pos") + 1 === col("i"))
+      .select(col("qid"), col("label").as("llabel"),
+        (col("pos") / lit(dims / nSub)).cast("int").as("lsub"),
+        (floor(diff * diff * lit(1e12) + lit(0.5)) / lit(1e12))
+          .cast(DecimalType(28, 12)).as("t"))
+      .groupBy(col("qid"), col("lsub"), col("llabel"))
+      .agg(sum(col("t")).as("dlut"))
+    // cell restriction FIRST: only probed cells' codes enter the ADC join
+    val probedCodes = codes
+      .join(cells.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .join(broadcast(probes), col("cell") === col("pb"))
+    val lutR = lut.withColumnRenamed("qid", "lqid")
+    val adc = probedCodes.join(broadcast(lutR),
+        col("qid") === col("lqid") && col("sub") === col("lsub") &&
+          col("code") === col("llabel") && col("vec_id") =!= col("lqid"))
+      .groupBy(col("qid"), col("vec_id").as("nid"))
+      .agg(round(sum(col("dlut")).cast("double"), 6).as("adist"))
+    val pruned = graft.ops.Ops.topKPerKey(adc, Seq("qid"),
+      Seq(("adist", false), ("nid", false)), k)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("nid"))
+    pruned.withColumn("rank", row_number().over(w))
+  }
+
   /** Assign each vector to its max-dot-product centroid (centroids in
     * long form as produced by [[centroids]], collected + broadcast as an
     * array literal — k × dims doubles, driver-safe by construction). */

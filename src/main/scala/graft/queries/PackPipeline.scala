@@ -1077,6 +1077,62 @@ object PackPipeline {
               |ORDER BY o.o_orderkey""".stripMargin)
     },
 
+    // Full IVF-PQ serving (FAISS IndexIVFPQ shape) — the production ANN
+    // index composed from the library's two STORED halves: the coarse
+    // quantizer routes each query to its top-2 cells, and the ADC scan
+    // reads ONLY those cells' PQ codes (8× compressed, nSub lookups per
+    // candidate) — at 100 TB the query touches the probed fraction of
+    // the code table and never the raw corpus embeddings.
+    // ann_ivf_multiprobe and ann_pq_adc_topk declare the halves; this is
+    // the composition a production deployment actually runs. Oracle =
+    // the two halves' CTE stacks composed the same way.
+    QDef("ann_ivfpq_topk",
+      """WITH c AS (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+        |           FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+        |cvec AS (SELECT label AS pb, list(m ORDER BY i) AS cv FROM c GROUP BY label),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |qs AS (SELECT qid, pb, row_number() OVER (PARTITION BY qid ORDER BY
+        |         round(list_reduce(list_transform(range(1, 65),
+        |           i -> CAST(qe[i] AS DOUBLE) * cv[i]), (a,b) -> a+b), 6) DESC, pb) AS pr
+        |       FROM q, cvec),
+        |probe AS (SELECT qid, pb FROM qs WHERE pr <= 2),
+        |cd AS (SELECT e.vec_id, CAST((t.i - 1) // 8 AS INTEGER) AS sub, c.label,
+        |         sum(CAST(floor((CAST(e.embedding[t.i] AS DOUBLE) - c.m)
+        |                        * (CAST(e.embedding[t.i] AS DOUBLE) - c.m) * 1e12 + 0.5) / 1e12
+        |                  AS DECIMAL(28,12))) AS dist
+        |       FROM embeddings e, range(1, 65) t(i) JOIN c ON c.i = t.i
+        |       GROUP BY e.vec_id, sub, c.label),
+        |codes AS (SELECT vec_id, sub, label AS code FROM
+        |            (SELECT vec_id, sub, label,
+        |               row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, label) AS rn
+        |             FROM cd) WHERE rn = 1),
+        |lut AS (SELECT q.qid, CAST((t.i - 1) // 8 AS INTEGER) AS lsub, c.label AS llabel,
+        |          sum(CAST(floor((CAST(q.qe[t.i] AS DOUBLE) - c.m)
+        |                         * (CAST(q.qe[t.i] AS DOUBLE) - c.m) * 1e12 + 0.5) / 1e12
+        |                   AS DECIMAL(28,12))) AS dlut
+        |        FROM q, range(1, 65) t(i) JOIN c ON c.i = t.i
+        |        GROUP BY q.qid, lsub, llabel),
+        |adc AS (SELECT l.qid, k.vec_id AS nid,
+        |          round(CAST(sum(l.dlut) AS DOUBLE), 6) AS adist
+        |        FROM codes k
+        |        JOIN embeddings ce ON ce.vec_id = k.vec_id
+        |        JOIN probe p ON p.pb = ce.label
+        |        JOIN lut l ON l.qid = p.qid AND l.lsub = k.sub AND l.llabel = k.code
+        |          AND k.vec_id <> l.qid
+        |        GROUP BY l.qid, k.vec_id),
+        |rr AS (SELECT qid, nid, adist,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS INTEGER) AS rank
+        |       FROM adc)
+        |SELECT qid, nid, adist, rank FROM rr WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfPqAdcTopKStored(
+          PackExt.persistedPqCodes(s, d), PackExt.persistedCentroids(s, d),
+          e.select(col("vec_id"), col("label").as("cell")),
+          e.filter(col("vec_id") < 10), dims = 64, nSub = 8, k = 5, nprobe = 2)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // Referential-integrity audit — the DQ check every warehouse load
     // runs before publishing: per foreign-key edge, how many child rows
     // point at a missing parent. Three edges in ONE job: child keys are
