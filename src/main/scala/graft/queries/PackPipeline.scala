@@ -1133,6 +1133,78 @@ object PackPipeline {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // K17 (live) — INCREMENTAL SCD2 dimension maintenance: apply a CDC
+    // batch to a STORED type-2 dimension without touching unaffected
+    // data. The stored dim (built from history before the cutoff,
+    // band-partitioned) meets a batch of new changes; only the affected
+    // users' intervals are rebuilt — from their stored change points +
+    // the batch, never the raw history — and only the affected BANDS are
+    // dynamically overwritten (untouched users in those bands are
+    // carried through; other bands' files are never rewritten). The
+    // oracle is the whole point: the incrementally-maintained dimension
+    // must equal scd2_intervals' FULL REBUILD over all events — a
+    // boundary bug (a change-vs-carry misread across the cutoff, a lost
+    // current-row close) fails the hash. At 100 TB the rewrite tracks
+    // the day's churn, not the dimension.
+    QDef("k17_sink_scd2_apply",
+      """WITH e AS (SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |d AS (SELECT user_id, event_type, ts, event_id,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
+        |      FROM e),
+        |ch AS (SELECT user_id, event_type, ts, event_id FROM d
+        |       WHERE prev_t IS NULL OR prev_t <> event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |FROM ch ORDER BY user_id, valid_from""".stripMargin) { (s, d) =>
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_${new java.io.File(d).getName}/k17_scd2"
+      graft.io.Warehouse.deleteRecursively(s, dir)
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      // deterministic split: the last 6 hours are "today's CDC batch"
+      val cut = ev.agg(max(col("ts"))).head().getTimestamp(0).toInstant
+        .minus(java.time.Duration.ofHours(6))
+      val cutLit = lit(java.sql.Timestamp.from(cut))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      // change-point chain (same as scd2_intervals); keeps the anchor
+      // event id so incremental ordering is reproducible
+      def changePoints(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("prev_t", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_t").isNull || col("prev_t") =!= col("event_type"))
+        .drop("prev_t")
+      def withIntervals(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
+          lead(col("ts"), 1).over(w).as("valid_to"), col("event_id"),
+          (col("user_id") / 100).cast("long").as("band"))
+      // v1: the stored dimension, banded one writer per partition
+      graft.io.Warehouse.appendPartitioned(
+        withIntervals(changePoints(ev.filter(col("ts") < cutLit)))
+          .repartition(col("band")),
+        dir, Seq("band"))
+      // the CDC batch and its blast radius
+      val batch = ev.filter(col("ts") >= cutLit)
+      val affectedUsers = batch.select(col("user_id")).distinct()
+      val stored = graft.io.Warehouse.read(s, dir)
+      val affectedBands = affectedUsers
+        .select((col("user_id") / 100).cast("long").as("band")).distinct()
+      // rebuild ONLY affected users: their stored change points become
+      // pseudo-events (anchor ts + event id preserved) + the new batch,
+      // re-chained; unaffected users in affected bands carry through
+      val pseudo = stored.join(affectedUsers, Seq("user_id"), "left_semi")
+        .select(col("user_id"), col("event_type"),
+          col("valid_from").as("ts"), col("event_id"))
+      val rebuilt = withIntervals(changePoints(
+        pseudo.unionByName(batch)))
+      val carried = stored
+        .join(affectedBands, Seq("band"), "left_semi")
+        .join(affectedUsers, Seq("user_id"), "left_anti")
+        .select(rebuilt.columns.map(col).toIndexedSeq: _*)
+      graft.io.Warehouse.overwritePartitions(
+        rebuilt.unionByName(carried).repartition(col("band")), dir, Seq("band"))
+      graft.io.Warehouse.read(s, dir)
+        .select(col("user_id"), col("event_type"), col("valid_from"), col("valid_to"))
+        .orderBy(col("user_id"), col("valid_from"))
+    },
+
     // Referential-integrity audit — the DQ check every warehouse load
     // runs before publishing: per foreign-key edge, how many child rows
     // point at a missing parent. Three edges in ONE job: child keys are
