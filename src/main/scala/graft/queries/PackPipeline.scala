@@ -1205,6 +1205,52 @@ object PackPipeline {
         .orderBy(col("user_id"), col("valid_from"))
     },
 
+    // ST17 (live) — streaming CDC MERGE sink (StreamingOps
+    // .runMergeToWarehouse, previously spec-only): each micro-batch
+    // UPSERTs into the parquet warehouse on the key, so a late
+    // re-delivery with corrected values OVERWRITES instead of
+    // duplicating — the append sink's k3 sibling with CDC semantics.
+    // Two arrivals: the original slice, then corrections for a third of
+    // its keys; the declared result is the final table — a duplicated
+    // key or a stale value fails the oracle, which states the
+    // last-write-wins outcome relationally.
+    QDef("st17_stream_merge_upsert",
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id % 21 = 0 THEN value + 1000 ELSE value END AS value
+        |FROM events WHERE event_id % 7 = 0
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val run = PackCore.streamRun.incrementAndGet()
+      val in = java.nio.file.Files.createTempDirectory(s"graft_st17_in$run").toString
+      val wh = java.nio.file.Files.createTempDirectory(s"graft_st17_wh$run").toString + "/t"
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_st17_ck$run").toString
+      val base = Tables.events(s, d).filter(col("event_id") % 7 === 0)
+        .select(col("event_id"), col("user_id"), col("value"))
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      def drain(): Unit = {
+        val q = graft.streaming.StreamingOps.runMergeToWarehouse(
+          s.readStream.schema(sch).parquet(in), wh, Seq("event_id"), ckpt)
+        q.awaitTermination()
+      }
+      PackCore.withStreamPartitions(s, 8) {
+        PackCore.stageArrival(in, base, "b1")
+        drain()
+        PackCore.stageArrival(in,
+          base.filter(col("event_id") % 21 === 0)
+            .select(col("event_id"), col("user_id"),
+              (col("value") + 1000).as("value")), "b2")
+        drain() // corrections must overwrite, not duplicate
+      }
+      s.read.parquet(wh)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy(col("event_id"))
+    },
+
     // Referential-integrity audit — the DQ check every warehouse load
     // runs before publishing: per foreign-key edge, how many child rows
     // point at a missing parent. Three edges in ONE job: child keys are
