@@ -1251,6 +1251,70 @@ object PackPipeline {
         .orderBy(col("event_id"))
     },
 
+    // The CURATION PIPELINE END-TO-END as one declared composition —
+    // quality gate → fingerprint dedup (keep-min) → benchmark
+    // decontamination → hash split → token-budget sharding — the five
+    // stages a pretraining corpus actually flows through, composed from
+    // the library operators each stage already declares alone
+    // (text_quality/dedup_fingerprint/decon_ngram_overlap/
+    // split_train_test/k16). The declared result is the final shard
+    // MANIFEST: any stage drifting (a dedup keeping the wrong survivor,
+    // a contamination flag inverted, a split boundary moved) shifts
+    // every downstream shard boundary and fails the hash. Scale shape is
+    // each stage's own: broadcast eval grams, doc-keyed aggs, chunked
+    // global cumsum — the corpus never shuffles by gram or token.
+    QDef("pipeline_curation_e2e",
+      """WITH base AS (SELECT doc_id, text, string_split(text,' ') AS l FROM documents),
+        |tok AS (SELECT doc_id, text, l, CAST(length(l) AS BIGINT) AS n_tokens FROM base),
+        |cand AS (SELECT * FROM tok WHERE doc_id % 25 <> 0 AND n_tokens >= 40),
+        |fp AS (SELECT doc_id, text, l, n_tokens,
+        |         md5(array_to_string(list_sort(list_distinct(l)), ' ')) AS f FROM cand),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+        |dd AS (SELECT fp.* FROM fp JOIN keep USING (doc_id)),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, length(l)-3),
+        |        i -> array_to_string(l[i:i+4], ' ')))) AS gram FROM dd),
+        |evg AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, length(l)-3),
+        |          i -> array_to_string(l[i:i+4], ' ')))) AS gram
+        |        FROM tok WHERE doc_id % 25 = 0),
+        |contam AS (SELECT DISTINCT g.doc_id FROM g JOIN evg USING (gram)),
+        |clean AS (SELECT dd.* FROM dd LEFT JOIN contam c ON dd.doc_id = c.doc_id
+        |          WHERE c.doc_id IS NULL),
+        |tr AS (SELECT doc_id, n_tokens FROM clean
+        |       WHERE strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 13),
+        |c2 AS (SELECT doc_id, n_tokens,
+        |         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM tr)
+        |SELECT CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c2 GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+      val tokd = Tables.documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      // 1. quality gate (eval slice excluded from the corpus first)
+      val cand = tokd.filter(col("doc_id") % 25 =!= 0 && col("n_tokens") >= 40)
+      // 2. fingerprint dedup, keep the smallest doc id per fingerprint
+      val keep = TextDedup.fingerprint(cand, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val dd = cand.join(keep, Seq("doc_id"), "left_semi")
+      // 3. decontaminate against the eval slice (5-gram overlap)
+      val evalDocs = tokd.filter(col("doc_id") % 25 === 0)
+      val contaminated = TextDedup.contamination(dd, evalDocs, "doc_id", "text", n = 5)
+        .filter(col("contaminated")).select(col("doc_id"))
+      val clean = dd.join(contaminated, Seq("doc_id"), "left_anti")
+      // 4. hash split, train bucket only
+      val train = clean.filter(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+          .cast("int") < 13)
+      // 5. token-budget sharding (global chunked cumsum) → manifest
+      graft.ops.Ops.chunkedCumsum(
+          train.select(col("doc_id"), col("n_tokens")).withColumn("all", lit("x")),
+          "all", "doc_id", "n_tokens", "cum")
+        .withColumn("shard", ((col("cum") - col("n_tokens")) / 2000).cast("long"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard"))
+    },
+
     // Referential-integrity audit — the DQ check every warehouse load
     // runs before publishing: per foreign-key edge, how many child rows
     // point at a missing parent. Three edges in ONE job: child keys are
