@@ -45,7 +45,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "retrieval_recall_mrr_eval", // two rankings joined into integer metrics
     "agg_bitmap_distinct",       // OR-merged bitmap buffers + popcount sums
     "split_leakage_safe",        // band candidates + signature-agreement verify
-    "k16_sink_training_shards")  // global chunked cumsum shard assignment
+    "k16_sink_training_shards",  // global chunked cumsum shard assignment
+    "ann_ivfpq_topk",            // probe routing + decimal ADC sums + heap top-k
+    "k17_sink_scd2_apply",       // change-point windows + band-bounded rewrite
+    "pipeline_curation_e2e")     // five chained stages, one manifest
 
   private def collectAt(name: String, partitions: String): Seq[String] = {
     // cold per run: a BoundedCache'd intermediate (minhash signatures,
