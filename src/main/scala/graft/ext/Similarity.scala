@@ -159,9 +159,24 @@ object Similarity {
     * serving query never touches the raw corpus embeddings at all. */
   def pqAdcTopKStored(codes: DataFrame, cent: DataFrame, queries: DataFrame,
                       dims: Int, nSub: Int, k: Int): DataFrame = {
+    val lut = adcLut(queries, cent, dims, nSub)
+    val adc = codes.join(broadcast(lut),
+        col("sub") === col("lsub") && col("code") === col("llabel") &&
+          col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id").as("nid"))
+      .agg(round(sum(col("dlut")).cast("double"), 6).as("adist"))
+    rankAdc(adc, k)
+  }
+
+  /** Per-query (subspace × codeword) lookup table of 12dp-decimal squared
+    * subvector distances — the arithmetic the DuckDB oracles reproduce
+    * bit-for-bit, kept in ONE place so every ADC consumer
+    * ([[pqAdcTopKStored]], [[ivfPqAdcTopKStored]]) stays in sync. */
+  private def adcLut(queries: DataFrame, cent: DataFrame,
+                     dims: Int, nSub: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val diff = col("qv").cast("double") - col("mean")
-    val lut = queries
+    queries
       .select(col("vec_id").as("qid"), posexplode(col("embedding")).as(Seq("pos", "qv")))
       .join(broadcast(cent), col("pos") + 1 === col("i"))
       .select(col("qid"), col("label").as("llabel"),
@@ -170,11 +185,11 @@ object Similarity {
           .cast(DecimalType(28, 12)).as("t"))
       .groupBy(col("qid"), col("lsub"), col("llabel"))
       .agg(sum(col("t")).as("dlut"))
-    val adc = codes.join(broadcast(lut),
-        col("sub") === col("lsub") && col("code") === col("llabel") &&
-          col("vec_id") =!= col("qid"))
-      .groupBy(col("qid"), col("vec_id").as("nid"))
-      .agg(round(sum(col("dlut")).cast("double"), 6).as("adist"))
+  }
+
+  /** Bounded-heap top-k + rank over an (qid, nid, adist) frame — 6dp
+    * double ranking with the nid tiebreak, as the oracles state. */
+  private def rankAdc(adc: DataFrame, k: Int): DataFrame = {
     val pruned = graft.ops.Ops.topKPerKey(adc, Seq("qid"),
       Seq(("adist", false), ("nid", false)), k)
     val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("nid"))
@@ -196,7 +211,6 @@ object Similarity {
   def ivfPqAdcTopKStored(codes: DataFrame, cent: DataFrame, cells: DataFrame,
                          queries: DataFrame, dims: Int, nSub: Int, k: Int,
                          nprobe: Int): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val nd = nativeDot(queries.sparkSession, _, _)
     // coarse routing: same probe selection as ivfMultiProbeTopK
     val byBucket = cent.groupBy(col("label"))
@@ -208,31 +222,23 @@ object Similarity {
       .withColumn("score", round(nd(col("qe"), col("cvec")), 6))
       .withColumn("pr", row_number().over(wProbe)).filter(col("pr") <= nprobe)
       .select(col("qid"), col("pb"))
-    // per-query subspace lookup tables (as pqAdcTopKStored)
-    val diff = col("qv").cast("double") - col("mean")
-    val lut = queries
-      .select(col("vec_id").as("qid"), posexplode(col("embedding")).as(Seq("pos", "qv")))
-      .join(broadcast(cent), col("pos") + 1 === col("i"))
-      .select(col("qid"), col("label").as("llabel"),
-        (col("pos") / lit(dims / nSub)).cast("int").as("lsub"),
-        (floor(diff * diff * lit(1e12) + lit(0.5)) / lit(1e12))
-          .cast(DecimalType(28, 12)).as("t"))
-      .groupBy(col("qid"), col("lsub"), col("llabel"))
-      .agg(sum(col("t")).as("dlut"))
-    // cell restriction FIRST: only probed cells' codes enter the ADC join
-    val probedCodes = codes
-      .join(cells.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val lut = adcLut(queries, cent, dims, nSub)
+    // cell restriction FIRST, against the CELL table: cells ⋈ broadcast
+    // probes is map-side and yields only the probed (qid, vec) set — the
+    // codes table then joins that small side (AQE broadcasts it), so the
+    // corpus-sized codes and cells tables are never shuffle-joined
+    // against each other just to be filtered afterwards
+    val probedVecs = cells.select(col("vec_id"), col("cell"))
       .join(broadcast(probes), col("cell") === col("pb"))
+      .select(col("qid"), col("vec_id"))
+    val probedCodes = codes.join(probedVecs, Seq("vec_id"))
     val lutR = lut.withColumnRenamed("qid", "lqid")
     val adc = probedCodes.join(broadcast(lutR),
         col("qid") === col("lqid") && col("sub") === col("lsub") &&
           col("code") === col("llabel") && col("vec_id") =!= col("lqid"))
       .groupBy(col("qid"), col("vec_id").as("nid"))
       .agg(round(sum(col("dlut")).cast("double"), 6).as("adist"))
-    val pruned = graft.ops.Ops.topKPerKey(adc, Seq("qid"),
-      Seq(("adist", false), ("nid", false)), k)
-    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("nid"))
-    pruned.withColumn("rank", row_number().over(w))
+    rankAdc(adc, k)
   }
 
   /** Assign each vector to its max-dot-product centroid (centroids in

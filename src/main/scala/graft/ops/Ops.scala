@@ -19,6 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object Ops {
 
+  /** Deterministic 16-way hash bucket of an id — md5's first hex nibble.
+    * The train/test split boundary (`hashBucket16 < 13` ⇒ ~81% train) is
+    * a CONTRACT shared by split_train_test, split_leakage_safe and
+    * pipeline_curation_e2e (and their oracles, which state the same
+    * strpos-over-md5 expression): single-sourced here so the boundary
+    * cannot silently diverge between queries. */
+  def hashBucket16(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 1), 16, 10).cast("int")
+
   /** Parallel prefix sum: running total of `value` per `part` group in
     * `ord` order — WITHOUT the single-partition-per-group window
     * (`Window.partitionBy(part).orderBy(ord)` serializes each group onto

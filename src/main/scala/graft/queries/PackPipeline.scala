@@ -752,9 +752,8 @@ object PackPipeline {
         |LEFT JOIN leak l ON d.doc_id = l.doc_id
         |ORDER BY d.doc_id""").stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
-        .cast("int")
-      val tagged = docs.withColumn("bucket", bucket)
+      val tagged = docs.withColumn("bucket",
+        graft.ops.Ops.hashBucket16(col("doc_id")))
       val train = tagged.filter(col("bucket") < 13)
       val test = tagged.filter(col("bucket") >= 13)
       val leaked = TextDedup.crossSplitNearDups(train, test, "doc_id", "text")
@@ -973,7 +972,12 @@ object PackPipeline {
         |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
       val run = PackCore.streamRun.incrementAndGet()
       val in = java.nio.file.Files.createTempDirectory(s"graft_st16_in$run").toString
-      val dbRoot = java.nio.file.Files.createTempDirectory(s"graft_st16_db$run").toString
+      // ONE database per (JVM, fixture), tables recreated per run: embedded
+      // Derby keeps every booted database's page cache and threads alive
+      // for the JVM lifetime, so a fresh dbRoot per run would leak one
+      // live database per bench/verify iteration
+      val dbRoot = s"${sys.props("java.io.tmpdir")}/graft_${new java.io.File(d).getName}/st16_db"
+      new java.io.File(dbRoot).mkdirs()
       if (System.getProperty("derby.system.home") == null)
         System.setProperty("derby.system.home", dbRoot)
       val url = s"jdbc:derby:$dbRoot/derby;create=true"
@@ -982,6 +986,9 @@ object PackPipeline {
       val boot = java.sql.DriverManager.getConnection(url)
       try {
         val st = boot.createStatement()
+        for (t <- Seq("USER_TOTALS", "BATCH_LOG"))
+          try st.executeUpdate(s"DROP TABLE $t")
+          catch { case _: java.sql.SQLException => () } // first run: absent
         st.executeUpdate(
           "CREATE TABLE USER_TOTALS (USER_ID BIGINT PRIMARY KEY, N BIGINT, CENTS BIGINT)")
         st.executeUpdate("CREATE TABLE BATCH_LOG (BATCH_ID BIGINT PRIMARY KEY)")
@@ -1007,34 +1014,43 @@ object PackPipeline {
               .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
                 val c = java.sql.DriverManager.getConnection(url)
                 try {
-                  c.setAutoCommit(false)
-                  val seen = c.prepareStatement(
-                    "SELECT 1 FROM BATCH_LOG WHERE BATCH_ID = ?")
-                  seen.setLong(1, batchId)
-                  if (!seen.executeQuery().next()) {
-                    val m = c.prepareStatement(
-                      """MERGE INTO USER_TOTALS t USING SYSIBM.SYSDUMMY1 s
-                        |ON t.USER_ID = ?
-                        |WHEN MATCHED THEN UPDATE SET t.N = t.N + ?, t.CENTS = t.CENTS + ?
-                        |WHEN NOT MATCHED THEN INSERT (USER_ID, N, CENTS) VALUES (?, ?, ?)""".stripMargin)
-                    var pending = 0
-                    rows.foreach { r =>
-                      val (u, n, cents) = (r.getLong(0), r.getLong(1), r.getLong(2))
-                      m.setLong(1, u); m.setLong(2, n); m.setLong(3, cents)
-                      m.setLong(4, u); m.setLong(5, n); m.setLong(6, cents)
-                      m.addBatch(); pending += 1
-                      // statement batching: one network/executor round per
-                      // 1000 upserts, not per row — the constant that
-                      // dominates a per-row executeUpdate loop at scale
-                      if (pending == 1000) { m.executeBatch(); pending = 0 }
-                    }
-                    if (pending > 0) m.executeBatch(): Unit
-                    val log = c.prepareStatement(
-                      "INSERT INTO BATCH_LOG (BATCH_ID) VALUES (?)")
-                    log.setLong(1, batchId)
-                    log.executeUpdate()
-                  } // else: redelivered batch — committed already, skip
-                  c.commit()
+                  try {
+                    c.setAutoCommit(false)
+                    val seen = c.prepareStatement(
+                      "SELECT 1 FROM BATCH_LOG WHERE BATCH_ID = ?")
+                    seen.setLong(1, batchId)
+                    if (!seen.executeQuery().next()) {
+                      val m = c.prepareStatement(
+                        """MERGE INTO USER_TOTALS t USING SYSIBM.SYSDUMMY1 s
+                          |ON t.USER_ID = ?
+                          |WHEN MATCHED THEN UPDATE SET t.N = t.N + ?, t.CENTS = t.CENTS + ?
+                          |WHEN NOT MATCHED THEN INSERT (USER_ID, N, CENTS) VALUES (?, ?, ?)""".stripMargin)
+                      var pending = 0
+                      rows.foreach { r =>
+                        val (u, n, cents) = (r.getLong(0), r.getLong(1), r.getLong(2))
+                        m.setLong(1, u); m.setLong(2, n); m.setLong(3, cents)
+                        m.setLong(4, u); m.setLong(5, n); m.setLong(6, cents)
+                        m.addBatch(); pending += 1
+                        // statement batching: one round per 1000 upserts,
+                        // not per row — the constant that dominates a
+                        // per-row executeUpdate loop at scale
+                        if (pending == 1000) { m.executeBatch(); pending = 0 }
+                      }
+                      if (pending > 0) m.executeBatch(): Unit
+                      val log = c.prepareStatement(
+                        "INSERT INTO BATCH_LOG (BATCH_ID) VALUES (?)")
+                      log.setLong(1, batchId)
+                      log.executeUpdate()
+                    } // else: redelivered batch — committed already, skip
+                    c.commit()
+                  } catch { case e: Throwable =>
+                    // roll back BEFORE close: closing an active Derby
+                    // transaction throws 25001, which would replace the
+                    // root cause and leave the orphaned transaction's
+                    // row locks blocking the task retry
+                    try c.rollback() catch { case _: Exception => () }
+                    throw e
+                  }
                 } finally c.close()
               }
             ()
@@ -1176,14 +1192,16 @@ object PackPipeline {
           lead(col("ts"), 1).over(w).as("valid_to"), col("event_id"),
           (col("user_id") / 100).cast("long").as("band"))
       // v1: the stored dimension, banded one writer per partition
-      graft.io.Warehouse.appendPartitioned(
-        withIntervals(changePoints(ev.filter(col("ts") < cutLit)))
-          .repartition(col("band")),
-        dir, Seq("band"))
+      val v1 = withIntervals(changePoints(ev.filter(col("ts") < cutLit)))
+      graft.io.Warehouse.appendPartitioned(v1.repartition(col("band")), dir, Seq("band"))
       // the CDC batch and its blast radius
       val batch = ev.filter(col("ts") >= cutLit)
       val affectedUsers = batch.select(col("user_id")).distinct()
-      val stored = graft.io.Warehouse.read(s, dir)
+      // schema-supplied read: a fixture whose WHOLE history fits inside
+      // the batch window leaves v1 empty (a dir of only _SUCCESS), and a
+      // schema-inferring parquet read would throw instead of reducing
+      // the apply to a full build from the batch
+      val stored = s.read.schema(v1.schema).parquet(dir)
       val affectedBands = affectedUsers
         .select((col("user_id") / 100).cast("long").as("band")).distinct()
       // rebuild ONLY affected users: their stored change points become
@@ -1200,7 +1218,7 @@ object PackPipeline {
         .select(rebuilt.columns.map(col).toIndexedSeq: _*)
       graft.io.Warehouse.overwritePartitions(
         rebuilt.unionByName(carried).repartition(col("band")), dir, Seq("band"))
-      graft.io.Warehouse.read(s, dir)
+      s.read.schema(v1.schema).parquet(dir)
         .select(col("user_id"), col("event_type"), col("valid_from"), col("valid_to"))
         .orderBy(col("user_id"), col("valid_from"))
     },
@@ -1300,10 +1318,8 @@ object PackPipeline {
       val contaminated = TextDedup.contamination(dd, evalDocs, "doc_id", "text", n = 5)
         .filter(col("contaminated")).select(col("doc_id"))
       val clean = dd.join(contaminated, Seq("doc_id"), "left_anti")
-      // 4. hash split, train bucket only
-      val train = clean.filter(
-        conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
-          .cast("int") < 13)
+      // 4. hash split, train bucket only (the shared split contract)
+      val train = clean.filter(graft.ops.Ops.hashBucket16(col("doc_id")) < 13)
       // 5. token-budget sharding (global chunked cumsum) → manifest
       graft.ops.Ops.chunkedCumsum(
           train.select(col("doc_id"), col("n_tokens")).withColumn("all", lit("x")),

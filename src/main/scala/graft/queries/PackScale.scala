@@ -53,8 +53,7 @@ object PackScale {
         |  CASE WHEN strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 13
         |       THEN 'train' ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
-        .cast("int")
+      val bucket = graft.ops.Ops.hashBucket16(col("doc_id"))
       Tables.documents(s, d)
         .select(col("doc_id"), bucket.as("bucket"),
           when(bucket < 13, "train").otherwise("test").as("split"))
