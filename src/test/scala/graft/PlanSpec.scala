@@ -405,7 +405,16 @@ class PlanSpec extends AnyFunSuite {
       // once cost, not per-query), the band-candidate and verify joins
       // broadcast at fixture scale, and count() prunes the final sort.
       // A corpus-sized shuffle sneaking into the verify stage blows this
-      "split_leakage_safe" -> 1)) {
+      "split_leakage_safe" -> 1,
+      // e2e pipeline: fingerprint agg, contamination doc-agg, cumsum's
+      // chunk agg + offset window feed, shard manifest agg, sort feed —
+      // six for five chained stages; a per-stage corpus re-shuffle
+      // sneaking in pushes past this immediately
+      "pipeline_curation_e2e" -> 6,
+      // IVF-PQ serving: LUT agg + probed-vec join feed + codes join +
+      // ADC rollup + heap feed + rank window — the codes⋈cells corpus
+      // shuffle the review removed would reappear ABOVE this budget
+      "ann_ivfpq_topk" -> 6)) {
     test(s"$name stays within its shuffle-exchange budget ($budget)") {
       val got = shuffleExchangesAcross(name)
       assert(got <= budget, s"$name now triggers $got shuffle exchanges " +
