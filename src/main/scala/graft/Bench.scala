@@ -39,7 +39,11 @@ object Bench {
       "st4_stream_tumbling_live", "st5_trigger_file_arrival",
       "st7_stream_running_totals", "st8_stream_neardup_gate",
       "st9_stream_neardup_gate_growing", "st10_stream_stream_join",
-      "st12_stream_session_window", "st13_stream_static_enrich")
+      "st12_stream_session_window", "st13_stream_static_enrich",
+      "st14_stream_stream_left_outer", "st15_stream_dedup_within_watermark",
+      "st16_stream_jdbc_upsert", "st17_stream_merge_upsert",
+      // fixed-point multi-job loop — scheduler-bound like pagerank
+      "graph_label_propagation")
     // A query that throws is EXCLUDED from total/n_queries — its wall time
     // is time-to-throw, not engine cost, and counting it silently reports a
     // broken engine as a fast one (the r7 failure mode). `errors` in the

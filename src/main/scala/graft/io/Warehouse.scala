@@ -51,7 +51,17 @@ object Warehouse {
     * their stale files, so they are dropped explicitly. At any table
     * size the rewrite cost tracks the affected partitions, never the
     * table. Returns (n partitions in table, n partitions rewritten or
-    * dropped). */
+    * dropped).
+    *
+    * Failure semantics: this is a two-phase operation without a
+    * transaction log (dynamic overwrite of surviving partitions, then
+    * explicit drop of fully-emptied ones); a crash between the phases
+    * can leave an emptied partition's stale files readable. The
+    * operation is IDEMPOTENT — re-run it to completion after any
+    * failure — and it verifies its own post-condition before returning:
+    * a residual scan over the affected partitions must match zero rows,
+    * otherwise it throws instead of reporting a partial erasure as
+    * success (the GDPR contract is "gone", not "mostly gone"). */
   def deleteWhere(spark: SparkSession, path: String, partitionCol: String,
                   pred: Column): (Long, Long) = {
     import org.apache.spark.sql.functions.{coalesce, lit, max, when}
@@ -82,6 +92,21 @@ object Warehouse {
           .getPartitionPathString(partitionCol,
             if (v == null) null else v.toString)
         deleteRecursively(spark, s"$path/$dirName")
+      }
+      // post-condition: no matching row survives in any REWRITTEN
+      // partition (cost = re-scan of those partitions only; dropped
+      // directories are verified by the delete call itself, and an
+      // all-dropped table has no parquet left to re-read). Catching a
+      // torn run here beats the caller discovering it in an audit — the
+      // re-run instruction is in the scaladoc.
+      val rewritten = affected.filter(keptParts)
+      if (rewritten.nonEmpty) {
+        val residual = read(spark, path)
+          .filter(col(partitionCol).isin(rewritten: _*))
+          .filter(coalesce(pred, lit(false))).limit(1).count()
+        require(residual == 0L,
+          s"deleteWhere post-condition failed: matching rows remain under " +
+            s"$path — re-run the delete to completion")
       }
     }
     (parts.length.toLong, affected.size.toLong)

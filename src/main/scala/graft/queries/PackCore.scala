@@ -748,9 +748,13 @@ object PackCore {
         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       val run = streamRun.incrementAndGet()
       val dbRoot = java.nio.file.Files.createTempDirectory(s"graft_s8_db$run").toString
-      // keep Derby's engine log out of the process cwd (first boot wins)
+      // keep Derby's engine log out of the process cwd (first boot wins);
+      // derby.stream.error.file wins over system-home defaulting, so pin
+      // both — without it a boot racing the property set drops ./derby.log
       if (System.getProperty("derby.system.home") == null)
         System.setProperty("derby.system.home", dbRoot)
+      if (System.getProperty("derby.stream.error.file") == null)
+        System.setProperty("derby.stream.error.file", s"$dbRoot/derby.log")
       val db = dbRoot + "/derby"
       val url = s"jdbc:derby:$db;create=true"
       val driver = "org.apache.derby.jdbc.EmbeddedDriver"

@@ -980,6 +980,10 @@ object PackPipeline {
       new java.io.File(dbRoot).mkdirs()
       if (System.getProperty("derby.system.home") == null)
         System.setProperty("derby.system.home", dbRoot)
+      // derby.log goes wherever THIS property points regardless of system
+      // home precedence — pin it away from the process cwd explicitly
+      if (System.getProperty("derby.stream.error.file") == null)
+        System.setProperty("derby.stream.error.file", s"$dbRoot/derby.log")
       val url = s"jdbc:derby:$dbRoot/derby;create=true"
       val driver = "org.apache.derby.jdbc.EmbeddedDriver"
       Class.forName(driver)

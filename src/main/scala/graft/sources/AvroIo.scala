@@ -53,8 +53,14 @@ object AvroIo {
   }
 
   /** Write `df` as one Avro container file per partition under `dir`
-    * (cleared first — overwrite semantics). Empty partitions write no
-    * file. Returns the number of files written. */
+    * (overwrite semantics). Empty partitions write no file. Returns the
+    * number of files written.
+    *
+    * Staged commit: tasks write into a `dir__staging` directory and the
+    * previous contents are swapped out only after the whole job
+    * succeeds — a mid-job failure leaves the old table intact (before
+    * this, the destination was deleted up front and a failed write lost
+    * it permanently). */
   def write(df: DataFrame, dir: String): Long = {
     val st = df.schema
     val schemaJson = avroSchema(st).toString // Schema is not serializable pre-1.9-style; ship JSON
@@ -62,14 +68,15 @@ object AvroIo {
       df.sparkSession.sessionState.newHadoopConf())
     val fs = FileSystem.get(new java.net.URI(dir), conf.value)
     val base = new Path(dir)
-    if (fs.exists(base)) fs.delete(base, true)
-    fs.mkdirs(base)
+    val staging = new Path(dir + "__staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    fs.mkdirs(staging)
     val written = df.sparkSession.sparkContext.longAccumulator("avro_files")
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val schema = new Schema.Parser().parse(schemaJson)
-        val path = new Path(f"$dir/part-$pid%05d.avro")
+        val path = new Path(f"$dir__staging/part-$pid%05d.avro")
         val pfs = FileSystem.get(path.toUri, conf.value)
         val out = pfs.create(path, true)
         val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
@@ -87,6 +94,11 @@ object AvroIo {
         written.add(1L)
       }
     }
+    // job succeeded: swap staging into place (delete-then-rename; rename
+    // is atomic per path on HDFS/local, and the non-atomic window is
+    // delete→rename of committed data, not a partial write)
+    if (fs.exists(base)) fs.delete(base, true)
+    fs.rename(staging, base)
     written.value
   }
 
@@ -107,16 +119,29 @@ object AvroIo {
         val in = pfs.open(new Path(file))
         val reader = new DataFileStream[GenericRecord](in,
           new GenericDatumReader[GenericRecord]())
-        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-        try reader.iterator().asScala.foreach { rec =>
-          out += Row.fromSeq(names.toIndexedSeq.map { n =>
-            rec.get(n) match {
-              case u: org.apache.avro.util.Utf8 => u.toString
-              case v => v
-            }
-          })
-        } finally reader.close()
-        out
+        // stream, don't buffer: task memory must not scale with the
+        // largest container file. DataFileStream reuses its record, so
+        // each Row is materialized from the live record before next().
+        // Closes on exhaustion; Spark always drains flatMap iterators
+        // (no limit-style early-exit path reaches a raw RDD iterator
+        // unfinished within one task).
+        new Iterator[Row] {
+          private var closed = false
+          def hasNext: Boolean = {
+            if (closed) false
+            else if (reader.hasNext) true
+            else { reader.close(); closed = true; false }
+          }
+          def next(): Row = {
+            val rec = reader.next()
+            Row.fromSeq(names.toIndexedSeq.map { n =>
+              rec.get(n) match {
+                case u: org.apache.avro.util.Utf8 => u.toString
+                case v => v
+              }
+            })
+          }
+        }
       }
     spark.createDataFrame(rdd, st)
   }
