@@ -101,8 +101,17 @@ object Warehouse {
       // re-run instruction is in the scaladoc.
       val rewritten = affected.filter(keptParts)
       if (rewritten.nonEmpty) {
+        // null-aware partition match: isin(null) yields NULL (never true),
+        // so a rewritten NULL partition would silently escape the check
+        val nonNull = rewritten.filter(_ != null)
+        val inRewritten = {
+          val base = if (nonNull.nonEmpty) col(partitionCol).isin(nonNull: _*)
+                     else lit(false)
+          if (rewritten.exists(_ == null)) base || col(partitionCol).isNull
+          else base
+        }
         val residual = read(spark, path)
-          .filter(col(partitionCol).isin(rewritten: _*))
+          .filter(inRewritten)
           .filter(coalesce(pred, lit(false))).limit(1).count()
         require(residual == 0L,
           s"deleteWhere post-condition failed: matching rows remain under " +

@@ -76,7 +76,7 @@ object AvroIo {
       if (rows.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val schema = new Schema.Parser().parse(schemaJson)
-        val path = new Path(f"$dir__staging/part-$pid%05d.avro")
+        val path = new Path(f"${dir}__staging/part-$pid%05d.avro")
         val pfs = FileSystem.get(path.toUri, conf.value)
         val out = pfs.create(path, true)
         val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
@@ -98,7 +98,11 @@ object AvroIo {
     // is atomic per path on HDFS/local, and the non-atomic window is
     // delete→rename of committed data, not a partial write)
     if (fs.exists(base)) fs.delete(base, true)
-    fs.rename(staging, base)
+    // FileSystem.rename reports most failures by returning false, not
+    // throwing; a silent false here would lose the old table (already
+    // deleted) AND report success — fail loudly instead.
+    require(fs.rename(staging, base),
+      s"AvroIo.write: rename $staging -> $base failed")
     written.value
   }
 
@@ -122,11 +126,12 @@ object AvroIo {
         // stream, don't buffer: task memory must not scale with the
         // largest container file. DataFileStream reuses its record, so
         // each Row is materialized from the live record before next().
-        // Closes on exhaustion; Spark always drains flatMap iterators
-        // (no limit-style early-exit path reaches a raw RDD iterator
-        // unfinished within one task).
-        new Iterator[Row] {
-          private var closed = false
+        // Early-exit paths (limit/take stop pulling mid-partition, and
+        // exceptions skip the drain entirely) mean exhaustion-close alone
+        // leaks the handle — the task-completion listener is the
+        // guaranteed close; the on-exhaustion close is just early release.
+        val it = new Iterator[Row] {
+          @volatile var closed = false
           def hasNext: Boolean = {
             if (closed) false
             else if (reader.hasNext) true
@@ -142,6 +147,12 @@ object AvroIo {
             })
           }
         }
+        Option(org.apache.spark.TaskContext.get()).foreach {
+          _.addTaskCompletionListener[Unit] { _ =>
+            if (!it.closed) { it.closed = true; reader.close() }
+          }
+        }
+        it
       }
     spark.createDataFrame(rdd, st)
   }

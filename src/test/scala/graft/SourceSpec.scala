@@ -265,4 +265,44 @@ class SourceSpec extends AnyFunSuite {
       AvroIo.avroSchema(Seq((Array(1.0f), 1L)).toDF("emb", "x").schema)
     }
   }
+
+  test("AvroIo staged commit: a failing write leaves the previous table intact") {
+    import graft.sources.AvroIo
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_c").toString + "/t"
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    assert(AvroIo.write(v1, dir) >= 1)
+    // poisoned v2: one partition throws mid-write — the job fails, and
+    // the staged-commit contract (AvroIo.scala:59-63) says the
+    // destination must still serve v1, not a hole or a partial v2
+    val poisoned = Seq((10L, "x"), (11L, "boom"), (12L, "z")).toDF("k", "v")
+      .repartition(3)
+      .as[(Long, String)]
+      .map { case (k, v) =>
+        if (v == "boom") throw new RuntimeException("poisoned partition")
+        (k, v)
+      }
+      .toDF("k", "v")
+    intercept[org.apache.spark.SparkException] { AvroIo.write(poisoned, dir) }
+    val served = AvroIo.read(spark, dir, v1.schema)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(served == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "failed write must not disturb the committed table")
+    // and a subsequent good write still swaps cleanly over the leftover staging
+    assert(AvroIo.write(Seq((9L, "ok")).toDF("k", "v").coalesce(1), dir) == 1)
+    assert(AvroIo.read(spark, dir, v1.schema).count() == 1)
+  }
+
+  test("AvroIo read closes early-exited iterators (limit stops mid-file)") {
+    import graft.sources.AvroIo
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_l").toString + "/t"
+    AvroIo.write((1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), dir)
+    // CollectLimitExec stops pulling mid-partition: the task-completion
+    // listener (not iterator exhaustion) must close the container stream
+    val first = AvroIo.read(spark, dir, Seq((1L, "s")).toDF("k", "v").schema)
+      .limit(3).collect()
+    assert(first.length == 3)
+    // full re-read still works — the file handle was released, not wedged
+    assert(AvroIo.read(spark, dir,
+      Seq((1L, "s")).toDF("k", "v").schema).count() == 1000)
+  }
 }
