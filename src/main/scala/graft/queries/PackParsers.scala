@@ -33,7 +33,7 @@ object PackParsers {
   private def tmpBase(sfDir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_${new java.io.File(sfDir).getName}"
 
-  private val catCase =
+  private[queries] val catCase =
     """CASE CAST(l.l_linenumber % 7 AS INTEGER)
       |    WHEN 0 THEN 'Almacen' WHEN 1 THEN 'Bebidas' WHEN 2 THEN 'Carniceria'
       |    WHEN 3 THEN 'Frutas Y Verduras' WHEN 4 THEN 'Limpieza'

@@ -1386,6 +1386,316 @@ object PackPipeline {
         .agg(count(lit(1)).as("n_child"),
           sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
         .orderBy(col("fk"))
+    },
+
+    // The PDF TICKET PIPELINE END-TO-END — the reference's flagship cron
+    // flow (main.tf:851-921 pdf_etl_flow) as ONE declared composition,
+    // run as three cron firings against a growing mailbox:
+    //   extract  (extract_data_pdf:56-147): warehouse watermark
+    //            max(fecha)+1d with the two-digit-year fixup, "Gmail
+    //            after:" filter, %PDF staging with the head_object
+    //            already-staged skip;
+    //   transform(transform_data_pdf:138-160): binaryFile scan of raw/,
+    //            magic-bytes gate, REAL PDF text extraction, U1 ticket
+    //            parse, CSV to processed/;
+    //   load     (load_data:16-36 + 40-73 gate discipline): explicit-
+    //            schema CSV read, anti-join dedup gate on nro_ticket,
+    //            const-column enrich, parquet append.
+    // Firing 1 sees only the old mail (seeds the warehouse), firing 2
+    // the full mailbox (the watermark must cut the work to the new
+    // tickets), firing 3 nothing new (watermark + staging-skip + gate
+    // make it a provable no-op). The declared result is the final
+    // warehouse at ITEM grain — a watermark off by a day, a gate that
+    // dedups too much/little, or a re-fired load duplicating rows all
+    // shift the multiset and fail the hash. The oracle restates the
+    // corpus relationally (parse∘render ≡ projection, proven by u1/u3).
+    // Scale shape: only the LISTING (ticket keys + rendered text of the
+    // ≤1% slice) crosses the driver, mirroring the reference's per-mail
+    // fetch loop; parse/gate/append are distributed, the gate's loaded
+    // side is a pruned single column.
+    QDef("pipeline_pdf_e2e",
+      s"""WITH it AS (
+         |  SELECT l.l_orderkey AS nro_ticket,
+         |    CAST(strptime(strftime(o.o_orderdate,'%d/%m/') || '20' || strftime(o.o_orderdate,'%y'), '%d/%m/%Y') AS DATE) AS fecha,
+         |    ${PackParsers.catCase} AS categ,
+         |    p.p_name AS prod,
+         |    CASE WHEN l.l_linenumber % 3 = 0 THEN 1 ELSE CAST(l.l_quantity AS BIGINT) END AS cant,
+         |    CASE WHEN l.l_linenumber % 3 = 0 THEN CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 0.5 AS DOUBLE) ELSE 0.0 END AS peso,
+         |    CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS p_unit,
+         |    CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS p_total,
+         |    CAST(l.l_extendedprice AS DECIMAL(18,2)) AS tot_dec
+         |  FROM lineitem l
+         |  JOIN part p ON l.l_partkey = p.p_partkey
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  WHERE l.l_orderkey % 97 = 0),
+         |tot AS (
+         |  SELECT nro_ticket, CAST(sum(tot_dec) AS DOUBLE) AS total_ticket_bruto,
+         |         CAST(round(sum(tot_dec) * 0.3, 2) AS DOUBLE) AS total_ticket_meli
+         |  FROM it GROUP BY nro_ticket)
+         |SELECT it.nro_ticket, it.fecha, it.categ, it.prod, it.cant, it.peso,
+         |       it.p_unit, it.p_total, tot.total_ticket_bruto, tot.total_ticket_meli,
+         |       'TICKET' AS flujo
+         |FROM it JOIN tot USING (nro_ticket)
+         |ORDER BY nro_ticket, prod, p_total, categ""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.functions.Exprs
+      val run = PackCore.streamRun.incrementAndGet()
+      val raw = java.nio.file.Files.createTempDirectory(s"graft_pdfe2e_raw$run").toString
+      val proc = java.nio.file.Files.createTempDirectory(s"graft_pdfe2e_pr$run").toString
+      val wh = java.nio.file.Files.createTempDirectory(s"graft_pdfe2e_wh$run").toString +
+        "/carrefour_data"
+      val slice = col("l_orderkey") % 97 === 0
+      // fixup space: dd/MM/yy → dd/MM/20yy (the reference's '20'||yy rule,
+      // extract_data_pdf:60-64 — 1990s fixtures land in 209x on BOTH
+      // engines, order-preserved)
+      def fechaDate = Exprs.toDateDmy(Exprs.fixTwoDigitYear(col("fecha_s")))
+      def whFiles(): Seq[java.io.File] = {
+        val f = new java.io.File(wh)
+        if (f.isDirectory) f.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+        else Nil
+      }
+      val itemSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("nro_ticket", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("fecha", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("categ", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("prod", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cant", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("peso", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("p_unit", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("p_total", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("total_ticket_bruto", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("total_ticket_meli", org.apache.spark.sql.types.DoubleType)))
+      def fireCron(mailboxPred: Column): Unit = {
+        // -- extract: watermark from what's loaded (max fecha + 1 day);
+        // empty warehouse → the reference's fallback branch (no cut)
+        val afterWm: Column =
+          if (whFiles().nonEmpty) {
+            val wm = graft.io.Warehouse.read(s, wh)
+              .agg(date_add(max(to_date(col("fecha"), "dd/MM/yyyy")), 1).as("wm"))
+              .head.getDate(0)
+            fechaDate >= lit(wm)
+          } else lit(true)
+        val listed = PackParsers
+          .ticketTextsFiltered(s, d, slice && mailboxPred && afterWm)
+          .select(regexp_extract(col("text"), "Nro T\\. (\\d+)", 1)
+            .cast("long").as("nro"), col("text"))
+          .collect() // the reference's per-mail fetch loop: keys + text only
+        listed.foreach { r =>
+          val f = new java.io.File(raw, f"Ticket_${r.getLong(0)}%09d.pdf")
+          if (!f.exists) // head_object already-staged skip (extract_data_pdf:141-147)
+            java.nio.file.Files.write(f.toPath,
+              graft.parsers.Pdf.writePdf(r.getString(1).split("\n").toSeq))
+        }
+        // -- transform: every raw/ PDF, magic gate, real text extraction,
+        // ticket parse, batch CSV to processed/ (reprocess-all like the
+        // reference; the load gate owns exactly-once)
+        val items = s.read.format("binaryFile").load(raw)
+          .select(col("content")).as[Array[Byte]]
+          .mapPartitions(_.iterator
+            .filter(b => b.length > 4 && b(0) == '%' && b(1) == 'P' &&
+              b(2) == 'D' && b(3) == 'F') // F3 magic bytes
+            .flatMap(b => graft.parsers.TicketParser.parse(
+              graft.parsers.Pdf.extractText(b))))
+          .toDF()
+        items.write.mode("overwrite").option("header", "true").csv(proc)
+        // -- load: explicit-schema CSV read, anti-join gate, enrich, append
+        val staged = s.read.option("header", "true").schema(itemSchema).csv(proc)
+        val gated =
+          if (whFiles().nonEmpty)
+            graft.ops.Ops.antiJoin(staged,
+              graft.io.Warehouse.read(s, wh).select(col("nro_ticket")),
+              Seq("nro_ticket"))
+          else staged
+        val batch = gated.withColumn("flujo", lit("TICKET")) // F6 const enrich
+        if (!batch.isEmpty) batch.write.mode("append").parquet(wh)
+      }
+      fireCron(fechaDate < lit(java.sql.Date.valueOf("2095-01-01"))) // old mail only
+      fireCron(lit(true)) // full mailbox — watermark cuts to the new tickets
+      fireCron(lit(true)) // nothing new — provable no-op
+      graft.io.Warehouse.read(s, wh)
+        .select(col("nro_ticket"), to_date(col("fecha"), "dd/MM/yyyy").as("fecha"),
+          col("categ"), col("prod"), col("cant"), col("peso"), col("p_unit"),
+          col("p_total"), col("total_ticket_bruto"), col("total_ticket_meli"),
+          col("flujo"))
+        .orderBy(col("nro_ticket"), col("prod"), col("p_total"), col("categ"))
+    },
+
+    // The MP REPORT PIPELINE END-TO-END — the reference's webhook-driven
+    // state machine (main.tf:924-999 mp_report_etl_flow) as ONE declared
+    // composition, run as two webhook delivery rounds (the second
+    // re-delivers everything — providers resend):
+    //   webhook+extract (webhook_mp_report:40-52, extract_data_mp:
+    //     100-147): filename grammar Report_<date>_<rid>.<ext>, staging
+    //     gate against the raw/∪processed/ listing by parsed report id;
+    //   stage: even report ids land as `;`-CSV with canonical headers,
+    //     odd ids as REAL .xlsx workbooks with the Spanish header
+    //     dialect (the two formats load_data:273-276 accepts);
+    //   transform (transform_data_mp:38-66): distributed CSV scan +
+    //     distributed workbook parse, filename→(rid, report_date)
+    //     recovery, Spanish→canonical dialect rename + unionByName,
+    //     then raw/ → processed/ archive move;
+    //   load (load_data:39-123): report-grain anti-join gate vs loaded
+    //     REPORT_IDs, parquet append.
+    // Declared result is the warehouse at transaction grain; the oracle
+    // restates it from events. A resent webhook that re-ingests, a
+    // dialect rename that misaligns a column, or an archive that loses a
+    // file before it is read all fail the hash. Scale shape: only
+    // filenames and the per-report staging cross the driver (the
+    // webhook payload IS driver-grain); scans, the dialect union, the
+    // gate, and the append are distributed.
+    QDef("pipeline_mp_e2e",
+      """SELECT user_id % 23 AS report_id,
+        |  DATE '2024-01-01' + CAST(user_id % 23 AS INTEGER) AS report_date,
+        |  event_id AS source_id,
+        |  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS settlement_date,
+        |  event_type AS transaction_type,
+        |  CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS monto,
+        |  user_id AS pos_id,
+        |  'user_' || CAST(user_id AS VARCHAR) AS payer_name
+        |FROM events WHERE event_id % 131 = 0
+        |ORDER BY report_id, source_id""".stripMargin) { (s, d) =>
+      import graft.functions.Exprs
+      val run = PackCore.streamRun.incrementAndGet()
+      val raw = java.nio.file.Files.createTempDirectory(s"graft_mpe2e_raw$run").toString
+      val procD = java.nio.file.Files.createTempDirectory(s"graft_mpe2e_pr$run").toString
+      val wh = java.nio.file.Files.createTempDirectory(s"graft_mpe2e_wh$run").toString +
+        "/mp_data"
+      val esToEn = Map(
+        "ID DE OPERACIÓN EN MERCADO PAGO" -> "source_id",
+        "FECHA DE APROBACIÓN" -> "settlement_date",
+        "TIPO DE OPERACIÓN" -> "transaction_type",
+        "VALOR DE LA COMPRA" -> "monto",
+        "ID DE CAJA" -> "pos_id",
+        "PAGADOR" -> "payer_name")
+      val enToEs = esToEn.map(_.swap)
+      // report corpus: transactions keyed into 23 reports by user band
+      val txns = Tables.events(s, d).filter(col("event_id") % 131 === 0)
+        .select((col("user_id") % 23).as("rid"),
+          col("event_id").as("source_id"),
+          date_format(to_date(col("ts")), "yyyy-MM-dd").as("settlement_date"),
+          col("event_type").as("transaction_type"),
+          col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)).as("monto"),
+          col("user_id").as("pos_id"),
+          concat(lit("user_"), col("user_id").cast("string")).as("payer_name"))
+      val fileSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("settlement_date", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("transaction_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("monto", org.apache.spark.sql.types.DecimalType(12, 2)),
+        org.apache.spark.sql.types.StructField("pos_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payer_name", org.apache.spark.sql.types.StringType)))
+      val esSchema = org.apache.spark.sql.types.StructType(
+        fileSchema.fields.map(f => f.copy(name = enToEs(f.name))))
+      def listedRids(): Set[Long] =
+        (Option(new java.io.File(raw).listFiles()).getOrElse(Array()) ++
+         Option(new java.io.File(procD).listFiles()).getOrElse(Array()))
+          .flatMap(f => Exprs.reportFilenameRe.r.findFirstMatchIn(f.getName)
+            .map(_.group(3).toLong)).toSet
+      def reportName(rid: Long, ext: String): String = {
+        val date = java.time.LocalDate.of(2024, 1, 1).plusDays(rid)
+        s"Report_${date}_$rid.$ext"
+      }
+      def whNonEmpty(): Boolean = {
+        val f = new java.io.File(wh)
+        f.isDirectory && f.listFiles().exists(_.getName.endsWith(".parquet"))
+      }
+      def webhookDelivery(rids: Seq[Long]): Unit = {
+        // -- extract: staging gate by parsed report id over the bucket
+        // listing (extract_data_mp:115-138), then stage CSV or XLSX
+        val staged = listedRids()
+        rids.filterNot(staged).foreach { rid =>
+          val df = txns.filter(col("rid") === rid).drop("rid")
+          if (rid % 2 == 0) {
+            // canonical-dialect `;`-CSV, driver-staged (the webhook
+            // payload is driver-grain by nature)
+            val rows = df.collect()
+            val sb = new StringBuilder(fileSchema.fieldNames.mkString(";"))
+            rows.foreach { r =>
+              sb.append('\n')
+              sb.append((0 until r.length).map { i =>
+                val v = r.get(i)
+                if (v == null) "" else v.toString
+              }.mkString(";"))
+            }
+            java.nio.file.Files.write(
+              new java.io.File(raw, reportName(rid, "csv")).toPath,
+              sb.toString.getBytes("UTF-8"))
+          } else {
+            // Spanish-dialect REAL workbook through the xlsx writer
+            graft.sources.Xlsx.writeFile(
+              esToEn.foldLeft(df) { case (acc, (es, en)) =>
+                acc.withColumnRenamed(en, es) },
+              new java.io.File(raw, reportName(rid, "xlsx")).toString)
+          }
+        }
+        // -- transform: distributed scans of BOTH formats, filename →
+        // (report_id, report_date), dialect rename + unionByName. A
+        // delivery may stage only one format (or, on a re-delivery with
+        // nothing new, none) — scan only what the inbox actually holds.
+        def inboxHas(ext: String): Boolean =
+          Option(new java.io.File(raw).listFiles()).getOrElse(Array())
+            .exists(_.getName.endsWith(ext))
+        def transformAndLoad(): Unit = {
+        val emptySide = s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(
+            org.apache.spark.sql.types.StructField("_file",
+              org.apache.spark.sql.types.StringType) +: fileSchema.fields))
+        val fromCsv =
+          if (inboxHas(".csv"))
+            s.read.option("header", "true").option("sep", ";")
+              .schema(fileSchema)
+              .csv(raw + "/*.csv")
+              .withColumn("_file", input_file_name())
+          else emptySide
+        val fromXlsx =
+          if (inboxHas(".xlsx")) {
+            val x = graft.sources.Xlsx.readWithPath(s, raw, esSchema)
+            esToEn.foldLeft(x) { case (acc, (es, en)) =>
+              acc.withColumnRenamed(es, en) }
+          } else emptySide
+        val batch = graft.ops.Ops.dialectUnion(fromCsv, fromXlsx, Map.empty)
+          .withColumn("report_id", Exprs.regexFilename(col("_file"), 3).cast("long"))
+          .withColumn("report_date",
+            Exprs.regexFilename(col("_file"), 2).cast("date"))
+          .drop("_file")
+        // materialize before the archive move invalidates the input files
+        batch.write.mode("overwrite").parquet(procD + "/_batch")
+        // archive: raw/ → processed/ (transform_data_mp:18-36)
+        Option(new java.io.File(raw).listFiles()).getOrElse(Array())
+          .filter(f => f.getName.endsWith(".csv") || f.getName.endsWith(".xlsx"))
+          .foreach { f =>
+            java.nio.file.Files.move(f.toPath,
+              new java.io.File(procD, f.getName).toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        // -- load: report-grain gate vs loaded REPORT_IDs (load_data:40-73)
+        val converted = s.read.parquet(procD + "/_batch")
+        val gated =
+          if (whNonEmpty())
+            graft.ops.Ops.antiJoin(converted,
+              graft.io.Warehouse.read(s, wh).select(col("report_id")).distinct(),
+              Seq("report_id"))
+          else converted
+        if (!gated.isEmpty) gated.write.mode("append").parquet(wh)
+        // lifecycle invariant: every consumed file left the inbox
+        require(!new java.io.File(raw).listFiles().exists(f =>
+          f.getName.endsWith(".csv") || f.getName.endsWith(".xlsx")),
+          "pipeline_mp_e2e: raw/ must be empty after the archive move")
+        }
+        if (inboxHas(".csv") || inboxHas(".xlsx")) transformAndLoad()
+      }
+      import s.implicits._
+      val allRids = txns.select(col("rid")).distinct()
+        .as[Long].collect().sorted.toSeq
+      webhookDelivery(allRids.filter(_ < 12)) // first delivery window
+      webhookDelivery(allRids) // full re-delivery — gates must dedup
+      graft.io.Warehouse.read(s, wh)
+        .select(col("report_id"), col("report_date"), col("source_id"),
+          col("settlement_date").cast("date").as("settlement_date"),
+          col("transaction_type"), col("monto").cast("double").as("monto"),
+          col("pos_id"), col("payer_name"))
+        .orderBy(col("report_id"), col("source_id"))
     }
   )
 }

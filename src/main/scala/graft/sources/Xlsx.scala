@@ -181,6 +181,29 @@ object Xlsx {
     }.toIndexedSeq: _*)
   }
 
+  /** [[read]] retaining the source file path as a leading `_file` column —
+    * for ingestion flows whose row provenance is encoded in the FILENAME
+    * (the MP report grammar `<prefix>_<date>_<id>.xlsx`,
+    * extract_data_mp/lambda_function.py:89-99: report id and date are
+    * recovered from the staged object's name, not its content). Same
+    * distributed shape: one binaryFile row = one workbook = one parse. */
+  def readWithPath(spark: SparkSession, path: String, schema: StructType,
+                   headerRows: Int = 1): DataFrame = {
+    val nCols = schema.length
+    import spark.implicits._
+    val cells: DataFrame = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xlsx").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (p, bytes) =>
+        parseWorkbook(bytes, nCols, headerRows).map(cs => (p, cs))
+      })
+      .toDF("_file", "cells")
+    cells.select(col("_file") +: schema.fields.zipWithIndex.map { case (f, i) =>
+      element_at(col("cells"), i + 1).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+  }
+
   // --------------------------------------------------------------- write
 
   private def xmlEscape(s: String): String =
