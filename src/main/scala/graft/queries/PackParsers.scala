@@ -178,9 +178,11 @@ object PackParsers {
   /** U2 input construction: render every event as a notification mail
     * (error events omit the required Monto label → dropped by the parser's
     * null gate). Shared by the declared query and the profiler. */
-  def mailDocs(s: SparkSession, d: String): org.apache.spark.sql.Dataset[MailParser.MailDoc] = {
+  def mailDocs(s: SparkSession, d: String,
+               pred: Column = lit(true)): org.apache.spark.sql.Dataset[MailParser.MailDoc] = {
     import s.implicits._
     Tables.events(s, d)
+      .filter(pred)
       .select(
         concat(lit("msg-"), lpad($"event_id".cast("string"), 8, "0")).as("message_id"),
         date_format($"ts", "yyyy-MM-dd'T'HH:mm:ss").as("date"),

@@ -1696,6 +1696,116 @@ object PackPipeline {
           col("transaction_type"), col("monto").cast("double").as("monto"),
           col("pos_id"), col("payer_name"))
         .orderBy(col("report_id"), col("source_id"))
+    },
+
+    // The BANK-PAYMENT MAIL PIPELINE END-TO-END — the reference's third
+    // and last state machine (extract_data_bank_pay →
+    // transform_data_bank_pay → load_data:164-255), completing the e2e
+    // trilogy beside pipeline_pdf_e2e / pipeline_mp_e2e:
+    //   extract (extract_data_bank_pay:83-147): warehouse watermark
+    //     max(fecha_pago)+1d with an empty-table fallback, mail-date
+    //     "after:" cut, already-loaded staging gate on message_id, each
+    //     kept mail staged as a JSON document (the S4/K2 seam — the
+    //     reference stages one JSON object per mail in raw/);
+    //   transform (transform_data_bank_pay:29-69): explicit-schema JSON
+    //     scan of everything staged, the U2 HTML token-walk parse on
+    //     executors (error mails fail the required-Monto gate and drop);
+    //   load (load_data:164-255): row-grain anti-join gate on the md5
+    //     surrogate id, typed conform (fecha dd/MM/yyyy → DATE,
+    //     hh:mm → hh:mm:ss), parquet append.
+    // Three firings against a growing mailbox (seed / incremental /
+    // no-op), same discipline as the PDF flow. Only the firing's staged
+    // mail batch is driver-coordinated (the reference's per-mail fetch
+    // loop); scan, parse, both gates, and the append are distributed.
+    QDef("pipeline_bank_e2e",
+      """SELECT
+        |  md5(strftime(ts,'%d/%m/%Y') || '_' || strftime(ts,'%H:%M') || ':00_' ||
+        |      CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) || '_' || event_type ||
+        |      '_Tarjeta_Santander_ARS') AS id,
+        |  'msg-' || lpad(CAST(event_id AS VARCHAR), 8, '0') AS message_id,
+        |  CAST(ts AS DATE) AS fecha_pago,
+        |  strftime(ts,'%H:%M') || ':00' AS hora_pago,
+        |  CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS monto,
+        |  'ARS' AS divisa,
+        |  'Tarjeta_Santander' AS tarjeta,
+        |  lpad(CAST(user_id AS VARCHAR), 4, '0') AS nro_tarjeta,
+        |  event_type AS comercio,
+        |  CAST(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 5 + 1 AS INTEGER) AS cuotas
+        |FROM events WHERE event_type <> 'error' AND event_id % 89 = 0
+        |ORDER BY message_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val run = PackCore.streamRun.incrementAndGet()
+      val raw = java.nio.file.Files.createTempDirectory(s"graft_bke2e_raw$run").toString
+      val wh = java.nio.file.Files.createTempDirectory(s"graft_bke2e_wh$run").toString +
+        "/bank_payments"
+      val slicePred = col("event_id") % 89 === 0
+      def whNonEmpty(): Boolean = {
+        val f = new java.io.File(wh)
+        f.isDirectory && f.listFiles().exists(_.getName.endsWith(".parquet"))
+      }
+      val docSchema = org.apache.spark.sql.Encoders
+        .product[graft.parsers.MailParser.MailDoc].schema
+      // the mailbox split date: midpoint of the event span (derived from
+      // the fixture so any regenerated vintage keeps both sides non-empty)
+      val Array(mn, mx) = Tables.events(s, d).filter(slicePred)
+        .agg(min(to_date(col("ts"))), max(to_date(col("ts"))))
+        .head.toSeq.map(_.asInstanceOf[java.sql.Date]).toArray
+      val split = java.sql.Date.valueOf(
+        mn.toLocalDate.plusDays(
+          java.time.temporal.ChronoUnit.DAYS.between(
+            mn.toLocalDate, mx.toLocalDate) / 2))
+      var batchNo = 0
+      def fireCron(mailboxPred: Column): Unit = {
+        val mailDate = to_date(substring(col("date"), 1, 10))
+        // -- extract: watermark cut + already-loaded staging gate
+        val afterWm: Column =
+          if (whNonEmpty()) {
+            val wm = graft.io.Warehouse.read(s, wh)
+              .agg(date_add(max(col("fecha_pago")), 1)).head.getDate(0)
+            mailDate >= lit(wm)
+          } else lit(true) // empty-table fallback branch
+        val candidates = PackParsers.mailDocs(s, d, slicePred).toDF()
+          .filter(mailboxPred && afterWm)
+        val fresh =
+          if (whNonEmpty())
+            graft.ops.Ops.antiJoin(candidates,
+              graft.io.Warehouse.read(s, wh).select(col("message_id")).distinct(),
+              Seq("message_id"))
+          else candidates
+        batchNo += 1
+        if (!fresh.isEmpty) {
+          fresh.write.mode("overwrite").json(raw + s"/batch$batchNo")
+          // -- transform: everything staged, parsed on executors; the
+          // required-Monto gate drops error mails
+          val parsed = s.read.schema(docSchema)
+            .option("recursiveFileLookup", "true").json(raw)
+            .as[graft.parsers.MailParser.MailDoc]
+            .flatMap(graft.parsers.MailParser.parse _)
+            .toDF()
+          // -- load: id-grain gate + typed conform + append
+          val conformed = parsed.select(col("id"), col("message_id"),
+            to_date(col("fecha_pago"), "dd/MM/yyyy").as("fecha_pago"),
+            col("hora_pago"), col("monto").cast("double").as("monto"),
+            col("divisa"), col("tarjeta"), col("nro_tarjeta"),
+            col("comercio"), col("cuotas"))
+          val gated =
+            if (whNonEmpty())
+              graft.ops.Ops.antiJoin(conformed,
+                graft.io.Warehouse.read(s, wh).select(col("id")).distinct(),
+                Seq("id"))
+            else conformed
+          if (!gated.isEmpty) gated.write.mode("append").parquet(wh)
+        }
+      }
+      val mailDate = to_date(substring(col("date"), 1, 10))
+      fireCron(mailDate < lit(split)) // old mail only — seeds the table
+      fireCron(lit(true)) // full mailbox — watermark cuts to the new mails
+      fireCron(lit(true)) // nothing new — provable no-op
+      if (whNonEmpty())
+        graft.io.Warehouse.read(s, wh).orderBy(col("message_id"))
+      else
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq.empty))
     }
   )
 }
