@@ -1448,7 +1448,6 @@ object PackPipeline {
       // fixup space: dd/MM/yy → dd/MM/20yy (the reference's '20'||yy rule,
       // extract_data_pdf:60-64 — 1990s fixtures land in 209x on BOTH
       // engines, order-preserved)
-      def fechaDate = Exprs.toDateDmy(Exprs.fixTwoDigitYear(col("fecha_s")))
       def whFiles(): Seq[java.io.File] = {
         val f = new java.io.File(wh)
         if (f.isDirectory) f.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
@@ -1465,26 +1464,39 @@ object PackPipeline {
         org.apache.spark.sql.types.StructField("p_total", org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.types.StructField("total_ticket_bruto", org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.types.StructField("total_ticket_meli", org.apache.spark.sql.types.DoubleType)))
-      def fireCron(mailboxPred: Column): Unit = {
+      // the mailbox IS external server state — materialize it once
+      // (key, mail date, rendered body); each cron firing then issues
+      // only the filtered LISTING query against it, the way the
+      // reference queries Gmail with `after:` rather than re-deriving
+      // the corpus per run
+      val mailbox: Array[(Long, java.sql.Date, String)] = PackParsers
+        .ticketTextsFiltered(s, d, slice)
+        .select(regexp_extract(col("text"), "Nro T\\. (\\d+)", 1)
+          .cast("long").as("nro"),
+          Exprs.toDateDmy(Exprs.fixTwoDigitYear(
+            regexp_extract(col("text"), "Fecha (\\S+) ", 1))).as("fd"),
+          col("text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getDate(1), r.getString(2)))
+      def fireCron(mailboxCutoff: Option[java.sql.Date]): Unit = {
         // -- extract: watermark from what's loaded (max fecha + 1 day);
         // empty warehouse → the reference's fallback branch (no cut)
-        val afterWm: Column =
-          if (whFiles().nonEmpty) {
-            val wm = graft.io.Warehouse.read(s, wh)
+        val wmOpt: Option[java.sql.Date] =
+          if (whFiles().nonEmpty)
+            Some(graft.io.Warehouse.read(s, wh)
               .agg(date_add(max(to_date(col("fecha"), "dd/MM/yyyy")), 1).as("wm"))
-              .head.getDate(0)
-            fechaDate >= lit(wm)
-          } else lit(true)
-        val listed = PackParsers
-          .ticketTextsFiltered(s, d, slice && mailboxPred && afterWm)
-          .select(regexp_extract(col("text"), "Nro T\\. (\\d+)", 1)
-            .cast("long").as("nro"), col("text"))
-          .collect() // the reference's per-mail fetch loop: keys + text only
-        listed.foreach { r =>
-          val f = new java.io.File(raw, f"Ticket_${r.getLong(0)}%09d.pdf")
+              .head.getDate(0))
+          else None
+        val listed = mailbox.iterator
+          .filter { case (_, fd, _) =>
+            mailboxCutoff.forall(cut => fd.before(cut)) &&
+              wmOpt.forall(wm => !fd.before(wm))
+          } // the reference's per-mail fetch loop: keys + text only
+        listed.foreach { case (nro, _, text) =>
+          val f = new java.io.File(raw, f"Ticket_$nro%09d.pdf")
           if (!f.exists) // head_object already-staged skip (extract_data_pdf:141-147)
             java.nio.file.Files.write(f.toPath,
-              graft.parsers.Pdf.writePdf(r.getString(1).split("\n").toSeq))
+              graft.parsers.Pdf.writePdf(text.split("\n").toSeq))
         }
         // -- transform: every raw/ PDF, magic gate, real text extraction,
         // ticket parse, batch CSV to processed/ (reprocess-all like the
@@ -1509,9 +1521,9 @@ object PackPipeline {
         val batch = gated.withColumn("flujo", lit("TICKET")) // F6 const enrich
         if (!batch.isEmpty) batch.write.mode("append").parquet(wh)
       }
-      fireCron(fechaDate < lit(java.sql.Date.valueOf("2095-01-01"))) // old mail only
-      fireCron(lit(true)) // full mailbox — watermark cuts to the new tickets
-      fireCron(lit(true)) // nothing new — provable no-op
+      fireCron(Some(java.sql.Date.valueOf("2095-01-01"))) // old mail only
+      fireCron(None) // full mailbox — watermark cuts to the new tickets
+      fireCron(None) // nothing new — provable no-op
       graft.io.Warehouse.read(s, wh)
         .select(col("nro_ticket"), to_date(col("fecha"), "dd/MM/yyyy").as("fecha"),
           col("categ"), col("prod"), col("cant"), col("peso"), col("p_unit"),
