@@ -118,6 +118,31 @@ object Exprs {
     * transform_data_bank_pay:30-33, webhook_mp_report:15-43). */
   def jsonGet(c: Column, path: String): Column = get_json_object(c, path)
 
+  /** URL canonicalization for web-corpus dedup (the CommonCrawl/refined-
+    * web pre-dedup normalizer): lowercase scheme+authority, strip the
+    * scheme's default port, drop the fragment, trim trailing path
+    * slashes, and rewrite the query as its sorted non-tracking
+    * (non-`utm_`) params. Pure codegen'd built-ins (regexp/split/
+    * array_sort) — no UDF on what is a per-row hot path over every
+    * crawled URL. */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val authNoPort =
+      when(scheme === "https", regexp_replace(auth, ":443$", ""))
+        .when(scheme === "http", regexp_replace(auth, ":80$", ""))
+        .otherwise(auth)
+    val path = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val pathNorm = regexp_replace(path, "/+$", "")
+    val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val kept = array_sort(filter(split(query, "&"),
+      p => !(p.startsWith("utm_") || p === "")))
+    val qNorm = when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+      .otherwise(lit(""))
+    concat(scheme, lit("://"), authNoPort, pathNorm, qNorm)
+  }
+
   /** F18 — the type-conversion matrix `convert_column_types`
     * (redshift_to_bq/lambda_function.py:38-131): per-column declarative
     * cast to a target Spark type, replacing try-numeric → try-datetime →

@@ -1818,6 +1818,104 @@ object PackPipeline {
       else
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(Seq.empty))
+    },
+
+    // URL-canonicalization dedup — the web-corpus pre-dedup normalizer
+    // (CommonCrawl / RefinedWeb discipline): scheme+host case, default
+    // port, fragment, trailing slash, tracking params, and query-param
+    // ORDER are all presentation noise; canonical-form grouping is the
+    // first dedup pass any crawled corpus runs, upstream of content
+    // hashing. The plan renders each document's URL in a deliberately
+    // messy per-row variant (three variants share one identity),
+    // canonicalizes with Exprs.canonicalizeUrl (codegen'd regexp/split/
+    // array_sort built-ins — no UDF on the per-URL hot path), and groups.
+    // The oracle restates the canonical form relationally, so a
+    // canonicalizer that misses ANY of the six noise axes splits a group
+    // and fails the count. Scale shape: narrow per-row projection + ONE
+    // hash aggregation on the canonical string — the same plan at 100 TB.
+    QDef("dedup_url_canonical",
+      """SELECT 'https://www.src' || CAST((doc_id // 3) % 7 AS VARCHAR) ||
+        |         '.example.com/docs/' || CAST(doc_id // 3 AS VARCHAR) ||
+        |         '?a=1&b=2' AS canonical_url,
+        |       min(doc_id) AS keep_id,
+        |       CAST(count(*) AS BIGINT) AS n_variants
+        |FROM documents GROUP BY doc_id // 3
+        |ORDER BY canonical_url, keep_id""".stripMargin) { (s, d) =>
+      import graft.functions.Exprs
+      val rendered = Tables.documents(s, d)
+        .select(col("doc_id"), (col("doc_id") / 3).cast("long").as("g"))
+        .withColumn("url", concat(
+          when(col("doc_id") % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+          lit("://"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("WWW.SRC"), (col("g") % 7).cast("string"),
+              lit(".EXAMPLE.COM")))
+            .otherwise(concat(lit("www.src"), (col("g") % 7).cast("string"),
+              lit(".example.com"))),
+          when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit("")),
+          lit("/docs/"), col("g").cast("string"),
+          when(col("doc_id") % 3 === 1, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 2 === 0, lit("?b=2&a=1&utm_source=news"))
+            .otherwise(lit("?a=1&b=2")),
+          when(col("doc_id") % 3 === 2, lit("#sec")).otherwise(lit(""))))
+      rendered
+        .select(col("doc_id"), Exprs.canonicalizeUrl(col("url")).as("canonical_url"))
+        .groupBy(col("canonical_url"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_variants"))
+        .orderBy(col("canonical_url"), col("keep_id"))
+    },
+
+    // K18 (live) — corpus VERSION DIFF through the transactional sink's
+    // retained snapshots: the governance question every dataset release
+    // answers ("what changed since the last snapshot?") computed from
+    // the versioned reads themselves, not from bookkeeping. Two
+    // overwrite commits publish two retained versions; the diff reads
+    // BOTH versions by number and full-outer-joins their (doc_id,
+    // content-hash) projections → added / removed / modified /
+    // unchanged. The oracle restates the statuses from the slice
+    // predicates — a version pointer off by one, an append leaking into
+    // the old snapshot, or a hash comparison inverted all shift the
+    // counts. Scale shape: two key+hash column-pruned scans and one
+    // full-outer hash join on doc_id; the content hash travels as 32
+    // bytes per row however wide the documents are.
+    QDef("k18_corpus_version_diff",
+      """WITH v1 AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0),
+        |v2 AS (SELECT doc_id, doc_id % 7 = 0 AS modified FROM documents
+        |       WHERE doc_id % 11 <> 3),
+        |j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |        CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |             WHEN v2.doc_id IS NULL THEN 'removed'
+        |             WHEN v2.modified THEN 'modified'
+        |             ELSE 'unchanged' END AS status
+        |      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        |FROM j GROUP BY status ORDER BY status""".stripMargin) { (s, d) =>
+      val loc = s"${sys.props("java.io.tmpdir")}/graft_${new java.io.File(d).getName}/k18_vd"
+      graft.io.Warehouse.deleteRecursively(s, loc)
+      val docs = Tables.documents(s, d)
+      val v1 = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val v2 = docs.filter(col("doc_id") % 11 =!= 3)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("h"))
+      v1.write.format("graft-atomic").option("path", loc).mode("overwrite").save()
+      v2.write.format("graft-atomic").option("path", loc).mode("overwrite").save()
+      val vs = graft.sources.AtomicSink.versions(loc)
+      def rd(v: Long) = s.read.schema(v1.schema).format("graft-atomic")
+        .option("version", v).load(loc)
+      rd(vs.min).select(col("doc_id"), col("h").as("h1"))
+        .join(rd(vs.max).select(col("doc_id"), col("h").as("h2")),
+          Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") =!= col("h2"), "modified")
+            .otherwise("unchanged").as("status"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_doc_id"))
+        .orderBy(col("status"))
     }
   )
 }

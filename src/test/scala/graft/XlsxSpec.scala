@@ -102,4 +102,26 @@ class XlsxSpec extends AnyFunSuite {
       .orderBy("week").as[(Int, String)].collect().toSeq
     assert(all == Seq((1, "report_1"), (2, "report_2"), (3, "report_3")))
   }
+
+  test("readWithPath attributes every row to its source workbook") {
+    // filename-keyed ingestion (the MP report grammar): rows from a
+    // multi-file scan must carry their own file's path, not a
+    // partition-mate's
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_prov").toString
+    (1 to 3).foreach { w =>
+      Xlsx.writeFile(
+        Seq((w * 10, s"a$w"), (w * 10 + 1, s"b$w")).toDF("id", "tag"),
+        s"$dir/Report_2024-01-0${w}_$w.xlsx")
+    }
+    val rows = Xlsx.readWithPath(spark, dir, StructType(Seq(
+        StructField("id", IntegerType), StructField("tag", StringType))))
+      .select(
+        org.apache.spark.sql.functions.regexp_extract(
+          org.apache.spark.sql.functions.col("_file"),
+          graft.functions.Exprs.reportFilenameRe, 3).cast("int").as("rid"),
+        org.apache.spark.sql.functions.col("id"))
+      .as[(Int, Int)].collect().toSeq.sorted
+    assert(rows == Seq((1, 10), (1, 11), (2, 20), (2, 21), (3, 30), (3, 31)),
+      "each row must map back to the workbook that contained it")
+  }
 }
