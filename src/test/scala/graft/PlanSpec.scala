@@ -262,6 +262,15 @@ class PlanSpec extends AnyFunSuite {
       s"windows + per-island and per-user aggs must share the user_id exchange:\n$p")
   }
 
+  test("URL canonicalization is one exchange, no UDF on the per-row path") {
+    val p = plan("dedup_url_canonical")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"render + canonicalize must stay narrow; only the canonical-form " +
+        s"groupBy may shuffle:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"the canonicalizer must lower to codegen'd built-ins:\n$p")
+  }
+
   test("funnel stages are shrinking equi-joins, never a window over raw events") {
     val p = plan("funnel_conversion")
     assert(!p.contains("Window"), s"funnel must not window the raw stream:\n$p")
