@@ -1611,32 +1611,35 @@ object PackPipeline {
         val f = new java.io.File(wh)
         f.isDirectory && f.listFiles().exists(_.getName.endsWith(".parquet"))
       }
+      // the provider's report store is external state: ONE collect of the
+      // bounded slice, grouped by report id driver-side — per-report
+      // `df.filter(rid)` staging would launch a Spark job per workbook
+      // (23 reports × 2 deliveries of them)
+      val reportRows: Map[Long, Seq[Seq[Any]]] = txns.collect().toSeq
+        .map(r => (r.getLong(0), (1 until r.length).map(r.get)))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       def webhookDelivery(rids: Seq[Long]): Unit = {
         // -- extract: staging gate by parsed report id over the bucket
         // listing (extract_data_mp:115-138), then stage CSV or XLSX
         val staged = listedRids()
         rids.filterNot(staged).foreach { rid =>
-          val df = txns.filter(col("rid") === rid).drop("rid")
+          val rows = reportRows(rid)
           if (rid % 2 == 0) {
             // canonical-dialect `;`-CSV, driver-staged (the webhook
             // payload is driver-grain by nature)
-            val rows = df.collect()
             val sb = new StringBuilder(fileSchema.fieldNames.mkString(";"))
             rows.foreach { r =>
               sb.append('\n')
-              sb.append((0 until r.length).map { i =>
-                val v = r.get(i)
-                if (v == null) "" else v.toString
-              }.mkString(";"))
+              sb.append(r.map(v => if (v == null) "" else v.toString).mkString(";"))
             }
             java.nio.file.Files.write(
               new java.io.File(raw, reportName(rid, "csv")).toPath,
               sb.toString.getBytes("UTF-8"))
           } else {
             // Spanish-dialect REAL workbook through the xlsx writer
-            graft.sources.Xlsx.writeFile(
-              esToEn.foldLeft(df) { case (acc, (es, en)) =>
-                acc.withColumnRenamed(en, es) },
+            graft.sources.Xlsx.writeFileRows(
+              fileSchema.fieldNames.toSeq.map(enToEs),
+              rows,
               new java.io.File(raw, reportName(rid, "xlsx")).toString)
           }
         }
@@ -1697,9 +1700,7 @@ object PackPipeline {
         }
         if (inboxHas(".csv") || inboxHas(".xlsx")) transformAndLoad()
       }
-      import s.implicits._
-      val allRids = txns.select(col("rid")).distinct()
-        .as[Long].collect().sorted.toSeq
+      val allRids = reportRows.keySet.toSeq.sorted
       webhookDelivery(allRids.filter(_ < 12)) // first delivery window
       webhookDelivery(allRids) // full re-delivery — gates must dedup
       graft.io.Warehouse.read(s, wh)

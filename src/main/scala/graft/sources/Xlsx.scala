@@ -303,4 +303,17 @@ object Xlsx {
       java.nio.file.Paths.get(path).getParent)
     java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes): Unit
   }
+
+  /** [[writeFile]] from already-collected rows — for callers staging MANY
+    * small workbooks out of one driver-side collect (a per-file
+    * `writeFile(df.filter(...))` would launch one Spark job per
+    * workbook). Same bounded contract. */
+  def writeFileRows(header: Seq[String], rows: Seq[Seq[Any]], path: String): Unit = {
+    require(rows.length <= WriteFileMaxRows,
+      s"Xlsx.writeFileRows is a bounded driver-side export (max $WriteFileMaxRows rows)")
+    val bytes = writeWorkbook(header, rows)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(path).getParent)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes): Unit
+  }
 }
