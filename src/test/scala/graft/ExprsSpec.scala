@@ -112,4 +112,38 @@ class ExprsSpec extends AnyFunSuite {
       assert(viaSql == viaExpr, s"mismatch on '$c': sql=$viaSql expr=$viaExpr")
     }
   }
+
+  test("canonicalizeUrl collapses every noise axis independently (seeded property)") {
+    // 300 random compositions of the six presentation-noise axes over a
+    // fixed identity must all reach the same canonical form
+    val rnd = new scala.util.Random(7)
+    def variant(): String = {
+      val scheme = if (rnd.nextBoolean()) "https" else "HTTPS"
+      val host = if (rnd.nextBoolean()) "www.data.Example.COM" else "www.data.example.com"
+      val port = if (rnd.nextBoolean()) ":443" else ""
+      val slash = if (rnd.nextBoolean()) "/" else ""
+      val params = rnd.shuffle(Seq("a=1", "b=2", "utm_source=x", "utm_medium=y")
+        .take(2 + rnd.nextInt(3)))
+      val frag = if (rnd.nextBoolean()) "#frag" else ""
+      s"$scheme://$host$port/corpus/42$slash?${params.mkString("&")}$frag"
+    }
+    // params sample always contains a=1 and b=2 (take keeps prefix before shuffle)
+    val urls = Seq.fill(300)(variant()).toDF("u")
+    val canon = urls.select(Exprs.canonicalizeUrl(col("u"))).distinct()
+      .as[String].collect().toSeq
+    assert(canon == Seq("https://www.data.example.com/corpus/42?a=1&b=2"),
+      s"every variant must collapse to one canonical form, got: $canon")
+  }
+
+  test("canonicalizeUrl preserves distinctions that are NOT noise") {
+    // different host, path, or real param VALUES must stay distinct
+    val urls = Seq(
+      "https://www.data.example.com/corpus/42?a=1&b=2",
+      "https://www.data.example.com/corpus/43?a=1&b=2", // other path
+      "https://www.other.example.com/corpus/42?a=1&b=2", // other host
+      "https://www.data.example.com/corpus/42?a=9&b=2", // other value
+      "http://www.data.example.com/corpus/42?a=1&b=2" // other scheme
+    ).toDF("u")
+    assert(urls.select(Exprs.canonicalizeUrl(col("u"))).distinct().count() == 5)
+  }
 }
