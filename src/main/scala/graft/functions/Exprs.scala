@@ -140,7 +140,13 @@ object Exprs {
       p => !(p.startsWith("utm_") || p === "")))
     val qNorm = when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
       .otherwise(lit(""))
-    concat(scheme, lit("://"), authNoPort, pathNorm, qNorm)
+    // non-hierarchical input (bare host, relative path, mailto:) — the
+    // component regexes all extract "" there, so canonicalizing would
+    // collapse EVERY such URL into the constant "://" and a dedup keyed
+    // on the result would silently merge unrelated documents; pass the
+    // original through unchanged instead
+    when(scheme === "", u)
+      .otherwise(concat(scheme, lit("://"), authNoPort, pathNorm, qNorm))
   }
 
   /** F18 — the type-conversion matrix `convert_column_types`

@@ -73,8 +73,20 @@ object Warehouse {
       .agg(max(when(pred, 1).otherwise(0)).as("hit"))
       .collect().map(r => r.get(0) -> (r.getInt(1) == 1))
     val affected = parts.collect { case (v, true) => v }.toSeq
+    // null-aware partition membership: isin(null) yields NULL (never
+    // true), so a NULL partition in the set would silently drop out of
+    // any plain isin filter — here at the prune that would EXCLUDE the
+    // null partition's surviving rows from the rewrite and the partition
+    // directory would be dropped wholesale (data loss), and at the
+    // post-condition it would skip the residual check
+    def inPartitionSet(vals: Seq[Any]): Column = {
+      val nonNull = vals.filter(_ != null)
+      val base = if (nonNull.nonEmpty) col(partitionCol).isin(nonNull: _*)
+                 else lit(false)
+      if (vals.exists(_ == null)) base || col(partitionCol).isNull else base
+    }
     if (affected.nonEmpty) {
-      val pruned = all.filter(col(partitionCol).isin(affected: _*))
+      val pruned = all.filter(inPartitionSet(affected))
       // NULL-predicate rows did NOT match the delete request and must
       // survive: filter(!pred) alone drops them (NULL is not true), so
       // the erasure would over-delete — keep rows where pred is not TRUE
@@ -101,17 +113,8 @@ object Warehouse {
       // re-run instruction is in the scaladoc.
       val rewritten = affected.filter(keptParts)
       if (rewritten.nonEmpty) {
-        // null-aware partition match: isin(null) yields NULL (never true),
-        // so a rewritten NULL partition would silently escape the check
-        val nonNull = rewritten.filter(_ != null)
-        val inRewritten = {
-          val base = if (nonNull.nonEmpty) col(partitionCol).isin(nonNull: _*)
-                     else lit(false)
-          if (rewritten.exists(_ == null)) base || col(partitionCol).isNull
-          else base
-        }
         val residual = read(spark, path)
-          .filter(inRewritten)
+          .filter(inPartitionSet(rewritten))
           .filter(coalesce(pred, lit(false))).limit(1).count()
         require(residual == 0L,
           s"deleteWhere post-condition failed: matching rows remain under " +

@@ -1522,8 +1522,11 @@ object PackPipeline {
               graft.io.Warehouse.read(s, wh).select(col("nro_ticket")),
               Seq("nro_ticket"))
           else staged
-        val batch = gated.withColumn("flujo", lit("TICKET")) // F6 const enrich
-        if (!batch.isEmpty) batch.write.mode("append").parquet(wh)
+        val batch = gated.withColumn("flujo", lit("TICKET")).persist() // F6 const enrich
+        // persist: the emptiness probe and the append otherwise each run
+        // the full gate plan (warehouse read + anti-join over the parse)
+        try { if (!batch.isEmpty) batch.write.mode("append").parquet(wh) }
+        finally { batch.unpersist(); () }
       }
       fireCron(Some(java.sql.Date.valueOf("2095-01-01"))) // old mail only
       fireCron(None) // full mailbox — watermark cuts to the new tickets
@@ -1576,13 +1579,16 @@ object PackPipeline {
       val procD = java.nio.file.Files.createTempDirectory(s"graft_mpe2e_pr$run").toString
       val wh = java.nio.file.Files.createTempDirectory(s"graft_mpe2e_wh$run").toString +
         "/mp_data"
-      val esToEn = Map(
-        "ID DE OPERACIÓN EN MERCADO PAGO" -> "source_id",
-        "FECHA DE APROBACIÓN" -> "settlement_date",
-        "TIPO DE OPERACIÓN" -> "transaction_type",
-        "VALOR DE LA COMPRA" -> "monto",
-        "ID DE CAJA" -> "pos_id",
-        "PAGADOR" -> "payer_name")
+      // Spanish headers single-sourced from the F5 dialect table
+      // (Schemas.mpDialectEsToEn, the reference's verbatim fallback
+      // strings), projected onto this report's 6 columns
+      val canonical = Map(
+        "SOURCE_ID" -> "source_id", "SETTLEMENT_DATE" -> "settlement_date",
+        "TRANSACTION_TYPE" -> "transaction_type",
+        "TRANSACTION_AMOUNT" -> "monto",
+        "POS_ID" -> "pos_id", "PAYER_NAME" -> "payer_name")
+      val esToEn: Map[String, String] = graft.schemas.Schemas.mpDialectEsToEn
+        .collect { case (es, en) if canonical.contains(en) => es -> canonical(en) }
       val enToEs = esToEn.map(_.swap)
       // report corpus: transactions keyed into 23 reports by user band
       val txns = Tables.events(s, d).filter(col("event_id") % 131 === 0)
@@ -1668,12 +1674,11 @@ object PackPipeline {
               .withColumn("_file", input_file_name())
           else emptySide
         val fromXlsx =
-          if (inboxHas(".xlsx")) {
-            val x = graft.sources.Xlsx.readWithPath(s, raw, esSchema)
-            esToEn.foldLeft(x) { case (acc, (es, en)) =>
-              acc.withColumnRenamed(es, en) }
-          } else emptySide
-        val batch = graft.ops.Ops.dialectUnion(fromCsv, fromXlsx, Map.empty)
+          if (inboxHas(".xlsx")) graft.sources.Xlsx.readWithPath(s, raw, esSchema)
+          else emptySide
+        // dialectUnion owns the Spanish→canonical rename (F5); the
+        // empty side's already-canonical names pass through unrenamed
+        val batch = graft.ops.Ops.dialectUnion(fromCsv, fromXlsx, esToEn)
           .withColumn("report_id", Exprs.regexFilename(col("_file"), 3).cast("long"))
           .withColumn("report_date",
             Exprs.regexFilename(col("_file"), 2).cast("date"))
@@ -1690,13 +1695,14 @@ object PackPipeline {
           }
         // -- load: report-grain gate vs loaded REPORT_IDs (load_data:40-73)
         val converted = s.read.parquet(procD + "/_batch")
-        val gated =
+        val gated = (
           if (whNonEmpty())
             graft.ops.Ops.antiJoin(converted,
               graft.io.Warehouse.read(s, wh).select(col("report_id")).distinct(),
               Seq("report_id"))
-          else converted
-        if (!gated.isEmpty) gated.write.mode("append").parquet(wh)
+          else converted).persist() // one gate execution for probe + append
+        try { if (!gated.isEmpty) gated.write.mode("append").parquet(wh) }
+        finally { gated.unpersist(); () }
         // lifecycle invariant: every consumed file left the inbox
         require(!new java.io.File(raw).listFiles().exists(f =>
           f.getName.endsWith(".csv") || f.getName.endsWith(".xlsx")),
@@ -1767,10 +1773,16 @@ object PackPipeline {
       val Array(mn, mx) = Tables.events(s, d).filter(slicePred)
         .agg(min(to_date(col("ts"))), max(to_date(col("ts"))))
         .head.toSeq.map(_.asInstanceOf[java.sql.Date]).toArray
-      val split = java.sql.Date.valueOf(
-        mn.toLocalDate.plusDays(
-          java.time.temporal.ChronoUnit.DAYS.between(
-            mn.toLocalDate, mx.toLocalDate) / 2))
+      // an empty slice (possible on a tiny regenerated fixture) makes
+      // both aggregates NULL — degrade to an arbitrary split so the
+      // firings run against an empty mailbox and the declared result is
+      // the empty warehouse, instead of an NPE mid-query
+      val split =
+        if (mn == null) java.sql.Date.valueOf("2024-01-01")
+        else java.sql.Date.valueOf(
+          mn.toLocalDate.plusDays(
+            java.time.temporal.ChronoUnit.DAYS.between(
+              mn.toLocalDate, mx.toLocalDate) / 2))
       var batchNo = 0
       def fireCron(mailboxPred: Column): Unit = {
         val mailDate = to_date(substring(col("date"), 1, 10))
@@ -1783,14 +1795,13 @@ object PackPipeline {
           } else lit(true) // empty-table fallback branch
         val candidates = PackParsers.mailDocs(s, d, slicePred).toDF()
           .filter(mailboxPred && afterWm)
-        val fresh =
+        val fresh = (
           if (whNonEmpty())
             graft.ops.Ops.antiJoin(candidates,
               graft.io.Warehouse.read(s, wh).select(col("message_id")).distinct(),
               Seq("message_id"))
-          else candidates
-        batchNo += 1
-        if (!fresh.isEmpty) {
+          else candidates).persist() // probe + JSON staging share one run
+        try if (!fresh.isEmpty) {
           fresh.write.mode("overwrite").json(raw + s"/batch$batchNo")
           // -- transform: everything staged, parsed on executors; the
           // required-Monto gate drops error mails
@@ -1805,14 +1816,16 @@ object PackPipeline {
             col("hora_pago"), col("monto").cast("double").as("monto"),
             col("divisa"), col("tarjeta"), col("nro_tarjeta"),
             col("comercio"), col("cuotas"))
-          val gated =
+          val gated = (
             if (whNonEmpty())
               graft.ops.Ops.antiJoin(conformed,
                 graft.io.Warehouse.read(s, wh).select(col("id")).distinct(),
                 Seq("id"))
-            else conformed
-          if (!gated.isEmpty) gated.write.mode("append").parquet(wh)
+            else conformed).persist() // probe + append share one parse run
+          try { if (!gated.isEmpty) gated.write.mode("append").parquet(wh) }
+          finally { gated.unpersist(); () }
         }
+        finally { fresh.unpersist(); () }
       }
       val mailDate = to_date(substring(col("date"), 1, 10))
       fireCron(mailDate < lit(split)) // old mail only — seeds the table

@@ -82,23 +82,27 @@ object Schemas {
     "TRANSACTION_DATE", "REAL_AMOUNT", "POS_ID", "STORE_ID",
     "STORE_NAME", "PAYER_NAME", "BUSINESS_UNIT", "SUB_UNIT")
 
-  /** Spanish dialect header → English, the rename/projection operator F5
-    * (load_data/lambda_function.py:137-151). */
+  /** Spanish dialect header → English, the rename/projection operator F5 —
+    * the EXACT strings of the reference's fallback INSERT
+    * (load_data/lambda_function.py:137-151; earlier rounds carried
+    * paraphrased headers here, fixed in round 12 to the verbatim source).
+    * EXTERNAL_REFERENCE has no Spanish counterpart in the reference's
+    * fallback path, so the dialect union leaves it NULL for Spanish
+    * reports. */
   val mpDialectEsToEn: Map[String, String] = Map(
     "ID DE OPERACIÓN EN MERCADO PAGO" -> "SOURCE_ID",
-    "REFERENCIA EXTERNA" -> "EXTERNAL_REFERENCE",
-    "FECHA DE LIQUIDACIÓN" -> "SETTLEMENT_DATE",
-    "MEDIO DE PAGO" -> "PAYMENT_METHOD_TYPE",
+    "FECHA DE APROBACIÓN" -> "SETTLEMENT_DATE",
+    "TIPO DE MEDIO DE PAGO" -> "PAYMENT_METHOD_TYPE",
     "TIPO DE OPERACIÓN" -> "TRANSACTION_TYPE",
-    "VALOR DE LA OPERACIÓN" -> "TRANSACTION_AMOUNT",
-    "FECHA DE ORIGEN DE LA OPERACIÓN" -> "TRANSACTION_DATE",
-    "MONTO RECIBIDO" -> "REAL_AMOUNT",
-    "ID PUNTO DE VENTA" -> "POS_ID",
-    "ID TIENDA" -> "STORE_ID",
-    "NOMBRE DE LA TIENDA" -> "STORE_NAME",
-    "COMPRADOR" -> "PAYER_NAME",
-    "UNIDAD DE NEGOCIO" -> "BUSINESS_UNIT",
-    "SUBUNIDAD" -> "SUB_UNIT")
+    "VALOR DE LA COMPRA" -> "TRANSACTION_AMOUNT",
+    "FECHA DE ORIGEN" -> "TRANSACTION_DATE",
+    "MONTO NETO DE OPERACIÓN" -> "REAL_AMOUNT",
+    "ID DE CAJA" -> "POS_ID",
+    "ID DE LA SUCURSAL" -> "STORE_ID",
+    "NOMBRE DE LA SUCURSAL" -> "STORE_NAME",
+    "PAGADOR" -> "PAYER_NAME",
+    "CANAL DE VENTA" -> "BUSINESS_UNIT",
+    "PLATAFORMA DE COBRO" -> "SUB_UNIT")
 }
 
 /** Readers over the driver's deterministic testdata (TESTDATA.md).

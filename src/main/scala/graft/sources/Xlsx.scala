@@ -167,19 +167,8 @@ object Xlsx {
     * strings, the CSV-reader seam): binaryFile source → per-file parse on
     * the executors → positional cast. */
   def read(spark: SparkSession, path: String, schema: StructType,
-           headerRows: Int = 1): DataFrame = {
-    val nCols = schema.length
-    import spark.implicits._
-    val cells: DataFrame = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.xlsx").load(path)
-      .select(col("content"))
-      .as[Array[Byte]]
-      .mapPartitions(_.flatMap(parseWorkbook(_, nCols, headerRows)))
-      .toDF("cells")
-    cells.select(schema.fields.zipWithIndex.map { case (f, i) =>
-      element_at(col("cells"), i + 1).cast(f.dataType).as(f.name)
-    }.toIndexedSeq: _*)
-  }
+           headerRows: Int = 1): DataFrame =
+    readWithPath(spark, path, schema, headerRows).drop("_file")
 
   /** [[read]] retaining the source file path as a leading `_file` column —
     * for ingestion flows whose row provenance is encoded in the FILENAME
@@ -291,17 +280,12 @@ object Xlsx {
     * [[WriteFileMaxRows]] rows instead of silently materializing an
     * unbounded frame on the driver. */
   def writeFile(df: DataFrame, path: String): Unit = {
-    val header = df.columns.toSeq
     val collected = df.limit(WriteFileMaxRows + 1).collect()
     require(collected.length <= WriteFileMaxRows,
       s"Xlsx.writeFile is a bounded driver-side export (max $WriteFileMaxRows " +
         "rows); write large frames with df.write.parquet/csv instead")
-    val rows = collected.toSeq.map(r =>
-      (0 until r.length).map(i => if (r.isNullAt(i)) null else r.get(i)))
-    val bytes = writeWorkbook(header, rows)
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(path).getParent)
-    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes): Unit
+    writeFileRows(df.columns.toSeq, collected.toSeq.map(r =>
+      (0 until r.length).map(i => if (r.isNullAt(i)) null else r.get(i))), path)
   }
 
   /** [[writeFile]] from already-collected rows — for callers staging MANY

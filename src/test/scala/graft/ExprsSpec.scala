@@ -146,4 +146,14 @@ class ExprsSpec extends AnyFunSuite {
     ).toDF("u")
     assert(urls.select(Exprs.canonicalizeUrl(col("u"))).distinct().count() == 5)
   }
+
+  test("canonicalizeUrl passes non-hierarchical URLs through unchanged") {
+    // a crawled corpus carries bare hosts, relative paths and mailto:
+    // rows; collapsing them to one canonical key would dedup unrelated
+    // documents — they must each survive as themselves
+    val odd = Seq("example.com/a", "other.org/b", "mailto:x@y.example", "/rel/path")
+    val out = odd.toDF("u").select(Exprs.canonicalizeUrl(col("u")))
+      .as[String].collect().toSeq
+    assert(out == odd, "non-hierarchical inputs must round-trip unchanged")
+  }
 }

@@ -144,4 +144,31 @@ class IoSpec extends AnyFunSuite {
       .as[(Option[Long], Long)].collect().toSet
     assert(back == Set((Some(3L), 0L), (None, 0L)))
   }
+
+  test("deleteWhere on a NULL partition value rewrites it instead of dropping it") {
+    // regression: the prune filter's plain isin(affected) evaluates to
+    // NULL for null-partition rows, which excluded the null partition's
+    // SURVIVORS from the rewrite and then dropped the whole directory —
+    // a targeted delete of 1 row silently erased all 10
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delnp").toString + "/t"
+    val src = Seq(
+      (1L, Some("ar")), (2L, Some("ar")),
+      (10L, None), (11L, None), (12L, None), (13L, None)
+    ).toDF("id", "country")
+    graft.io.Warehouse.appendPartitioned(src, dir, Seq("country"))
+    // request matches ONE row of the null partition and one of 'ar'
+    val (nParts, nRewritten) = graft.io.Warehouse.deleteWhere(
+      spark, dir, "country", col("id") % 10 === 2)
+    assert(nParts == 2 && nRewritten == 2)
+    val back = spark.read.parquet(dir).select($"id", $"country")
+      .as[(Long, Option[String])].collect().toSet
+    assert(back == Set((1L, Some("ar")), (10L, None), (11L, None), (13L, None)),
+      "null-partition survivors must be rewritten, not dropped with the directory")
+    // and a predicate that empties the null partition drops ONLY it
+    val (_, r2) = graft.io.Warehouse.deleteWhere(
+      spark, dir, "country", col("country").isNull)
+    assert(r2 == 1)
+    assert(spark.read.parquet(dir).select($"id").as[Long].collect().toSet == Set(1L))
+  }
 }

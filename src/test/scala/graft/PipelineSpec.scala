@@ -43,7 +43,7 @@ class PipelineSpec extends AnyFunSuite {
       .option("header", "true").mode("overwrite").csv(s"$stage/Report_2024-05-01_1.csv")
     val es = o.filter($"SOURCE_ID".cast("long") % 2 === 1)
       .withColumnRenamed("SOURCE_ID", "ID DE OPERACIÓN EN MERCADO PAGO")
-      .withColumnRenamed("TRANSACTION_AMOUNT", "VALOR DE LA OPERACIÓN")
+      .withColumnRenamed("TRANSACTION_AMOUNT", "VALOR DE LA COMPRA")
     es.write.option("header", "true").mode("overwrite").csv(s"$stage/Report_2024-05-01_2.csv")
     // F30 on the staged listing
     val listing = spark.read.format("binaryFile").option("pathGlobFilter", "*.csv")
