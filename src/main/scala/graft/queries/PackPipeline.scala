@@ -1934,6 +1934,241 @@ object PackPipeline {
         .groupBy(col("status"))
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_doc_id"))
         .orderBy(col("status"))
+    },
+
+    // ST18 (live) — MULTI-VARIABLE state on the Spark 4 arbitrary-state
+    // API v2 (`transformWithState`, SPARK-40434): st7 declares the
+    // single-ValueState form; this declares the MapState + ValueState
+    // composition — the API's actual selling point over v1
+    // mapGroupsWithState, which forces all per-key state into one
+    // opaque blob rewritten wholesale per batch. Per-user profile in
+    // two NAMED state variables (ValueState running totals + MapState
+    // per-type counts — see graft.streaming.UserProfileProcessor); two
+    // separate micro-batches drain through the SAME checkpoint as two
+    // query RESTARTS, so the second batch's emitted cumulative proves
+    // RocksDB state recovery, not just within-run accumulation. Money
+    // is quantized to integer cents batch-side so state math is Long —
+    // order-insensitive under any parallelism, hash-exact vs the
+    // oracle's phase-sliced GROUP BYs. At 100 TB/day this is the
+    // bounded-state shape: state is per-live-user, updates touch one
+    // RocksDB key (ValueState) or one map entry (MapState), and TTL
+    // (TTLConfig) ages out dormant users — none of which the v1 API
+    // can express without rewriting the whole state object per batch.
+    QDef("st18_transform_with_state",
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS cents
+        |           FROM events WHERE event_id % 9 = 0),
+        |a1 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cum_n,
+        |         CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |         CAST(sum(cents) AS BIGINT) AS sum_cents
+        |       FROM e WHERE event_id % 2 = 0 GROUP BY user_id),
+        |a2 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cum_n,
+        |         CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |         CAST(sum(cents) AS BIGINT) AS sum_cents
+        |       FROM e WHERE user_id IN (SELECT user_id FROM e WHERE event_id % 2 = 1)
+        |       GROUP BY user_id)
+        |SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        |ORDER BY user_id, cum_n""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.streaming.{TwsEvent, UserProfileProcessor}
+      val run = PackCore.streamRun.incrementAndGet()
+      val in = java.nio.file.Files.createTempDirectory(s"graft_st18_in$run").toString
+      val out = java.nio.file.Files.createTempDirectory(s"graft_st18_out$run").toString + "/t"
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_st18_ck$run").toString
+      val base = Tables.events(s, d).filter(col("event_id") % 9 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(coalesce(col("value"), lit(0.0)) * 100).cast("long").as("cents"))
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cents",
+          org.apache.spark.sql.types.LongType)))
+      def drain(): Unit = {
+        val q = s.readStream.schema(sch).parquet(in)
+          .as[TwsEvent]
+          .groupByKey(_.user_id)
+          .transformWithState(new UserProfileProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .toDF()
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = scala.util.Try(s.conf.get(provKey)).toOption
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try PackCore.withStreamPartitions(s, 8) {
+        PackCore.stageArrival(in,
+          base.filter(col("event_id") % 2 === 0).drop("event_id"), "b1")
+        drain()
+        PackCore.stageArrival(in,
+          base.filter(col("event_id") % 2 === 1).drop("event_id"), "b2")
+        drain() // restart from the same checkpoint: state must reload
+      } finally prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None    => s.conf.unset(provKey)
+      }
+      s.read.parquet(out).orderBy(col("user_id"), col("cum_n"))
+    },
+
+    // ST19 (live) — the v2 API's batch WARM-START surface
+    // (`StatefulProcessorWithInitialState`): streaming state is SEEDED
+    // per key from a batch-computed snapshot before the first arrival
+    // folds in (graft.streaming.WarmStartProcessor). This is the
+    // cutover path from a batch-maintained aggregate table to a
+    // streaming one — at 100 TB of history, re-streaming the past
+    // through the processor is not an option; the snapshot IS the
+    // state. The declared result is the post-cutover cumulative for
+    // every user the first streamed batch touches: a seeding bug
+    // (dropped key, swapped column, double-applied snapshot) shifts
+    // the totals and fails the hash. The snapshot aggregation itself
+    // is the standard partial+final hash agg; the seed join is
+    // co-partitioned with the stream by the same key hash.
+    QDef("st19_tws_initial_state",
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS cents
+        |           FROM events WHERE event_id % 10 = 0)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS cum_n,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM e
+        |WHERE user_id IN (SELECT user_id FROM e WHERE event_id % 3 <> 0)
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.streaming.{TwsAgg, TwsEvent, WarmStartProcessor}
+      val run = PackCore.streamRun.incrementAndGet()
+      val in = java.nio.file.Files.createTempDirectory(s"graft_st19_in$run").toString
+      val out = java.nio.file.Files.createTempDirectory(s"graft_st19_out$run").toString + "/t"
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_st19_ck$run").toString
+      val base = Tables.events(s, d).filter(col("event_id") % 10 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(coalesce(col("value"), lit(0.0)) * 100).cast("long").as("cents"))
+      // the "historical" aggregate table the stream warm-starts from
+      val snapshot = base.filter(col("event_id") % 3 === 0)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1).mapValues(t => TwsAgg(t._2, t._3))
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cents",
+          org.apache.spark.sql.types.LongType)))
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = scala.util.Try(s.conf.get(provKey)).toOption
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try PackCore.withStreamPartitions(s, 8) {
+        PackCore.stageArrival(in,
+          base.filter(col("event_id") % 3 =!= 0).drop("event_id"), "b1")
+        val q = s.readStream.schema(sch).parquet(in)
+          .as[TwsEvent]
+          .groupByKey(_.user_id)
+          .transformWithState(new WarmStartProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append(),
+            snapshot)
+          .toDF()
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None    => s.conf.unset(provKey)
+      }
+      s.read.parquet(out).orderBy(col("user_id"))
+    },
+
+    // ST20 (live) — EVENT-TIME TIMERS on the v2 API
+    // (`TimeMode.EventTime`, `registerTimer`/`handleExpiredTimer`):
+    // inactivity sessionization whose CLOSE is timer-driven
+    // (graft.streaming.SessionTimerProcessor) — the programmable form
+    // of what session_window (st12) does internally, and the shape
+    // timeout actions / escalation events / abandonment detection all
+    // take. Within-batch gaps close inline; each key's open tail
+    // registers ONE event-time timer at last_ms + 30 min, and the
+    // watermark firing it emits the session and clears state. A
+    // far-future sentinel advances the watermark deterministically
+    // (the st12 discipline), so every real session flushes through
+    // handleExpiredTimer. Gap math is integer epoch-millis on BOTH
+    // engines (sub-ms jitter can flip an exactly-on-boundary gap).
+    // State per key is one open session + one timer — the watermark
+    // frontier, never history.
+    QDef("st20_tws_event_time_timers",
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events
+        |           WHERE event_id % 17 = 0),
+        |d AS (SELECT user_id, ms,
+        |        CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w >= 1800000
+        |             THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |s AS (SELECT user_id, ms,
+        |        sum(is_new) OVER (PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM d)
+        |SELECT user_id, min(ms) AS start_ms, CAST(count(*) AS BIGINT) AS n
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_ms""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.streaming.{SessionTimerProcessor, TsEvent}
+      val run = PackCore.streamRun.incrementAndGet()
+      val in = java.nio.file.Files.createTempDirectory(s"graft_st20_in$run").toString
+      val out = java.nio.file.Files.createTempDirectory(s"graft_st20_out$run").toString + "/t"
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_st20_ck$run").toString
+      val base = Tables.events(s, d).filter(col("event_id") % 17 === 0)
+        .select(col("user_id"), col("ts"), unix_millis(col("ts")).as("ms"))
+      val sentinel = base.agg(max(col("ts")).as("mx"))
+        .select(lit(-1L).as("user_id"),
+          (col("mx") + expr("INTERVAL 240 HOURS")).as("ts"))
+        .select(col("user_id"), col("ts"), unix_millis(col("ts")).as("ms"))
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("ms",
+          org.apache.spark.sql.types.LongType)))
+      def drain(): Unit = {
+        val q = s.readStream.schema(sch).parquet(in)
+          .withWatermark("ts", "1 hour")
+          .as[TsEvent]
+          .groupByKey(_.user_id)
+          .transformWithState(new SessionTimerProcessor(1800000L),
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .toDF()
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = scala.util.Try(s.conf.get(provKey)).toOption
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try PackCore.withStreamPartitions(s, 8) {
+        PackCore.stageArrival(in, base, "b1")
+        drain()
+        PackCore.stageArrival(in, sentinel, "b2")
+        drain() // sentinel watermark fires every real key's timer
+      } finally prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None    => s.conf.unset(provKey)
+      }
+      s.read.parquet(out).filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("start_ms"))
     }
   )
 }

@@ -271,6 +271,151 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("UserProfileProcessor: MapState tracks distinct types, state survives restart") {
+    import graft.streaming.{TwsEvent, TwsOut, UserProfileProcessor}
+    val in = tmp("graft_inP"); val ckpt = tmp("graft_ckptP"); val out = tmp("graft_twsP")
+    val sch = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("cents", LongType)))
+    def stage(rows: Seq[(Long, String, Long)], part: String): Unit = {
+      val staging = tmp("graft_stageP")
+      rows.toDF("user_id", "event_type", "cents")
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      new java.io.File(staging).listFiles().filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          Files.move(f.toPath, java.nio.file.Paths.get(in, s"${part}_$i.parquet")); ()
+        }
+    }
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(): Unit = {
+        val q = spark.readStream.schema(sch).parquet(in).as[TwsEvent]
+          .groupByKey(_.user_id)
+          .transformWithState(new UserProfileProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .writeStream.format("parquet")
+          .option("path", s"$out/t").option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      // batch 1: user 7 sees two types (one twice), user 8 one type
+      stage(Seq((7L, "a", 100L), (7L, "b", 50L), (7L, "a", 25L), (8L, "a", 10L)), "b1")
+      run()
+      // batch 2 = a RESTART from the same checkpoint: a repeat type must
+      // NOT bump n_types (MapState reloaded), totals must accumulate
+      stage(Seq((7L, "b", 5L), (7L, "c", 1L)), "b2")
+      run()
+      val rows = spark.read.parquet(s"$out/t").as[TwsOut].collect()
+        .sortBy(r => (r.user_id, r.cum_n))
+      assert(rows.map(r => (r.user_id, r.cum_n, r.n_types, r.sum_cents)).toSeq ==
+        Seq((7L, 3L, 2L, 175L), (7L, 5L, 3L, 181L), (8L, 1L, 1L, 10L)),
+        s"got: ${rows.mkString(", ")}")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("WarmStartProcessor: initial state seeds per key, unseeded keys start from zero") {
+    import graft.streaming.{TwsAgg, TwsEvent, TwsTotal, WarmStartProcessor}
+    val in = tmp("graft_inW"); val ckpt = tmp("graft_ckptW"); val out = tmp("graft_twsW")
+    val sch = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("cents", LongType)))
+    val staging = tmp("graft_stageW")
+    Seq((1L, "a", 10L), (2L, "a", 5L)).toDF("user_id", "event_type", "cents")
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    new java.io.File(staging).listFiles().filter(_.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        Files.move(f.toPath, java.nio.file.Paths.get(in, s"b1_$i.parquet")); ()
+      }
+    // key 1 has history (100 events, 999 cents); key 2 is brand new;
+    // key 3 exists only in the snapshot and must stay silent
+    val init = Seq((1L, TwsAgg(100L, 999L)), (3L, TwsAgg(7L, 70L)))
+      .toDS().groupByKey(_._1).mapValues(_._2)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = spark.readStream.schema(sch).parquet(in).as[TwsEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new WarmStartProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append(), init)
+        .writeStream.format("parquet")
+        .option("path", s"$out/t").option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val rows = spark.read.parquet(s"$out/t").as[TwsTotal].collect().sortBy(_.user_id)
+      assert(rows.map(r => (r.user_id, r.cum_n, r.sum_cents)).toSeq ==
+        Seq((1L, 101L, 1009L), (2L, 1L, 5L)), s"got: ${rows.mkString(", ")}")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("SessionTimerProcessor: a later batch extends the open session (timer replaced), " +
+       "close fires only when the watermark passes the gap") {
+    import graft.streaming.{SessionOut, SessionTimerProcessor, TsEvent}
+    val in = tmp("graft_inS"); val ckpt = tmp("graft_ckptS"); val out = tmp("graft_twsS")
+    val sch = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", TimestampType), StructField("ms", LongType)))
+    def stage(rows: Seq[(Long, String)], part: String): Unit = {
+      val staging = tmp("graft_stageS")
+      rows.toDF("user_id", "ts_s")
+        .withColumn("ts", to_timestamp($"ts_s"))
+        .select($"user_id", $"ts", unix_millis($"ts").as("ms"))
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      new java.io.File(staging).listFiles().filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          Files.move(f.toPath, java.nio.file.Paths.get(in, s"${part}_$i.parquet")); ()
+        }
+    }
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(): Unit = {
+        val q = spark.readStream.schema(sch).parquet(in)
+          .withWatermark("ts", "1 minute")
+          .as[TsEvent].groupByKey(_.user_id)
+          .transformWithState(new SessionTimerProcessor(1800000L),
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .writeStream.format("parquet")
+          .option("path", s"$out/t").option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      // b1: two sessions for user 1 — the first closes inline (65 min gap),
+      // the second stays open with a timer
+      stage(Seq((1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 10:10:00"),
+        (1L, "2024-01-01 11:15:00")), "b1")
+      run()
+      // b2: 20 min after the open tail — must EXTEND it (old timer deleted),
+      // not open a new session
+      stage(Seq((1L, "2024-01-01 11:35:00")), "b2")
+      run()
+      // b3: sentinel far ahead fires the (single) replaced timer
+      stage(Seq((-1L, "2024-01-05 00:00:00")), "b3")
+      run()
+      val rows = spark.read.parquet(s"$out/t").filter($"user_id" >= 0)
+        .as[SessionOut].collect().sortBy(_.start_ms)
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+      val t2 = java.sql.Timestamp.valueOf("2024-01-01 11:15:00").getTime
+      assert(rows.map(r => (r.user_id, r.start_ms, r.n)).toSeq ==
+        Seq((1L, t0, 2L), (1L, t2, 2L)), s"got: ${rows.mkString(", ")}")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream interval join attributes right events within the lag window") {
     val pin = tmp("graft_inP"); val vin = tmp("graft_inV"); val ckpt = tmp("graft_ckptIJ")
     // purchases: u1@12:00, u2@12:00. views: u1@11:10 (inside 1h), u1@10:30
