@@ -42,6 +42,8 @@ object Bench {
       "st12_stream_session_window", "st13_stream_static_enrich",
       "st14_stream_stream_left_outer", "st15_stream_dedup_within_watermark",
       "st16_stream_jdbc_upsert", "st17_stream_merge_upsert",
+      "st18_transform_with_state", "st19_tws_initial_state",
+      "st20_tws_event_time_timers",
       // fixed-point multi-job loop — scheduler-bound like pagerank
       "graph_label_propagation")
     // A query that throws is EXCLUDED from total/n_queries — its wall time

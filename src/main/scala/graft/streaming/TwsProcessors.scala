@@ -140,6 +140,31 @@ class SessionTimerProcessor(gapMs: Long)
   }
 }
 
+/** Per-key arrival counter whose ValueState carries a real TTL —
+  * the "dormant keys age out" half of the v2 API's 100 TB state
+  * story (COVERAGE "arbitrary state v2" rows). TTL is processing-time
+  * based (the API's contract, hence TimeMode.ProcessingTime in the
+  * test harness), so only the EXPIRED direction is deterministic:
+  * a restart after sleeping well past the TTL must see the state
+  * gone and restart the count — which is exactly what the test pins. */
+class TtlCountProcessor(ttl: java.time.Duration)
+    extends StatefulProcessor[Long, TwsEvent, TwsTotal] {
+  @transient private var n: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    n = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig(ttl))
+
+  override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
+                               timerValues: TimerValues): Iterator[TwsTotal] = {
+    val prev = if (n.exists()) n.get() else 0L
+    var add = 0L
+    var cents = 0L
+    rows.foreach { e => add += 1; cents += e.cents }
+    n.update(prev + add)
+    Iterator.single(TwsTotal(key, prev + add, cents))
+  }
+}
+
 class UserProfileProcessor extends StatefulProcessor[Long, TwsEvent, TwsOut] {
   @transient private var agg: ValueState[TwsAgg] = _
   @transient private var types: MapState[String, Long] = _

@@ -416,6 +416,59 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("TtlCountProcessor: dormant state ages out — a restart past the TTL restarts the count") {
+    import graft.streaming.{TwsEvent, TwsTotal, TtlCountProcessor}
+    val in = tmp("graft_inT2"); val ckpt = tmp("graft_ckptT2"); val out = tmp("graft_twsT2")
+    val sch = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("cents", LongType)))
+    def stage(part: String): Unit = {
+      val staging = tmp("graft_stageT2")
+      Seq((1L, "a", 1L)).toDF("user_id", "event_type", "cents")
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      new java.io.File(staging).listFiles().filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          Files.move(f.toPath, java.nio.file.Paths.get(in, s"${part}_$i.parquet")); ()
+        }
+    }
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // NOT AvailableNow, and no processAllAvailable: processing-time
+      // TTL keeps the stream scheduling no-data eviction batches, so
+      // neither termination check settles. Poll the sink for the
+      // expected row count, then stop explicitly.
+      def run(expectRows: Long): Unit = {
+        val q = spark.readStream.schema(sch).parquet(in).as[TwsEvent]
+          .groupByKey(_.user_id)
+          .transformWithState(new TtlCountProcessor(java.time.Duration.ofMillis(50)),
+            org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .writeStream.format("parquet")
+          .option("path", s"$out/t").option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .start()
+        val deadline = System.currentTimeMillis() + 90000
+        def sunk(): Long =
+          try spark.read.parquet(s"$out/t").count() catch { case _: Exception => 0L }
+        while (System.currentTimeMillis() < deadline && sunk() < expectRows)
+          Thread.sleep(250)
+        q.stop(); q.awaitTermination()
+        assert(sunk() >= expectRows, s"sink never reached $expectRows rows")
+      }
+      stage("b1"); run(1L)
+      Thread.sleep(2000) // well past the 50 ms TTL
+      stage("b2"); run(2L)
+      val ns = spark.read.parquet(s"$out/t").as[TwsTotal].collect()
+        .map(_.cum_n).sorted.toSeq
+      // without TTL this would be Seq(1, 2); expiry resets the count
+      assert(ns == Seq(1L, 1L), s"state must have expired between runs: $ns")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream interval join attributes right events within the lag window") {
     val pin = tmp("graft_inP"); val vin = tmp("graft_inV"); val ckpt = tmp("graft_ckptIJ")
     // purchases: u1@12:00, u2@12:00. views: u1@11:10 (inside 1h), u1@10:30
