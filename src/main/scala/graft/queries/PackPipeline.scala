@@ -2169,6 +2169,131 @@ object PackPipeline {
       }
       s.read.parquet(out).filter(col("user_id") >= 0)
         .orderBy(col("user_id"), col("start_ms"))
+    },
+
+    // ST21 (live) — offline inspection of a transformWithState
+    // checkpoint through the State Data Source's NAMED-VARIABLE
+    // surface (`stateVarName`): st11 reads a streaming AGGREGATION's
+    // store; this reads the v2 API's typed state variables — the
+    // ValueState totals AND the MapState per-type counts — back as
+    // tables after two checkpointed drains. The declared result is
+    // assembled ENTIRELY from the store (nothing from the sink):
+    // per user, the ValueState (n, cents), the map's key count, and
+    // the sum of the map's counter values — which must all agree with
+    // the batch aggregate the oracle states. This is the operability
+    // surface a production deployment leans on (is state leaking?
+    // what does the store hold for user X?) and it doubles as the
+    // strongest restart-recovery proof: the store's content after two
+    // separate runs is the semantic whole-slice state.
+    QDef("st21_state_reader_tws",
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  CAST(count(*) AS BIGINT) AS n_from_map
+        |FROM events WHERE event_id % 23 = 0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.streaming.{TwsEvent, UserProfileProcessor}
+      val run = PackCore.streamRun.incrementAndGet()
+      val in = java.nio.file.Files.createTempDirectory(s"graft_st21_in$run").toString
+      val out = java.nio.file.Files.createTempDirectory(s"graft_st21_out$run").toString + "/t"
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_st21_ck$run").toString
+      val base = Tables.events(s, d).filter(col("event_id") % 23 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(coalesce(col("value"), lit(0.0)) * 100).cast("long").as("cents"))
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cents",
+          org.apache.spark.sql.types.LongType)))
+      def drain(): Unit = {
+        val q = s.readStream.schema(sch).parquet(in)
+          .as[TwsEvent]
+          .groupByKey(_.user_id)
+          .transformWithState(new UserProfileProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .toDF()
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = scala.util.Try(s.conf.get(provKey)).toOption
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try PackCore.withStreamPartitions(s, 8) {
+        PackCore.stageArrival(in,
+          base.filter(col("event_id") % 2 === 0).drop("event_id"), "b1")
+        drain()
+        PackCore.stageArrival(in,
+          base.filter(col("event_id") % 2 === 1).drop("event_id"), "b2")
+        drain()
+      } finally prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None    => s.conf.unset(provKey)
+      }
+      val agg = s.read.format("statestore").option("path", ckpt)
+        .option("stateVarName", "agg").load()
+        .select(col("key.value").as("user_id"), col("value.n").as("n"),
+          col("value.cents").as("sum_cents"))
+      val types = s.read.format("statestore").option("path", ckpt)
+        .option("stateVarName", "types").load()
+        .groupBy(col("key.value").as("user_id"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("user_map_value.value")).as("n_from_map"))
+      agg.join(types, Seq("user_id")).orderBy(col("user_id"))
+    },
+
+    // S13 — native XML ROUNDTRIP (the XML datasource Spark 4 absorbed
+    // from spark-xml): the one self-describing text format the source
+    // family (CSV/JSON/XLSX/Avro/ORC/parquet/JDBC/PDF) hadn't covered,
+    // and the interchange format the reference's upstream ERP-style
+    // feeds actually ship. Write side emits one <nation> record
+    // element per row (writer handles XML escaping); read side parses
+    // with an EXPLICIT schema — at 100 TB inference is a full pre-scan,
+    // so production always pins the schema. The oracle is the plain
+    // source selection: the format must be invisible in the data.
+    // Values are trimmed on both sides — the reader's
+    // ignoreSurroundingSpaces default eats leading/trailing whitespace,
+    // a real XML-interchange caveat the trim states honestly.
+    QDef("s13_scan_xml",
+      """SELECT c_custkey, trim(c_name) AS name, c_nationkey,
+        |  CAST(round(coalesce(c_acctbal, 0) * 100) AS BIGINT) AS cents,
+        |  trim(c_mktsegment) AS mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val loc = s"${sys.props("java.io.tmpdir")}/graft_${new java.io.File(d).getName}/s13_xml"
+      graft.io.Warehouse.deleteRecursively(s, loc)
+      // money quantized to integer cents BEFORE the write: integers
+      // roundtrip XML text exactly; raw doubles would ride a
+      // format-then-parse cycle with no cross-engine guarantee
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          round(coalesce(col("c_acctbal"), lit(0.0)) * 100).cast("long").as("cents"),
+          col("c_mktsegment"))
+        .write.format("xml").option("rowTag", "customer").option("rootTag", "customers")
+        .mode("overwrite").save(loc)
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("c_custkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c_name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("c_nationkey",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cents",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c_mktsegment",
+          org.apache.spark.sql.types.StringType)))
+      s.read.format("xml").option("rowTag", "customer").schema(sch).load(loc)
+        .select(col("c_custkey"), trim(col("c_name")).as("name"),
+          col("c_nationkey"), col("cents"),
+          trim(col("c_mktsegment")).as("mktsegment"))
+        .orderBy(col("c_custkey"))
     }
   )
 }

@@ -305,4 +305,19 @@ class SourceSpec extends AnyFunSuite {
     assert(AvroIo.read(spark, dir,
       Seq((1L, "s")).toDF("k", "v").schema).count() == 1000)
   }
+
+  test("XML roundtrip escapes markup-significant characters (s13's seam the fixture can't hit)") {
+    // the customer fixture has no <,&,>,',\" in any string — this pins the
+    // writer-escape/reader-unescape cycle s13_scan_xml relies on
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml_esc").toString + "/t"
+    val rows = Seq((1L, """a<b&c>d"e'f"""), (2L, "line1\nline2"), (3L, "]]>&amp;&lt;"))
+    rows.toDF("id", "s").write.format("xml")
+      .option("rowTag", "rec").mode("overwrite").save(dir)
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType)))
+    val back = spark.read.format("xml").option("rowTag", "rec").schema(sch).load(dir)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(back == rows, s"got: $back")
+  }
 }
