@@ -405,32 +405,26 @@ object PackCore {
         .select($"event_id", $"user_id", $"value")
       val sch = StructType(Seq(StructField("event_id", LongType),
         StructField("user_id", LongType), StructField("value", DoubleType)))
-      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
-        def drain(): Unit = {
-          val ds = graft.streaming.StreamingOps.fileSource(s, in, sch)
-            .as(org.apache.spark.sql.Encoders.product[graft.streaming.StreamingOps.EventRow])
-          graft.streaming.StreamingOps.runningTotalsV2(ds)
-            .writeStream.outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .foreachBatch {
-              (b: org.apache.spark.sql.Dataset[graft.streaming.StreamingOps.UserTotal],
-               _: Long) => b.write.mode("append").parquet(out); ()
-            }
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start().awaitTermination()
-        }
+      def drain(): Unit = {
+        val ds = graft.streaming.StreamingOps.fileSource(s, in, sch)
+          .as(org.apache.spark.sql.Encoders.product[graft.streaming.StreamingOps.EventRow])
+        graft.streaming.StreamingOps.runningTotalsV2(ds)
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[graft.streaming.StreamingOps.UserTotal],
+             _: Long) => b.write.mode("append").parquet(out); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      withRocksDb(s) {
         withStreamPartitions(s, 8) {
           stageArrival(in, base.filter($"event_id" % 2 === 0), "b1")
           drain()
           stageArrival(in, base.filter($"event_id" % 2 =!= 0), "b2")
           drain() // resumes the ValueState from the checkpoint
         }
-      } finally prev match {
-        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
       // n is monotone per user, so the latest update is max(n)
       s.read.parquet(out).groupBy($"user_id")
@@ -1180,6 +1174,20 @@ object PackCore {
     val prev = s.conf.get(key)
     s.conf.set(key, n.toString)
     try body finally s.conf.set(key, prev)
+  }
+
+  /** transformWithState requires the RocksDB state store provider; scope
+    * it to the body and restore (or unset) the previous value — one
+    * helper instead of the save/set/try/finally block per query. */
+  private[queries] def withRocksDb[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = scala.util.Try(s.conf.get(key)).toOption
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
   }
 
   /** Streaming reader for the events table that works on BOTH fixture

@@ -18,6 +18,52 @@ import graft.schemas.Tables
   * divisions of exact integers, identical across engines). */
 object PackPipeline {
 
+  /** Shared (user_id, event_type, cents) arrival schema for the
+    * transformWithState queries (st18/st19/st21). */
+  private val twsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("event_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("cents",
+      org.apache.spark.sql.types.LongType)))
+
+  /** st18/st21 shared streaming drive: stage `base` (event_id, user_id,
+    * event_type, cents) as two arrivals split by event_id parity and
+    * drain each through one checkpointed UserProfileProcessor run —
+    * two query RESTARTS over the same checkpoint, so the second drain
+    * proves RocksDB state recovery. */
+  private def userProfileDrive(s: SparkSession, base: org.apache.spark.sql.DataFrame,
+                               in: String, out: String, ckpt: String): Unit = {
+    import s.implicits._
+    import graft.streaming.{TwsEvent, UserProfileProcessor}
+    def drain(): Unit = {
+      val q = s.readStream.schema(twsSchema).parquet(in)
+        .as[TwsEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new UserProfileProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    PackCore.withRocksDb(s) {
+      PackCore.withStreamPartitions(s, 8) {
+        PackCore.stageArrival(in,
+          base.filter(col("event_id") % 2 === 0).drop("event_id"), "b1")
+        drain()
+        PackCore.stageArrival(in,
+          base.filter(col("event_id") % 2 =!= 0).drop("event_id"), "b2")
+        drain() // restart from the same checkpoint: state must reload
+      }
+    }
+  }
+
   /** DuckDB-side sequential-double dot/cos matching Similarity.dot. */
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, length($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc,x) -> acc + x)"
@@ -1942,8 +1988,9 @@ object PackPipeline {
     // composition — the API's actual selling point over v1
     // mapGroupsWithState, which forces all per-key state into one
     // opaque blob rewritten wholesale per batch. Per-user profile in
-    // two NAMED state variables (ValueState running totals + MapState
-    // per-type counts — see graft.streaming.UserProfileProcessor); two
+    // three NAMED state variables (ValueState running totals + MapState
+    // per-type counts + an O(1) distinct-type counter — see
+    // graft.streaming.UserProfileProcessor); two
     // separate micro-batches drain through the SAME checkpoint as two
     // query RESTARTS, so the second batch's emitted cumulative proves
     // RocksDB state recovery, not just within-run accumulation. Money
@@ -1969,8 +2016,6 @@ object PackPipeline {
         |       GROUP BY user_id)
         |SELECT * FROM a1 UNION ALL SELECT * FROM a2
         |ORDER BY user_id, cum_n""".stripMargin) { (s, d) =>
-      import s.implicits._
-      import graft.streaming.{TwsEvent, UserProfileProcessor}
       val run = PackCore.streamRun.incrementAndGet()
       val in = java.nio.file.Files.createTempDirectory(s"graft_st18_in$run").toString
       val out = java.nio.file.Files.createTempDirectory(s"graft_st18_out$run").toString + "/t"
@@ -1978,43 +2023,7 @@ object PackPipeline {
       val base = Tables.events(s, d).filter(col("event_id") % 9 === 0)
         .select(col("event_id"), col("user_id"), col("event_type"),
           round(coalesce(col("value"), lit(0.0)) * 100).cast("long").as("cents"))
-      val sch = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("user_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("event_type",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("cents",
-          org.apache.spark.sql.types.LongType)))
-      def drain(): Unit = {
-        val q = s.readStream.schema(sch).parquet(in)
-          .as[TwsEvent]
-          .groupByKey(_.user_id)
-          .transformWithState(new UserProfileProcessor,
-            org.apache.spark.sql.streaming.TimeMode.None(),
-            org.apache.spark.sql.streaming.OutputMode.Append())
-          .toDF()
-          .writeStream.format("parquet")
-          .option("path", out).option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      val provKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevProv = scala.util.Try(s.conf.get(provKey)).toOption
-      s.conf.set(provKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try PackCore.withStreamPartitions(s, 8) {
-        PackCore.stageArrival(in,
-          base.filter(col("event_id") % 2 === 0).drop("event_id"), "b1")
-        drain()
-        PackCore.stageArrival(in,
-          base.filter(col("event_id") % 2 === 1).drop("event_id"), "b2")
-        drain() // restart from the same checkpoint: state must reload
-      } finally prevProv match {
-        case Some(v) => s.conf.set(provKey, v)
-        case None    => s.conf.unset(provKey)
-      }
+      userProfileDrive(s, base, in, out, ckpt)
       s.read.parquet(out).orderBy(col("user_id"), col("cum_n"))
     },
 
@@ -2056,37 +2065,25 @@ object PackPipeline {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
         .as[(Long, Long, Long)]
         .groupByKey(_._1).mapValues(t => TwsAgg(t._2, t._3))
-      val sch = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("user_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("event_type",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("cents",
-          org.apache.spark.sql.types.LongType)))
-      val provKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevProv = scala.util.Try(s.conf.get(provKey)).toOption
-      s.conf.set(provKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try PackCore.withStreamPartitions(s, 8) {
-        PackCore.stageArrival(in,
-          base.filter(col("event_id") % 3 =!= 0).drop("event_id"), "b1")
-        val q = s.readStream.schema(sch).parquet(in)
-          .as[TwsEvent]
-          .groupByKey(_.user_id)
-          .transformWithState(new WarmStartProcessor,
-            org.apache.spark.sql.streaming.TimeMode.None(),
-            org.apache.spark.sql.streaming.OutputMode.Append(),
-            snapshot)
-          .toDF()
-          .writeStream.format("parquet")
-          .option("path", out).option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally prevProv match {
-        case Some(v) => s.conf.set(provKey, v)
-        case None    => s.conf.unset(provKey)
+      PackCore.withRocksDb(s) {
+        PackCore.withStreamPartitions(s, 8) {
+          PackCore.stageArrival(in,
+            base.filter(col("event_id") % 3 =!= 0).drop("event_id"), "b1")
+          val q = s.readStream.schema(twsSchema).parquet(in)
+            .as[TwsEvent]
+            .groupByKey(_.user_id)
+            .transformWithState(new WarmStartProcessor,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              org.apache.spark.sql.streaming.OutputMode.Append(),
+              snapshot)
+            .toDF()
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
       }
       s.read.parquet(out).orderBy(col("user_id"))
     },
@@ -2127,7 +2124,11 @@ object PackPipeline {
       val ckpt = java.nio.file.Files.createTempDirectory(s"graft_st20_ck$run").toString
       val base = Tables.events(s, d).filter(col("event_id") % 17 === 0)
         .select(col("user_id"), col("ts"), unix_millis(col("ts")).as("ms"))
+      // empty-slice guard: max(ts) is NULL on an empty base, and a NULL
+      // ms cannot decode into TsEvent's primitive Long — drop the
+      // sentinel row instead (nothing to flush anyway)
       val sentinel = base.agg(max(col("ts")).as("mx"))
+        .filter(col("mx").isNotNull)
         .select(lit(-1L).as("user_id"),
           (col("mx") + expr("INTERVAL 240 HOURS")).as("ts"))
         .select(col("user_id"), col("ts"), unix_millis(col("ts")).as("ms"))
@@ -2154,18 +2155,13 @@ object PackPipeline {
           .start()
         q.awaitTermination()
       }
-      val provKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevProv = scala.util.Try(s.conf.get(provKey)).toOption
-      s.conf.set(provKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try PackCore.withStreamPartitions(s, 8) {
-        PackCore.stageArrival(in, base, "b1")
-        drain()
-        PackCore.stageArrival(in, sentinel, "b2")
-        drain() // sentinel watermark fires every real key's timer
-      } finally prevProv match {
-        case Some(v) => s.conf.set(provKey, v)
-        case None    => s.conf.unset(provKey)
+      PackCore.withRocksDb(s) {
+        PackCore.withStreamPartitions(s, 8) {
+          PackCore.stageArrival(in, base, "b1")
+          drain()
+          PackCore.stageArrival(in, sentinel, "b2")
+          drain() // sentinel watermark fires every real key's timer
+        }
       }
       s.read.parquet(out).filter(col("user_id") >= 0)
         .orderBy(col("user_id"), col("start_ms"))
@@ -2192,8 +2188,6 @@ object PackPipeline {
         |  CAST(count(*) AS BIGINT) AS n_from_map
         |FROM events WHERE event_id % 23 = 0
         |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
-      import s.implicits._
-      import graft.streaming.{TwsEvent, UserProfileProcessor}
       val run = PackCore.streamRun.incrementAndGet()
       val in = java.nio.file.Files.createTempDirectory(s"graft_st21_in$run").toString
       val out = java.nio.file.Files.createTempDirectory(s"graft_st21_out$run").toString + "/t"
@@ -2201,43 +2195,7 @@ object PackPipeline {
       val base = Tables.events(s, d).filter(col("event_id") % 23 === 0)
         .select(col("event_id"), col("user_id"), col("event_type"),
           round(coalesce(col("value"), lit(0.0)) * 100).cast("long").as("cents"))
-      val sch = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("user_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("event_type",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("cents",
-          org.apache.spark.sql.types.LongType)))
-      def drain(): Unit = {
-        val q = s.readStream.schema(sch).parquet(in)
-          .as[TwsEvent]
-          .groupByKey(_.user_id)
-          .transformWithState(new UserProfileProcessor,
-            org.apache.spark.sql.streaming.TimeMode.None(),
-            org.apache.spark.sql.streaming.OutputMode.Append())
-          .toDF()
-          .writeStream.format("parquet")
-          .option("path", out).option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      val provKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevProv = scala.util.Try(s.conf.get(provKey)).toOption
-      s.conf.set(provKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try PackCore.withStreamPartitions(s, 8) {
-        PackCore.stageArrival(in,
-          base.filter(col("event_id") % 2 === 0).drop("event_id"), "b1")
-        drain()
-        PackCore.stageArrival(in,
-          base.filter(col("event_id") % 2 === 1).drop("event_id"), "b2")
-        drain()
-      } finally prevProv match {
-        case Some(v) => s.conf.set(provKey, v)
-        case None    => s.conf.unset(provKey)
-      }
+      userProfileDrive(s, base, in, out, ckpt)
       val agg = s.read.format("statestore").option("path", ckpt)
         .option("stateVarName", "agg").load()
         .select(col("key.value").as("user_id"), col("value.n").as("n"),

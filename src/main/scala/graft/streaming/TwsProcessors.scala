@@ -16,19 +16,21 @@ case class TwsAgg(n: Long, cents: Long)
   * AFTER folding that batch's arrivals into state. */
 case class TwsOut(user_id: Long, cum_n: Long, n_types: Long, sum_cents: Long)
 
-/** ST18 — per-user cumulative profile on the Spark 4 arbitrary-state
-  * API v2 (`transformWithState`, SPARK-40434): the successor to
-  * `mapGroupsWithState` that the pack's st3/st12 family uses, with
-  * NAMED, independently-typed state primitives instead of one opaque
-  * state object.
+/** ST18/ST21 — per-user cumulative profile on the Spark 4
+  * arbitrary-state API v2 (`transformWithState`, SPARK-40434): the
+  * successor to `mapGroupsWithState` that the pack's st3/st12 family
+  * uses, with NAMED, independently-typed state primitives instead of
+  * one opaque state object.
   *
-  * Two state variables per user:
+  * Three state variables per user:
   *  - `agg: ValueState[TwsAgg]` — running (count, cents-sum);
-  *  - `types: MapState[String, Long]` — per-event-type counts, whose
-  *    key-set size is the running distinct-type count. A MapState
-  *    update touches ONE map entry in RocksDB; the
+  *  - `types: MapState[String, Long]` — per-event-type counts. A
+  *    MapState update touches ONE map entry in RocksDB; the
   *    `mapGroupsWithState` equivalent rewrites the whole state object
   *    per batch — the API's point at 100 TB state volumes.
+  *  - `ntypes: ValueState[Long]` — the map's key count, maintained on
+  *    first-insert (the containsKey probe each row already pays), so
+  *    emission is O(1) instead of an O(distinct types) map walk.
   *
   * All updates commute (adds of Longs, per-type increments), so the
   * emitted cumulative is independent of row order within a batch —
@@ -37,6 +39,44 @@ case class TwsOut(user_id: Long, cum_n: Long, n_types: Long, sum_cents: Long)
   * semantics (load gate state, load_data/lambda_function.py:40-73)
   * generalized to multi-metric state.
   */
+class UserProfileProcessor extends StatefulProcessor[Long, TwsEvent, TwsOut] {
+  @transient private var agg: ValueState[TwsAgg] = _
+  @transient private var types: MapState[String, Long] = _
+  @transient private var ntypes: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    agg = getHandle.getValueState[TwsAgg](
+      "agg", Encoders.product[TwsAgg], TTLConfig.NONE)
+    types = getHandle.getMapState[String, Long](
+      "types", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    ntypes = getHandle.getValueState[Long](
+      "ntypes", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
+                               timerValues: TimerValues): Iterator[TwsOut] = {
+    var n = 0L
+    var cents = 0L
+    var newTypes = 0L
+    rows.foreach { e =>
+      n += 1
+      cents += e.cents
+      if (types.containsKey(e.event_type))
+        types.updateValue(e.event_type, types.getValue(e.event_type) + 1L)
+      else {
+        newTypes += 1
+        types.updateValue(e.event_type, 1L)
+      }
+    }
+    val prev = if (agg.exists()) agg.get() else TwsAgg(0L, 0L)
+    val cur = TwsAgg(prev.n + n, prev.cents + cents)
+    agg.update(cur)
+    val nt = (if (ntypes.exists()) ntypes.get() else 0L) + newTypes
+    if (newTypes > 0) ntypes.update(nt)
+    Iterator.single(TwsOut(key, cur.n, nt, cur.cents))
+  }
+}
+
 /** Output of [[WarmStartProcessor]]: totals only (the snapshot the
   * state is seeded from carries no per-type breakdown). */
 case class TwsTotal(user_id: Long, cum_n: Long, sum_cents: Long)
@@ -89,17 +129,25 @@ case class SessionOut(user_id: Long, start_ms: Long, n: Long)
 
 /** ST20 — EVENT-TIME TIMERS on the v2 API (`TimeMode.EventTime` +
   * `registerTimer`/`handleExpiredTimer`): inactivity-gap
-  * sessionization where the CLOSE is timer-driven. Within a batch,
-  * a key's arrivals are sorted and split on the gap; every session
-  * but the last is closed inline, and the still-open tail registers
-  * a timer at `last_ms + gap`. When the watermark passes it, Spark
-  * calls `handleExpiredTimer`, which emits the session and clears
-  * state — the pattern session_window (st12) implements internally,
-  * here exposed so the emission schedule is programmable (timeout
-  * actions, escalations, TTL'd abandonment events). State per key is
+  * sessionization where the CLOSE is timer-driven. Each batch, a
+  * key's arrivals are sessionized (sort, split on the gap) and the
+  * surviving open session from state is INTERVAL-MERGED into the
+  * result — an in-watermark straggler older than the open tail lands
+  * in its own (or a bridged) session instead of corrupting the tail's
+  * start. Every session but the newest closes inline; the newest
+  * stays open and registers a timer at `last_ms + gap`. When the
+  * watermark passes it, `handleExpiredTimer` emits the session and
+  * clears state — the pattern session_window (st12) implements
+  * internally, here exposed so the emission schedule is programmable
+  * (timeout actions, escalations, abandonment events).
+  *
+  * Disorder contract: a session is FINAL once a newer session closes
+  * ahead of it in the same key (inline emission — the price of
+  * emitting eagerly rather than only at the watermark, the same
+  * trade dropDuplicatesWithinWatermark makes). Stragglers never
+  * corrupt state; they emit as their own sessions. State per key is
   * ONE open session + ONE timer — watermark-bounded, never history.
-  * Exactly one timer per key is maintained: a new arrival deletes the
-  * old timer before registering the extended one. */
+  * Exactly one timer per key: arrivals delete-then-re-register. */
 class SessionTimerProcessor(gapMs: Long)
     extends StatefulProcessor[Long, TsEvent, SessionOut] {
   @transient private var open: ValueState[SessionAcc] = _
@@ -113,20 +161,35 @@ class SessionTimerProcessor(gapMs: Long)
     val ms = rows.map(_.ms).toArray
     if (ms.isEmpty) return Iterator.empty
     java.util.Arrays.sort(ms)
-    val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-    var cur = if (open.exists()) {
-      getHandle.listTimers().foreach(getHandle.deleteTimer)
-      open.get()
-    } else SessionAcc(ms(0), ms(0) - gapMs, 0L) // seeded so row 0 merges
+    // sessionize this batch's arrivals
+    val sess = scala.collection.mutable.ArrayBuffer.empty[SessionAcc]
     ms.foreach { t =>
-      if (t - cur.last_ms >= gapMs) {
-        if (cur.n > 0) closed += SessionOut(key, cur.start_ms, cur.n)
-        cur = SessionAcc(t, t, 1L)
-      } else cur = SessionAcc(cur.start_ms, math.max(cur.last_ms, t), cur.n + 1L)
+      if (sess.nonEmpty && t - sess.last.last_ms < gapMs)
+        sess(sess.length - 1) = SessionAcc(sess.last.start_ms, t, sess.last.n + 1L)
+      else sess += SessionAcc(t, t, 1L)
     }
-    open.update(cur)
-    getHandle.registerTimer(cur.last_ms + gapMs)
-    closed.iterator
+    // interval-merge the surviving open session: insert by start order,
+    // then one linear pass re-merging neighbors (the insertion can
+    // bridge two batch sessions that each sit within the gap of it)
+    if (open.exists()) {
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      val o = open.get()
+      val idx = sess.indexWhere(_.start_ms > o.start_ms)
+      sess.insert(if (idx < 0) sess.length else idx, o)
+      var i = 0
+      while (i + 1 < sess.length) {
+        val a = sess(i)
+        val b = sess(i + 1)
+        if (b.start_ms - a.last_ms < gapMs) {
+          sess(i) = SessionAcc(a.start_ms, math.max(a.last_ms, b.last_ms), a.n + b.n)
+          sess.remove(i + 1); ()
+        } else i += 1
+      }
+    }
+    val tail = sess.last
+    open.update(tail)
+    getHandle.registerTimer(tail.last_ms + gapMs)
+    sess.iterator.take(sess.length - 1).map(x => SessionOut(key, x.start_ms, x.n))
   }
 
   override def handleExpiredTimer(key: Long, timerValues: TimerValues,
@@ -140,6 +203,10 @@ class SessionTimerProcessor(gapMs: Long)
   }
 }
 
+/** Emission of [[TtlCountProcessor]]: the running count alone — the
+  * only metric its TTL'd state holds. */
+case class TtlCount(user_id: Long, cum_n: Long)
+
 /** Per-key arrival counter whose ValueState carries a real TTL —
   * the "dormant keys age out" half of the v2 API's 100 TB state
   * story (COVERAGE "arbitrary state v2" rows). TTL is processing-time
@@ -148,47 +215,16 @@ class SessionTimerProcessor(gapMs: Long)
   * a restart after sleeping well past the TTL must see the state
   * gone and restart the count — which is exactly what the test pins. */
 class TtlCountProcessor(ttl: java.time.Duration)
-    extends StatefulProcessor[Long, TwsEvent, TwsTotal] {
+    extends StatefulProcessor[Long, TwsEvent, TtlCount] {
   @transient private var n: ValueState[Long] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     n = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig(ttl))
 
   override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
-                               timerValues: TimerValues): Iterator[TwsTotal] = {
-    val prev = if (n.exists()) n.get() else 0L
-    var add = 0L
-    var cents = 0L
-    rows.foreach { e => add += 1; cents += e.cents }
-    n.update(prev + add)
-    Iterator.single(TwsTotal(key, prev + add, cents))
-  }
-}
-
-class UserProfileProcessor extends StatefulProcessor[Long, TwsEvent, TwsOut] {
-  @transient private var agg: ValueState[TwsAgg] = _
-  @transient private var types: MapState[String, Long] = _
-
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-    agg = getHandle.getValueState[TwsAgg](
-      "agg", Encoders.product[TwsAgg], TTLConfig.NONE)
-    types = getHandle.getMapState[String, Long](
-      "types", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
-  }
-
-  override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
-                               timerValues: TimerValues): Iterator[TwsOut] = {
-    var n = 0L
-    var cents = 0L
-    rows.foreach { e =>
-      n += 1
-      cents += e.cents
-      val seen = if (types.containsKey(e.event_type)) types.getValue(e.event_type) else 0L
-      types.updateValue(e.event_type, seen + 1L)
-    }
-    val prev = if (agg.exists()) agg.get() else TwsAgg(0L, 0L)
-    val cur = TwsAgg(prev.n + n, prev.cents + cents)
-    agg.update(cur)
-    Iterator.single(TwsOut(key, cur.n, types.keys().size.toLong, cur.cents))
+                               timerValues: TimerValues): Iterator[TtlCount] = {
+    val cur = (if (n.exists()) n.get() else 0L) + rows.size
+    n.update(cur)
+    Iterator.single(TtlCount(key, cur))
   }
 }

@@ -18,18 +18,36 @@ class StreamingSpec extends AnyFunSuite {
 
   private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
 
-  /** Write one arrival batch as parquet files directly inside `dir` (the
-    * streaming file source lists only the top level). */
-  private def stageBatch(dir: String, rows: Seq[(Long, String, Long, Double)], part: String): Unit = {
+  /** Stage one arrival batch: any DataFrame written as parquet files
+    * directly inside `dir` (the streaming file source lists only the
+    * top level). */
+  private def stageDF(dir: String, df: org.apache.spark.sql.DataFrame, part: String): Unit = {
     val staging = tmp("graft_stage")
-    rows.toDF("event_id", "ts_s", "user_id", "value")
-      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
-      .select($"event_id", $"ts", $"user_id", $"value")
-      .coalesce(1).write.mode("overwrite").parquet(staging)
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
     new java.io.File(staging).listFiles().filter(_.getName.endsWith(".parquet"))
       .zipWithIndex.foreach { case (f, i) =>
-        Files.move(f.toPath, java.nio.file.Paths.get(dir, s"${part}_$i.parquet"))
+        Files.move(f.toPath, java.nio.file.Paths.get(dir, s"${part}_$i.parquet")); ()
       }
+  }
+
+  private def stageBatch(dir: String, rows: Seq[(Long, String, Long, Double)], part: String): Unit =
+    stageDF(dir,
+      rows.toDF("event_id", "ts_s", "user_id", "value")
+        .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+        .select($"event_id", $"ts", $"user_id", $"value"),
+      part)
+
+  /** transformWithState requires the RocksDB state store provider;
+    * scope it to the body and restore (or unset) the previous value. */
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("ST4/ST5: AvailableNow file-source pipeline drains staged files then stops; " +
@@ -217,10 +235,7 @@ class StreamingSpec extends AnyFunSuite {
     stageBatch(in, Seq((1L, "2024-01-01 10:00:00", 1L, 10.0),
       (1L, "2024-01-01 10:00:01", 1L, 10.0), // dup id
       (2L, "2024-01-01 10:00:02", 2L, 20.0)), "b1")
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDb {
       val deduped = StreamingOps.dedupStream(
         StreamingOps.fileSource(spark, in, schema), "ts", "1 hour", "event_id")
       val q = deduped.writeStream.format("memory").queryName("rocks_out")
@@ -229,18 +244,12 @@ class StreamingSpec extends AnyFunSuite {
       q.awaitTermination()
       val ids = spark.sql("SELECT event_id FROM rocks_out ORDER BY 1").as[Long].collect().toSeq
       assert(ids == Seq(1L, 2L), "dedup state must behave identically on RocksDB")
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
 
   test("transformWithState (arbitrary state v2) accumulates across micro-batches") {
     val in = tmp("graft_inT"); val ckpt = tmp("graft_ckptT")
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDb {
       val out = tmp("graft_twsout")
       // memory sink can't recover from a checkpoint → foreachBatch parquet
       def run(): Unit = {
@@ -265,32 +274,18 @@ class StreamingSpec extends AnyFunSuite {
       val last = spark.read.parquet(out).filter($"user_id" === 1L)
         .orderBy($"n".desc).select($"n", $"total").as[(Long, Double)].head()
       assert(last == ((3L, 17.5)), s"state must accumulate across runs: $last")
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  private val twsSchema = StructType(Seq(StructField("user_id", LongType),
+    StructField("event_type", StringType), StructField("cents", LongType)))
 
   test("UserProfileProcessor: MapState tracks distinct types, state survives restart") {
     import graft.streaming.{TwsEvent, TwsOut, UserProfileProcessor}
     val in = tmp("graft_inP"); val ckpt = tmp("graft_ckptP"); val out = tmp("graft_twsP")
-    val sch = StructType(Seq(StructField("user_id", LongType),
-      StructField("event_type", StringType), StructField("cents", LongType)))
-    def stage(rows: Seq[(Long, String, Long)], part: String): Unit = {
-      val staging = tmp("graft_stageP")
-      rows.toDF("user_id", "event_type", "cents")
-        .coalesce(1).write.mode("overwrite").parquet(staging)
-      new java.io.File(staging).listFiles().filter(_.getName.endsWith(".parquet"))
-        .zipWithIndex.foreach { case (f, i) =>
-          Files.move(f.toPath, java.nio.file.Paths.get(in, s"${part}_$i.parquet")); ()
-        }
-    }
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDb {
       def run(): Unit = {
-        val q = spark.readStream.schema(sch).parquet(in).as[TwsEvent]
+        val q = spark.readStream.schema(twsSchema).parquet(in).as[TwsEvent]
           .groupByKey(_.user_id)
           .transformWithState(new UserProfileProcessor,
             org.apache.spark.sql.streaming.TimeMode.None(),
@@ -302,44 +297,33 @@ class StreamingSpec extends AnyFunSuite {
         q.awaitTermination()
       }
       // batch 1: user 7 sees two types (one twice), user 8 one type
-      stage(Seq((7L, "a", 100L), (7L, "b", 50L), (7L, "a", 25L), (8L, "a", 10L)), "b1")
+      stageDF(in, Seq((7L, "a", 100L), (7L, "b", 50L), (7L, "a", 25L), (8L, "a", 10L))
+        .toDF("user_id", "event_type", "cents"), "b1")
       run()
       // batch 2 = a RESTART from the same checkpoint: a repeat type must
       // NOT bump n_types (MapState reloaded), totals must accumulate
-      stage(Seq((7L, "b", 5L), (7L, "c", 1L)), "b2")
+      stageDF(in, Seq((7L, "b", 5L), (7L, "c", 1L))
+        .toDF("user_id", "event_type", "cents"), "b2")
       run()
       val rows = spark.read.parquet(s"$out/t").as[TwsOut].collect()
         .sortBy(r => (r.user_id, r.cum_n))
       assert(rows.map(r => (r.user_id, r.cum_n, r.n_types, r.sum_cents)).toSeq ==
         Seq((7L, 3L, 2L, 175L), (7L, 5L, 3L, 181L), (8L, 1L, 1L, 10L)),
         s"got: ${rows.mkString(", ")}")
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
 
   test("WarmStartProcessor: initial state seeds per key, unseeded keys start from zero") {
     import graft.streaming.{TwsAgg, TwsEvent, TwsTotal, WarmStartProcessor}
     val in = tmp("graft_inW"); val ckpt = tmp("graft_ckptW"); val out = tmp("graft_twsW")
-    val sch = StructType(Seq(StructField("user_id", LongType),
-      StructField("event_type", StringType), StructField("cents", LongType)))
-    val staging = tmp("graft_stageW")
-    Seq((1L, "a", 10L), (2L, "a", 5L)).toDF("user_id", "event_type", "cents")
-      .coalesce(1).write.mode("overwrite").parquet(staging)
-    new java.io.File(staging).listFiles().filter(_.getName.endsWith(".parquet"))
-      .zipWithIndex.foreach { case (f, i) =>
-        Files.move(f.toPath, java.nio.file.Paths.get(in, s"b1_$i.parquet")); ()
-      }
+    stageDF(in, Seq((1L, "a", 10L), (2L, "a", 5L))
+      .toDF("user_id", "event_type", "cents"), "b1")
     // key 1 has history (100 events, 999 cents); key 2 is brand new;
     // key 3 exists only in the snapshot and must stay silent
     val init = Seq((1L, TwsAgg(100L, 999L)), (3L, TwsAgg(7L, 70L)))
       .toDS().groupByKey(_._1).mapValues(_._2)
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val q = spark.readStream.schema(sch).parquet(in).as[TwsEvent]
+    withRocksDb {
+      val q = spark.readStream.schema(twsSchema).parquet(in).as[TwsEvent]
         .groupByKey(_.user_id)
         .transformWithState(new WarmStartProcessor,
           org.apache.spark.sql.streaming.TimeMode.None(),
@@ -352,94 +336,97 @@ class StreamingSpec extends AnyFunSuite {
       val rows = spark.read.parquet(s"$out/t").as[TwsTotal].collect().sortBy(_.user_id)
       assert(rows.map(r => (r.user_id, r.cum_n, r.sum_cents)).toSeq ==
         Seq((1L, 101L, 1009L), (2L, 1L, 5L)), s"got: ${rows.mkString(", ")}")
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
+  }
+
+  private val sessSchema = StructType(Seq(StructField("user_id", LongType),
+    StructField("ts", TimestampType), StructField("ms", LongType)))
+
+  private def stageSessions(in: String, rows: Seq[(Long, String)], part: String): Unit =
+    stageDF(in,
+      rows.toDF("user_id", "ts_s")
+        .withColumn("ts", to_timestamp($"ts_s"))
+        .select($"user_id", $"ts", unix_millis($"ts").as("ms")),
+      part)
+
+  private def runSessionTimer(in: String, out: String, ckpt: String,
+                              delay: String = "1 minute"): Unit = {
+    import graft.streaming.{SessionTimerProcessor, TsEvent}
+    val q = spark.readStream.schema(sessSchema).parquet(in)
+      .withWatermark("ts", delay)
+      .as[TsEvent].groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(1800000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .writeStream.format("parquet")
+      .option("path", s"$out/t").option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
   }
 
   test("SessionTimerProcessor: a later batch extends the open session (timer replaced), " +
        "close fires only when the watermark passes the gap") {
-    import graft.streaming.{SessionOut, SessionTimerProcessor, TsEvent}
+    import graft.streaming.SessionOut
     val in = tmp("graft_inS"); val ckpt = tmp("graft_ckptS"); val out = tmp("graft_twsS")
-    val sch = StructType(Seq(StructField("user_id", LongType),
-      StructField("ts", TimestampType), StructField("ms", LongType)))
-    def stage(rows: Seq[(Long, String)], part: String): Unit = {
-      val staging = tmp("graft_stageS")
-      rows.toDF("user_id", "ts_s")
-        .withColumn("ts", to_timestamp($"ts_s"))
-        .select($"user_id", $"ts", unix_millis($"ts").as("ms"))
-        .coalesce(1).write.mode("overwrite").parquet(staging)
-      new java.io.File(staging).listFiles().filter(_.getName.endsWith(".parquet"))
-        .zipWithIndex.foreach { case (f, i) =>
-          Files.move(f.toPath, java.nio.file.Paths.get(in, s"${part}_$i.parquet")); ()
-        }
-    }
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      def run(): Unit = {
-        val q = spark.readStream.schema(sch).parquet(in)
-          .withWatermark("ts", "1 minute")
-          .as[TsEvent].groupByKey(_.user_id)
-          .transformWithState(new SessionTimerProcessor(1800000L),
-            org.apache.spark.sql.streaming.TimeMode.EventTime(),
-            org.apache.spark.sql.streaming.OutputMode.Append())
-          .writeStream.format("parquet")
-          .option("path", s"$out/t").option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
+    withRocksDb {
       // b1: two sessions for user 1 — the first closes inline (65 min gap),
       // the second stays open with a timer
-      stage(Seq((1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 10:10:00"),
+      stageSessions(in, Seq((1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 10:10:00"),
         (1L, "2024-01-01 11:15:00")), "b1")
-      run()
+      runSessionTimer(in, out, ckpt)
       // b2: 20 min after the open tail — must EXTEND it (old timer deleted),
       // not open a new session
-      stage(Seq((1L, "2024-01-01 11:35:00")), "b2")
-      run()
+      stageSessions(in, Seq((1L, "2024-01-01 11:35:00")), "b2")
+      runSessionTimer(in, out, ckpt)
       // b3: sentinel far ahead fires the (single) replaced timer
-      stage(Seq((-1L, "2024-01-05 00:00:00")), "b3")
-      run()
+      stageSessions(in, Seq((-1L, "2024-01-05 00:00:00")), "b3")
+      runSessionTimer(in, out, ckpt)
       val rows = spark.read.parquet(s"$out/t").filter($"user_id" >= 0)
         .as[SessionOut].collect().sortBy(_.start_ms)
       val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
       val t2 = java.sql.Timestamp.valueOf("2024-01-01 11:15:00").getTime
       assert(rows.map(r => (r.user_id, r.start_ms, r.n)).toSeq ==
         Seq((1L, t0, 2L), (1L, t2, 2L)), s"got: ${rows.mkString(", ")}")
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("SessionTimerProcessor: an in-watermark straggler older than the open tail " +
+       "becomes its own session instead of corrupting the tail's start") {
+    import graft.streaming.SessionOut
+    val in = tmp("graft_inS2"); val ckpt = tmp("graft_ckptS2"); val out = tmp("graft_twsS2")
+    withRocksDb {
+      // 6h watermark delay so the 09:00 straggler is IN-watermark (a
+      // below-watermark row never reaches the processor at all)
+      stageSessions(in, Seq((1L, "2024-01-01 12:00:00"), (1L, "2024-01-01 12:10:00")), "b1")
+      runSessionTimer(in, out, ckpt, delay = "6 hours")
+      // b2 delivers a straggler at 09:00 — hours older than the open tail.
+      // The pre-fix merge branch would have kept start=12:00 and bumped n;
+      // interval-merge closes it inline as its own (9:00, n=1) session.
+      stageSessions(in, Seq((1L, "2024-01-01 09:00:00")), "b2")
+      runSessionTimer(in, out, ckpt, delay = "6 hours")
+      // b3: sentinel fires the open tail's timer
+      stageSessions(in, Seq((-1L, "2024-01-05 00:00:00")), "b3")
+      runSessionTimer(in, out, ckpt, delay = "6 hours")
+      val rows = spark.read.parquet(s"$out/t").filter($"user_id" >= 0)
+        .as[SessionOut].collect().sortBy(_.start_ms)
+      val t9 = java.sql.Timestamp.valueOf("2024-01-01 09:00:00").getTime
+      val t12 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+      assert(rows.map(r => (r.user_id, r.start_ms, r.n)).toSeq ==
+        Seq((1L, t9, 1L), (1L, t12, 2L)), s"got: ${rows.mkString(", ")}")
     }
   }
 
   test("TtlCountProcessor: dormant state ages out — a restart past the TTL restarts the count") {
-    import graft.streaming.{TwsEvent, TwsTotal, TtlCountProcessor}
+    import graft.streaming.{TwsEvent, TtlCount, TtlCountProcessor}
     val in = tmp("graft_inT2"); val ckpt = tmp("graft_ckptT2"); val out = tmp("graft_twsT2")
-    val sch = StructType(Seq(StructField("user_id", LongType),
-      StructField("event_type", StringType), StructField("cents", LongType)))
-    def stage(part: String): Unit = {
-      val staging = tmp("graft_stageT2")
-      Seq((1L, "a", 1L)).toDF("user_id", "event_type", "cents")
-        .coalesce(1).write.mode("overwrite").parquet(staging)
-      new java.io.File(staging).listFiles().filter(_.getName.endsWith(".parquet"))
-        .zipWithIndex.foreach { case (f, i) =>
-          Files.move(f.toPath, java.nio.file.Paths.get(in, s"${part}_$i.parquet")); ()
-        }
-    }
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDb {
       // NOT AvailableNow, and no processAllAvailable: processing-time
       // TTL keeps the stream scheduling no-data eviction batches, so
       // neither termination check settles. Poll the sink for the
       // expected row count, then stop explicitly.
       def run(expectRows: Long): Unit = {
-        val q = spark.readStream.schema(sch).parquet(in).as[TwsEvent]
+        val q = spark.readStream.schema(twsSchema).parquet(in).as[TwsEvent]
           .groupByKey(_.user_id)
           .transformWithState(new TtlCountProcessor(java.time.Duration.ofMillis(50)),
             org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
@@ -456,16 +443,15 @@ class StreamingSpec extends AnyFunSuite {
         q.stop(); q.awaitTermination()
         assert(sunk() >= expectRows, s"sink never reached $expectRows rows")
       }
-      stage("b1"); run(1L)
+      stageDF(in, Seq((1L, "a", 1L)).toDF("user_id", "event_type", "cents"), "b1")
+      run(1L)
       Thread.sleep(2000) // well past the 50 ms TTL
-      stage("b2"); run(2L)
-      val ns = spark.read.parquet(s"$out/t").as[TwsTotal].collect()
+      stageDF(in, Seq((1L, "a", 1L)).toDF("user_id", "event_type", "cents"), "b2")
+      run(2L)
+      val ns = spark.read.parquet(s"$out/t").as[TtlCount].collect()
         .map(_.cum_n).sorted.toSeq
       // without TTL this would be Seq(1, 2); expiry resets the count
       assert(ns == Seq(1L, 1L), s"state must have expired between runs: $ns")
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
 
