@@ -127,6 +127,44 @@ case class SessionAcc(start_ms: Long, last_ms: Long, n: Long)
 /** A closed session. */
 case class SessionOut(user_id: Long, start_ms: Long, n: Long)
 
+/** The pure per-key sessionization math [[SessionTimerProcessor]] runs
+  * inside the state store — extracted so the batch-split invariance
+  * (incremental processing over any time-ordered split equals one-shot
+  * sessionization) is property-testable without a streaming harness. */
+private[graft] object SessionMath {
+
+  /** Split a SORTED ms array into inactivity-gap sessions. */
+  def sessionize(sortedMs: Array[Long], gapMs: Long): scala.collection.mutable.ArrayBuffer[SessionAcc] = {
+    val sess = scala.collection.mutable.ArrayBuffer.empty[SessionAcc]
+    sortedMs.foreach { t =>
+      if (sess.nonEmpty && t - sess.last.last_ms < gapMs)
+        sess(sess.length - 1) = SessionAcc(sess.last.start_ms, t, sess.last.n + 1L)
+      else sess += SessionAcc(t, t, 1L)
+    }
+    sess
+  }
+
+  /** Insert the surviving open session into start-ordered `sess` and
+    * re-merge neighbors in one linear pass — the insertion can bridge
+    * two batch sessions that each sit within the gap of it. Mutates
+    * and returns `sess`. */
+  def mergeOpen(sess: scala.collection.mutable.ArrayBuffer[SessionAcc], o: SessionAcc,
+                gapMs: Long): scala.collection.mutable.ArrayBuffer[SessionAcc] = {
+    val idx = sess.indexWhere(_.start_ms > o.start_ms)
+    sess.insert(if (idx < 0) sess.length else idx, o)
+    var i = 0
+    while (i + 1 < sess.length) {
+      val a = sess(i)
+      val b = sess(i + 1)
+      if (b.start_ms - a.last_ms < gapMs) {
+        sess(i) = SessionAcc(a.start_ms, math.max(a.last_ms, b.last_ms), a.n + b.n)
+        sess.remove(i + 1); ()
+      } else i += 1
+    }
+    sess
+  }
+}
+
 /** ST20 — EVENT-TIME TIMERS on the v2 API (`TimeMode.EventTime` +
   * `registerTimer`/`handleExpiredTimer`): inactivity-gap
   * sessionization where the CLOSE is timer-driven. Each batch, a
@@ -161,30 +199,11 @@ class SessionTimerProcessor(gapMs: Long)
     val ms = rows.map(_.ms).toArray
     if (ms.isEmpty) return Iterator.empty
     java.util.Arrays.sort(ms)
-    // sessionize this batch's arrivals
-    val sess = scala.collection.mutable.ArrayBuffer.empty[SessionAcc]
-    ms.foreach { t =>
-      if (sess.nonEmpty && t - sess.last.last_ms < gapMs)
-        sess(sess.length - 1) = SessionAcc(sess.last.start_ms, t, sess.last.n + 1L)
-      else sess += SessionAcc(t, t, 1L)
-    }
-    // interval-merge the surviving open session: insert by start order,
-    // then one linear pass re-merging neighbors (the insertion can
-    // bridge two batch sessions that each sit within the gap of it)
+    val sess = SessionMath.sessionize(ms, gapMs)
+    // interval-merge the surviving open session into the batch's sessions
     if (open.exists()) {
       getHandle.listTimers().foreach(getHandle.deleteTimer)
-      val o = open.get()
-      val idx = sess.indexWhere(_.start_ms > o.start_ms)
-      sess.insert(if (idx < 0) sess.length else idx, o)
-      var i = 0
-      while (i + 1 < sess.length) {
-        val a = sess(i)
-        val b = sess(i + 1)
-        if (b.start_ms - a.last_ms < gapMs) {
-          sess(i) = SessionAcc(a.start_ms, math.max(a.last_ms, b.last_ms), a.n + b.n)
-          sess.remove(i + 1); ()
-        } else i += 1
-      }
+      SessionMath.mergeOpen(sess, open.get(), gapMs); ()
     }
     val tail = sess.last
     open.update(tail)

@@ -558,4 +558,39 @@ object OpsProps extends Properties("ops") {
       // results never share the query's label, and match the reference
       got.forall { case (q, _, n) => labels(q) != labels(n) } && gotSet == expect
     }
+
+  // ---- streaming sessionization: batch-split invariance ------------------
+
+  // SessionTimerProcessor's contract: folding arrivals batch-by-batch over
+  // ANY time-ordered split (each batch's earliest >= the previous batch's
+  // latest), carrying the open tail through SessionMath.mergeOpen, must
+  // equal one-shot sessionization of the whole sorted array — the pure
+  // core of st20, checked without a streaming harness. Pure Scala: no
+  // Spark jobs, so the default 100 cases run instantly.
+  property("session batch-split invariance: incremental mergeOpen == one-shot sessionize") =
+    Prop.forAll(
+      for {
+        n <- Gen.choose(1, 60)
+        ms <- Gen.listOfN(n, Gen.choose(0L, 3000L))
+        gap <- Gen.choose(1L, 400L)
+        cuts <- Gen.listOf(Gen.choose(0, n))
+      } yield (ms.sorted.toArray, gap, cuts.distinct.sorted)) {
+      case (sorted, gap, cuts) =>
+        import graft.streaming.{SessionAcc, SessionMath}
+        val oneShot = SessionMath.sessionize(sorted, gap).toList
+        // split at the (sorted) cut positions → time-ordered batches
+        val bounds = (0 +: cuts.filter(c => c > 0 && c < sorted.length) :+ sorted.length).distinct
+        val batches = bounds.sliding(2).map { case Seq(a, b) => sorted.slice(a, b) }
+          .filter(_.nonEmpty).toList
+        var openTail: Option[SessionAcc] = None
+        val closed = scala.collection.mutable.ListBuffer.empty[SessionAcc]
+        batches.foreach { b =>
+          val sess = SessionMath.sessionize(b, gap)
+          openTail.foreach(o => SessionMath.mergeOpen(sess, o, gap))
+          closed ++= sess.init
+          openTail = Some(sess.last)
+        }
+        val incremental = (closed ++ openTail).toList
+        incremental == oneShot
+    }
 }
