@@ -44,6 +44,7 @@ object Bench {
       "st16_stream_jdbc_upsert", "st17_stream_merge_upsert",
       "st18_transform_with_state", "st19_tws_initial_state",
       "st20_tws_event_time_timers", "st21_state_reader_tws",
+      "st22_tws_chained_rollup",
       // fixed-point multi-job loop — scheduler-bound like pagerank
       "graph_label_propagation")
     // A query that throws is EXCLUDED from total/n_queries — its wall time

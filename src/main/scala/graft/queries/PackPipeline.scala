@@ -28,6 +28,16 @@ object PackPipeline {
     org.apache.spark.sql.types.StructField("cents",
       org.apache.spark.sql.types.LongType)))
 
+  /** Shared (user_id, ts, ms) arrival schema for the event-time
+    * sessionization queries (st20/st22). */
+  private val tsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ts",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("ms",
+      org.apache.spark.sql.types.LongType)))
+
   /** st18/st21 shared streaming drive: stage `base` (event_id, user_id,
     * event_type, cents) as two arrivals split by event_id parity and
     * drain each through one checkpointed UserProfileProcessor run —
@@ -2132,15 +2142,8 @@ object PackPipeline {
         .select(lit(-1L).as("user_id"),
           (col("mx") + expr("INTERVAL 240 HOURS")).as("ts"))
         .select(col("user_id"), col("ts"), unix_millis(col("ts")).as("ms"))
-      val sch = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("user_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("ts",
-          org.apache.spark.sql.types.TimestampType),
-        org.apache.spark.sql.types.StructField("ms",
-          org.apache.spark.sql.types.LongType)))
       def drain(): Unit = {
-        val q = s.readStream.schema(sch).parquet(in)
+        val q = s.readStream.schema(tsSchema).parquet(in)
           .withWatermark("ts", "1 hour")
           .as[TsEvent]
           .groupByKey(_.user_id)
@@ -2252,6 +2255,87 @@ object PackPipeline {
           col("c_nationkey"), col("cents"),
           trim(col("c_mktsegment")).as("mktsegment"))
         .orderBy(col("c_custkey"))
+    },
+
+    // ST22 (live) — CHAINED STATEFUL OPERATORS (SPARK-42931 + the
+    // transformWithState eventTimeColumnName surface): the v2
+    // sessionizer re-emits each closed session's start as the
+    // operator's declared EVENT TIME ("start_ts"), and a tumbling
+    // 6-hour windowed aggregation runs over those sessions in the
+    // SAME streaming query — two stateful operators back to back, no
+    // intermediate sink. This is the production analytics shape
+    // (sessionize → roll up) that pre-chaining Spark forced through a
+    // materialized hop. Chaining changes the close protocol: emission
+    // below the watermark is a runtime ERROR here (see
+    // SessionizerWithTs — the st20 timer close is structurally
+    // incompatible with a declared output event time), so tails close
+    // via per-user FLUSH MARKERS staged as batch 2, and the watermark
+    // delay (4000 h) is sized past the fixture span so a b1-carried
+    // session closing in b2 still emits above the watermark, while
+    // the post-flush watermark (max+8000h − 4000h) still passes every
+    // real window's end and flushes the downstream aggregation.
+    // Windows align to the epoch in UTC exactly as the oracle's
+    // integer 6h-bucket arithmetic states.
+    QDef("st22_tws_chained_rollup",
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events
+        |           WHERE event_id % 29 = 0),
+        |d AS (SELECT user_id, ms,
+        |        CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w >= 1800000
+        |             THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |s AS (SELECT user_id, ms,
+        |        sum(is_new) OVER (PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM d),
+        |sess AS (SELECT user_id, min(ms) AS start_ms, count(*) AS n
+        |         FROM s GROUP BY user_id, sid)
+        |SELECT make_timestamp((start_ms // 21600000) * 21600000000) AS w,
+        |       CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST(sum(n) AS BIGINT) AS n_events
+        |FROM sess GROUP BY 1 ORDER BY w""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.streaming.{SessionizerWithTs, TsEvent}
+      val run = PackCore.streamRun.incrementAndGet()
+      val in = java.nio.file.Files.createTempDirectory(s"graft_st22_in$run").toString
+      val out = java.nio.file.Files.createTempDirectory(s"graft_st22_out$run").toString + "/t"
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_st22_ck$run").toString
+      val base = Tables.events(s, d).filter(col("event_id") % 29 === 0)
+        .select(col("user_id"), col("ts"), unix_millis(col("ts")).as("ms"))
+      // per-user flush markers: one far-future arrival per live key
+      // closes that key's open tail INLINE (the chaining-safe close);
+      // the markers' own sessions stay open and never emit
+      val flush = base.select(col("user_id")).distinct()
+        .crossJoin(base.agg(max(col("ts")).as("mx")).filter(col("mx").isNotNull))
+        .select(col("user_id"),
+          (col("mx") + expr("INTERVAL 8000 HOURS")).as("ts"))
+        .select(col("user_id"), col("ts"), unix_millis(col("ts")).as("ms"))
+      def drain(): Unit = {
+        val q = s.readStream.schema(tsSchema).parquet(in)
+          .withWatermark("ts", "4000 hours")
+          .as[TsEvent]
+          .groupByKey(_.user_id)
+          .transformWithState(new SessionizerWithTs(1800000L),
+            "start_ts",
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .toDF()
+          .groupBy(window(col("start_ts"), "6 hours"))
+          .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+          .select(col("window.start").as("w"), col("n_sessions"), col("n_events"))
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      PackCore.withRocksDb(s) {
+        PackCore.withStreamPartitions(s, 8) {
+          PackCore.stageArrival(in, base, "b1")
+          drain()
+          PackCore.stageArrival(in, flush, "b2")
+          drain() // flush closes every tail; the windows then close
+        }
+      }
+      s.read.parquet(out).orderBy(col("w"))
     }
   )
 }

@@ -222,6 +222,52 @@ class SessionTimerProcessor(gapMs: Long)
   }
 }
 
+/** A closed session carrying its start as a TIMESTAMP — the event-time
+  * column a downstream stateful operator windows on. */
+case class SessionOutT(user_id: Long, start_ts: java.sql.Timestamp, n: Long)
+
+/** ST22 — the sessionizer re-emitting for OPERATOR CHAINING (same
+  * SessionMath core as [[SessionTimerProcessor]]): output carries
+  * `start_ts` as a timestamp so `transformWithState(...,
+  * eventTimeColumnName = "start_ts", ...)` declares it as the
+  * operator's event time and a downstream windowed aggregation runs in
+  * the SAME streaming query (SPARK-42931 chained stateful operators).
+  *
+  * DELIBERATELY TIMER-LESS: chaining validation rejects any emission
+  * whose event time is older than the current watermark
+  * (EMITTING_ROWS_OLDER_THAN_WATERMARK_NOT_ALLOWED), and a
+  * timer-fired session's START is by construction older than the
+  * watermark that fired it (start <= last = expiry - gap <
+  * watermark) — the timer close pattern CANNOT be combined with a
+  * declared output event time. Sessions therefore close INLINE only:
+  * a within-batch gap, a later batch's arrival, or an explicit
+  * per-key flush marker staged by the driver (st22's pattern). The
+  * caller must size the watermark delay past the span between a
+  * session's start and the batch that closes it, or the close itself
+  * trips the same validation — caught live at 10x by ScaleCheck,
+  * where early users' timer closes crashed the chained query while
+  * the small fixtures passed on timing luck. */
+class SessionizerWithTs(gapMs: Long)
+    extends StatefulProcessor[Long, TsEvent, SessionOutT] {
+  @transient private var open: ValueState[SessionAcc] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    open = getHandle.getValueState[SessionAcc](
+      "open", Encoders.product[SessionAcc], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[TsEvent],
+                               timerValues: TimerValues): Iterator[SessionOutT] = {
+    val ms = rows.map(_.ms).toArray
+    if (ms.isEmpty) return Iterator.empty
+    java.util.Arrays.sort(ms)
+    val sess = SessionMath.sessionize(ms, gapMs)
+    if (open.exists()) SessionMath.mergeOpen(sess, open.get(), gapMs)
+    open.update(sess.last)
+    sess.iterator.take(sess.length - 1)
+      .map(x => SessionOutT(key, new java.sql.Timestamp(x.start_ms), x.n))
+  }
+}
+
 /** Emission of [[TtlCountProcessor]]: the running count alone — the
   * only metric its TTL'd state holds. */
 case class TtlCount(user_id: Long, cum_n: Long)

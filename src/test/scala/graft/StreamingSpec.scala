@@ -417,6 +417,44 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("chained stateful operators: SessionizerWithTs + windowed rollup in one query, " +
+       "flush markers close tails above the watermark") {
+    import graft.streaming.{SessionizerWithTs, TsEvent}
+    val in = tmp("graft_inC"); val ckpt = tmp("graft_ckptC"); val out = tmp("graft_twsC")
+    withRocksDb {
+      def run(): Unit = {
+        val q = spark.readStream.schema(sessSchema).parquet(in)
+          .withWatermark("ts", "4000 hours")
+          .as[TsEvent].groupByKey(_.user_id)
+          .transformWithState(new SessionizerWithTs(1800000L),
+            "start_ts",
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .toDF()
+          .groupBy(window($"start_ts", "6 hours"))
+          .agg(count(lit(1)).as("n_sessions"), sum($"n").as("n_events"))
+          .select($"window.start".as("w"), $"n_sessions", $"n_events")
+          .writeStream.format("parquet")
+          .option("path", s"$out/t").option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      // three sessions across two 6h windows (u1: 01:00 n=2 + 08:00 n=1;
+      // u2: 01:30 n=1)
+      stageSessions(in, Seq((1L, "2024-01-01 01:00:00"), (1L, "2024-01-01 01:10:00"),
+        (1L, "2024-01-01 08:00:00"), (2L, "2024-01-01 01:30:00")), "b1")
+      run()
+      // per-user flush markers close every tail inline
+      stageSessions(in, Seq((1L, "2024-12-01 00:00:00"), (2L, "2024-12-01 00:00:00")), "b2")
+      run()
+      val rows = spark.read.parquet(s"$out/t")
+        .select($"w".cast("string"), $"n_sessions", $"n_events")
+        .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(rows == Seq(("2024-01-01 00:00:00", 2L, 3L), ("2024-01-01 06:00:00", 1L, 1L)),
+        s"got: $rows")
+    }
+  }
+
   test("TtlCountProcessor: dormant state ages out — a restart past the TTL restarts the count") {
     import graft.streaming.{TwsEvent, TtlCount, TtlCountProcessor}
     val in = tmp("graft_inT2"); val ckpt = tmp("graft_ckptT2"); val out = tmp("graft_twsT2")
