@@ -38,6 +38,21 @@ object PackPipeline {
     org.apache.spark.sql.types.StructField("ms",
       org.apache.spark.sql.types.LongType)))
 
+  /** Shared RocksDB two-drain scaffold for the live TWS queries: stage
+    * `b1`, drain, stage `b2`, drain — two query RESTARTS over one
+    * checkpoint, under the RocksDB provider and 8 stream partitions. */
+  private def stagedTwoDrains(s: SparkSession, in: String,
+                              b1: org.apache.spark.sql.DataFrame,
+                              b2: org.apache.spark.sql.DataFrame)(drain: () => Unit): Unit =
+    PackCore.withRocksDb(s) {
+      PackCore.withStreamPartitions(s, 8) {
+        PackCore.stageArrival(in, b1, "b1")
+        drain()
+        PackCore.stageArrival(in, b2, "b2")
+        drain()
+      }
+    }
+
   /** st18/st21 shared streaming drive: stage `base` (event_id, user_id,
     * event_type, cents) as two arrivals split by event_id parity and
     * drain each through one checkpointed UserProfileProcessor run —
@@ -62,16 +77,9 @@ object PackPipeline {
         .start()
       q.awaitTermination()
     }
-    PackCore.withRocksDb(s) {
-      PackCore.withStreamPartitions(s, 8) {
-        PackCore.stageArrival(in,
-          base.filter(col("event_id") % 2 === 0).drop("event_id"), "b1")
-        drain()
-        PackCore.stageArrival(in,
-          base.filter(col("event_id") % 2 =!= 0).drop("event_id"), "b2")
-        drain() // restart from the same checkpoint: state must reload
-      }
-    }
+    stagedTwoDrains(s, in,
+      base.filter(col("event_id") % 2 === 0).drop("event_id"),
+      base.filter(col("event_id") % 2 =!= 0).drop("event_id"))(drain _)
   }
 
   /** DuckDB-side sequential-double dot/cos matching Similarity.dot. */
@@ -2158,14 +2166,8 @@ object PackPipeline {
           .start()
         q.awaitTermination()
       }
-      PackCore.withRocksDb(s) {
-        PackCore.withStreamPartitions(s, 8) {
-          PackCore.stageArrival(in, base, "b1")
-          drain()
-          PackCore.stageArrival(in, sentinel, "b2")
-          drain() // sentinel watermark fires every real key's timer
-        }
-      }
+      // b2 sentinel: its watermark advance fires every real key's timer
+      stagedTwoDrains(s, in, base, sentinel)(drain _)
       s.read.parquet(out).filter(col("user_id") >= 0)
         .orderBy(col("user_id"), col("start_ms"))
     },
@@ -2269,13 +2271,16 @@ object PackPipeline {
     // below the watermark is a runtime ERROR here (see
     // SessionizerWithTs — the st20 timer close is structurally
     // incompatible with a declared output event time), so tails close
-    // via per-user FLUSH MARKERS staged as batch 2, and the watermark
-    // delay (4000 h) is sized past the fixture span so a b1-carried
-    // session closing in b2 still emits above the watermark, while
-    // the post-flush watermark (max+8000h − 4000h) still passes every
-    // real window's end and flushes the downstream aggregation.
-    // Windows align to the epoch in UTC exactly as the oracle's
-    // integer 6h-bucket arithmetic states.
+    // via per-user FLUSH MARKERS staged as batch 2 (which also CLEAR
+    // the flushed keys' state — the chaining-safe expiry). The
+    // watermark delay is DERIVED from the measured data span (+48 h
+    // margin), so a b1-carried session closing in b2 always emits
+    // above the watermark whatever the fixture's range — the
+    // magic-constant version of this invariant is exactly what the
+    // 10x ScaleCheck crash caught; markers sit at max + 2·delay so
+    // the post-flush watermark still passes every real window's end
+    // and flushes the downstream aggregation. Windows align to the
+    // epoch in UTC exactly as the oracle's 6h-bucket arithmetic.
     QDef("st22_tws_chained_rollup",
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events
         |           WHERE event_id % 29 = 0),
@@ -2298,44 +2303,49 @@ object PackPipeline {
       val in = java.nio.file.Files.createTempDirectory(s"graft_st22_in$run").toString
       val out = java.nio.file.Files.createTempDirectory(s"graft_st22_out$run").toString + "/t"
       val ckpt = java.nio.file.Files.createTempDirectory(s"graft_st22_ck$run").toString
+      import s.implicits._
       val base = Tables.events(s, d).filter(col("event_id") % 29 === 0)
         .select(col("user_id"), col("ts"), unix_millis(col("ts")).as("ms"))
-      // per-user flush markers: one far-future arrival per live key
-      // closes that key's open tail INLINE (the chaining-safe close);
-      // the markers' own sessions stay open and never emit
-      val flush = base.select(col("user_id")).distinct()
-        .crossJoin(base.agg(max(col("ts")).as("mx")).filter(col("mx").isNotNull))
-        .select(col("user_id"),
-          (col("mx") + expr("INTERVAL 8000 HOURS")).as("ts"))
-        .select(col("user_id"), col("ts"), unix_millis(col("ts")).as("ms"))
-      def drain(): Unit = {
-        val q = s.readStream.schema(tsSchema).parquet(in)
-          .withWatermark("ts", "4000 hours")
-          .as[TsEvent]
-          .groupByKey(_.user_id)
-          .transformWithState(new SessionizerWithTs(1800000L),
-            "start_ts",
-            org.apache.spark.sql.streaming.OutputMode.Append())
-          .toDF()
-          .groupBy(window(col("start_ts"), "6 hours"))
-          .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
-          .select(col("window.start").as("w"), col("n_sessions"), col("n_events"))
-          .writeStream.format("parquet")
-          .option("path", out).option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      // derive the close protocol's constants from the ACTUAL span:
+      // delay > span guarantees a b1-carried close emits above the
+      // watermark; markers at max + 2·delay guarantee the post-flush
+      // watermark passes every real window end
+      val range = base.agg(min(col("ms")).as("mn"), max(col("ms")).as("mx"))
+        .as[(Option[Long], Option[Long])].head()
+      (range: @unchecked) match {
+        case (Some(mn), Some(mx)) =>
+          val delaySec = (mx - mn) / 1000L + 48L * 3600L
+          val flushAtMs = mx + 2L * delaySec * 1000L
+          val flush = base.select(col("user_id")).distinct()
+            .select(col("user_id"), timestamp_millis(lit(flushAtMs)).as("ts"),
+              lit(flushAtMs).as("ms"))
+          def drain(): Unit = {
+            val q = s.readStream.schema(tsSchema).parquet(in)
+              .withWatermark("ts", s"$delaySec seconds")
+              .as[TsEvent]
+              .groupByKey(_.user_id)
+              .transformWithState(new SessionizerWithTs(1800000L, flushAtMs),
+                "start_ts",
+                org.apache.spark.sql.streaming.OutputMode.Append())
+              .toDF()
+              .groupBy(window(col("start_ts"), "6 hours"))
+              .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+              .select(col("window.start").as("w"), col("n_sessions"), col("n_events"))
+              .writeStream.format("parquet")
+              .option("path", out).option("checkpointLocation", ckpt)
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          }
+          // b2 flush closes every tail and clears the flushed keys'
+          // state; the downstream windows then close
+          stagedTwoDrains(s, in, base, flush)(drain _)
+          s.read.parquet(out).orderBy(col("w"))
+        case (None, None) => // empty slice: nothing to sessionize
+          Seq.empty[(java.sql.Timestamp, Long, Long)]
+            .toDF("w", "n_sessions", "n_events")
       }
-      PackCore.withRocksDb(s) {
-        PackCore.withStreamPartitions(s, 8) {
-          PackCore.stageArrival(in, base, "b1")
-          drain()
-          PackCore.stageArrival(in, flush, "b2")
-          drain() // flush closes every tail; the windows then close
-        }
-      }
-      s.read.parquet(out).orderBy(col("w"))
     }
   )
 }

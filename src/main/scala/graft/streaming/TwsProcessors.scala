@@ -240,14 +240,19 @@ case class SessionOutT(user_id: Long, start_ts: java.sql.Timestamp, n: Long)
   * watermark that fired it (start <= last = expiry - gap <
   * watermark) — the timer close pattern CANNOT be combined with a
   * declared output event time. Sessions therefore close INLINE only:
-  * a within-batch gap, a later batch's arrival, or an explicit
-  * per-key flush marker staged by the driver (st22's pattern). The
-  * caller must size the watermark delay past the span between a
-  * session's start and the batch that closes it, or the close itself
-  * trips the same validation — caught live at 10x by ScaleCheck,
-  * where early users' timer closes crashed the chained query while
-  * the small fixtures passed on timing luck. */
-class SessionizerWithTs(gapMs: Long)
+  * a within-batch gap, a later batch's arrival, or a FLUSH MARKER —
+  * any input row with `ms >= flushAtMs` closes the key's every
+  * session INCLUDING the open tail and CLEARS the key's state, so
+  * flushed keys leave the store and state tracks the live-key
+  * frontier, not all-keys-ever (the cleanup role timers play in
+  * st20, re-expressed as a control tuple — the one expiry mechanism
+  * chaining leaves available). The caller must size the watermark
+  * delay past the span between a session's start and the batch that
+  * closes it, or the close itself trips the same validation — caught
+  * live at 10x by ScaleCheck, where early users' timer closes crashed
+  * the chained query while the small fixtures passed on timing luck
+  * (st22 now derives the delay from the measured data span). */
+class SessionizerWithTs(gapMs: Long, flushAtMs: Long = Long.MaxValue)
     extends StatefulProcessor[Long, TsEvent, SessionOutT] {
   @transient private var open: ValueState[SessionAcc] = _
 
@@ -257,14 +262,25 @@ class SessionizerWithTs(gapMs: Long)
 
   override def handleInputRows(key: Long, rows: Iterator[TsEvent],
                                timerValues: TimerValues): Iterator[SessionOutT] = {
-    val ms = rows.map(_.ms).toArray
-    if (ms.isEmpty) return Iterator.empty
+    var flush = false
+    val real = scala.collection.mutable.ArrayBuffer.empty[Long]
+    rows.foreach { e => if (e.ms >= flushAtMs) flush = true else real += e.ms }
+    val ms = real.toArray
     java.util.Arrays.sort(ms)
     val sess = SessionMath.sessionize(ms, gapMs)
     if (open.exists()) SessionMath.mergeOpen(sess, open.get(), gapMs)
-    open.update(sess.last)
-    sess.iterator.take(sess.length - 1)
-      .map(x => SessionOutT(key, new java.sql.Timestamp(x.start_ms), x.n))
+    if (sess.isEmpty) { // flush marker for a key with no open state
+      if (flush) open.clear()
+      return Iterator.empty
+    }
+    if (flush) {
+      open.clear()
+      sess.iterator.map(x => SessionOutT(key, new java.sql.Timestamp(x.start_ms), x.n))
+    } else {
+      open.update(sess.last)
+      sess.iterator.take(sess.length - 1)
+        .map(x => SessionOutT(key, new java.sql.Timestamp(x.start_ms), x.n))
+    }
   }
 }
 

@@ -593,4 +593,29 @@ object OpsProps extends Properties("ops") {
         val incremental = (closed ++ openTail).toList
         incremental == oneShot
     }
+
+  // The split property above always inserts the carried tail at the FRONT
+  // (time-ordered batches), so it never reaches mergeOpen's mid-array
+  // insertion or bridging branches. This one does: the open session is an
+  // explicit event cluster at an ARBITRARY position relative to the batch,
+  // and mergeOpen must equal event-level sessionization of cluster ∪ batch
+  // (sound because a valid session's internal gaps are < gap, so a point
+  // within gap of the [start, last] interval is within gap of some member).
+  property("mergeOpen == event-level sessionization for an arbitrary open session") =
+    Prop.forAll(
+      for {
+        gap <- Gen.choose(10L, 300L)
+        start <- Gen.choose(0L, 2000L)
+        deltas <- Gen.listOf(Gen.choose(0L, gap - 1))
+        cluster = deltas.scanLeft(start)(_ + _)
+        batch <- Gen.listOf(Gen.choose(math.max(0L, start - 1000L), cluster.max + 1000L))
+      } yield (gap, cluster, batch)) {
+      case (gap, cluster, batch) =>
+        import graft.streaming.{SessionAcc, SessionMath}
+        val o = SessionAcc(cluster.head, cluster.last, cluster.size.toLong)
+        val got = SessionMath.mergeOpen(
+          SessionMath.sessionize(batch.sorted.toArray, gap), o, gap).toList
+        val expect = SessionMath.sessionize((cluster ++ batch).sorted.toArray, gap).toList
+        got == expect
+    }
 }

@@ -421,12 +421,13 @@ class StreamingSpec extends AnyFunSuite {
        "flush markers close tails above the watermark") {
     import graft.streaming.{SessionizerWithTs, TsEvent}
     val in = tmp("graft_inC"); val ckpt = tmp("graft_ckptC"); val out = tmp("graft_twsC")
+    val flushAt = java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime
     withRocksDb {
       def run(): Unit = {
         val q = spark.readStream.schema(sessSchema).parquet(in)
           .withWatermark("ts", "4000 hours")
           .as[TsEvent].groupByKey(_.user_id)
-          .transformWithState(new SessionizerWithTs(1800000L),
+          .transformWithState(new SessionizerWithTs(1800000L, flushAt),
             "start_ts",
             org.apache.spark.sql.streaming.OutputMode.Append())
           .toDF()
