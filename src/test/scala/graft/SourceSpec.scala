@@ -320,4 +320,19 @@ class SourceSpec extends AnyFunSuite {
       .as[(Long, String)].collect().sortBy(_._1).toSeq
     assert(back == rows, s"got: $back")
   }
+
+  test("XML roundtrip preserves NULLs (writer omits the element, reader restores null)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml_null").toString + "/t"
+    Seq((1L, Some("x"), Some(10L)), (2L, None, Some(20L)), (3L, Some("z"), None))
+      .toDF("id", "s", "v")
+      .write.format("xml").option("rowTag", "rec").mode("overwrite").save(dir)
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    val back = spark.read.format("xml").option("rowTag", "rec").schema(sch).load(dir)
+      .as[(Long, Option[String], Option[Long])].collect().sortBy(_._1).toSeq
+    assert(back == Seq((1L, Some("x"), Some(10L)), (2L, None, Some(20L)),
+      (3L, Some("z"), None)), s"got: $back")
+  }
 }

@@ -365,6 +365,37 @@ class StreamingSpec extends AnyFunSuite {
     q.awaitTermination()
   }
 
+  test("WarmStartProcessor: the snapshot applies exactly ONCE — a restart must not re-seed") {
+    import graft.streaming.{TwsAgg, TwsEvent, TwsTotal, WarmStartProcessor}
+    val in = tmp("graft_inW2"); val ckpt = tmp("graft_ckptW2"); val out = tmp("graft_twsW2")
+    val init = Seq((1L, TwsAgg(100L, 999L)))
+      .toDS().groupByKey(_._1).mapValues(_._2)
+    withRocksDb {
+      def run(): Unit = {
+        val q = spark.readStream.schema(twsSchema).parquet(in).as[TwsEvent]
+          .groupByKey(_.user_id)
+          .transformWithState(new WarmStartProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append(), init)
+          .writeStream.format("parquet")
+          .option("path", s"$out/t").option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      stageDF(in, Seq((1L, "a", 10L)).toDF("user_id", "event_type", "cents"), "b1")
+      run()
+      // RESTART with the SAME initial-state argument: a re-applied
+      // snapshot would read 201/2008 here instead of 102/1014
+      stageDF(in, Seq((1L, "a", 5L)).toDF("user_id", "event_type", "cents"), "b2")
+      run()
+      val rows = spark.read.parquet(s"$out/t").as[TwsTotal].collect().sortBy(_.cum_n)
+      assert(rows.map(r => (r.cum_n, r.sum_cents)).toSeq ==
+        Seq((101L, 1009L), (102L, 1014L)),
+        s"snapshot must seed exactly once: ${rows.mkString(", ")}")
+    }
+  }
+
   test("SessionTimerProcessor: a later batch extends the open session (timer replaced), " +
        "close fires only when the watermark passes the gap") {
     import graft.streaming.SessionOut
