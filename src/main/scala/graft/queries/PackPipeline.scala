@@ -1866,7 +1866,12 @@ object PackPipeline {
               Seq("message_id"))
           else candidates).persist() // probe + JSON staging share one run
         try if (!fresh.isEmpty) {
+          // each firing stages under its own batch dir so raw/ ACCUMULATES
+          // like the reference's bucket (extract_data_bank_pay:185-192) —
+          // the transform step then really does re-parse everything staged
+          // and the id-grain gate is what keeps the append idempotent
           fresh.write.mode("overwrite").json(raw + s"/batch$batchNo")
+          batchNo += 1
           // -- transform: everything staged, parsed on executors; the
           // required-Monto gate drops error mails
           val parsed = s.read.schema(docSchema)
@@ -2142,34 +2147,39 @@ object PackPipeline {
       val ckpt = java.nio.file.Files.createTempDirectory(s"graft_st20_ck$run").toString
       val base = Tables.events(s, d).filter(col("event_id") % 17 === 0)
         .select(col("user_id"), col("ts"), unix_millis(col("ts")).as("ms"))
-      // empty-slice guard: max(ts) is NULL on an empty base, and a NULL
-      // ms cannot decode into TsEvent's primitive Long — drop the
-      // sentinel row instead (nothing to flush anyway)
-      val sentinel = base.agg(max(col("ts")).as("mx"))
-        .filter(col("mx").isNotNull)
-        .select(lit(-1L).as("user_id"),
-          (col("mx") + expr("INTERVAL 240 HOURS")).as("ts"))
-        .select(col("user_id"), col("ts"), unix_millis(col("ts")).as("ms"))
-      def drain(): Unit = {
-        val q = s.readStream.schema(tsSchema).parquet(in)
-          .withWatermark("ts", "1 hour")
-          .as[TsEvent]
-          .groupByKey(_.user_id)
-          .transformWithState(new SessionTimerProcessor(1800000L),
-            org.apache.spark.sql.streaming.TimeMode.EventTime(),
-            org.apache.spark.sql.streaming.OutputMode.Append())
-          .toDF()
-          .writeStream.format("parquet")
-          .option("path", out).option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      // empty-slice guard, END-TO-END like st22's: on an empty base the
+      // sink never writes a file, so even a filtered sentinel leaves
+      // read.parquet(out) to fail schema inference — short-circuit to the
+      // declared empty result instead of draining at all
+      base.agg(max(col("ts")).as("mx")).head.getTimestamp(0) match {
+        case null => // empty slice: no sessions, nothing to flush
+          Seq.empty[(Long, Long, Long)].toDF("user_id", "start_ms", "n")
+        case mxTs =>
+          val sentinel = s.range(1)
+            .select(lit(-1L).as("user_id"),
+              (lit(mxTs) + expr("INTERVAL 240 HOURS")).as("ts"))
+            .select(col("user_id"), col("ts"), unix_millis(col("ts")).as("ms"))
+          def drain(): Unit = {
+            val q = s.readStream.schema(tsSchema).parquet(in)
+              .withWatermark("ts", "1 hour")
+              .as[TsEvent]
+              .groupByKey(_.user_id)
+              .transformWithState(new SessionTimerProcessor(1800000L),
+                org.apache.spark.sql.streaming.TimeMode.EventTime(),
+                org.apache.spark.sql.streaming.OutputMode.Append())
+              .toDF()
+              .writeStream.format("parquet")
+              .option("path", out).option("checkpointLocation", ckpt)
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          }
+          // b2 sentinel: its watermark advance fires every real key's timer
+          stagedTwoDrains(s, in, base, sentinel)(drain _)
+          s.read.parquet(out).filter(col("user_id") >= 0)
+            .orderBy(col("user_id"), col("start_ms"))
       }
-      // b2 sentinel: its watermark advance fires every real key's timer
-      stagedTwoDrains(s, in, base, sentinel)(drain _)
-      s.read.parquet(out).filter(col("user_id") >= 0)
-        .orderBy(col("user_id"), col("start_ms"))
     },
 
     // ST21 (live) — offline inspection of a transformWithState
