@@ -24,6 +24,46 @@ object AgentSupport {
       .mkString("\n")
   }
 
+  /** The tables the agent prompt exposes — its rule 1 ("usa solo estas
+    * columnas y las tablas mencionadas", ai_agent/lambda_function.py:59). */
+  val allowedTables: Seq[String] = Seq("bank_payments", "mp_data", "carrefour_data")
+
+  /** The prompt's table-routing golden rules (ai_agent/lambda_function.py:
+    * 62-64), pinned as a deterministic contract: banco/santander →
+    * bank_payments; mercado pago → mp_data; supermercado/carrefour →
+    * carrefour_data. Tested in rule order (3 → 4 → 5), so a question
+    * naming both banco and carrefour routes to bank_payments exactly as
+    * the prompt's first-matching-rule reading. Unroutable questions fail
+    * loudly — the reference would hand those to the LLM unconstrained,
+    * which is outside the engine's deterministic surface. */
+  // word-start guard: a bare substring test would route "supermercado
+  // pagos…" to mp_data ("mercado pago" IS a substring of it) — the kind
+  // of aliasing the reference's LLM absorbs silently and a deterministic
+  // router must pin down
+  private val mpPattern =
+    java.util.regex.Pattern.compile("(?<!\\p{L})mercado ?pago")
+
+  def routeTable(question: String): String = {
+    val q = question.toLowerCase(java.util.Locale.ROOT)
+    val routed =
+      if (q.contains("banco") || q.contains("santander")) "bank_payments"
+      else if (mpPattern.matcher(q).find()) "mp_data"
+      else if (q.contains("supermercado") || q.contains("carrefour")) "carrefour_data"
+      else throw new IllegalArgumentException(
+        s"unroutable question (no table keyword): $question")
+    require(allowedTables.contains(routed), s"routed outside schema: $routed")
+    routed
+  }
+
+  /** Schema block over an explicit table list — the agent prompt names its
+    * three tables outright (ai_agent:54-57) rather than by prefix. */
+  def describeTables(spark: SparkSession, names: Seq[String]): Seq[String] =
+    names.map { t =>
+      val cols = spark.catalog.listColumns(t).collect()
+        .map(c => s"${c.name} ${c.dataType}").mkString(", ")
+      s"$t($cols)"
+    }
+
   /** Render the first `limit` rows as a markdown table (the Telegram
     * reply formatting; capped like the reference's LIMIT 20 rule). */
   def markdown(df: DataFrame, limit: Int = 20): String = {

@@ -419,6 +419,157 @@ object PackParsers {
           sha2($"content", 256).as("sha"), // F24 on raw bytes
           $"length".as("n_bytes"))
         .orderBy($"doc_id")
+    },
+
+    // The ai_agent READ-PATH ROUTING CONTRACT (ai_agent/lambda_function
+    // .py:51-66 + the /start examples :214-222), pinned end to end: the
+    // three warehouse tables registered in the catalog under their
+    // reference names, the prompt's schema block derived FROM the catalog
+    // (rule 1: only these tables/columns), one representative question per
+    // table class routed by the golden rules (3: banco/santander →
+    // bank_payments, 4: mercado pago → mp_data, 5: supermercado/carrefour
+    // → carrefour_data), each answered through spark.sql with the LIMIT-20
+    // discipline (rule 6) — the bank answer has 37 merchant groups, so the
+    // limit genuinely truncates. The schema lines, the routed table names,
+    // and every answered row hash as ONE oracle result: a drifted column
+    // type, a mis-routed question, or a dropped LIMIT all fail the gate.
+    // Scale shape: three aggregate-then-top-20 plans (partial agg before
+    // the exchange, TakeOrdered after); the collect surface is the
+    // reference's own 20-row reply cap, never the table.
+    QDef("agent_route_tables",
+      s"""WITH cf AS (
+         |  SELECT $catCase AS categ,
+         |         CAST(l.l_extendedprice AS DECIMAL(18,2)) AS p_total_dec
+         |  FROM lineitem l
+         |  JOIN part p ON l.l_partkey = p.p_partkey
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  WHERE l.l_orderkey % 7 = 0),
+         |mp AS (
+         |  SELECT CASE WHEN o_orderkey % 11 = 0 THEN 'refund'
+         |              ELSE 'settlement' END AS transaction_type,
+         |         round(CAST(o_totalprice AS DECIMAL(18,2)) *
+         |               CASE WHEN o_orderkey % 11 = 0 THEN -0.96 ELSE 0.96 END,
+         |               2) AS real_dec
+         |  FROM orders WHERE o_orderkey % 13 = 0),
+         |bk AS (
+         |  SELECT 'COM-' || lpad(CAST(o_orderkey % 37 AS VARCHAR), 2, '0') AS comercio,
+         |         CAST(o_totalprice AS DECIMAL(12,2)) AS monto
+         |  FROM orders WHERE o_orderkey % 3 = 0),
+         |a1 AS (SELECT categ AS k, CAST(sum(p_total_dec) AS DOUBLE) AS v
+         |       FROM cf GROUP BY 1 ORDER BY v DESC, k LIMIT 20),
+         |a2 AS (SELECT transaction_type AS k, CAST(sum(real_dec) AS DOUBLE) AS v
+         |       FROM mp GROUP BY 1 ORDER BY v DESC, k LIMIT 20),
+         |a3 AS (SELECT comercio AS k, CAST(sum(monto) AS DOUBLE) AS v
+         |       FROM bk GROUP BY 1 ORDER BY v DESC, k LIMIT 20)
+         |SELECT * FROM (
+         |  SELECT 1 AS line_no, '__schema__' AS question,
+         |    'bank_payments' AS routed_table,
+         |    'bank_payments(id string, message_id string, fecha_pago date, hora_pago string, monto decimal(12,2), divisa string, tarjeta string, nro_tarjeta string, comercio string, cuotas int, extraido_en timestamp)' AS k,
+         |    CAST(NULL AS DOUBLE) AS v
+         |  UNION ALL SELECT 2, '__schema__', 'carrefour_data',
+         |    'carrefour_data(nro_ticket bigint, fecha date, categ string, prod string, cant bigint, peso double, p_unit double, p_total double, total_ticket_bruto double, total_ticket_meli double)',
+         |    NULL
+         |  UNION ALL SELECT 3, '__schema__', 'mp_data',
+         |    'mp_data(source_id string, report_id string, report_date timestamp, settlement_date timestamp, payment_method_type string, transaction_type string, transaction_amount double, transaction_date timestamp, real_amount double, pos_id string, store_id string, store_name string, payer_name string, business_unit string, sub_unit string)',
+         |    NULL
+         |  UNION ALL SELECT CAST(100 + row_number() OVER (ORDER BY v DESC, k) AS INTEGER),
+         |    'cuanto gaste en el supermercado por categoria', 'carrefour_data', k, v FROM a1
+         |  UNION ALL SELECT CAST(200 + row_number() OVER (ORDER BY v DESC, k) AS INTEGER),
+         |    'neto liquidado a traves de mercado pago por tipo de operacion', 'mp_data', k, v FROM a2
+         |  UNION ALL SELECT CAST(300 + row_number() OVER (ORDER BY v DESC, k) AS INTEGER),
+         |    'gastos de la tarjeta del banco por comercio', 'bank_payments', k, v FROM a3
+         |) ORDER BY line_no""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val dec96 = lit(new java.math.BigDecimal("0.96"))
+      val dec50 = lit(new java.math.BigDecimal("0.5"))
+      val dec30 = lit(new java.math.BigDecimal("0.3"))
+      // -- the warehouse: the reference's three tables, full production
+      // schema (graft.schemas.Schemas), registered under their real names
+      Tables.lineitem(s, d).as("l")
+        .join(Tables.part(s, d).as("p"), $"l.l_partkey" === $"p.p_partkey")
+        .join(Tables.orders(s, d).as("o"), $"l.l_orderkey" === $"o.o_orderkey")
+        .filter($"l.l_orderkey" % 7 === 0)
+        .select(
+          $"l.l_orderkey".as("nro_ticket"),
+          $"o.o_orderdate".cast("date").as("fecha"),
+          expr(catCase).as("categ"),
+          $"p.p_name".as("prod"),
+          $"l.l_quantity".cast("long").as("cant"),
+          (dec($"l.l_quantity") * dec50).cast("double").as("peso"),
+          dec($"p.p_retailprice").cast("double").as("p_unit"),
+          dec($"l.l_extendedprice").cast("double").as("p_total"),
+          dec($"l.l_extendedprice").cast("double").as("total_ticket_bruto"),
+          round(dec($"l.l_extendedprice") * dec30, 2).cast("double").as("total_ticket_meli"))
+        .createOrReplaceTempView("carrefour_data")
+      Tables.orders(s, d).filter($"o_orderkey" % 13 === 0)
+        .select(
+          $"o_orderkey".cast("string").as("source_id"),
+          concat(lit("rpt-"), ($"o_orderkey" % 5).cast("string")).as("report_id"),
+          $"o_orderdate".cast("timestamp").as("report_date"),
+          $"o_orderdate".cast("timestamp").as("settlement_date"),
+          when($"o_orderkey" % 3 === 0, "credit_card").otherwise("account_money")
+            .as("payment_method_type"),
+          when($"o_orderkey" % 11 === 0, "refund").otherwise("settlement")
+            .as("transaction_type"),
+          dec($"o_totalprice").cast("double").as("transaction_amount"),
+          $"o_orderdate".cast("timestamp").as("transaction_date"),
+          round(dec($"o_totalprice") *
+            when($"o_orderkey" % 11 === 0, -dec96).otherwise(dec96), 2)
+            .cast("double").as("real_amount"),
+          concat(lit("pos-"), ($"o_custkey" % 4).cast("string")).as("pos_id"),
+          concat(lit("store-"), ($"o_custkey" % 3).cast("string")).as("store_id"),
+          concat(lit("Sucursal "), ($"o_custkey" % 3).cast("string")).as("store_name"),
+          concat(lit("payer-"), $"o_custkey".cast("string")).as("payer_name"),
+          lit("point").as("business_unit"),
+          lit("pos").as("sub_unit"))
+        .createOrReplaceTempView("mp_data")
+      Tables.orders(s, d).filter($"o_orderkey" % 3 === 0)
+        .select(
+          md5($"o_orderkey".cast("string")).as("id"),
+          concat(lit("msg-"), lpad($"o_orderkey".cast("string"), 8, "0")).as("message_id"),
+          $"o_orderdate".cast("date").as("fecha_pago"),
+          concat(lpad(($"o_orderkey" % 24).cast("string"), 2, "0"), lit(":00:00")).as("hora_pago"),
+          $"o_totalprice".cast(org.apache.spark.sql.types.DecimalType(12, 2)).as("monto"),
+          lit("ARS").as("divisa"),
+          when($"o_custkey" % 2 === 0, "VISA").otherwise("AMEX").as("tarjeta"),
+          lpad(($"o_custkey" % 10000).cast("string"), 4, "0").as("nro_tarjeta"),
+          concat(lit("COM-"), lpad(($"o_orderkey" % 37).cast("string"), 2, "0")).as("comercio"),
+          ($"o_orderkey" % 6 + 1).cast("int").as("cuotas"),
+          $"o_orderdate".cast("timestamp").as("extraido_en"))
+        .createOrReplaceTempView("bank_payments")
+      // -- rule 1: the schema block the prompt consumes, straight from the
+      // catalog (a type drift here fails the hash)
+      val schemaRows = graft.io.AgentSupport
+        .describeTables(s, graft.io.AgentSupport.allowedTables.sorted)
+        .zipWithIndex
+        .map { case (line, i) => (i + 1, "__schema__", line.takeWhile(_ != '('), line) }
+        .toDF("line_no", "question", "routed_table", "k")
+        .withColumn("v", lit(null).cast("double"))
+      // -- rules 3-6: route each question class, answer over the routed
+      // table with the generated-SQL shape the agent emits (aggregate +
+      // ORDER BY + LIMIT 20), numbered for the reply render
+      val perTableSql = Map(
+        "carrefour_data" ->
+          """SELECT categ AS k, CAST(sum(CAST(p_total AS DECIMAL(18,2))) AS DOUBLE) AS v
+            |FROM carrefour_data GROUP BY categ ORDER BY v DESC, k LIMIT 20""".stripMargin,
+        "mp_data" ->
+          """SELECT transaction_type AS k, CAST(sum(CAST(real_amount AS DECIMAL(18,2))) AS DOUBLE) AS v
+            |FROM mp_data GROUP BY transaction_type ORDER BY v DESC, k LIMIT 20""".stripMargin,
+        "bank_payments" ->
+          """SELECT comercio AS k, CAST(sum(monto) AS DOUBLE) AS v
+            |FROM bank_payments GROUP BY comercio ORDER BY v DESC, k LIMIT 20""".stripMargin)
+      val questions = Seq(
+        1 -> "cuanto gaste en el supermercado por categoria",
+        2 -> "neto liquidado a traves de mercado pago por tipo de operacion",
+        3 -> "gastos de la tarjeta del banco por comercio")
+      val answers = questions.map { case (qid, question) =>
+        val tbl = graft.io.AgentSupport.routeTable(question)
+        s.sql(
+          s"""SELECT CAST(${100 * qid} + row_number() OVER (ORDER BY v DESC, k) AS INT) AS line_no,
+             |  '$question' AS question, '$tbl' AS routed_table, k, v
+             |FROM ( ${perTableSql(tbl)} ) t""".stripMargin)
+      }
+      answers.foldLeft(schemaRows)(_ unionByName _).orderBy($"line_no")
     }
   )
 

@@ -82,6 +82,22 @@ class IoSpec extends AnyFunSuite {
     assert(lines(0) == "| o_orderpriority | n |" && lines.length == 5)
   }
 
+  test("agent router: golden-rule routing in prompt rule order (ai_agent:59-66)") {
+    import graft.io.AgentSupport.routeTable
+    // one representative per rule, in the /start examples' vocabulary
+    assert(routeTable("¿Cuánto gasté en el BANCO este mes?") == "bank_payments")
+    assert(routeTable("resumen santander de la semana") == "bank_payments")
+    assert(routeTable("transacciones por Mercado Pago de ayer") == "mp_data")
+    assert(routeTable("gastos del supermercado por categoría") == "carrefour_data")
+    assert(routeTable("ticket de carrefour más caro") == "carrefour_data")
+    // rule ORDER: banco (rule 3) outranks carrefour (rule 5) when both match
+    assert(routeTable("pagué el supermercado con el banco") == "bank_payments")
+    // 'supermercado' must NOT trip the 'mercado pago' substring rule
+    assert(routeTable("supermercado pagos de la semana") == "carrefour_data")
+    // unroutable questions fail loudly instead of guessing a table
+    intercept[IllegalArgumentException](routeTable("¿qué hora es?"))
+  }
+
   test("observe() collects load metrics in-flight, no second scan (K7 observability)") {
     import org.apache.spark.sql.Observation
     import org.apache.spark.sql.functions._
