@@ -135,7 +135,14 @@ object Ops {
     * done as a merge): rows of `updates` replace same-key rows of `base`,
     * other base rows pass through. Equivalent to MERGE WHEN MATCHED THEN
     * UPDATE; with partitioned tables this rewrites only the touched
-    * partitions. Updates side is typically tiny → broadcast anti-join. */
+    * partitions. Updates side is typically tiny → broadcast anti-join.
+    *
+    * NULL-key semantics are SQL MERGE's (Delta/Iceberg MERGE likewise):
+    * the match condition is plain equality, and NULL = NULL is not TRUE —
+    * so a NULL-keyed update never MATCHES a NULL-keyed base row; both are
+    * retained (the update inserts, the base row passes the anti-join).
+    * Pinned by WarehouseNullProps; callers needing NULL-keyed replacement
+    * must canonicalize keys first (F8's null-canonical projection). */
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
     updates.unionByName(antiJoin(base, updates, keys))
 
