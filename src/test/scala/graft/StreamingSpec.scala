@@ -487,6 +487,55 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("st22 state bound: flush markers CLEAR flushed keys — store key set == live-session frontier") {
+    import graft.streaming.{SessionizerWithTs, TsEvent}
+    val in = tmp("graft_inF"); val ckpt = tmp("graft_ckptF"); val out = tmp("graft_twsF")
+    val flushAt = java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime
+    withRocksDb {
+      def run(): Unit = {
+        // delay sized so the watermark stays pre-2024 across ALL drains:
+        // the third drain's flush emissions carry 2024-01-01 session
+        // starts and must stay above the watermark the SECOND drain's
+        // markers advanced (the st22 close-protocol invariant)
+        val q = spark.readStream.schema(sessSchema).parquet(in)
+          .withWatermark("ts", "100000 hours")
+          .as[TsEvent].groupByKey(_.user_id)
+          .transformWithState(new SessionizerWithTs(1800000L, flushAt),
+            "start_ts",
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .toDF()
+          .writeStream.format("parquet")
+          .option("path", s"$out/t").option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      // the operability assertion VERDICT r12 asked for: read the "open"
+      // ValueState back through the State Data Source and require the key
+      // set to equal the LIVE session frontier, not all-keys-ever
+      def storeKeys(): Set[Long] =
+        spark.read.format("statestore").option("path", ckpt)
+          .option("stateVarName", "open").load()
+          .select($"key.value").as[Long].collect().toSet
+      // six users, one open session each
+      stageSessions(in, (1L to 6L).map(u => (u, s"2024-01-01 0$u:00:00")), "b1")
+      run()
+      assert(storeKeys() == (1L to 6L).toSet, "every un-flushed key holds its open tail")
+      // flush half the keys: their tails emit AND their state clears
+      stageSessions(in, (1L to 3L).map(u => (u, "2024-12-01 00:00:00")), "b2")
+      run()
+      assert(storeKeys() == (4L to 6L).toSet, "flushed keys must leave the store")
+      // flush the rest: the store drains to empty
+      stageSessions(in, (4L to 6L).map(u => (u, "2024-12-02 00:00:00")), "b3")
+      run()
+      assert(storeKeys() == Set.empty[Long], "a fully-flushed store holds no keys")
+      // and every session surfaced exactly once at the sink
+      val emitted = spark.read.parquet(s"$out/t")
+        .select($"user_id").as[Long].collect().sorted.toSeq
+      assert(emitted == (1L to 6L).toSeq, s"got: $emitted")
+    }
+  }
+
   test("TtlCountProcessor: dormant state ages out — a restart past the TTL restarts the count") {
     import graft.streaming.{TwsEvent, TtlCount, TtlCountProcessor}
     val in = tmp("graft_inT2"); val ckpt = tmp("graft_ckptT2"); val out = tmp("graft_twsT2")
