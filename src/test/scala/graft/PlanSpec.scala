@@ -633,4 +633,31 @@ class PlanSpec extends AnyFunSuite {
     assert("Bucketed: true".r.findAllIn(p).size == 2,
       s"both scans must read bucketed layout:\n$p")
   }
+
+  test("agent_route_tables: top-20 via TakeOrdered, broadcast star join, pruned scans, " +
+       "unused view columns never compute") {
+    val p = plan("agent_route_tables")
+    // rule 6 (LIMIT 20) must plan as top-k, one per routed answer —
+    // never a global sort of the aggregate
+    assert("TakeOrderedAndProject\\(limit=20".r.findAllIn(p).size == 3,
+      s"all three routed answers must plan as limit-20 top-k:\n$p")
+    // the carrefour star join broadcasts both dims (part + the sliced
+    // orders keys); nothing sort-merges or cross-joins
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2 &&
+      !p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"dims must broadcast:\n$p")
+    // column pruning through the temp views: the lineitem scan reads only
+    // the four columns the routed answer needs — the mp/bank views' many
+    // derived columns (hora_pago, payer_name, …) never compute, and both
+    // orders-backed answers read two columns each
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint," +
+      "l_linenumber:int,l_extendedprice:double>"),
+      s"lineitem scan must be pruned to 4 columns:\n$p")
+    assert("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>".r
+      .findAllIn(p).size == 2,
+      s"mp/bank answers must each read only 2 orders columns:\n$p")
+    // partial aggregation rides below every exchange (map-side combine)
+    assert("partial_sum".r.findAllIn(p).size == 3,
+      s"every answer must partial-aggregate before its exchange:\n$p")
+  }
 }
