@@ -209,20 +209,22 @@ object Warehouse {
     * cost eventually dominates scans; periodic compaction is the
     * counterpart every append-only warehouse needs. Rewrite goes through
     * a staging dir + rename so a concurrent reader sees either the old or
-    * the new file set, never a mix. */
+    * the new file set, never a mix. Renames ride the Hadoop FileSystem
+    * API (r13: the java.io.File version silently no-opped on any
+    * non-local path) — directory rename is atomic on HDFS; object stores
+    * have no atomic rename, so there use the manifest-committed
+    * AtomicSink layout instead of path swapping. */
   def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
     val staged = path + "__compacting"
     spark.read.parquet(path).repartition(targetFiles)
       .write.mode(SaveMode.Overwrite).parquet(staged)
-    val dir = new java.io.File(path)
-    val bak = new java.io.File(path + "__precompact")
-    def rmRf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmRf)
-      f.delete(); ()
-    }
-    if (dir.exists()) { dir.renameTo(bak); () }
-    new java.io.File(staged).renameTo(dir)
-    if (bak.exists()) rmRf(bak)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + "__precompact")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(bak)) fs.delete(bak, true) // torn prior run
+    if (fs.exists(dir)) fs.rename(dir, bak)
+    fs.rename(new org.apache.hadoop.fs.Path(staged), dir)
+    if (fs.exists(bak)) { fs.delete(bak, true); () }
   }
 
   /** Retention expiry over a hive-partitioned layout: drop whole partition
@@ -230,17 +232,20 @@ object Warehouse {
     * metadata/file operation, no data read or rewritten (the reference
     * expires logs after 14 days, main.tf:843-846; at 100 TB retention must
     * be partition-level deletes, not row filters). Values compare as
-    * strings, which is correct for ISO dates and zero-padded keys. */
-  def expirePartitions(path: String, partitionCol: String, cutoff: String): Seq[String] = {
+    * strings, which is correct for ISO dates and zero-padded keys.
+    * Listing/deletes ride the Hadoop FileSystem API (r13: the
+    * java.io.File version listed nothing on any non-local path, so remote
+    * retention silently never expired anything). */
+  def expirePartitions(spark: SparkSession, path: String, partitionCol: String,
+                       cutoff: String): Seq[String] = {
     val prefix = partitionCol + "="
-    val dirs = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
-    val expired = dirs.filter(_.getName.stripPrefix(prefix) < cutoff)
-    def rmRf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmRf)
-      f.delete(); ()
-    }
-    expired.foreach(rmRf)
-    expired.map(_.getName.stripPrefix(prefix)).toSeq.sorted
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Nil
+    val expired = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .filter(_.getPath.getName.stripPrefix(prefix) < cutoff)
+    expired.foreach(s => fs.delete(s.getPath, true))
+    expired.map(_.getPath.getName.stripPrefix(prefix)).toSeq.sorted
   }
 }

@@ -166,17 +166,22 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val dir = new java.io.File(warehouseDir)
+        val dir = new org.apache.hadoop.fs.Path(warehouseDir)
+        val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
         val merged =
-          if (dir.exists()) graft.ops.Ops.upsert(spark.read.parquet(warehouseDir), batch.toDF(), keys)
+          if (fs.exists(dir)) graft.ops.Ops.upsert(spark.read.parquet(warehouseDir), batch.toDF(), keys)
           else batch.toDF()
         val tmp = warehouseDir + "__staging"
         merged.write.mode("overwrite").parquet(tmp)
-        // atomic-ish swap: parquet re-read happens from the new directory
-        val bak = new java.io.File(warehouseDir + "__old")
-        if (dir.exists()) { dir.renameTo(bak); () }
-        new java.io.File(tmp).renameTo(dir)
-        if (bak.exists()) { bak.listFiles().foreach(_.delete()); bak.delete() }
+        // atomic-ish swap through the Hadoop FS (r13: java.io.File renames
+        // no-op on remote paths): parquet re-read happens from the new
+        // directory; on HDFS the rename is atomic, on object stores use a
+        // manifest-committed layout (AtomicSink) instead of path swaps
+        val bak = new org.apache.hadoop.fs.Path(warehouseDir + "__old")
+        if (fs.exists(bak)) fs.delete(bak, true) // torn prior batch
+        if (fs.exists(dir)) fs.rename(dir, bak)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), dir)
+        if (fs.exists(bak)) fs.delete(bak, true)
         ()
       }
       .start()

@@ -300,7 +300,7 @@ class ScaleOpsSpec extends AnyFunSuite {
     val cutoff = o.selectExpr(
       "CAST(date_add(min(o_orderdate), 365) AS STRING)").head().getString(0)
     val expectKeep = o.filter($"odate" >= cutoff).count()
-    val dropped = graft.io.Warehouse.expirePartitions(loc, "odate", cutoff)
+    val dropped = graft.io.Warehouse.expirePartitions(spark, loc, "odate", cutoff)
     assert(dropped.nonEmpty && dropped.forall(_ < cutoff))
     val kept = spark.read.parquet(loc)
     assert(kept.count() == expectKeep)
