@@ -44,6 +44,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Rows serialize as TAB-separated text (a demo of the protocol, not a
   * format — a production sink swaps the serializer, not the protocol).
+  *
+  * I/O layer scope: file operations are java.nio (local disk / POSIX
+  * shared FS). A cluster deployment swaps them for the Hadoop
+  * FileSystem equivalents — `create(path, overwrite = false)` preserves
+  * the O_EXCL publish/lock semantics on HDFS verbatim; object stores
+  * get the same protocol from conditional PUTs (the manifest IS the
+  * commit point, so no atomic rename is ever required — unlike the
+  * path-swap sinks, which is why COVERAGE.md routes object-store
+  * deployments here).
   */
 class AtomicSink extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
