@@ -187,4 +187,36 @@ class IoSpec extends AnyFunSuite {
     assert(r2 == 1)
     assert(spark.read.parquet(dir).select($"id").as[Long].collect().toSet == Set(1L))
   }
+
+  test("deleteWhere drops fully-emptied partitions whose VALUES need path escaping") {
+    // the drop branch resolves partition values to directory names via
+    // Spark's own escaping (getPartitionPathString); '/', ':', '=' and
+    // spaces are exactly the characters where a naive s\"$col=$v\" path
+    // would delete the wrong directory — or none, leaving the 'deleted'
+    // rows readable without tripping the post-condition (which re-scans
+    // only REWRITTEN partitions)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delesc").toString + "/t"
+    val src = Seq(
+      (1L, "a/b"), (2L, "a/b"),
+      (3L, "x:y"), (4L, "k=v"),
+      (5L, "sp ace"), (7L, "sp ace"), (6L, "plain")
+    ).toDF("id", "key")
+    graft.io.Warehouse.appendPartitioned(src, dir, Seq("key"))
+    // empty THREE escaped partitions entirely; 'sp ace' keeps a survivor
+    // (the REWRITE branch on an escaped value); 'plain' untouched
+    val (nParts, nAffected) = graft.io.Warehouse.deleteWhere(
+      spark, dir, "key", col("id") <= 5)
+    assert(nParts == 5 && nAffected == 4)
+    val back = spark.read.parquet(dir).select($"id", $"key")
+      .as[(Long, String)].collect().toSet
+    assert(back == Set((6L, "plain"), (7L, "sp ace")),
+      s"escaped partitions must drop/rewrite correctly; got $back")
+    // the emptied directories are gone from disk, not just filtered out:
+    // exactly two partition dirs remain
+    val leftDirs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(leftDirs.size == 2,
+      s"only the two surviving partition directories may remain; got $leftDirs")
+  }
 }
