@@ -65,15 +65,22 @@ object AgentSupport {
     }
 
   /** Render the first `limit` rows as a markdown table (the Telegram
-    * reply formatting; capped like the reference's LIMIT 20 rule). */
+    * reply formatting; capped like the reference's LIMIT 20 rule).
+    * Cell values escape the table's OWN structural characters — a value
+    * containing '|' or a newline would otherwise splice extra columns or
+    * rows into the reply (data-driven render corruption, the markdown
+    * sibling of SQL injection). */
   def markdown(df: DataFrame, limit: Int = 20): String = {
     val cols = df.columns
     val rows = df.limit(limit).collect()
+    def cell(v: Any): String = String.valueOf(v)
+      .replace("\\", "\\\\").replace("|", "\\|")
+      .replace("\r", " ").replace("\n", " ")
     val sb = new StringBuilder
-    sb ++= cols.mkString("| ", " | ", " |\n")
+    sb ++= cols.map(cell).mkString("| ", " | ", " |\n")
     sb ++= cols.map(_ => "---").mkString("| ", " | ", " |\n")
     rows.foreach { r =>
-      sb ++= cols.indices.map(i => String.valueOf(r.get(i))).mkString("| ", " | ", " |\n")
+      sb ++= cols.indices.map(i => cell(r.get(i))).mkString("| ", " | ", " |\n")
     }
     sb.toString
   }

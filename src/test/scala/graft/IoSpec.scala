@@ -82,6 +82,20 @@ class IoSpec extends AnyFunSuite {
     assert(lines(0) == "| o_orderpriority | n |" && lines.length == 5)
   }
 
+  test("agent markdown render escapes structural characters in cell values") {
+    import spark.implicits._
+    // a merchant name with pipes and a newline must not splice columns/rows
+    val md = graft.io.AgentSupport.markdown(
+      Seq(("a|b", 1L), ("two\nlines", 2L)).toDF("name", "n"))
+    val lines = md.split("\n")
+    assert(lines.length == 4, s"2 data rows + header + rule, got:\n$md")
+    assert(lines(2) == "| a\\|b | 1 |", s"pipe must escape: ${lines(2)}")
+    assert(lines(3) == "| two lines | 2 |", s"newline must flatten: ${lines(3)}")
+    // every data line still parses to exactly the column count
+    assert(lines.drop(2).forall(l =>
+      l.split("(?<!\\\\)\\|", -1).length == 4), md) // "| a | b |" -> 4 raw fields
+  }
+
   test("agent router: golden-rule routing in prompt rule order (ai_agent:59-66)") {
     import graft.io.AgentSupport.routeTable
     // one representative per rule, in the /start examples' vocabulary
