@@ -55,6 +55,56 @@ object AgentSupport {
     routed
   }
 
+  /** Enforce the prompt's rule 1 on a GENERATED query before running it:
+    * the SQL must be a read-only query (no DDL/DML — the reference
+    * executes whatever text the LLM returns, with the lambda's
+    * credentials, ai_agent:101-125; an engine must not trust that) and
+    * every relation it reads must be in `allowed`. Parses without
+    * executing; names defined by the query's own CTEs are exempt (the
+    * LLM legitimately writes WITH-clauses), everything else — including
+    * relations inside subquery expressions — must be allowlisted.
+    * Case-insensitive to match the session resolver. Throws on violation. */
+  def validateSql(spark: SparkSession, sql: String,
+                  allowed: Seq[String] = allowedTables): Unit = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan, UnresolvedWith}
+    val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    // UnresolvedWith keeps its CTE definitions as innerChildren (only the
+    // main query is its child), so a plain collect never sees a CTE's
+    // body — exactly where a forbidden table would hide. Descend into
+    // them explicitly, recursively (CTEs nest), and through subquery
+    // expressions everywhere.
+    def nodes(p: LogicalPlan): Seq[LogicalPlan] = {
+      val here = p.collectWithSubqueries { case n => n }
+      val cteBodies = here.collect {
+        case w: UnresolvedWith => w.cteRelations.map(_._2)
+      }.flatten
+      here ++ cteBodies.flatMap(nodes)
+    }
+    val all = nodes(plan)
+    all.foreach {
+      case c: Command =>
+        throw new IllegalArgumentException(
+          s"generated SQL is not a read-only query (${c.nodeName}): $sql")
+      case i: InsertIntoStatement =>
+        throw new IllegalArgumentException(
+          s"generated SQL writes (${i.nodeName}): $sql")
+      case _ => ()
+    }
+    val cteNames = all.collect { case w: UnresolvedWith =>
+      w.cteRelations.map(_._1.toLowerCase(java.util.Locale.ROOT))
+    }.flatten.toSet
+    val ok = allowed.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val bad = all.collect {
+      case r: UnresolvedRelation => r.multipartIdentifier.mkString(".")
+    }.filterNot(n => {
+      val l = n.toLowerCase(java.util.Locale.ROOT)
+      ok(l) || cteNames(l)
+    })
+    require(bad.isEmpty,
+      s"generated SQL reads outside the allowed schema: ${bad.distinct.mkString(", ")}")
+  }
+
   /** Schema block over an explicit table list — the agent prompt names its
     * three tables outright (ai_agent:54-57) rather than by prefix. */
   def describeTables(spark: SparkSession, names: Seq[String]): Seq[String] =

@@ -564,6 +564,10 @@ object PackParsers {
         3 -> "gastos de la tarjeta del banco por comercio")
       val answers = questions.map { case (qid, question) =>
         val tbl = graft.io.AgentSupport.routeTable(question)
+        // rule-1 enforcement the reference skips: the generated SQL is
+        // parsed and checked (read-only, allowed tables only) BEFORE it
+        // executes — see AgentSupport.validateSql
+        graft.io.AgentSupport.validateSql(s, perTableSql(tbl))
         s.sql(
           s"""SELECT CAST(${100 * qid} + row_number() OVER (ORDER BY v DESC, k) AS INT) AS line_no,
              |  '$question' AS question, '$tbl' AS routed_table, k, v

@@ -96,6 +96,38 @@ class IoSpec extends AnyFunSuite {
       l.split("(?<!\\\\)\\|", -1).length == 4), md) // "| a | b |" -> 4 raw fields
   }
 
+  test("agent SQL validation: read-only + allowed tables only, CTEs and subqueries included") {
+    import graft.io.AgentSupport.validateSql
+    val allowed = Seq("carrefour_data", "mp_data", "bank_payments")
+    // the shapes the LLM legitimately generates all pass
+    validateSql(spark, "SELECT categ, sum(p_total) FROM carrefour_data GROUP BY 1 LIMIT 20", allowed)
+    validateSql(spark,
+      "WITH t AS (SELECT * FROM MP_DATA) SELECT count(*) FROM t JOIN bank_payments b ON true",
+      allowed)
+    validateSql(spark,
+      "SELECT * FROM carrefour_data WHERE p_total > (SELECT avg(monto) FROM bank_payments)",
+      allowed)
+    // reads outside the schema fail — top-level, joined, or inside a
+    // subquery expression
+    intercept[IllegalArgumentException](
+      validateSql(spark, "SELECT * FROM secrets", allowed))
+    intercept[IllegalArgumentException](
+      validateSql(spark, "SELECT * FROM mp_data m JOIN users u ON true", allowed))
+    intercept[IllegalArgumentException](
+      validateSql(spark,
+        "SELECT * FROM mp_data WHERE real_amount > (SELECT max(x) FROM hidden)", allowed))
+    // a CTE cannot launder a forbidden table through its body
+    intercept[IllegalArgumentException](
+      validateSql(spark, "WITH t AS (SELECT * FROM secrets) SELECT * FROM t", allowed))
+    // anything that writes or drops is rejected outright
+    intercept[IllegalArgumentException](
+      validateSql(spark, "DROP TABLE carrefour_data", allowed))
+    intercept[IllegalArgumentException](
+      validateSql(spark, "INSERT INTO mp_data SELECT * FROM mp_data", allowed))
+    intercept[IllegalArgumentException](
+      validateSql(spark, "CREATE TABLE x AS SELECT 1", allowed))
+  }
+
   test("agent router: golden-rule routing in prompt rule order (ai_agent:59-66)") {
     import graft.io.AgentSupport.routeTable
     // one representative per rule, in the /start examples' vocabulary
