@@ -1,10 +1,11 @@
 package graft.sources
 
-import java.io.File
 import java.nio.charset.StandardCharsets
-import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardCopyOption}
 import java.util
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, LocalFileSystem, Options, Path}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -13,6 +14,7 @@ import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterF
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** Custom DataSource V2 **sink** demonstrating the transactional batch
   * commit protocol the reference's row-loop INSERTs lack (SURVEY §2.2,
@@ -30,8 +32,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *     with an earlier commit, and concurrent jobs never share staging;
   *   - publish refuses to replace an existing destination file (a name
   *     collision means a protocol violation, not something to paper over);
-  *   - the manifest read-modify-write is serialized by an O_EXCL lock
-  *     file, so two concurrent appends cannot drop each other's files
+  *   - the manifest read-modify-write is serialized by an exclusive-create
+  *     lock file, so two concurrent appends cannot drop each other's files
   *     (lost update);
   *   - truncate (overwrite) publishes a manifest naming only the new
   *     files and leaves the orphaned prior files on disk — readers of the
@@ -45,14 +47,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * Rows serialize as TAB-separated text (a demo of the protocol, not a
   * format — a production sink swaps the serializer, not the protocol).
   *
-  * I/O layer scope: file operations are java.nio (local disk / POSIX
-  * shared FS). A cluster deployment swaps them for the Hadoop
-  * FileSystem equivalents — `create(path, overwrite = false)` preserves
-  * the O_EXCL publish/lock semantics on HDFS verbatim; object stores
-  * get the same protocol from conditional PUTs (the manifest IS the
-  * commit point, so no atomic rename is ever required — unlike the
-  * path-swap sinks, which is why COVERAGE.md routes object-store
-  * deployments here).
+  * I/O layer (r13): all file operations ride the Hadoop FileSystem API —
+  * the driver captures the session Hadoop conf once and ships it to
+  * executors via SerializableConfiguration, so the sink works on local
+  * disk and HDFS alike. The exclusive lock create is kernel O_EXCL on
+  * the local FS (java.nio fast path) and `create(path, overwrite=false)`
+  * elsewhere (atomic-exclusive on HDFS); the manifest pointer swap uses
+  * FileContext's Rename.OVERWRITE (atomic on HDFS and POSIX). Object
+  * stores have no atomic rename, but the manifest IS the commit point —
+  * swap the two rename sites for conditional PUTs and the protocol
+  * carries over.
   */
 class AtomicSink extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -67,18 +71,48 @@ class AtomicSink extends TableProvider
 }
 
 object AtomicSink {
-  private[sources] def readManifest(p: java.nio.file.Path): Seq[String] =
-    if (Files.exists(p))
-      new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-        .split("\n").toSeq.filter(_.nonEmpty)
+
+  /** Driver-side Hadoop conf (the session's, so fs.* settings apply). */
+  private[sources] def driverConf(): Configuration =
+    SparkSession.active.sessionState.newHadoopConf()
+
+  private[sources] def fsFor(path: String, conf: Configuration): (FileSystem, Path) = {
+    val p = new Path(path)
+    // unwrap ChecksumFileSystem (the local FS wrapper): its client-side
+    // .crc side files would pollute the table directory — data files,
+    // orphan accounting, and the manifest all assume exactly the files
+    // the protocol wrote. HDFS checksums internally, no wrapper there.
+    val fs = p.getFileSystem(conf) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case f => f
+    }
+    (fs, fs.makeQualified(p))
+  }
+
+  private[sources] def readManifest(fs: FileSystem, p: Path): Seq[String] =
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        new String(out.toByteArray, StandardCharsets.UTF_8)
+          .split("\n").toSeq.filter(_.nonEmpty)
+      } finally in.close()
+    } else Seq.empty
+
+  private def listNames(fs: FileSystem, root: Path): Seq[(String, Boolean)] =
+    if (fs.exists(root))
+      fs.listStatus(root).toSeq.map(s => (s.getPath.getName, s.isFile))
     else Seq.empty
 
   /** Version numbers with a retained snapshot manifest, ascending. */
-  def versions(path: String): Seq[Long] =
-    Option(new File(path).listFiles()).getOrElse(Array.empty)
-      .flatMap(f => Option(f.getName)
-        .filter(_.startsWith("_MANIFEST.v")).map(_.drop(11).toLong))
-      .toSeq.sorted
+  def versions(path: String): Seq[Long] = {
+    val (fs, root) = fsFor(path, driverConf())
+    listNames(fs, root).map(_._1)
+      .filter(_.startsWith("_MANIFEST.v")).map(_.drop(11).toLong).sorted
+  }
 
   /** Physical cleanup, deliberately separate from commit: delete data
     * files no longer named by the CURRENT manifest or any RETAINED
@@ -87,13 +121,14 @@ object AtomicSink {
     * exclusive files for collection. Run it only when no reader can
     * still hold an expired snapshot. Returns the number removed. */
   def vacuum(path: String): Int = {
+    val (fs, root) = fsFor(path, driverConf())
     val live: Set[String] =
-      (readManifest(Paths.get(path, "_MANIFEST")) ++
+      (readManifest(fs, new Path(root, "_MANIFEST")) ++
         versions(path).flatMap(v =>
-          readManifest(Paths.get(path, s"_MANIFEST.v$v")))).toSet
-    val orphans = Option(new File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && !f.getName.startsWith("_") && !live(f.getName))
-    orphans.foreach(_.delete())
+          readManifest(fs, new Path(root, s"_MANIFEST.v$v")))).toSet
+    val orphans = listNames(fs, root)
+      .filter { case (n, isFile) => isFile && !n.startsWith("_") && !live(n) }
+    orphans.foreach { case (n, _) => fs.delete(new Path(root, n), false) }
     orphans.length
   }
 
@@ -103,8 +138,9 @@ object AtomicSink {
     * versions expired. */
   def expireVersions(path: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "must retain at least the current version")
+    val (fs, root) = fsFor(path, driverConf())
     val expired = versions(path).dropRight(keepLast)
-    expired.foreach(v => Files.deleteIfExists(Paths.get(path, s"_MANIFEST.v$v")))
+    expired.foreach(v => fs.delete(new Path(root, s"_MANIFEST.v$v"), false))
     expired
   }
 }
@@ -134,21 +170,23 @@ private[sources] class AtomicSinkTable(writeSchema: StructType, path: String)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = writeSchema
         override def toBatch: Batch = new Batch {
+          private val conf = new SerializableConfiguration(AtomicSink.driverConf())
           override def planInputPartitions(): Array[InputPartition] = {
+            val (fs, root) = AtomicSink.fsFor(path, conf.value)
             val manifest = version match {
               case Some(v) =>
-                val m = Paths.get(path, s"_MANIFEST.v$v")
-                require(Files.exists(m),
+                val m = new Path(root, s"_MANIFEST.v$v")
+                require(fs.exists(m),
                   s"graft-atomic: version $v of $path does not exist or was expired " +
                     s"(retained: ${AtomicSink.versions(path).mkString(",")})")
                 m
-              case None => Paths.get(path, "_MANIFEST")
+              case None => new Path(root, "_MANIFEST")
             }
-            AtomicSink.readManifest(manifest)
-              .map(f => AtomicFilePartition(new File(path, f).getPath)).toArray
+            AtomicSink.readManifest(fs, manifest)
+              .map(f => AtomicFilePartition(new Path(root, f).toString)).toArray
           }
           override def createReaderFactory(): PartitionReaderFactory =
-            AtomicReaderFactory(writeSchema)
+            AtomicReaderFactory(writeSchema, conf)
         }
       }
     }
@@ -173,13 +211,18 @@ private[sources] case class AtomicFilePartition(file: String) extends InputParti
 /** Deserializes the writer's TAB-separated lines back to InternalRows —
   * the inverse of AtomicWriterFactory's String.valueOf serializer (empty
   * cell = null; timestamps are raw micros). */
-private[sources] case class AtomicReaderFactory(schema: StructType)
-    extends PartitionReaderFactory {
+private[sources] case class AtomicReaderFactory(schema: StructType,
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val lines = Files.readAllLines(
-        Paths.get(p.asInstanceOf[AtomicFilePartition].file),
-        StandardCharsets.UTF_8).iterator()
+      private val lines = {
+        val fp = new Path(p.asInstanceOf[AtomicFilePartition].file)
+        val fs = AtomicSink.fsFor(fp.toString, conf.value)._1
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(fs.open(fp), StandardCharsets.UTF_8))
+        try Iterator.continually(in.readLine()).takeWhile(_ != null).toVector.iterator
+        finally in.close()
+      }
       private var current: InternalRow = _
       override def next(): Boolean = {
         if (!lines.hasNext) return false
@@ -211,100 +254,131 @@ private[sources] case class AtomicReaderFactory(schema: StructType)
 
 private[sources] class AtomicBatchWrite(path: String, schema: StructType,
     truncate: Boolean, queryId: String) extends BatchWrite {
+  private val conf = new SerializableConfiguration(AtomicSink.driverConf())
+  private def fsRoot(): (FileSystem, Path) = AtomicSink.fsFor(path, conf.value)
   // per-job staging: concurrent jobs never see (or delete) each other's
   // staged files
-  private val staging = new File(path, s"_staging-$queryId")
-  private val manifest = Paths.get(path, "_MANIFEST")
-  private val lock = Paths.get(path, "_COMMIT_LOCK")
+  private def stagingOf(root: Path): Path = new Path(root, s"_staging-$queryId")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    staging.mkdirs()
-    AtomicWriterFactory(path, schema, queryId)
+    val (fs, root) = fsRoot()
+    fs.mkdirs(stagingOf(root))
+    AtomicWriterFactory(root.toString, schema, queryId, conf)
   }
 
   /** Publish exactly the files the committed tasks named: rename each out
     * of staging (atomic within a filesystem, and refusing to replace an
     * existing destination), then swap in the manifest LAST via temp-file +
-    * ATOMIC_MOVE — readers treat the manifest as the commit record, so a
-    * crash at any point before the swap leaves the previous table version
-    * intact from their point of view. The manifest merge runs under an
-    * O_EXCL lock file so concurrent append commits serialize instead of
-    * losing each other's updates. Truncate (overwrite) mode publishes a
-    * manifest naming only the new files; the orphaned prior files stay on
-    * disk for in-flight readers until [[AtomicSink.vacuum]]. */
+    * atomic overwrite rename — readers treat the manifest as the commit
+    * record, so a crash at any point before the swap leaves the previous
+    * table version intact from their point of view. The manifest merge
+    * runs under an exclusive-create lock file so concurrent append
+    * commits serialize instead of losing each other's updates. Truncate
+    * (overwrite) mode publishes a manifest naming only the new files; the
+    * orphaned prior files stay on disk for in-flight readers until
+    * [[AtomicSink.vacuum]]. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val (fs, root) = fsRoot()
+    val staging = stagingOf(root)
+    val manifest = new Path(root, "_MANIFEST")
     val files = messages.collect { case StagedFile(name, _) => name }
     files.foreach { f =>
-      val dest = Paths.get(path, f)
-      if (Files.exists(dest))
-        throw new FileAlreadyExistsException(
+      val dest = new Path(root, f)
+      if (fs.exists(dest))
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(
           s"$dest: staged name collides with a committed file — refusing to replace")
-      Files.move(Paths.get(staging.getPath, f), dest, StandardCopyOption.ATOMIC_MOVE)
+      require(fs.rename(new Path(staging, f), dest), s"rename to $dest failed")
     }
-    withCommitLock {
-      val prior = AtomicSink.readManifest(manifest)
+    withCommitLock(fs, root) {
+      def writeStaged(name: String, body: Array[Byte]): Path = {
+        val tmp = new Path(staging, name)
+        val out = fs.create(tmp, true)
+        try out.write(body) finally out.close()
+        tmp
+      }
+      val prior = AtomicSink.readManifest(fs, manifest)
       val published = if (truncate) files.toSeq else (prior ++ files).distinct
       val body = published.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8)
       // retained snapshot first (the time-travel target), then swap the
       // current pointer — a crash between the two leaves an extra
       // version file and an older current state, never a torn manifest
       val nextV = AtomicSink.versions(path).lastOption.getOrElse(0L) + 1
-      val vTmp = Files.createTempFile(staging.toPath, "_MANIFEST.v", ".tmp")
-      Files.write(vTmp, body)
-      Files.move(vTmp, Paths.get(path, s"_MANIFEST.v$nextV"),
-        StandardCopyOption.ATOMIC_MOVE)
-      val tmp = Files.createTempFile(staging.toPath, "_MANIFEST", ".tmp")
-      Files.write(tmp, body)
-      Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      require(fs.rename(writeStaged("_MANIFEST.v.tmp", body),
+        new Path(root, s"_MANIFEST.v$nextV")), "version snapshot rename failed")
+      // current-pointer swap must REPLACE atomically: FileContext rename
+      // with Options.Rename.OVERWRITE (atomic on HDFS and POSIX; plain
+      // FileSystem.rename refuses existing destinations)
+      val fc = FileContext.getFileContext(root.toUri, conf.value)
+      fc.rename(writeStaged("_MANIFEST.tmp", body), manifest,
+        Options.Rename.OVERWRITE)
     }
-    deleteRec(staging)
+    fs.delete(staging, true); ()
   }
 
-  /** Serialize manifest updates across concurrent committers:
-    * `Files.createFile` is O_EXCL-atomic, so exactly one committer holds
-    * the lock; others spin briefly. A crashed holder is detected by lock
-    * age and the lock broken (bounded staleness beats a wedged table). */
-  private def withCommitLock[A](body: => A): A = {
+  /** Serialize manifest updates across concurrent committers: the lock
+    * create is exclusive (kernel O_EXCL via java.nio on the local FS;
+    * `create(path, overwrite = false)` elsewhere — atomic-exclusive on
+    * HDFS), so exactly one committer holds the lock; others spin
+    * briefly. A crashed holder is detected by lock age and the lock
+    * broken (bounded staleness beats a wedged table). */
+  private def withCommitLock[A](fs: FileSystem, root: Path)(body: => A): A = {
+    val lock = new Path(root, "_COMMIT_LOCK")
+    def tryLock(): Boolean = fs match {
+      // raw OR checksum-wrapped local: kernel O_EXCL — no
+      // check-then-create window
+      case _: LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        try { java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(lock.toUri.getPath)); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      case _ =>
+        try { fs.create(lock, false).close(); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case e: java.io.IOException if e.getMessage != null &&
+            e.getMessage.contains("exist") => false
+        }
+    }
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     var held = false
     while (!held) {
-      try { Files.createFile(lock); held = true }
-      catch { case _: FileAlreadyExistsException =>
+      if (tryLock()) held = true
+      else {
         try {
           val age = System.currentTimeMillis() -
-            Files.getLastModifiedTime(lock).toMillis
-          if (age > 60000) Files.deleteIfExists(lock)
+            fs.getFileStatus(lock).getModificationTime
+          if (age > 60000) { fs.delete(lock, false); () }
         } catch { case _: java.io.IOException => () }
         if (System.nanoTime() > deadline)
           throw new IllegalStateException(s"timed out waiting for $lock")
         Thread.sleep(20)
       }
     }
-    try body finally Files.deleteIfExists(lock)
+    try body finally { fs.delete(lock, false); () }
   }
 
   /** A failed task (or job) leaves only staged private files — remove
     * them; nothing was ever visible. */
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
-    deleteRec(staging)
-
-  private def deleteRec(f: File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-    f.delete(); ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val (fs, root) = fsRoot()
+    fs.delete(stagingOf(root), true); ()
   }
 }
 
-private[sources] case class AtomicWriterFactory(path: String, schema: StructType,
-    queryId: String) extends DataWriterFactory {
+private[sources] case class AtomicWriterFactory(root: String, schema: StructType,
+    queryId: String, conf: SerializableConfiguration) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       // job-and-task-attempt-private name: unique across concurrent
       // attempts AND across applications (task ids restart per context,
       // the query id never repeats)
       private val fileName = s"part-$partitionId-$taskId-$queryId.tsv"
-      private val file = new File(new File(path, s"_staging-$queryId"), fileName)
-      private val out = new java.io.BufferedWriter(new java.io.FileWriter(file))
+      private val file = new Path(new Path(root, s"_staging-$queryId"), fileName)
+      private val fs = AtomicSink.fsFor(root, conf.value)._1
+      // explicit UTF-8 (the old FileWriter used the platform charset —
+      // a non-UTF-8 default JVM would have corrupted non-ASCII strings
+      // against the reader's UTF-8 decode)
+      private val out = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(fs.create(file, true), StandardCharsets.UTF_8))
       private var rows = 0L
 
       override def write(row: InternalRow): Unit = {
@@ -318,7 +392,7 @@ private[sources] case class AtomicWriterFactory(path: String, schema: StructType
         rows += 1
       }
       override def commit(): WriterCommitMessage = { out.close(); StagedFile(fileName, rows) }
-      override def abort(): Unit = { out.close(); file.delete(); () }
+      override def abort(): Unit = { out.close(); fs.delete(file, false); () }
       override def close(): Unit = ()
     }
 }
