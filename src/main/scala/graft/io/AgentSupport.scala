@@ -138,4 +138,22 @@ object AgentSupport {
   /** Stages 1-4 composed: resolve → execute SQL → render. */
   def answer(spark: SparkSession, sql: String, limit: Int = 20): String =
     markdown(spark.sql(sql), limit)
+
+  /** The whole handle_message read path minus the LLM
+    * (ai_agent/lambda_function.py:156-199), as one call: route the
+    * question to its table (rules 3-5), obtain the SQL from the caller's
+    * generator — in the reference that's the GPT call, here any
+    * `table => sql` function, e.g. a template bank or a model client —
+    * validate it against the catalog contract (rule 1 + read-only),
+    * execute, and render the reply capped at 20 rows (rule 6). The LLM
+    * is the ONLY seam left outside the engine, and it is injected, not
+    * trusted: whatever it returns passes validateSql before touching
+    * the session. */
+  def answerQuestion(spark: SparkSession, question: String,
+                     sqlForTable: String => String, limit: Int = 20): String = {
+    val table = routeTable(question)
+    val sql = sqlForTable(table)
+    validateSql(spark, sql)
+    markdown(spark.sql(sql), limit)
+  }
 }

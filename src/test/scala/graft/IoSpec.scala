@@ -96,6 +96,30 @@ class IoSpec extends AnyFunSuite {
       l.split("(?<!\\\\)\\|", -1).length == 4), md) // "| a | b |" -> 4 raw fields
   }
 
+  test("agent answerQuestion: route -> generated SQL -> validate -> capped render, end to end") {
+    import spark.implicits._
+    Seq(("Almacen", 10.0), ("Bebidas", 20.0)).toDF("categ", "p_total")
+      .createOrReplaceTempView("carrefour_data")
+    val gen = Map("carrefour_data" ->
+      "SELECT categ, CAST(sum(p_total) AS DOUBLE) AS total FROM carrefour_data GROUP BY 1 ORDER BY 1 LIMIT 20")
+    val md = graft.io.AgentSupport.answerQuestion(spark,
+      "gastos del supermercado por categoria", gen)
+    assert(md.linesIterator.toSeq == Seq(
+      "| categ | total |", "| --- | --- |",
+      "| Almacen | 10.0 |", "| Bebidas | 20.0 |"), md)
+    // a generator that returns SQL outside the contract never executes
+    intercept[IllegalArgumentException] {
+      graft.io.AgentSupport.answerQuestion(spark,
+        "gastos del supermercado por categoria",
+        Map("carrefour_data" -> "SELECT * FROM secrets"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.io.AgentSupport.answerQuestion(spark,
+        "gastos del supermercado por categoria",
+        Map("carrefour_data" -> "DROP TABLE carrefour_data"))
+    }
+  }
+
   test("agent SQL validation: read-only + allowed tables only, CTEs and subqueries included") {
     import graft.io.AgentSupport.validateSql
     val allowed = Seq("carrefour_data", "mp_data", "bank_payments")
