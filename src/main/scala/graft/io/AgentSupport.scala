@@ -89,6 +89,17 @@ object AgentSupport {
       case i: InsertIntoStatement =>
         throw new IllegalArgumentException(
           s"generated SQL writes (${i.nodeName}): $sql")
+      // NOT Commands, found by review: EXECUTE IMMEDIATE nests arbitrary
+      // SQL in a string expression this validator cannot see into, and
+      // CALL (ExecutableDuringAnalysis) runs procedure side effects at
+      // analysis time — both would otherwise sail through the relation
+      // check with zero UnresolvedRelations
+      case _: org.apache.spark.sql.catalyst.analysis.UnresolvedExecuteImmediate =>
+        throw new IllegalArgumentException(
+          s"generated SQL nests dynamic SQL (EXECUTE IMMEDIATE): $sql")
+      case x: org.apache.spark.sql.catalyst.plans.logical.ExecutableDuringAnalysis =>
+        throw new IllegalArgumentException(
+          s"generated SQL executes during analysis (${x.nodeName}): $sql")
       case _ => ()
     }
     val cteNames = all.collect { case w: UnresolvedWith =>

@@ -150,6 +150,13 @@ class IoSpec extends AnyFunSuite {
       validateSql(spark, "INSERT INTO mp_data SELECT * FROM mp_data", allowed))
     intercept[IllegalArgumentException](
       validateSql(spark, "CREATE TABLE x AS SELECT 1", allowed))
+    // the two non-Command escapes review found: dynamic SQL nesting and
+    // analysis-time procedure calls would pass the relation check with
+    // zero UnresolvedRelations — both must reject explicitly
+    intercept[IllegalArgumentException](
+      validateSql(spark, "EXECUTE IMMEDIATE 'DROP TABLE carrefour_data'", allowed))
+    intercept[IllegalArgumentException](
+      validateSql(spark, "CALL system.do_things(1)", allowed))
   }
 
   test("agent router: golden-rule routing in prompt rule order (ai_agent:59-66)") {
