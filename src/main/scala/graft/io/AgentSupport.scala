@@ -12,7 +12,6 @@ object AgentSupport {
   /** Describe catalog tables matching a prefix as the schema block a
     * SQL-generating agent consumes: one `table(col type, …)` line each. */
   def describeSchemas(spark: SparkSession, prefix: String): String = {
-    import scala.jdk.CollectionConverters._
     spark.catalog.listTables().collect()
       .filter(_.name.startsWith(prefix))
       .sortBy(_.name)
