@@ -43,8 +43,10 @@ object WarehouseNullProps extends Properties("warehouse-null") {
   private val rowsGen: Gen[List[R]] = for {
     n <- Gen.choose(1, 24)
     rows <- Gen.listOfN(n, for {
+      // domain includes path-escaped shapes ('/', '=') so every property
+      // also sweeps the partition-directory escaping the r12 fix leaned on
       p <- Gen.frequency(2 -> Gen.const(Option.empty[String]),
-        5 -> Gen.oneOf("a", "b", "c").map(Option(_)))
+        5 -> Gen.oneOf("a", "b", "c", "a/b", "k=v").map(Option(_)))
       x <- Gen.frequency(1 -> Gen.const(Option.empty[Long]),
         3 -> Gen.choose(0L, 9L).map(Option(_)))
       v <- Gen.choose(0L, 9L)
