@@ -155,14 +155,23 @@ object Ops {
     * `last(_, ignoreNulls)`. Cost = one shuffle on `keys` + a sort within
     * partitions — the same lower bound a dedicated merge-join
     * implementation would pay on unsorted input, and it inherits AQE/skew
-    * handling for free. Right rows at exactly leftTime match (>=). */
+    * handling for free. Right rows at exactly leftTime match (>=).
+    *
+    * NULL-time semantics are SQL's: `rightTime <= leftTime` is UNKNOWN
+    * when either side is NULL, so NULL-time right rows match nothing
+    * (dropped up front — before r13 they sorted NULLS-FIRST and acted as
+    * "before everything", silently enriching every early left row) and
+    * NULL-time left rows surface with a NULL payload. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String): DataFrame = {
     val payload = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
     val leftCols = left.columns.toSeq
     val l2 = left.withColumn("__t", col(leftTime)).withColumn("__tag", lit(1))
     val lTagged = payload.foldLeft(l2)((df, c) => df.withColumn(c, lit(null)))
-    val r2 = right.withColumnRenamed(rightTime, "__rt")
+    // NULL-time left rows then need no guard: they sort NULLS FIRST, so
+    // no surviving right row precedes them and the carry stays NULL
+    val r2 = right.filter(col(rightTime).isNotNull)
+      .withColumnRenamed(rightTime, "__rt")
       .withColumn("__t", col("__rt")).withColumn("__tag", lit(0)).drop("__rt")
     val rTagged = leftCols.filterNot(keys.contains)
       .foldLeft(r2)((df, c) => df.withColumn(c, lit(null)))
@@ -202,8 +211,12 @@ object Ops {
         left.withColumn("__t", col(leftTime)).withColumn("__tag", lit(1))
           .withColumn("__rt", lit(null).cast(left.schema(leftTime).dataType)))(
         (df, c) => df.withColumn(c, lit(null)))
+    // NULL-time right rows can never be anyone's nearest match (every
+    // distance against them is UNKNOWN) — drop them up front, same rule
+    // as asofJoin's
     val rTagged = leftCols.filterNot(keys.contains)
-      .foldLeft(right.withColumn("__t", col(rightTime)).withColumn("__tag", lit(0))
+      .foldLeft(right.filter(col(rightTime).isNotNull)
+        .withColumn("__t", col(rightTime)).withColumn("__tag", lit(0))
         .withColumn("__rt", col(rightTime)).drop(rightTime))(
         (df, c) => df.withColumn(c, lit(null)))
     val cols = keys ++ Seq("__t", "__tag", "__rt") ++
@@ -235,9 +248,14 @@ object Ops {
     val bDist = axis(col("__t")) - axis(col("__bt"))
     val fDist = axis(col("__ft")) - axis(col("__t"))
     val takeBack = col("__ft").isNull || (col("__bt").isNotNull && bDist <= fDist)
+    // NULL-time LEFT rows still see following right rows through the
+    // forward frame (NULLS FIRST puts them at the partition head) — but
+    // their distance is UNKNOWN, so SQL semantics give them no match
     val chosen = payload.map(c =>
-      when(takeBack, col(s"__b_$c")).otherwise(col(s"__f_$c")).as(c))
-    val dist = when(takeBack, bDist).otherwise(fDist)
+      when(col("__t").isNotNull,
+        when(takeBack, col(s"__b_$c")).otherwise(col(s"__f_$c"))).as(c))
+    val dist = when(col("__t").isNotNull,
+      when(takeBack, bDist).otherwise(fDist))
     val dtMs = if (isTs) floor(dist / lit(1000L)).cast("long") else dist
     carried.filter(col("__tag") === 1)
       .select(leftCols.map(col) ++ chosen :+ dtMs.as("dt_ms"): _*)

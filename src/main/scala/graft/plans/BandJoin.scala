@@ -119,11 +119,16 @@ case class BandJoinExec(
       val joiner = new JoinedRow
       li.flatMap { lrow =>
         val lkey = lKeyProj(lrow)
+        val ltRow = lTimeProj(lrow)
         // SQL equi-join semantics: a NULL in any key column never matches
         // (natural ordering would compare null == null) — same skip as SMJ.
-        if (lkey.anyNull) Iterator.empty
+        // A NULL TIME is the same story on the band predicate: both
+        // comparisons are UNKNOWN, so the row pairs with nothing —
+        // getLong on the null slot would read it as t = 0 and silently
+        // band-match everything near zero (r13 review catch).
+        if (lkey.anyNull || ltRow.isNullAt(0)) Iterator.empty
         else {
-          val lt = lTimeProj(lrow).getLong(0)
+          val lt = ltRow.getLong(0)
           if (windowKey == null || keyOrd.compare(windowKey, lkey) != 0) {
             window.clear()
             windowKey = lkey.copy()
@@ -133,12 +138,13 @@ case class BandJoinExec(
           var advance = true
           while (advance && ri.hasNext) {
             val rkey = rKeyProj(ri.head)
-            if (rkey.anyNull) { ri.next(); () } // null keys never join
+            val rtRow = rTimeProj(ri.head)
+            if (rkey.anyNull || rtRow.isNullAt(0)) { ri.next(); () } // null key/time never joins
             else {
               val cmp = keyOrd.compare(rkey, lkey)
               if (cmp < 0) { ri.next(); () } // behind every remaining left key group
               else if (cmp == 0) {
-                val rt = rTimeProj(ri.head).getLong(0)
+                val rt = rtRow.getLong(0)
                 if (rt <= lt + dHi) {
                   val row = ri.next()
                   // rt < lt - lo can never match this or any later left

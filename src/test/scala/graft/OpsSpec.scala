@@ -127,6 +127,33 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getString(2), r.getString(5))).toSet == Set(("l1", "r1")))
   }
 
+  test("NULL event times: asofJoin and bandJoin match nothing (SQL comparison semantics)") {
+    // a NULL time compares UNKNOWN against every band/asof bound, so SQL
+    // semantics demand those rows pair with nothing — left rows surface
+    // with a null payload (asof is a left join), right rows vanish
+    val left = Seq((1L, Option(10L), "l_t"), (1L, Option.empty[Long], "l_null"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, Option(8L), "r_t"), (1L, Option.empty[Long], "r_null"))
+      .toDF("k", "t", "rv")
+    val asof = Ops.asofJoin(left, right, Seq("k"), "t", "t")
+      .select($"lv", $"rv").as[(String, Option[String])].collect().toMap
+    assert(asof == Map("l_t" -> Some("r_t"), "l_null" -> None),
+      s"NULL left time must attach no payload; NULL right time must never win: $asof")
+    val band = Ops.bandJoin(left,
+        right.withColumnsRenamed(Map("k" -> "rk", "t" -> "rt")),
+        Seq("k"), Seq("rk"), "t", "rt", delta = 25)
+      .select($"lv", $"rv").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(band == Set(("l_t", "r_t")),
+      s"NULL times must produce no band pairs: $band")
+    val nearest = Ops.asofNearest(left, right, Seq("k"), "t", "t")
+      .select($"lv", $"rv", $"dt_ms")
+      .as[(String, Option[String], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(nearest == Map("l_t" -> (Some("r_t"), Some(2L)),
+      "l_null" -> (None, None)),
+      s"nearest: NULL times on either side must never pair: $nearest")
+  }
+
   test("joinDelta folded over batch arrivals reproduces the one-shot join") {
     val a = Seq((1, "p1"), (2, "p2"), (3, "p3")).toDF("k", "av")
     val b = Seq((1, 10.0), (1, 11.0), (2, 20.0), (4, 40.0)).toDF("k", "bv")
