@@ -18,7 +18,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Semantics match Similarity.dot exactly: per-element widen-to-double,
   * multiply, sequential left-to-right sum — so results stay bit-identical
-  * to the DuckDB list_reduce oracle. */
+  * to the DuckDB list_reduce oracle.
+  *
+  * Input contract: DENSE vectors — array elements must be non-null.
+  * The tight loop reads element slots primitively (a null slot reads as
+  * 0.0), whereas SQL's `a[i] * b[i]` would propagate NULL through the
+  * whole sum; embeddings are dense by construction everywhere this is
+  * used, and keeping the loop branch-free is the expression's whole
+  * point. Validate upstream if a source can ship sparse arrays. */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType

@@ -65,6 +65,10 @@ case class MinHashAgg(
       val md = md5Local.get()
       var t = 0
       while (t < arr.numElements()) {
+        // null tokens cast no vote (same rule as SimHash64.compute) —
+        // getUTF8String on a null slot is undefined behavior
+        if (arr.isNullAt(t)) { t += 1 }
+        else {
         val tokBytes = arr.getUTF8String(t).getBytes
         var i = 0
         while (i < numHashes) {
@@ -76,6 +80,7 @@ case class MinHashAgg(
           i += 1
         }
         t += 1
+        }
       }
     }
     buf
