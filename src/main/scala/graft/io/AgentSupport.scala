@@ -54,34 +54,69 @@ object AgentSupport {
     routed
   }
 
+  /** Scalar functions a GENERATED query must never call: `reflect` /
+    * `java_method` invoke arbitrary JVM static methods driver-side (the
+    * expression-level sibling of EXECUTE IMMEDIATE — no relation, no
+    * Command, just a function call that reads env vars or worse), and the
+    * identity/environment family leaks session state the agent's three
+    * tables don't contain. Aggregations, arithmetic, string and date
+    * functions — everything the prompt's SQL shape actually needs — are
+    * untouched. */
+  private val deniedFunctions: Set[String] = Set(
+    "reflect", "java_method",
+    "current_user", "session_user", "user",
+    "current_database", "current_schema", "current_catalog", "version",
+    "input_file_name", "input_file_block_start", "input_file_block_length")
+
   /** Enforce the prompt's rule 1 on a GENERATED query before running it:
     * the SQL must be a read-only query (no DDL/DML — the reference
     * executes whatever text the LLM returns, with the lambda's
     * credentials, ai_agent:101-125; an engine must not trust that) and
     * every relation it reads must be in `allowed`. Parses without
-    * executing; names defined by the query's own CTEs are exempt (the
-    * LLM legitimately writes WITH-clauses), everything else — including
-    * relations inside subquery expressions — must be allowlisted.
+    * executing. CTE names are exempt SCOPE-AWARELY (the LLM legitimately
+    * writes WITH-clauses): a CTE defined inside a subquery exempts only
+    * references within that subquery's scope — a same-named relation in
+    * an ENCLOSING scope still resolves to the real table and is checked
+    * against the allowlist (the laundering shape
+    * `SELECT * FROM secrets WHERE id IN (WITH secrets AS … SELECT …)`
+    * rejects). A CTE body sees only CTEs defined BEFORE it, never itself:
+    * without RECURSIVE, SQL resolves a self-reference to the real table.
+    * Qualified references to allowed tables (`default.mp_data`,
+    * `spark_catalog.default.mp_data`) are accepted — the generator may
+    * legitimately qualify — but any other qualifier fails closed.
     * Case-insensitive to match the session resolver. Throws on violation. */
   def validateSql(spark: SparkSession, sql: String,
                   allowed: Seq[String] = allowedTables): Unit = {
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedRelation, UnresolvedTableValuedFunction}
+    import org.apache.spark.sql.catalyst.expressions.{Expression, PlanExpression}
     import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan, UnresolvedWith}
     val plan = spark.sessionState.sqlParser.parsePlan(sql)
-    // UnresolvedWith keeps its CTE definitions as innerChildren (only the
-    // main query is its child), so a plain collect never sees a CTE's
-    // body — exactly where a forbidden table would hide. Descend into
-    // them explicitly, recursively (CTEs nest), and through subquery
-    // expressions everywhere.
-    def nodes(p: LogicalPlan): Seq[LogicalPlan] = {
-      val here = p.collectWithSubqueries { case n => n }
-      val cteBodies = here.collect {
-        case w: UnresolvedWith => w.cteRelations.map(_._2)
-      }.flatten
-      here ++ cteBodies.flatMap(nodes)
+    val ok = allowed.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    // Acceptable qualifier spellings for an allowlisted table in the
+    // session catalog; anything else (another catalog, another schema)
+    // fails closed.
+    def allowedRelation(parts: Seq[String]): Boolean = {
+      val p = parts.map(lc)
+      ok(p.last) && (p.init match {
+        case Seq() | Seq("default") | Seq("spark_catalog", "default") => true
+        case _ => false
+      })
     }
-    val all = nodes(plan)
-    all.foreach {
+    def checkExpr(e: Expression, scope: Set[String]): Unit = e.foreach {
+      case f: UnresolvedFunction
+          if deniedFunctions(lc(f.nameParts.last)) =>
+        throw new IllegalArgumentException(
+          s"generated SQL calls a denied function (${f.nameParts.mkString(".")}): $sql")
+      // subquery expressions carry whole plans the expression walk does
+      // not descend into on its own; they see the enclosing CTE scope
+      case pe: PlanExpression[_] => pe.plan match {
+        case lp: LogicalPlan => check(lp, scope)
+        case _ => ()
+      }
+      case _ => ()
+    }
+    def check(p: LogicalPlan, scope: Set[String]): Unit = p match {
       case c: Command =>
         throw new IllegalArgumentException(
           s"generated SQL is not a read-only query (${c.nodeName}): $sql")
@@ -99,20 +134,35 @@ object AgentSupport {
       case x: org.apache.spark.sql.catalyst.plans.logical.ExecutableDuringAnalysis =>
         throw new IllegalArgumentException(
           s"generated SQL executes during analysis (${x.nodeName}): $sql")
-      case _ => ()
+      case w: UnresolvedWith =>
+        // recursive CTEs would let a body legally reference its own name;
+        // nothing the agent generates needs them — fail closed
+        if (w.allowRecursion) throw new IllegalArgumentException(
+          s"generated SQL uses WITH RECURSIVE: $sql")
+        // each body sees only the CTEs defined before it (a self-reference
+        // without RECURSIVE resolves to the real table — must be checked);
+        // the main query sees them all
+        var s = scope
+        w.cteRelations.foreach { case (name, body, _) =>
+          check(body, s)
+          s = s + lc(name)
+        }
+        check(w.child, s)
+      case r: UnresolvedRelation =>
+        val parts = r.multipartIdentifier
+        val bare = lc(parts.mkString("."))
+        if (!allowedRelation(parts) && !(parts.length == 1 && scope(bare)))
+          throw new IllegalArgumentException(
+            s"generated SQL reads outside the allowed schema: ${parts.mkString(".")}")
+      case tvf: UnresolvedTableValuedFunction
+          if deniedFunctions(lc(tvf.name.last)) =>
+        throw new IllegalArgumentException(
+          s"generated SQL calls a denied function (${tvf.name.mkString(".")}): $sql")
+      case other =>
+        other.children.foreach(check(_, scope))
+        other.expressions.foreach(checkExpr(_, scope))
     }
-    val cteNames = all.collect { case w: UnresolvedWith =>
-      w.cteRelations.map(_._1.toLowerCase(java.util.Locale.ROOT))
-    }.flatten.toSet
-    val ok = allowed.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-    val bad = all.collect {
-      case r: UnresolvedRelation => r.multipartIdentifier.mkString(".")
-    }.filterNot(n => {
-      val l = n.toLowerCase(java.util.Locale.ROOT)
-      ok(l) || cteNames(l)
-    })
-    require(bad.isEmpty,
-      s"generated SQL reads outside the allowed schema: ${bad.distinct.mkString(", ")}")
+    check(plan, Set.empty)
   }
 
   /** Schema block over an explicit table list — the agent prompt names its
@@ -145,9 +195,16 @@ object AgentSupport {
     sb.toString
   }
 
-  /** Stages 1-4 composed: resolve → execute SQL → render. */
-  def answer(spark: SparkSession, sql: String, limit: Int = 20): String =
+  /** Stages 1-4 composed: resolve → validate → execute SQL → render.
+    * Validates against the SAME gate as [[answerQuestion]] — there is no
+    * execute path that skips [[validateSql]] (a gate with an unvalidated
+    * sibling entry point claims safety it doesn't have). Callers running
+    * trusted, hand-written SQL pass their own `allowed` list. */
+  def answer(spark: SparkSession, sql: String, limit: Int = 20,
+             allowed: Seq[String] = allowedTables): String = {
+    validateSql(spark, sql, allowed)
     markdown(spark.sql(sql), limit)
+  }
 
   /** The whole handle_message read path minus the LLM
     * (ai_agent/lambda_function.py:156-199), as one call: route the

@@ -222,9 +222,16 @@ object Warehouse {
     val bak = new org.apache.hadoop.fs.Path(path + "__precompact")
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(bak)) fs.delete(bak, true) // torn prior run
-    if (fs.exists(dir)) fs.rename(dir, bak)
-    fs.rename(new org.apache.hadoop.fs.Path(staged), dir)
-    if (fs.exists(bak)) { fs.delete(bak, true); () }
+    // Hadoop FileSystem.rename reports failure by RETURNING FALSE, not by
+    // throwing — an unchecked rename(staged→dir) after a successful
+    // rename(dir→bak) followed by an unconditional delete(bak) would
+    // destroy the only remaining copy of the table. Check both, and only
+    // drop the backup once the destination verifiably exists.
+    if (fs.exists(dir))
+      require(fs.rename(dir, bak), s"compact: rename $dir -> $bak failed")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staged), dir),
+      s"compact: rename $staged -> $dir failed (previous data preserved at $bak)")
+    if (fs.exists(dir) && fs.exists(bak)) { fs.delete(bak, true); () }
   }
 
   /** Retention expiry over a hive-partitioned layout: drop whole partition

@@ -383,7 +383,8 @@ object PackParsers {
       Tables.nation(s, d).createOrReplaceTempView("agent_nation")
       val block = graft.io.AgentSupport.describeSchemas(s, "agent_")
       val md = graft.io.AgentSupport.answer(s,
-        "SELECT n_name, n_regionkey FROM agent_nation ORDER BY n_name", 20)
+        "SELECT n_name, n_regionkey FROM agent_nation ORDER BY n_name", 20,
+        allowed = Seq("agent_nation"))
       (block.linesIterator ++ md.linesIterator).toSeq.zipWithIndex
         .map { case (l, i) => (i + 1, l) }
         .toDF("line_no", "line")

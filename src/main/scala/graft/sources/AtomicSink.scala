@@ -289,7 +289,7 @@ private[sources] class AtomicBatchWrite(path: String, schema: StructType,
           s"$dest: staged name collides with a committed file — refusing to replace")
       require(fs.rename(new Path(staging, f), dest), s"rename to $dest failed")
     }
-    withCommitLock(fs, root) {
+    withCommitLock(fs, root) { assertOwned =>
       def writeStaged(name: String, body: Array[Byte]): Path = {
         val tmp = new Path(staging, name)
         val out = fs.create(tmp, true)
@@ -307,10 +307,14 @@ private[sources] class AtomicBatchWrite(path: String, schema: StructType,
         new Path(root, s"_MANIFEST.v$nextV")), "version snapshot rename failed")
       // current-pointer swap must REPLACE atomically: FileContext rename
       // with Options.Rename.OVERWRITE (atomic on HDFS and POSIX; plain
-      // FileSystem.rename refuses existing destinations)
+      // FileSystem.rename refuses existing destinations). Fence first:
+      // if this committer's lock was age-broken mid-merge, throw here —
+      // before the irreversible swap — so the interleaved read-modify-
+      // write can't silently drop the other committer's files.
       val fc = FileContext.getFileContext(root.toUri, conf.value)
-      fc.rename(writeStaged("_MANIFEST.tmp", body), manifest,
-        Options.Rename.OVERWRITE)
+      val staged = writeStaged("_MANIFEST.tmp", body)
+      assertOwned()
+      fc.rename(staged, manifest, Options.Rename.OVERWRITE)
     }
     fs.delete(staging, true); ()
   }
@@ -319,26 +323,60 @@ private[sources] class AtomicBatchWrite(path: String, schema: StructType,
     * create is exclusive (kernel O_EXCL via java.nio on the local FS;
     * `create(path, overwrite = false)` elsewhere — atomic-exclusive on
     * HDFS), so exactly one committer holds the lock; others spin
-    * briefly. A crashed holder is detected by lock age and the lock
-    * broken (bounded staleness beats a wedged table). */
-  private def withCommitLock[A](fs: FileSystem, root: Path)(body: => A): A = {
+    * briefly. A crashed holder is detected by lock AGE and the lock
+    * broken (bounded staleness beats a wedged table) — but breaking is
+    * INCARNATION-CHECKED: each acquisition writes a unique token into
+    * the lock, a waiter only breaks the exact incarnation it observed
+    * aging (a fresh holder's lock is never deleted by a waiter that aged
+    * the previous one), and `body` receives an `assertOwned` fence to
+    * call immediately before its irreversible step — if the lock was
+    * broken out from under a slow holder, the fence throws instead of
+    * letting two manifest read-modify-writes interleave silently. */
+  private def withCommitLock[A](fs: FileSystem, root: Path)(body: (() => Unit) => A): A = {
     val lock = new Path(root, "_COMMIT_LOCK")
-    def tryLock(): Boolean = fs match {
-      // raw OR checksum-wrapped local: kernel O_EXCL — no
-      // check-then-create window
-      case _: LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
-        try { java.nio.file.Files.createFile(
-          java.nio.file.Paths.get(lock.toUri.getPath)); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      case _ =>
-        try { fs.create(lock, false).close(); true }
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case e: java.io.IOException if e.getMessage != null &&
-            e.getMessage.contains("exist") => false
-        }
+    val token = java.util.UUID.randomUUID().toString
+    def tryLock(): Boolean = {
+      val created = fs match {
+        // raw OR checksum-wrapped local: kernel O_EXCL — no
+        // check-then-create window
+        case _: LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
+          try { java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(lock.toUri.getPath)); true }
+          catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        case _ =>
+          try { fs.create(lock, false).close(); true }
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+            case e: java.io.IOException if e.getMessage != null &&
+              e.getMessage.contains("exist") => false
+          }
+      }
+      // stamp our incarnation; the create→write gap only ever shows an
+      // EMPTY token, which no waiter can match twice against a non-empty
+      // read, so it cannot be broken before the stamp lands
+      if (created) {
+        val out = fs.create(lock, true)
+        try out.write(token.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      }
+      created
     }
+    def readToken(): Option[String] =
+      try {
+        val in = fs.open(lock)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](256)
+          var n = in.read(chunk)
+          while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          Some(buf.toString("UTF-8"))
+        } finally in.close()
+      } catch { case _: java.io.IOException => None }
+    def assertOwned(): Unit = require(readToken().contains(token),
+      s"commit fence: $lock no longer holds this committer's token — " +
+        "lock was broken (holder exceeded the staleness bound); aborting " +
+        "before the manifest pointer swap to avoid a lost update")
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var agedIncarnation: Option[String] = None // token we observed as stale
     var held = false
     while (!held) {
       if (tryLock()) held = true
@@ -346,14 +384,23 @@ private[sources] class AtomicBatchWrite(path: String, schema: StructType,
         try {
           val age = System.currentTimeMillis() -
             fs.getFileStatus(lock).getModificationTime
-          if (age > 60000) { fs.delete(lock, false); () }
+          val observed = readToken()
+          if (age > 60000 && observed.isDefined) {
+            // break ONLY the incarnation we already saw aging — two reads
+            // of the same token spanning consecutive polls; a new holder's
+            // fresh token (or fresh mtime during its create→stamp gap)
+            // never matches an aged observation
+            if (agedIncarnation == observed) { fs.delete(lock, false); () }
+            else agedIncarnation = observed
+          } else agedIncarnation = None
         } catch { case _: java.io.IOException => () }
         if (System.nanoTime() > deadline)
           throw new IllegalStateException(s"timed out waiting for $lock")
         Thread.sleep(20)
       }
     }
-    try body finally { fs.delete(lock, false); () }
+    try body(() => assertOwned())
+    finally { if (readToken().contains(token)) { fs.delete(lock, false); () } }
   }
 
   /** A failed task (or job) leaves only staged private files — remove

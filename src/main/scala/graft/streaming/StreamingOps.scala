@@ -179,9 +179,15 @@ object StreamingOps {
         // manifest-committed layout (AtomicSink) instead of path swaps
         val bak = new org.apache.hadoop.fs.Path(warehouseDir + "__old")
         if (fs.exists(bak)) fs.delete(bak, true) // torn prior batch
-        if (fs.exists(dir)) fs.rename(dir, bak)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), dir)
-        if (fs.exists(bak)) fs.delete(bak, true)
+        // FileSystem.rename signals failure by returning false; an
+        // unchecked staged-swap followed by an unconditional backup
+        // delete would destroy the only surviving copy. Check both
+        // renames; drop the backup only once the destination exists.
+        if (fs.exists(dir))
+          require(fs.rename(dir, bak), s"merge swap: rename $dir -> $bak failed")
+        require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dir),
+          s"merge swap: rename $tmp -> $dir failed (previous data preserved at $bak)")
+        if (fs.exists(dir) && fs.exists(bak)) fs.delete(bak, true)
         ()
       }
       .start()

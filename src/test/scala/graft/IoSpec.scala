@@ -77,9 +77,15 @@ class IoSpec extends AnyFunSuite {
     assert(schemas.contains("ag_orders(o_orderkey bigint"))
     assert(schemas.contains("ag_nation(n_nationkey int"))
     val md = AgentSupport.answer(spark,
-      "SELECT o_orderpriority, count(*) AS n FROM ag_orders GROUP BY 1 ORDER BY 1", limit = 3)
+      "SELECT o_orderpriority, count(*) AS n FROM ag_orders GROUP BY 1 ORDER BY 1",
+      limit = 3, allowed = Seq("ag_orders"))
     val lines = md.split("\n")
     assert(lines(0) == "| o_orderpriority | n |" && lines.length == 5)
+    // answer validates like answerQuestion — no unvalidated execute path
+    intercept[IllegalArgumentException](
+      AgentSupport.answer(spark, "SELECT * FROM ag_nation", allowed = Seq("ag_orders")))
+    intercept[IllegalArgumentException](
+      AgentSupport.answer(spark, "DROP TABLE ag_orders", allowed = Seq("ag_orders")))
   }
 
   test("agent markdown render escapes structural characters in cell values") {
@@ -157,6 +163,80 @@ class IoSpec extends AnyFunSuite {
       validateSql(spark, "EXECUTE IMMEDIATE 'DROP TABLE carrefour_data'", allowed))
     intercept[IllegalArgumentException](
       validateSql(spark, "CALL system.do_things(1)", allowed))
+  }
+
+  test("agent SQL validation: CTE exemption is scope-aware (no cross-scope laundering)") {
+    import graft.io.AgentSupport.validateSql
+    val allowed = Seq("carrefour_data", "mp_data", "bank_payments")
+    // a CTE inside a SUBQUERY must not exempt a same-named relation in the
+    // ENCLOSING scope — Spark resolves the outer name to the real table
+    intercept[IllegalArgumentException](
+      validateSql(spark,
+        "SELECT * FROM secrets WHERE id IN (WITH secrets AS (SELECT 1 AS id) SELECT id FROM secrets)",
+        allowed))
+    // …nor the other direction: an outer CTE name does not shield a LATER
+    // same-named CTE's body from referencing before definition
+    intercept[IllegalArgumentException](
+      validateSql(spark,
+        "WITH a AS (SELECT * FROM b), b AS (SELECT 1 AS x) SELECT * FROM a", allowed))
+    // a CTE body referencing its OWN name (no RECURSIVE) resolves to the
+    // real table — must be checked, not exempted
+    intercept[IllegalArgumentException](
+      validateSql(spark,
+        "WITH secrets AS (SELECT * FROM secrets) SELECT * FROM secrets", allowed))
+    // legitimate scoping still passes: earlier CTE visible to later body
+    // and to the main query, subqueries inherit the enclosing CTE scope
+    validateSql(spark,
+      "WITH a AS (SELECT 1 AS x FROM mp_data), b AS (SELECT x FROM a) SELECT * FROM b",
+      allowed)
+    validateSql(spark,
+      "WITH t AS (SELECT 1 AS x) SELECT * FROM carrefour_data WHERE p_total > (SELECT max(x) FROM t)",
+      allowed)
+    // an inner subquery's own WITH works within its scope
+    validateSql(spark,
+      "SELECT * FROM mp_data WHERE real_amount IN (WITH t AS (SELECT 1 AS v) SELECT v FROM t)",
+      allowed)
+  }
+
+  test("agent SQL validation: expression-level escapes and qualifiers") {
+    import graft.io.AgentSupport.validateSql
+    val allowed = Seq("carrefour_data", "mp_data", "bank_payments")
+    // reflect/java_method run arbitrary driver-side JVM reflection through
+    // a plain scalar function — no relation, no Command; must reject in
+    // every clause position
+    intercept[IllegalArgumentException](
+      validateSql(spark,
+        "SELECT reflect('java.lang.System','getenv','PATH') FROM mp_data", allowed))
+    intercept[IllegalArgumentException](
+      validateSql(spark,
+        "SELECT * FROM mp_data WHERE java_method('java.lang.System','getenv','PATH') IS NOT NULL",
+        allowed))
+    intercept[IllegalArgumentException](
+      validateSql(spark,
+        "WITH t AS (SELECT reflect('java.lang.Thread','currentThread') AS r FROM bank_payments) SELECT * FROM t",
+        allowed))
+    intercept[IllegalArgumentException](
+      validateSql(spark,
+        "SELECT * FROM mp_data WHERE real_amount > (SELECT length(reflect('java.lang.System','lineSeparator')))",
+        allowed))
+    // identity/environment leaks
+    intercept[IllegalArgumentException](
+      validateSql(spark, "SELECT current_user() FROM carrefour_data", allowed))
+    // WITH RECURSIVE would let a body legally self-reference; fail closed
+    intercept[IllegalArgumentException](
+      validateSql(spark,
+        "WITH RECURSIVE r AS (SELECT 1 AS n UNION ALL SELECT n+1 FROM r WHERE n < 3) SELECT * FROM r",
+        allowed))
+    // qualified references to ALLOWED tables pass; foreign qualifiers fail
+    validateSql(spark, "SELECT count(*) FROM default.mp_data", allowed)
+    validateSql(spark, "SELECT count(*) FROM spark_catalog.default.mp_data", allowed)
+    intercept[IllegalArgumentException](
+      validateSql(spark, "SELECT count(*) FROM other_schema.mp_data", allowed))
+    intercept[IllegalArgumentException](
+      validateSql(spark, "SELECT count(*) FROM some_catalog.default.mp_data", allowed))
+    // ordinary function use is untouched
+    validateSql(spark,
+      "SELECT upper(categ), round(avg(p_total), 2) FROM carrefour_data GROUP BY 1", allowed)
   }
 
   test("agent router: golden-rule routing in prompt rule order (ai_agent:59-66)") {

@@ -208,6 +208,39 @@ class SourceSpec extends AnyFunSuite {
     assert(done, "commit must complete once the lock is released")
   }
 
+  test("atomic sink commit lock: breaking is incarnation-checked — a handover to a NEW holder survives") {
+    // the r13 break rule deleted any lock older than 60s; if the stale
+    // holder's lock was broken by ANOTHER waiter and a NEW holder
+    // acquired in between, this waiter's queued delete would destroy the
+    // new holder's lock. Now a waiter only breaks the exact incarnation
+    // (token + aged mtime) it observed twice — simulate the handover by
+    // swapping the lock content to a fresh incarnation mid-wait and
+    // verify the committer keeps waiting instead of breaking through.
+    val loc = java.nio.file.Files.createTempDirectory("graft_atomic").toString + "/t"
+    val df = graft.schemas.Tables.region(spark, TestSpark.sf0001)
+      .select($"r_regionkey", $"r_name").repartition(2)
+    new java.io.File(loc).mkdirs()
+    val lock = new java.io.File(loc, "_COMMIT_LOCK")
+    assert(lock.createNewFile())
+    java.nio.file.Files.writeString(lock.toPath, "incarnation-A")
+    assert(lock.setLastModified(System.currentTimeMillis() - 120000))
+    @volatile var done = false
+    val t = new Thread(() => {
+      df.write.format("graft-atomic").option("path", loc).mode("append").save()
+      done = true
+    })
+    t.start()
+    // before the waiter's second aged observation can land, a "new
+    // holder" replaces the lock: fresh token, fresh mtime
+    java.nio.file.Files.writeString(lock.toPath, "incarnation-B")
+    assert(lock.setLastModified(System.currentTimeMillis()))
+    Thread.sleep(1500)
+    assert(!done, "a fresh incarnation must not be broken by a waiter that aged the old one")
+    assert(lock.delete())
+    t.join(30000)
+    assert(done, "commit completes once the fresh holder releases")
+  }
+
   test("atomic sink: a failed job publishes nothing (abort cleans staging)") {
     val loc = java.nio.file.Files.createTempDirectory("graft_atomic").toString + "/t"
     val boom = udf((k: Long) =>
