@@ -46,7 +46,13 @@ object Bench {
       "st20_tws_event_time_timers", "st21_state_reader_tws",
       "st22_tws_chained_rollup",
       // fixed-point multi-job loop — scheduler-bound like pagerank
-      "graph_label_propagation")
+      "graph_label_propagation",
+      // r13 driver-vs-quiet-box swings (1.3-1.9x) concentrated in the
+      // graph/CC family — ambient load hits their many-small-stages
+      // shape hardest, so give the whole family the third run rather
+      // than leaving phantom regressions for the round-over-round diff
+      "graph_triangle_count", "graph_common_neighbors",
+      "dedup_cluster_cc_star", "dedup_cluster_keep_best")
     // A query that throws is EXCLUDED from total/n_queries — its wall time
     // is time-to-throw, not engine cost, and counting it silently reports a
     // broken engine as a fast one (the r7 failure mode). `errors` in the

@@ -423,6 +423,34 @@ object Similarity {
     * present (0 recall when the index missed everything). A left-semi
     * join on (qid, nid) counts hits — both sides are k·|queries| rows,
     * so this costs nothing next to the searches themselves. */
+  /** Exact re-rank refinement — the standard production tail of every
+    * quantized retriever (FAISS's refine/RFlat stage): the cheap index
+    * (ADC, SQ8, LSH…) fetches `candidates` = top-(k·c) (qid, nid) pairs,
+    * then ONLY those pairs are re-scored with the exact float cosine and
+    * the final top-k ranked from the refined scores. Cost shape at
+    * 100 TB: the exact arithmetic touches |Q|·k·c rows, never the
+    * corpus — the candidate set broadcasts (it is k·c per query by
+    * construction), the corpus joins it map-side to fetch the full-
+    * precision vectors, and the query block is the same broadcast every
+    * retriever uses. Quantization error then affects only RANKING WITHIN
+    * the candidate set boundary, which is why recall@k rises toward the
+    * exact baseline as c grows ([[recallAtK]] measures exactly that;
+    * see ann_recall_refine_eval). */
+  def refineTopK(candidates: DataFrame, corpus: DataFrame, queries: DataFrame,
+                 k: Int): DataFrame = {
+    val nd = nativeDot(corpus.sparkSession, _, _)
+    val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      sqrt(nd(col("embedding"), col("embedding"))).as("qn")))
+    val cand = broadcast(candidates.select(col("qid"), col("nid")))
+    val scored = corpus.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        sqrt(nd(col("embedding"), col("embedding"))).as("nn"))
+      .join(cand, Seq("nid"))
+      .join(q, Seq("qid"))
+      .select(col("qid"), col("nid"),
+        round(nd(col("qe"), col("ne")) / (col("qn") * col("nn")), 6).as("cos"))
+    rankTopK(scored, k)
+  }
+
   def recallAtK(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     val t = truth.select(col("qid"), col("nid"))
     val hits = t.join(approx.select(col("qid"), col("nid")),

@@ -20,12 +20,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * multiply, sequential left-to-right sum — so results stay bit-identical
   * to the DuckDB list_reduce oracle.
   *
-  * Input contract: DENSE vectors — array elements must be non-null.
-  * The tight loop reads element slots primitively (a null slot reads as
-  * 0.0), whereas SQL's `a[i] * b[i]` would propagate NULL through the
-  * whole sum; embeddings are dense by construction everywhere this is
-  * used, and keeping the loop branch-free is the expression's whole
-  * point. Validate upstream if a source can ship sparse arrays. */
+  * Input contract: DENSE vectors — array elements must be non-null,
+  * and the contract is ENFORCED: a null element throws a named error
+  * instead of silently reading as 0.0 (SQL's `a[i] * b[i]` would
+  * propagate NULL; a silent zero would return a plausible-but-wrong
+  * score, the worst failure mode for a ranking primitive). The check
+  * compiles AWAY when the array type's `containsNull` is false, and
+  * otherwise is a perfectly-predicted never-taken branch — the hot loop
+  * stays effectively branch-free on dense data. */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
@@ -34,14 +36,22 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  /** False when the schema PROVES density — the null check then costs
+    * nothing (interpreted) / is not even emitted (codegen). */
+  private def mayHaveNulls(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
     val (lf, rf) = (elemType(left) == FloatType, elemType(right) == FloatType)
+    val (ln, rn) = (mayHaveNulls(left), mayHaveNulls(right))
     var s = 0.0
     var i = 0
     while (i < n) {
+      if ((ln && a.isNullAt(i)) || (rn && b.isNullAt(i)))
+        throw DotProduct.nullElement(i)
       val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
       s += x * y
@@ -56,12 +66,20 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
         case FloatType => s"(double) $v.getFloat($i)"
         case _ => s"$v.getDouble($i)"
       }
+      val i = s"${ev.value}_i"
+      val nullGuard = (if (mayHaveNulls(left)) Seq(s"$a.isNullAt($i)") else Nil) ++
+        (if (mayHaveNulls(right)) Seq(s"$b.isNullAt($i)") else Nil) match {
+        case Nil => ""
+        case checks => s"""if (${checks.mkString(" || ")})
+           |    throw graft.plans.DotProduct.nullElement($i);""".stripMargin
+      }
       s"""
          |int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double ${ev.value}_s = 0.0;
-         |for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n; ${ev.value}_i++) {
-         |  ${ev.value}_s += ${get(a, elemType(left), s"${ev.value}_i")}
-         |    * ${get(b, elemType(right), s"${ev.value}_i")};
+         |for (int $i = 0; $i < ${ev.value}_n; $i++) {
+         |  $nullGuard
+         |  ${ev.value}_s += ${get(a, elemType(left), i)}
+         |    * ${get(b, elemType(right), i)};
          |}
          |${ev.value} = ${ev.value}_s;
          |""".stripMargin
@@ -73,6 +91,13 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 }
 
 object DotProduct {
+  /** The density-contract violation, named so callers (and generated
+    * code) raise one consistent, greppable error. */
+  def nullElement(i: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"graft_dot: NULL array element at index $i — dense vectors required " +
+        "(filter or impute sparse embeddings before scoring)")
+
   /** Register `graft_dot` in the session function registry (makes the
     * expression usable from Column programs via call_function and from
     * SQL text). Truly idempotent: a no-op when already registered, so

@@ -862,11 +862,13 @@ object PackPipeline {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("text"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
-        .withColumn("all", lit("x"))
+      // maxShards = 4096: far above any fixture's implied shard count
+      // (oracle unchanged — the cap never binds below ~8.2M tokens) but
+      // a hard ceiling on per-shard-file commit cost at stress scale,
+      // where the 2000-token test budget would otherwise imply tens of
+      // thousands of one-file shard dirs (SCALE.md §4f)
       val sharded = graft.ops.Ops
-        .chunkedCumsum(docs, "all", "doc_id", "n_tokens", "cum")
-        .withColumn("shard",
-          ((col("cum") - col("n_tokens")) / 2000).cast("long"))
+        .tokenShards(docs, "doc_id", "n_tokens", budget = 2000L, maxShards = 4096)
         .select(col("doc_id"), col("source"), col("text"),
           col("n_tokens"), col("shard"))
       sharded.repartition(col("shard"))
@@ -1477,10 +1479,13 @@ object PackPipeline {
     // dedups too much/little, or a re-fired load duplicating rows all
     // shift the multiset and fail the hash. The oracle restates the
     // corpus relationally (parse∘render ≡ projection, proven by u1/u3).
-    // Scale shape: only the LISTING (ticket keys + rendered text of the
-    // ≤1% slice) crosses the driver, mirroring the reference's per-mail
-    // fetch loop; parse/gate/append are distributed, the gate's loaded
-    // side is a pruned single column.
+    // Scale shape: NOTHING corpus-sized crosses the driver — the mailbox
+    // stages once to its own parquet store (distributed write), each
+    // firing's `after:`/cutoff cut is a pushed scan predicate, and the
+    // PDF staging writes run on executors via foreachPartition;
+    // parse/gate/append are distributed, the gate's loaded side is a
+    // pruned single column. Driver traffic is two scalars per firing
+    // (watermark + emptiness probe).
     QDef("pipeline_pdf_e2e",
       s"""WITH it AS (
          |  SELECT l.l_orderkey AS nro_ticket,
@@ -1532,20 +1537,22 @@ object PackPipeline {
         org.apache.spark.sql.types.StructField("p_total", org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.types.StructField("total_ticket_bruto", org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.types.StructField("total_ticket_meli", org.apache.spark.sql.types.DoubleType)))
-      // the mailbox IS external server state — materialize it once
-      // (key, mail date, rendered body); each cron firing then issues
-      // only the filtered LISTING query against it, the way the
-      // reference queries Gmail with `after:` rather than re-deriving
-      // the corpus per run
-      val mailbox: Array[(Long, java.sql.Date, String)] = PackParsers
-        .ticketTextsFiltered(s, d, slice)
+      // the mailbox IS external server state — stage it ONCE to its own
+      // store (key, mail date, rendered body → parquet, a distributed
+      // write); each cron firing then issues only the FILTERED listing
+      // query against it, the way the reference queries Gmail with
+      // `after:` — the date cuts are Column predicates pushed to the
+      // mailbox scan, and the PDF staging writes happen on EXECUTORS
+      // (foreachPartition), so no corpus-scale rows ever cross the driver
+      val mailboxDir = java.nio.file.Files
+        .createTempDirectory(s"graft_pdfe2e_mb$run").toString + "/mailbox"
+      PackParsers.ticketTextsFiltered(s, d, slice)
         .select(regexp_extract(col("text"), "Nro T\\. (\\d+)", 1)
           .cast("long").as("nro"),
           Exprs.toDateDmy(Exprs.fixTwoDigitYear(
             regexp_extract(col("text"), "Fecha (\\S+) ", 1))).as("fd"),
           col("text"))
-        .collect()
-        .map(r => (r.getLong(0), r.getDate(1), r.getString(2)))
+        .write.parquet(mailboxDir)
       def fireCron(mailboxCutoff: Option[java.sql.Date]): Unit = {
         // -- extract: watermark from what's loaded (max fecha + 1 day);
         // empty warehouse → the reference's fallback branch (no cut)
@@ -1555,16 +1562,19 @@ object PackPipeline {
               .agg(date_add(max(to_date(col("fecha"), "dd/MM/yyyy")), 1).as("wm"))
               .head.getDate(0))
           else None
-        val listed = mailbox.iterator
-          .filter { case (_, fd, _) =>
-            mailboxCutoff.forall(cut => fd.before(cut)) &&
-              wmOpt.forall(wm => !fd.before(wm))
-          } // the reference's per-mail fetch loop: keys + text only
-        listed.foreach { case (nro, _, text) =>
-          val f = new java.io.File(raw, f"Ticket_$nro%09d.pdf")
-          if (!f.exists) // head_object already-staged skip (extract_data_pdf:141-147)
-            java.nio.file.Files.write(f.toPath,
-              graft.parsers.Pdf.writePdf(text.split("\n").toSeq))
+        val listed = Seq(
+          mailboxCutoff.map(cut => col("fd") < lit(cut)),
+          wmOpt.map(wm => col("fd") >= lit(wm)))
+          .flatten.foldLeft(s.read.parquet(mailboxDir))(_.filter(_))
+        val rawDir = raw // serializable capture, not the QDef closure
+        listed.select(col("nro"), col("text")).foreachPartition {
+          (rows: Iterator[org.apache.spark.sql.Row]) =>
+            rows.foreach { r =>
+              val f = new java.io.File(rawDir, f"Ticket_${r.getLong(0)}%09d.pdf")
+              if (!f.exists) // head_object already-staged skip (extract_data_pdf:141-147)
+                java.nio.file.Files.write(f.toPath,
+                  graft.parsers.Pdf.writePdf(r.getString(1).split("\n").toSeq))
+            }
         }
         // -- transform: every raw/ PDF, magic gate, real text extraction,
         // ticket parse, batch CSV to processed/ (reprocess-all like the
