@@ -183,7 +183,10 @@ object AgentSupport {
   def markdown(df: DataFrame, limit: Int = 20): String = {
     val cols = df.columns
     val rows = df.limit(limit).collect()
-    def cell(v: Any): String = String.valueOf(v)
+    // NULL renders as an EMPTY cell — the reference's typed cell decode
+    // leaves empties (ai_agent:137-149), and the literal string "null"
+    // would be indistinguishable from data in the reply
+    def cell(v: Any): String = (if (v == null) "" else String.valueOf(v))
       .replace("\\", "\\\\").replace("|", "\\|")
       .replace("\r", " ").replace("\n", " ")
     val sb = new StringBuilder

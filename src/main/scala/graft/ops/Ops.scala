@@ -197,8 +197,15 @@ object Ops {
     val l2 = left.withColumn("__t", col(leftTime)).withColumn("__tag", lit(1))
     val lTagged = payload.foldLeft(l2)((df, c) => df.withColumn(c, lit(null)))
     // NULL-time left rows then need no guard: they sort NULLS FIRST, so
-    // no surviving right row precedes them and the carry stays NULL
-    val r2 = right.filter(col(rightTime).isNotNull)
+    // no surviving right row precedes them and the carry stays NULL.
+    // NULL-KEY right rows are dropped too: the window partitions by the
+    // keys with GROUPING semantics (null == null), so without the filter
+    // a NULL-key right payload would enrich NULL-key left rows — but this
+    // is a JOIN, and SQL equi-join semantics say a NULL key matches
+    // nothing (DuckDB's ASOF JOIN agrees). NULL-key LEFT rows still come
+    // through, payload NULL, like any unmatched left row.
+    val r2 = right.filter(keys.map(col(_).isNotNull)
+        .foldLeft(col(rightTime).isNotNull)(_ && _))
       .withColumnRenamed(rightTime, "__rt")
       .withColumn("__t", col("__rt")).withColumn("__tag", lit(0)).drop("__rt")
     val rTagged = leftCols.filterNot(keys.contains)
@@ -241,9 +248,12 @@ object Ops {
         (df, c) => df.withColumn(c, lit(null)))
     // NULL-time right rows can never be anyone's nearest match (every
     // distance against them is UNKNOWN) — drop them up front, same rule
-    // as asofJoin's
+    // as asofJoin's; NULL-KEY right rows likewise (the window's grouping
+    // semantics would otherwise match them to NULL-key left rows, which
+    // SQL join semantics forbid)
     val rTagged = leftCols.filterNot(keys.contains)
-      .foldLeft(right.filter(col(rightTime).isNotNull)
+      .foldLeft(right.filter(keys.map(col(_).isNotNull)
+          .foldLeft(col(rightTime).isNotNull)(_ && _))
         .withColumn("__t", col(rightTime)).withColumn("__tag", lit(0))
         .withColumn("__rt", col(rightTime)).drop(rightTime))(
         (df, c) => df.withColumn(c, lit(null)))

@@ -170,6 +170,109 @@ object ExprNullProps extends Properties("exprnull") {
       Prop(got == expected) :| s"got=$got expected=$expected"
     }
 
+  // ---- asof/band joins: SQL join semantics under NULL keys AND times ---
+  // (the class that produced real fixes in r13; these pin the whole
+  // contract against brute-force models, including the r14 finding that
+  // NULL KEYS must never match — the window's grouping semantics would
+  // otherwise pair NULL-key rows)
+
+  private val asofGen: Gen[(List[(Option[Long], Option[Long], Long)],
+                            List[(Option[Long], Option[Long], Long)])] = for {
+    nl <- Gen.choose(0, 25)
+    nr <- Gen.choose(0, 25)
+    lrows <- Gen.listOfN(nl, for {
+      k <- Gen.option(Gen.choose(0L, 2L)); t <- Gen.option(Gen.choose(0L, 60L))
+    } yield (k, t))
+    rrows <- Gen.listOfN(nr, for {
+      k <- Gen.option(Gen.choose(0L, 2L)); t <- Gen.option(Gen.choose(0L, 60L))
+    } yield (k, t))
+  } yield (
+    lrows.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) },
+    // unique (k, t) on the right: equal-time right rows tie
+    // non-deterministically in both engines, which is not the contract
+    // under test
+    rrows.distinctBy(identity).zipWithIndex
+      .map { case ((k, t), i) => (k, t, 1000L + i) })
+
+  property("asofJoin == latest-at-or-before model; NULL keys/times never match") =
+    Prop.forAll(asofGen) { case (lrows, rrows) =>
+      import spark.implicits._
+      val left = lrows.toDF("k", "t", "lv")
+      val right = rrows.toDF("k", "t", "rv")
+      val got = graft.ops.Ops.asofJoin(left, right, Seq("k"), "t", "t")
+        .as[(Option[Long], Option[Long], Long, Option[Long])].collect().toSet
+      val expected = lrows.map { case (k, lt, lv) =>
+        val rv = for {
+          kk <- k; t <- lt
+          best <- rrows.filter(r => r._1.contains(kk) && r._2.exists(_ <= t))
+            .maxByOption(_._2.get)
+        } yield best._3
+        (k, lt, lv, rv)
+      }.toSet
+      Prop(got == expected) :| s"got=$got expected=$expected"
+    }
+
+  property("asofNearest == nearest-either-side model (backward wins ties); NULL keys/times never match") =
+    Prop.forAll(asofGen) { case (lrows, rrows) =>
+      import spark.implicits._
+      val left = lrows.toDF("k", "t", "lv")
+      val right = rrows.toDF("k", "t", "rv")
+      val got = graft.ops.Ops.asofNearest(left, right, Seq("k"), "t", "t")
+        .as[(Option[Long], Option[Long], Long, Option[Long], Option[Long])]
+        .collect().toSet
+      val expected = lrows.map { case (k, lt, lv) =>
+        val best = for {
+          kk <- k; t <- lt
+          b <- rrows.filter(r => r._1.contains(kk) && r._2.isDefined)
+            // nearest; ties prefer the backward (earlier-or-equal) match
+            .minByOption(r => (math.abs(r._2.get - t), if (r._2.get <= t) 0 else 1))
+        } yield (b._3, math.abs(b._2.get - t))
+        (k, lt, lv, best.map(_._1), best.map(_._2))
+      }.toSet
+      Prop(got == expected) :| s"got=$got expected=$expected"
+    }
+
+  private val bandGen: Gen[(List[(Option[Long], Option[Long], Long)],
+                            List[(Option[Long], Option[Long], Long)], Long, Long)] = for {
+    (l, r) <- asofGen
+    lo <- Gen.choose(0L, 10L)
+    hi <- Gen.choose(0L, 10L)
+  } yield (l, r, lo, hi)
+
+  property("bandJoin == equi-join + band filter model; NULL keys/times never match") =
+    Prop.forAll(bandGen) { case (lrows, rrows, lo, hi) =>
+      import spark.implicits._
+      val left = lrows.toDF("k", "t", "lv")
+      val right = rrows.toDF("rk", "rt", "rv")
+      val got = graft.ops.Ops.bandJoin(left, right,
+          Seq("k"), Seq("rk"), "t", "rt", lo, hi)
+        .as[(Option[Long], Option[Long], Long, Option[Long], Option[Long], Long)]
+        .collect().toSet
+      // l.t − lo <= r.t <= l.t + hi, non-null keys and times only
+      val expected = (for {
+        (lk, lt, lv) <- lrows; (rk, rt, rv) <- rrows
+        kk <- lk if rk.contains(kk)
+        t <- lt; u <- rt
+        if t - lo <= u && u <= t + hi
+      } yield (lk, lt, lv, rk, rt, rv)).toSet
+      Prop(got == expected) :| s"got=$got expected=$expected"
+    }
+
+  property("saltedJoin == plain inner join (NULL keys match nothing, salts cancel)") =
+    Prop.forAll(asofGen) { case (lrows, rrows) =>
+      import spark.implicits._
+      val big = lrows.toDF("k", "t", "lv")
+      val small = rrows.map { case (k, t, v) => (k, v) }
+        .distinctBy(_._1).toDF("k", "rv")
+      val got = graft.ops.Ops.saltedJoin(big, small, Seq("k"), saltFactor = 4)
+        .as[(Option[Long], Option[Long], Long, Long)].collect().toSet
+      val expected = (for {
+        (lk, lt, lv) <- lrows; (rk, rv) <- small.as[(Option[Long], Long)].collect()
+        kk <- lk if rk.contains(kk)
+      } yield (lk, lt, lv, rv)).toSet
+      Prop(got == expected) :| s"got=$got expected=$expected"
+    }
+
   // ---- DotProduct: density contract enforced, not prose ----------------
 
   property("graft_dot throws the named density error on a NULL element") =

@@ -88,6 +88,14 @@ class IoSpec extends AnyFunSuite {
       AgentSupport.answer(spark, "DROP TABLE ag_orders", allowed = Seq("ag_orders")))
   }
 
+  test("agent markdown render: NULL cells render empty (the reference's typed decode)") {
+    import spark.implicits._
+    val md = graft.io.AgentSupport.markdown(
+      Seq((Some("a"), 1L), (Option.empty[String], 2L)).toDF("name", "n"))
+    val lines = md.split("\n")
+    assert(lines(3) == "|  | 2 |", s"NULL must render as an empty cell: ${lines(3)}")
+  }
+
   test("agent markdown render escapes structural characters in cell values") {
     import spark.implicits._
     // a merchant name with pipes and a newline must not splice columns/rows

@@ -549,6 +549,32 @@ class PlanSpec extends AnyFunSuite {
         corpusScans.mkString("\n"))
   }
 
+  test("ANN refine: exact re-rank stays candidate-bounded (broadcast equi-joins, no cross product)") {
+    for (name <- Seq("ann_pq_refine_topk", "ann_sq8_refine_topk")) {
+      val df = Pack.byName(name).fn(spark, TestSpark.sf0001)
+      df.count()
+      val exec = df.queryExecution.executedPlan
+      val p = exec.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name: the exact stage must join candidates, never cross:\n$p")
+      // the refine stage's joins are equi (on nid then qid) with the
+      // candidate set and query block broadcast — the corpus fetches
+      // full-precision vectors map-side. The only nest-loop the plan may
+      // carry is the retriever scans' own QUERY-block broadcast (the
+      // vec_id<10 pushed filter — ≤|Q| rows by construction, the
+      // bruteTopK shape); a build side WITHOUT that filter would be a
+      // corpus frame, i.e. a leaked vector cross product.
+      unboundedBnljBuilds(exec)
+        .filterNot(_.toString.contains("LessThan(vec_id,10)"))
+        .foreach { build =>
+          fail(s"$name: BNLJ builds an unbounded non-query side — the " +
+            s"refine stage leaked a vector cross product:\n$build")
+        }
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: candidate/query sides must broadcast into the corpus scan:\n$p")
+    }
+  }
+
   test("live JDBC scan: range-partitioned parallel read, WHERE pushed into the remote SQL") {
     val p = plan("s8_scan_jdbc_live")
     assert(p.contains("JDBCRelation(ORDERS_SLICE) [numPartitions=4]"),
