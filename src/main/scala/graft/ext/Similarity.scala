@@ -442,12 +442,16 @@ object Similarity {
     val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
       sqrt(nd(col("embedding"), col("embedding"))).as("qn")))
     val cand = broadcast(candidates.select(col("qid"), col("nid")))
-    val scored = corpus.select(col("vec_id").as("nid"), col("embedding").as("ne"),
-        sqrt(nd(col("embedding"), col("embedding"))).as("nn"))
+    // candidate join FIRST, exact arithmetic second: projecting the
+    // neighbor norm before the join would evaluate the O(d) dot over the
+    // FULL corpus stream — exactly the work the refine stage exists to
+    // avoid; after the join only the ≤ |Q|·k·c survivors pay it
+    val scored = corpus.select(col("vec_id").as("nid"), col("embedding").as("ne"))
       .join(cand, Seq("nid"))
       .join(q, Seq("qid"))
       .select(col("qid"), col("nid"),
-        round(nd(col("qe"), col("ne")) / (col("qn") * col("nn")), 6).as("cos"))
+        round(nd(col("qe"), col("ne")) /
+          (col("qn") * sqrt(nd(col("ne"), col("ne")))), 6).as("cos"))
     rankTopK(scored, k)
   }
 

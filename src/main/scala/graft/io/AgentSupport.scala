@@ -63,7 +63,7 @@ object AgentSupport {
     * functions — everything the prompt's SQL shape actually needs — are
     * untouched. */
   private val deniedFunctions: Set[String] = Set(
-    "reflect", "java_method",
+    "reflect", "try_reflect", "java_method",
     "current_user", "session_user", "user",
     "current_database", "current_schema", "current_catalog", "version",
     "input_file_name", "input_file_block_start", "input_file_block_length")
@@ -108,6 +108,12 @@ object AgentSupport {
           if deniedFunctions(lc(f.nameParts.last)) =>
         throw new IllegalArgumentException(
           s"generated SQL calls a denied function (${f.nameParts.mkString(".")}): $sql")
+      // IDENTIFIER('…') defers the FUNCTION name to analysis time — this
+      // parse-time walk cannot know what it resolves to, so fail closed
+      // (IDENTIFIER('reflect')(…) would otherwise dodge the denylist)
+      case _: org.apache.spark.sql.catalyst.analysis.ExpressionWithUnresolvedIdentifier =>
+        throw new IllegalArgumentException(
+          s"generated SQL uses IDENTIFIER() for a deferred function/column name: $sql")
       // subquery expressions carry whole plans the expression walk does
       // not descend into on its own; they see the enclosing CTE scope
       case pe: PlanExpression[_] => pe.plan match {
@@ -134,6 +140,13 @@ object AgentSupport {
       case x: org.apache.spark.sql.catalyst.plans.logical.ExecutableDuringAnalysis =>
         throw new IllegalArgumentException(
           s"generated SQL executes during analysis (${x.nodeName}): $sql")
+      // IDENTIFIER('…') defers the RELATION name to analysis time, after
+      // this walk has approved the plan — `FROM IDENTIFIER('secrets')`
+      // carries no UnresolvedRelation at parse time. Fail closed: the
+      // allowlist can only vouch for names it can see.
+      case _: org.apache.spark.sql.catalyst.analysis.PlanWithUnresolvedIdentifier =>
+        throw new IllegalArgumentException(
+          s"generated SQL uses IDENTIFIER() for a deferred relation name: $sql")
       case w: UnresolvedWith =>
         // recursive CTEs would let a body legally reference its own name;
         // nothing the agent generates needs them — fail closed

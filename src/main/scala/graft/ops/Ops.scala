@@ -100,14 +100,27 @@ object Ops {
                   budget: Long, maxShards: Int = Int.MaxValue,
                   shardName: String = "shard"): DataFrame = {
     require(budget > 0 && maxShards > 0, "budget and maxShards must be positive")
-    val totalRow = docs.agg(sum(col(tok))).head()
-    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
-    val eff = math.max(budget, (total + maxShards - 1) / maxShards)
-    val groupC = "_shard_all"
-    val cumC = "_shard_cum"
+    // the total-token scan exists only to size the cap — skip the extra
+    // job entirely when the default (uncapped) maxShards cannot bind
+    val eff =
+      if (maxShards == Int.MaxValue) budget
+      else {
+        val totalRow = docs.agg(sum(col(tok))).head()
+        val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+        math.max(budget, (total + maxShards - 1) / maxShards)
+      }
+    // fresh internal names (chunkedCumsum's collision rule): withColumn
+    // REPLACES same-name caller columns, silently corrupting them
+    val occupied = docs.columns :+ shardName
+    val suffix = Iterator.from(0).map(i => if (i == 0) "" else s"_$i")
+      .find { t =>
+        val internals = Seq(s"_shard_all$t", s"_shard_cum$t")
+        !occupied.exists(c => internals.exists(_.equalsIgnoreCase(c)))
+      }.get
+    val (groupC, cumC) = (s"_shard_all$suffix", s"_shard_cum$suffix")
     chunkedCumsum(docs.withColumn(groupC, lit("x")), groupC, ord, tok, cumC)
       // integral div: exact past 2^53 (cum is a corpus-wide token count)
-      .withColumn(shardName, expr(s"($cumC - $tok) div $eff"))
+      .withColumn(shardName, expr(s"(`$cumC` - `$tok`) div $eff"))
       .drop(groupC, cumC)
   }
 

@@ -57,6 +57,47 @@ object PackExt {
       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS INTEGER) AS rank
       |       FROM adc)""".stripMargin
 
+  /** DuckDB-side SQ8 encode + integer-dot scoring CTE block (absmax
+    * int8 quantization → integer dot × the two scales), shared by
+    * `ann_sq8_topk` and `ann_sq8_refine_topk` so the quantization
+    * arithmetic is stated in exactly one place. Exposes CTE `sc`
+    * (qid, nid, score) for vec_id < 10 queries. */
+  private val sq8ScoreSql: String =
+    """m AS (SELECT vec_id,
+      |             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx,
+      |             embedding
+      |           FROM embeddings),
+      |enc AS (SELECT vec_id, mx, i,
+      |          CAST(round(CAST(embedding[i] AS DOUBLE) / mx * 127) AS BIGINT) AS iq
+      |        FROM m, range(1, 65) t(i)),
+      |qs AS (SELECT vec_id AS qid, mx AS qmx, i AS qi, iq AS qq FROM enc WHERE vec_id < 10),
+      |sc AS (SELECT qs.qid, e.vec_id AS nid,
+      |         round(CAST(sum(e.iq * qs.qq) AS DOUBLE) * qs.qmx * e.mx / 16129.0, 6) AS score
+      |       FROM enc e JOIN qs ON e.i = qs.qi AND e.vec_id <> qs.qid
+      |       GROUP BY qs.qid, e.vec_id, qs.qmx, e.mx)""".stripMargin
+
+  /** Spark-side SQ8 scored frame (qid, nid, score) matching
+    * [[sq8ScoreSql]]'s `sc` — quantized vectors stay ARRAYS and the
+    * integer dot rides the codegen'd DotProduct expression: every
+    * |product| ≤ 127² and the 64-term sum ≤ 2^21, so the double
+    * accumulation is EXACT and order-free — same value as an explicit
+    * BIGINT sum, none of the exploded-join/hash-agg machinery. */
+  private def sq8Scored(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val enc = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))).as("mx"),
+        col("embedding"))
+      .select(col("vec_id"), col("mx"),
+        transform(col("embedding"),
+          v => round(v.cast("double") / col("mx") * 127, 0)).as("qv"))
+    val qs8 = enc.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("mx").as("qmx"), col("qv").as("qqv"))
+    enc.join(broadcast(qs8), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(Similarity.nativeDot(s, col("qv"), col("qqv"))
+          * col("qmx") * col("mx") / lit(16129.0), 6).as("score"))
+  }
+
   /** Train-once IVF coarse quantizer: centroids are computed one time per
     * corpus and persisted as a Warehouse parquet table; every IVF query
     * (single- and multi-probe) serves from the stored table instead of
@@ -1144,42 +1185,15 @@ object PackExt {
     // float scan at 100 TB. Query block broadcast, corpus scanned once,
     // bounded-heap top-k.
     QDef("ann_sq8_topk",
-      """WITH m AS (SELECT vec_id,
-        |             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx,
-        |             embedding
-        |           FROM embeddings),
-        |enc AS (SELECT vec_id, mx, i,
-        |          CAST(round(CAST(embedding[i] AS DOUBLE) / mx * 127) AS BIGINT) AS iq
-        |        FROM m, range(1, 65) t(i)),
-        |qs AS (SELECT vec_id AS qid, mx AS qmx, i AS qi, iq AS qq FROM enc WHERE vec_id < 10),
-        |sc AS (SELECT qs.qid, e.vec_id AS nid,
-        |         round(CAST(sum(e.iq * qs.qq) AS DOUBLE) * qs.qmx * e.mx / 16129.0, 6) AS score
-        |       FROM enc e JOIN qs ON e.i = qs.qi AND e.vec_id <> qs.qid
-        |       GROUP BY qs.qid, e.vec_id, qs.qmx, e.mx),
-        |r AS (SELECT qid, nid, score,
-        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS INTEGER) AS rank
-        |      FROM sc)
-        |SELECT qid, nid, score, rank FROM r WHERE rank <= 5
-        |ORDER BY qid, rank""".stripMargin) { (s, d) =>
-      // quantized vectors stay ARRAYS and the integer dot rides the
-      // codegen'd DotProduct expression: every |product| ≤ 127² and the
-      // 64-term sum ≤ 2^21, so the double accumulation is EXACT and
-      // order-free — same value as an explicit BIGINT sum, none of the
-      // exploded-join/hash-agg machinery (measured 1.8 s → sub-second)
-      val enc = Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          array_max(transform(col("embedding"), x => abs(x.cast("double")))).as("mx"),
-          col("embedding"))
-        .select(col("vec_id"), col("mx"),
-          transform(col("embedding"),
-            v => round(v.cast("double") / col("mx") * 127, 0)).as("qv"))
-      val qs = enc.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("mx").as("qmx"), col("qv").as("qqv"))
-      val scored = enc.join(broadcast(qs), col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("nid"),
-          round(Similarity.nativeDot(s, col("qv"), col("qqv"))
-            * col("qmx") * col("mx") / lit(16129.0), 6).as("score"))
-      val pruned = graft.ops.Ops.topKPerKey(scored, Seq("qid"),
+      s"""WITH $sq8ScoreSql,
+         |r AS (SELECT qid, nid, score,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS INTEGER) AS rank
+         |      FROM sc)
+         |SELECT qid, nid, score, rank FROM r WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      // encode+score single-sourced with the refine variant (sq8Scored;
+      // measured 1.8 s → sub-second vs the exploded-join form)
+      val pruned = graft.ops.Ops.topKPerKey(sq8Scored(s, d), Seq("qid"),
         Seq(("score", true), ("nid", false)), 5)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
@@ -1751,18 +1765,7 @@ object PackExt {
     // cost shape as ann_pq_refine_topk; together they pin the refine
     // stage over BOTH quantizer families.
     QDef("ann_sq8_refine_topk",
-      s"""WITH m AS (SELECT vec_id,
-         |             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx,
-         |             embedding
-         |           FROM embeddings),
-         |enc AS (SELECT vec_id, mx, i,
-         |          CAST(round(CAST(embedding[i] AS DOUBLE) / mx * 127) AS BIGINT) AS iq
-         |        FROM m, range(1, 65) t(i)),
-         |qs AS (SELECT vec_id AS qid, mx AS qmx, i AS qi, iq AS qq FROM enc WHERE vec_id < 10),
-         |sc AS (SELECT qs.qid, e.vec_id AS nid,
-         |         round(CAST(sum(e.iq * qs.qq) AS DOUBLE) * qs.qmx * e.mx / 16129.0, 6) AS score
-         |       FROM enc e JOIN qs ON e.i = qs.qi AND e.vec_id <> qs.qid
-         |       GROUP BY qs.qid, e.vec_id, qs.qmx, e.mx),
+      s"""WITH $sq8ScoreSql,
          |cand AS (SELECT qid, nid FROM (SELECT qid, nid,
          |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn FROM sc)
          |         WHERE rn <= 20),
@@ -1777,20 +1780,7 @@ object PackExt {
          |SELECT qid, nid, cos, rank FROM fr WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
-      val enc = e
-        .select(col("vec_id"),
-          array_max(transform(col("embedding"), x => abs(x.cast("double")))).as("mx"),
-          col("embedding"))
-        .select(col("vec_id"), col("mx"),
-          transform(col("embedding"),
-            v => round(v.cast("double") / col("mx") * 127, 0)).as("qv"))
-      val qs8 = enc.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("mx").as("qmx"), col("qv").as("qqv"))
-      val scored = enc.join(broadcast(qs8), col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("nid"),
-          round(Similarity.nativeDot(s, col("qv"), col("qqv"))
-            * col("qmx") * col("mx") / lit(16129.0), 6).as("score"))
-      val cand = graft.ops.Ops.topKPerKey(scored, Seq("qid"),
+      val cand = graft.ops.Ops.topKPerKey(sq8Scored(s, d), Seq("qid"),
         Seq(("score", true), ("nid", false)), 20)
       Similarity.refineTopK(cand, e, e.filter(col("vec_id") < 10), k = 5)
         .orderBy(col("qid"), col("rank"))

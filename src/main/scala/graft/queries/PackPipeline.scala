@@ -849,10 +849,11 @@ object PackPipeline {
       """WITH t AS (SELECT doc_id, source,
         |             CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |           FROM documents),
+        |b AS (SELECT greatest(2000, (sum(n_tokens) + 4095) // 4096) AS eff FROM t),
         |c AS (SELECT doc_id, n_tokens,
         |        sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
         |      FROM t)
-        |SELECT CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard,
+        |SELECT CAST((cum - n_tokens) // (SELECT eff FROM b) AS BIGINT) AS shard,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc

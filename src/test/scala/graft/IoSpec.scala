@@ -227,9 +227,21 @@ class IoSpec extends AnyFunSuite {
       validateSql(spark,
         "SELECT * FROM mp_data WHERE real_amount > (SELECT length(reflect('java.lang.System','lineSeparator')))",
         allowed))
-    // identity/environment leaks
+    // identity/environment leaks, incl. the TRY_ variant of reflection
     intercept[IllegalArgumentException](
       validateSql(spark, "SELECT current_user() FROM carrefour_data", allowed))
+    intercept[IllegalArgumentException](
+      validateSql(spark,
+        "SELECT try_reflect('java.lang.System','getenv','PATH') FROM mp_data", allowed))
+    // IDENTIFIER() defers names to analysis time — the parse-time walk
+    // cannot vouch for what it resolves to, so both the relation and the
+    // function/column forms fail closed
+    intercept[IllegalArgumentException](
+      validateSql(spark, "SELECT * FROM IDENTIFIER('secrets')", allowed))
+    intercept[IllegalArgumentException](
+      validateSql(spark,
+        "SELECT IDENTIFIER('reflect')('java.lang.System','getenv','PATH') FROM mp_data",
+        allowed))
     // WITH RECURSIVE would let a body legally self-reference; fail closed
     intercept[IllegalArgumentException](
       validateSql(spark,
