@@ -37,9 +37,11 @@ object Multimodal {
   def asMedia(df: DataFrame, id: String, payload: String): Dataset[MediaRow] = {
     val s = df.sparkSession
     import s.implicits._
+    // pmod, not %: Spark's % keeps the dividend's sign, so a negative id
+    // would index 0 (or count from the array's end) instead of 1..3
     df.select(col(id).cast("long").as("doc_id"),
         element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
-          (col(id) % 3 + 1).cast("int")).as("mime"),
+          (pmod(col(id), lit(3)) + 1).cast("int")).as("mime"),
         encode(col(payload), "UTF-8").as("content"))
       .as[MediaRow]
   }
@@ -95,11 +97,14 @@ object Multimodal {
     import s.implicits._
     media.flatMap { r =>
       val n = r.content.length.toLong
-      val f = (n % 30 + 1).toInt
-      val step = n / f
-      (0 until f).map { i =>
-        val off = i * step
-        FrameRow(r.doc_id, i.toLong, off, step, r.content(off.toInt) & 0xff)
+      if (n == 0) Nil // empty payload: zero frames, not content(0) on []
+      else {
+        val f = (n % 30 + 1).toInt
+        val step = n / f
+        (0 until f).map { i =>
+          val off = i * step
+          FrameRow(r.doc_id, i.toLong, off, step, r.content(off.toInt) & 0xff)
+        }
       }
     }
   }

@@ -254,6 +254,19 @@ class ExtSpec extends AnyFunSuite {
     assert(r0.dst_w == 64 && r0.scale_x > 0 && r0.scale_x <= 2.0)
   }
 
+  test("multimodal edge rows: negative ids still mime-bucket, empty payloads emit no frames") {
+    val edge = Seq((-5L, "abc"), (-1L, ""), (7L, "")).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(edge, "doc_id", "text").collect()
+    // % keeps the dividend's sign, so -5 % 3 + 1 = -1 would have indexed
+    // element_at from the array's END; pmod keeps the bucket in 1..3
+    assert(media.find(_.doc_id == -5L).get.mime == "audio/wav") // pmod(-5,3)=1
+    assert(media.find(_.doc_id == -1L).get.mime == "video/mp4") // pmod(-1,3)=2
+    val frames = Multimodal.sampleFrames(
+      Multimodal.asMedia(edge, "doc_id", "text")).collect()
+    assert(frames.forall(_.doc_id == -5L), "empty payloads must yield zero frames")
+    assert(frames.length == ("abc".length % 30) + 1)
+  }
+
   test("approx_count_distinct within 5% of exact; centroid assignment recovers buckets") {
     val ev = graft.schemas.Tables.events(spark, TestSpark.sf0001)
     val (approx, exact) = ev.select(
