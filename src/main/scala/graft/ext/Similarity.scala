@@ -36,9 +36,20 @@ object Similarity {
     call_function("graft_dot", a, b)
   }
 
-  /** Exact cosine similarity between two float-array columns. */
+  /** Exact cosine similarity between two float-array columns. Cosine is
+    * undefined for a zero-norm vector (the all-zeros embedding a broken
+    * encoder emits, or an empty array): the result is NULL, not an ANSI
+    * DIVIDE_BY_ZERO error — one degenerate row must not kill a 100 TB
+    * scoring job — and NULL never outranks a real candidate (both the
+    * bounded-heap top-k and the rank window order descending NULLS LAST,
+    * and threshold filters drop it under SQL 3VL). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    dot(a, b) / nullif(sqrt(dot(a, a)) * sqrt(dot(b, b)), lit(0.0))
+
+  /** The zero-norm guard of [[cosine]] for the retrievers' precomputed
+    * norm columns: NULL cosine when either norm is zero. */
+  private def cosOver(dotCol: Column, qn: Column, nn: Column): Column =
+    round(dotCol / nullif(qn * nn, lit(0.0)), 6)
 
   /** Shared rerank tail for every ANN variant: keep the top k scored
     * candidates per query through the custom bounded-heap operator
@@ -68,7 +79,7 @@ object Similarity {
       sqrt(nd(col("embedding"), col("embedding"))).as("nn"))
     val scored = c.join(q, col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
-        round(nd(col("qe"), col("ne")) / (col("qn") * col("nn")), 6).as("cos"))
+        cosOver(nd(col("qe"), col("ne")), col("qn"), col("nn")).as("cos"))
     rankTopK(scored, k)
   }
 
@@ -90,7 +101,7 @@ object Similarity {
       col("embedding").as("ne"), sqrt(nd(col("embedding"), col("embedding"))).as("nn"))
     val scored = c.join(q, col("neg_label") =!= col("ql"))
       .select(col("qid"), col("nid"), col("neg_label"),
-        round(nd(col("qe"), col("ne")) / (col("qn") * col("nn")), 6).as("cos"))
+        cosOver(nd(col("qe"), col("ne")), col("qn"), col("nn")).as("cos"))
     rankTopK(scored, k).select(col("qid"), col("nid"), col("neg_label"), col("cos"), col("rank"))
   }
 
@@ -310,7 +321,7 @@ object Similarity {
     val scored = c.join(broadcast(probes),
         col(bucketCol) === col("pb") && col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
-        round(nd(col("qe"), col("ne")) / (col("qn") * col("nn")), 6).as("cos"))
+        cosOver(nd(col("qe"), col("ne")), col("qn"), col("nn")).as("cos"))
     rankTopK(scored, k)
   }
 
@@ -356,7 +367,7 @@ object Similarity {
       sqrt(nd(col("embedding"), col("embedding"))).as("nn"), col("bucket"))
     val scored = c.join(q, col("bucket") === col("qb") && col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
-        round(nd(col("qe"), col("ne")) / (col("qn") * col("nn")), 6).as("cos"))
+        cosOver(nd(col("qe"), col("ne")), col("qn"), col("nn")).as("cos"))
     rankTopK(scored, k)
   }
 
@@ -377,7 +388,9 @@ object Similarity {
     val b = corpus.select(col("vec_id").as("bid"), col("embedding").as("be"),
       sqrt(nd(col("embedding"), col("embedding"))).as("bn"), col(bucketCol).as("bb"))
     val dropped = a.join(b, col("ab") === col("bb") && col("bid") < col("vec_id"))
-      .filter(nd(col("ae"), col("be")) / (col("an") * col("bn")) >= threshold)
+      // zero-norm guard (see [[cosine]]): an undefined cosine is NULL,
+      // and the 3VL filter treats it as never-near-dup
+      .filter(nd(col("ae"), col("be")) / nullif(col("an") * col("bn"), lit(0.0)) >= threshold)
       .select(col("vec_id")).distinct()
       .withColumn("__drop", lit(1))
     corpus.select(col("vec_id"), col(bucketCol))
@@ -478,7 +491,7 @@ object Similarity {
       sqrt(nd(col("embedding"), col("embedding"))).as("nn"), col(bucketCol))
     val scored = c.join(q, col(bucketCol) === col("qb") && col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
-        round(nd(col("qe"), col("ne")) / (col("qn") * col("nn")), 6).as("cos"))
+        cosOver(nd(col("qe"), col("ne")), col("qn"), col("nn")).as("cos"))
     rankTopK(scored, k)
   }
 }

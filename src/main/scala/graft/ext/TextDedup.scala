@@ -16,6 +16,21 @@ import org.apache.spark.sql.functions._
   * (the DuckDB oracle computes the identical signatures); swap
   * [[tokenHash]] to `xxhash64` for a ~3× cheaper production profile with
   * the same plan shape.
+  *
+  * NULL-key rule (family-wide): per-document operators need an
+  * ADDRESSABLE doc key. A row with a NULL key (or NULL text, where the
+  * text is the unit of work) is UNASSESSABLE — it surfaces in per-doc
+  * outputs with its computable size columns and NULL for every
+  * dedup-derived column, is excluded from signature/rebuild/metric
+  * compute (SQL GROUP BY would otherwise MERGE all NULL-key docs into
+  * one corpus-wide chimera document — wrong results, and one unbounded
+  * aggregation buffer at 100 TB), and never appears in pairwise output
+  * (a pair needs two addressable docs; the `d1 < d2` dedup predicate is
+  * UNKNOWN for NULLs under 3VL either way). NULL-key docs' CONTENT still
+  * feeds corpus-wide frequency counts where those are key-agnostic
+  * (duplicated-span/line/gram occurrence counts) — the content genuinely
+  * exists in the corpus even when its row can't be addressed. Assign
+  * surrogate keys upstream to make such rows assessable.
   */
 object TextDedup {
 
@@ -121,7 +136,9 @@ object TextDedup {
     // explode; no per-doc buffer), so every other doc's result is
     // identical with or without the pathological neighbor.
     val overIds = docs.filter(nTok > maxTokens).select(col(id))
-    val toks = docs.filter(nTok <= maxTokens).select(col(id),
+    // NULL-key rule (object doc): unaddressable docs skip the per-doc
+    // rebuild entirely — their grams still feed the corpus counts below
+    val toks = docs.filter(nTok <= maxTokens && col(id).isNotNull).select(col(id),
       posexplode(split(col(text), " ")).as(Seq("pos", "w")))
     // salt on (id, gpos): within-doc repeats of one gram (log-file
     // boilerplate) spread across buckets too, not just cross-doc mass
@@ -134,6 +151,7 @@ object TextDedup {
     val dupStarts = grams
       .join(dupBuckets, Seq("gram", "_salt"), "left_semi")
       .select(col(id), col("gpos"))
+      .filter(col(id).isNotNull) // NULL-key docs are not rebuilt
       // skipped docs need no cover positions — drop them before the
       // n-fold cover explode (overIds is empty/tiny by construction)
       .join(overIds, Seq(id), "left_anti")
@@ -147,20 +165,28 @@ object TextDedup {
           array_sort(collect_list(struct(col("pos"), col("w")))),
           x => x.getField("w")), " ")).as("cleaned_md5"))
     val over = col("n_tokens") > maxTokens
+    // NULL-key rule: an unaddressable doc (NULL key or NULL text) keeps
+    // its computable n_tokens and NULLs every dedup-derived column — the
+    // join-back on the key can never match it (NULL equi-join), and the
+    // old coalesce-to-zero read as "100% duplicated", silently flagging
+    // a unique doc for removal
+    val unassessed = col(id).isNull || col("_text").isNull
     docs.select(col(id), nTok.as("n_tokens"), col(text).as("_text"))
       .join(kept, Seq(id), "left")
       .select(col(id), col("n_tokens"),
         // a flagged doc passes through untouched: nothing was removed,
         // so the "cleaned" text IS the original (split+rejoin on the
         // same delimiter is the identity) and dup_frac is unassessed
-        when(over, col("n_tokens"))
+        when(unassessed, lit(null).cast("long"))
+          .when(over, col("n_tokens"))
           .otherwise(coalesce(col("n_kept"), lit(0L))).as("n_kept"),
-        when(over, lit(null).cast("double"))
+        when(unassessed || over, lit(null).cast("double"))
           .otherwise(round(lit(1.0) - coalesce(col("n_kept"), lit(0L)) / col("n_tokens"), 6))
           .as("dup_frac"),
-        when(over, md5(col("_text")))
+        when(unassessed, lit(null).cast("string"))
+          .when(over, md5(col("_text")))
           .otherwise(coalesce(col("cleaned_md5"), md5(lit("")))).as("cleaned_md5"),
-        over.as("over_length"))
+        when(unassessed, lit(null).cast("boolean")).otherwise(over).as("over_length"))
   }
 
   /** Exact dedup: group by full-content hash, keep min id
@@ -183,7 +209,10 @@ object TextDedup {
     * needed two shuffles of a tokens×seeds intermediate. */
   def minhashSignatures(df: DataFrame, id: String, text: String,
                         numHashes: Int, gramN: Int = 1): DataFrame = {
-    val w = df.select(col(id).as("doc_id"),
+    // NULL-key rule: a signature must be addressable — the groupBy would
+    // otherwise merge every NULL-key doc into one chimera signature whose
+    // bands collide with real docs
+    val w = df.filter(col(id).isNotNull).select(col(id).as("doc_id"),
       explode(shingles(col(text), gramN)).as("w"))
     val mins = (0 until numHashes).map(i =>
       min(md5(concat(lit(s"$i|"), col("w")))).as(s"s$i"))
@@ -288,10 +317,18 @@ object TextDedup {
       .join(pruned.select(col("doc_id").as("dup_of"), col("band"), col("bkey")),
         Seq("band", "bkey"))
       .select(col("new_id"), col("dup_of")).distinct()
-    batch.select(col(id).as("new_id"))
+    // NULL-key rule (object doc): a NULL-key batch doc can't be probed
+    // (its signature is unaddressable) — the old left-join-then-groupBy
+    // merged all such rows into ONE row reported as clean (n_cand=0);
+    // they surface unassessable instead
+    val unassessable = batch.filter(col(id).isNull)
+      .select(col(id).as("new_id"), lit(null).cast("long").as("n_cand"),
+        lit(null).cast(idxBands.schema("doc_id").dataType).as("dup_of"))
+    batch.filter(col(id).isNotNull).select(col(id).as("new_id"))
       .join(cand, Seq("new_id"), "left")
       .groupBy(col("new_id"))
       .agg(count(col("dup_of")).as("n_cand"), min(col("dup_of")).as("dup_of"))
+      .unionByName(unassessable)
   }
 
   /** Cross-split near-dup detection (the leakage check behind a
@@ -383,7 +420,11 @@ object TextDedup {
     val keepBuckets = saltedGramCounts(g, col("_salt"), s)
       .filter(col("df") <= maxDf)
       .select(col("gram"), col("_salt"))
-    val t = g.join(keepBuckets, Seq("gram", "_salt"), "left_semi")
+    // NULL-key rule: NULL-key docs' grams count toward df above, but a
+    // pair needs two addressable docs — keep them out of the posting
+    // self-join (d1 < d2 would drop them after the join anyway)
+    val t = g.filter(col("doc_id").isNotNull)
+      .join(keepBuckets, Seq("gram", "_salt"), "left_semi")
       .select(col("doc_id"), col("gram").as("w"))
     val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shared = t.select(col("doc_id").as("d1"), col("w"))
@@ -447,6 +488,9 @@ object TextDedup {
     * oracle. */
   def simhash(df: DataFrame, id: String, text: String): DataFrame = {
     graft.plans.SimHash64.register(df.sparkSession)
+    // row-local (no groupBy), so NULL-key rows keep their OWN signature
+    // (no chimera merge) and NULL text yields a NULL signature; the
+    // pairing stages' `d1 < d2` predicate keeps NULL keys out of pairs
     df.select(col(id).as("doc_id"),
       call_function("graft_simhash", tokens(col(text))).as("simhash"))
   }
@@ -708,17 +752,29 @@ object TextDedup {
       .groupBy(col("line")).agg(sum(col("pn")).as("n"))
       .filter(col("n") > maxDf)
       .select(col("line"))
-    val kept = lines.join(broadcast(hot), Seq("line"), "left_anti")
-    val totals = lines.groupBy(col(id)).agg(count(lit(1)).as("n_lines"))
+    // NULL-key rule (object doc): hot counts above see every doc's lines
+    // (key-agnostic content frequency); the per-doc rebuild below only
+    // addresses keyed docs — the old join-back on the key silently
+    // dropped a NULL-key doc's kept lines and reported 0/md5("")
+    val keyed = lines.filter(col(id).isNotNull)
+    val kept = keyed.join(broadcast(hot), Seq("line"), "left_anti")
+    val totals = keyed.groupBy(col(id)).agg(count(lit(1)).as("n_lines"))
     val rebuilt = kept.groupBy(col(id))
       .agg(count(lit(1)).as("n_kept"),
         md5(array_join(transform(
           array_sort(collect_list(struct(col("line_idx"), col("line")))),
           x => x.getField("line")), " ")).as("cleaned_md5"))
+    // unassessable rows (NULL key, or NULL text which explodes to no
+    // lines): computable size, NULL dedup columns
+    val unassessable = docs.filter(col(id).isNull || col(text).isNull)
+      .select(col(id), nLines.cast("long").as("n_lines"),
+        lit(null).cast("long").as("n_kept"),
+        lit(null).cast("string").as("cleaned_md5"))
     totals.join(rebuilt, Seq(id), "left")
       .select(col(id), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+      .unionByName(unassessable)
   }
 
   /** Train/eval decontamination by n-gram overlap (the GPT-3/Llama
@@ -738,12 +794,22 @@ object TextDedup {
       .select(explode(shingles(col(text), n)).as("gram"))
       .distinct()
       .withColumn("hit", lit(1))
-    train.select(col(id), explode(shingles(col(text), n)).as("gram"))
+    // NULL-key rule (object doc): the groupBy would merge NULL-key train
+    // docs into one chimera row; they surface unassessable instead
+    // (shingle-less docs drop out here too — nothing to test)
+    val unassessable = train.filter(col(id).isNull)
+      .select(col(id), size(shingles(col(text), n)).cast("long").as("n_grams"),
+        lit(null).cast("long").as("n_overlap"),
+        lit(null).cast("boolean").as("contaminated"))
+      .filter(col("n_grams") > 0)
+    train.filter(col(id).isNotNull)
+      .select(col(id), explode(shingles(col(text), n)).as("gram"))
       .join(broadcast(evalGrams), Seq("gram"), "left")
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("hit"), lit(0))).cast("long").as("n_overlap"))
       .withColumn("contaminated", col("n_overlap") > 0)
+      .unionByName(unassessable)
   }
 
   /** Span-level decontamination — the SURGICAL form of [[contamination]]:
@@ -768,8 +834,9 @@ object TextDedup {
     // doc-length gate (same flag-and-skip as [[exactSubstringDedup]]):
     // a train doc past maxTokens skips the whole gram-probe + rebuild
     // path — unlike the corpus-count case its grams matter to NOBODY
-    // else (only eval grams drive removal), so the skip is total
-    val inScope = train.filter(nTok <= maxTokens)
+    // else (only eval grams drive removal), so the skip is total.
+    // NULL-key docs skip too (object doc): the rebuild can't address them
+    val inScope = train.filter(nTok <= maxTokens && col(id).isNotNull)
     val toks = inScope.select(col(id),
       posexplode(split(col(text), " ")).as(Seq("pos", "w")))
     val hitStarts = inScope.select(col(id),
@@ -786,14 +853,18 @@ object TextDedup {
           array_sort(collect_list(struct(col("pos"), col("w")))),
           x => x.getField("w")), " ")).as("cleaned_md5"))
     val over = col("n_tokens") > maxTokens
+    // NULL-key rule: same unassessable treatment as [[exactSubstringDedup]]
+    val unassessed = col(id).isNull || col("_text").isNull
     train.select(col(id), nTok.as("n_tokens"), col(text).as("_text"))
       .join(kept, Seq(id), "left")
       .select(col(id), col("n_tokens"),
-        when(over, col("n_tokens"))
+        when(unassessed, lit(null).cast("long"))
+          .when(over, col("n_tokens"))
           .otherwise(coalesce(col("n_kept"), lit(0L))).as("n_kept"),
-        when(over, md5(col("_text")))
+        when(unassessed, lit(null).cast("string"))
+          .when(over, md5(col("_text")))
           .otherwise(coalesce(col("cleaned_md5"), md5(lit("")))).as("cleaned_md5"),
-        over.as("over_length"))
+        when(unassessed, lit(null).cast("boolean")).otherwise(over).as("over_length"))
   }
 
   /** Duplicate-shingle fraction per document (the RefinedWeb/Dolma
@@ -818,11 +889,25 @@ object TextDedup {
     val dupBuckets = saltedGramCounts(g, col("_salt"), s)
       .filter(col("df") >= minDocs)
       .select(col("gram"), col("_salt"), lit(1).as("_hit"))
-    g.join(dupBuckets, Seq("gram", "_salt"), "left")
+    // NULL-key rule (object doc): every doc's grams feed the df counts
+    // above; the per-doc profile below only addresses keyed docs — the
+    // groupBy would otherwise merge all NULL-key docs into one chimera
+    // row. Unassessable rows keep their computable shingle count and
+    // NULL the dup columns; like keyed docs, rows with NO shingles
+    // (NULL text, or shorter than n tokens) drop out — nothing to
+    // profile (same convention as [[contamination]]).
+    val unassessable = docs.filter(col(id).isNull)
+      .select(col(id), size(shingles(col(text), n)).cast("long").as("n_shingles"),
+        lit(null).cast("long").as("n_dup"),
+        lit(null).cast("double").as("dup_frac"))
+      .filter(col("n_shingles") > 0)
+    g.filter(col(id).isNotNull)
+      .join(dupBuckets, Seq("gram", "_salt"), "left")
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_shingles"),
         sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_dup"))
       .withColumn("dup_frac",
         round(col("n_dup").cast("double") / col("n_shingles").cast("double"), 6))
+      .unionByName(unassessable)
   }
 }

@@ -20,14 +20,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * multiply, sequential left-to-right sum — so results stay bit-identical
   * to the DuckDB list_reduce oracle.
   *
-  * Input contract: DENSE vectors — array elements must be non-null,
-  * and the contract is ENFORCED: a null element throws a named error
-  * instead of silently reading as 0.0 (SQL's `a[i] * b[i]` would
-  * propagate NULL; a silent zero would return a plausible-but-wrong
-  * score, the worst failure mode for a ranking primitive). The check
-  * compiles AWAY when the array type's `containsNull` is false, and
-  * otherwise is a perfectly-predicted never-taken branch — the hot loop
-  * stays effectively branch-free on dense data. */
+  * Input contract: DENSE vectors of EQUAL length — array elements must
+  * be non-null and the two arrays the same dimension, and both halves
+  * are ENFORCED with named errors instead of degrading silently. A null
+  * element would read as 0.0 (SQL's `a[i] * b[i]` would propagate NULL);
+  * a length mismatch would truncate to the common prefix — either way a
+  * plausible-but-wrong score, the worst failure mode for a ranking
+  * primitive (and the HOF form returns NULL on mismatch via zip_with's
+  * null padding, so silent truncation would also diverge from
+  * Similarity.dot). The null check compiles AWAY when the array type's
+  * `containsNull` is false; the length check is one compare per row —
+  * the hot loop stays effectively branch-free on well-formed data. */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
@@ -44,7 +47,9 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements())
+      throw DotProduct.lengthMismatch(a.numElements(), b.numElements())
+    val n = a.numElements()
     val (lf, rf) = (elemType(left) == FloatType, elemType(right) == FloatType)
     val (ln, rn) = (mayHaveNulls(left), mayHaveNulls(right))
     var s = 0.0
@@ -74,7 +79,9 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
            |    throw graft.plans.DotProduct.nullElement($i);""".stripMargin
       }
       s"""
-         |int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements())
+         |  throw graft.plans.DotProduct.lengthMismatch($a.numElements(), $b.numElements());
+         |int ${ev.value}_n = $a.numElements();
          |double ${ev.value}_s = 0.0;
          |for (int $i = 0; $i < ${ev.value}_n; $i++) {
          |  $nullGuard
@@ -97,6 +104,13 @@ object DotProduct {
     new IllegalArgumentException(
       s"graft_dot: NULL array element at index $i — dense vectors required " +
         "(filter or impute sparse embeddings before scoring)")
+
+  /** The dimension-contract violation — silent truncation to the common
+    * prefix would return a plausible-but-wrong partial score. */
+  def lengthMismatch(a: Int, b: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"graft_dot: length mismatch ($a vs $b elements) — equal-dimension " +
+        "vectors required (slice or re-embed before scoring)")
 
   /** Register `graft_dot` in the session function registry (makes the
     * expression usable from Column programs via call_function and from

@@ -293,6 +293,27 @@ object ExprNullProps extends Properties("exprnull") {
       Prop(caught.contains(true)) :| s"expected named density error, got $caught"
     }
 
+  property("graft_dot throws the named dimension error on a length mismatch") =
+    Prop.forAll(Gen.choose(1, 4), Gen.choose(1, 4)) { (la, lb) =>
+      import spark.implicits._
+      graft.plans.DotProduct.register(spark)
+      val a = Seq.tabulate(la)(_.toDouble)
+      val b = Seq.tabulate(lb)(i => (i + 1).toDouble)
+      val run = try {
+        Right(Seq((a, b)).toDF("a", "b").selectExpr("graft_dot(a, b) AS d")
+          .head().getDouble(0))
+      } catch { case e: Throwable =>
+        Left(Iterator.iterate(e)(_.getCause).takeWhile(_ != null).exists(c =>
+          c.getMessage != null && c.getMessage.contains("graft_dot: length mismatch")))
+      }
+      if (la == lb)
+        Prop(run == Right(a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _))) :|
+          s"equal dims must score: $run"
+      else
+        Prop(run == Left(true)) :|
+          s"mismatched dims must raise the named error, got $run"
+    }
+
   property("graft_dot on dense vectors is unchanged by the null check") =
     Prop.forAll(Gen.listOfN(4, Gen.choose(-3.0, 3.0)),
                 Gen.listOfN(4, Gen.choose(-3.0, 3.0))) { (a, b) =>

@@ -267,6 +267,99 @@ class ExtSpec extends AnyFunSuite {
     assert(frames.length == ("abc".length % 30) + 1)
   }
 
+  test("degenerate embeddings: zero/NULL/empty score NULL cosine, never outrank real neighbors") {
+    // one bad row must not kill a 100 TB scoring job (ANSI DIVIDE_BY_ZERO)
+    // nor poison the ranking (a NaN would sort ABOVE every real double)
+    val q = Seq((100L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteTopK(corpus, q, 3)
+      .orderBy($"rank").select("nid", "cos").collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L),
+      "real neighbors first; the zero vector only pads the tail")
+    assert(top(2).isNullAt(1), "zero-norm cosine is NULL, not NaN/crash")
+
+    val nullCorpus = Seq((1L, Array(1f, 0f)), (2L, null.asInstanceOf[Array[Float]]),
+      (3L, Array.empty[Float])).toDF("vec_id", "embedding")
+    val nt = Similarity.bruteTopK(nullCorpus, q, 3)
+      .orderBy($"rank").select("nid", "cos").collect()
+    assert(nt.head.getLong(0) == 1L && !nt.head.isNullAt(1))
+    assert(nt.drop(1).forall(_.isNullAt(1)), "NULL/empty embeddings score NULL")
+
+    // a zero-norm QUERY matches nothing with defined similarity
+    val zq = Seq((200L, Array(0f, 0f))).toDF("vec_id", "embedding")
+    assert(Similarity.bruteTopK(corpus, zq, 3).collect().forall(_.isNullAt(2)))
+
+    // dimension mismatch fails loudly with the named error (silent
+    // prefix truncation would return a plausible-but-wrong score)
+    val mismatch = Seq((1L, Array(1f, 0f)), (2L, Array(1f, 0f, 5f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] { Similarity.bruteTopK(mismatch, q, 3).collect() }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(c => c.getMessage != null && c.getMessage.contains("graft_dot: length mismatch")))
+  }
+
+  test("NULL-key rule: unassessable rows, no chimera merge, no fake dup verdicts") {
+    val edge = Seq(
+      (java.lang.Long.valueOf(0L), "the quick brown fox"),
+      (java.lang.Long.valueOf(1L), "the quick brown fox"),
+      (java.lang.Long.valueOf(2L), null.asInstanceOf[String]),
+      (java.lang.Long.valueOf(4L), ""),
+      (null.asInstanceOf[java.lang.Long], "orphan text all unique words"),
+      (null.asInstanceOf[java.lang.Long], "second keyless doc entirely")
+    ).toDF("doc_id", "text")
+
+    // the regression this pins: the NULL-key join-back used to zero the
+    // orphan's kept tokens — a UNIQUE doc reported as 100% duplicated
+    val esdRows = TextDedup.exactSubstringDedup(edge, "doc_id", "text", 2).collect()
+    val esd = esdRows.map(r => Option(r.get(0)) -> r).toMap
+    val orphans = esdRows.filter(_.isNullAt(0))
+    assert(orphans.map(_.getLong(1)).sorted.toSeq == Seq(4L, 5L)
+      && orphans.forall(r => (2 until 6).forall(r.isNullAt)),
+      s"each NULL-key doc is unassessable (size only), got ${orphans.toSeq}")
+    val nullText = esd(Some(2L))
+    assert((1 until 6).forall(nullText.isNullAt), s"NULL text fully unassessed: $nullText")
+    val dup = esd(Some(0L))
+    assert(dup.getLong(2) == 0 && dup.getDouble(3) == 1.0, "keyed dups still assessed")
+
+    // lineDedup: NULL-key/NULL-text rows surface with NULL dedup columns
+    val ld = TextDedup.lineDedup(edge, "doc_id", "text")
+      .collect().map(r => Option(r.get(0)) -> r).toMap
+    assert(ld(None).getLong(1) == 1 && ld(None).isNullAt(2) && ld(None).isNullAt(3))
+    assert(ld(Some(2L)).isNullAt(1) && ld(Some(2L)).isNullAt(2))
+    assert(ld(Some(4L)).getLong(1) == 1, "empty-text doc still assessed")
+
+    // decontaminateSpans: same rule
+    val evalDf = Seq((90L, "the quick brown fox")).toDF("doc_id", "text")
+    val dsRows = TextDedup.decontaminateSpans(edge, evalDf, "doc_id", "text", 2).collect()
+    assert(dsRows.filter(_.isNullAt(0)).forall(r => (2 until 5).forall(r.isNullAt)))
+    val ds = dsRows.map(r => Option(r.get(0)) -> r).toMap
+    assert(ds(Some(0L)).getLong(2) == 0, "keyed contaminated doc fully scrubbed")
+
+    // per-doc profiles: no chimera row, unassessable keeps size only —
+    // and BOTH keyless docs surface (not one merged row)
+    val dsf = TextDedup.duplicateShingleFraction(edge, "doc_id", "text", 2).collect()
+    val dsfNulls = dsf.filter(_.isNullAt(0))
+    assert(dsfNulls.map(_.getLong(1)).sorted.toSeq == Seq(3L, 4L)
+      && dsfNulls.forall(r => r.isNullAt(2) && r.isNullAt(3)))
+    val cont = TextDedup.contamination(edge, evalDf, "doc_id", "text", 2).collect()
+    assert(cont.filter(_.isNullAt(0)).forall(_.isNullAt(2)))
+
+    // signatures: no chimera doc enters banding; keyless rows can't pair
+    assert(TextDedup.minhashSignatures(edge, "doc_id", "text", 8)
+      .collect().forall(!_.isNullAt(0)))
+    assert(TextDedup.lshCandidatePairs(edge, "doc_id", "text")
+      .collect().forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+
+    // probe gate: keyless batch docs are unassessable, not "clean"
+    val probe = TextDedup.lshProbeIndex(
+      Seq((10L, "the quick brown fox")).toDF("doc_id", "text"), edge, "doc_id", "text")
+      .collect().map(r => Option(r.get(0)) -> r).toMap
+    assert(probe(Some(0L)).getLong(1) >= 1, "true dup still flagged")
+    assert(probe(None).isNullAt(1) && probe(None).isNullAt(2))
+  }
+
   test("approx_count_distinct within 5% of exact; centroid assignment recovers buckets") {
     val ev = graft.schemas.Tables.events(spark, TestSpark.sf0001)
     val (approx, exact) = ev.select(

@@ -278,6 +278,39 @@ object OpsProps extends Properties("ops") {
       }
     }
 
+  property("exactSubstringDedup NULL-key rule: content still counts, row unassessable, keyed docs exact") =
+    Prop.forAll(corpusGen) { docs =>
+      import spark.implicits._
+      val n = 3
+      // the keyless doc reuses the first text so its grams FORCE
+      // collisions — the sharpest probe of "content counts, row doesn't"
+      val rows = docs.zipWithIndex.map { case (t, i) =>
+        (java.lang.Long.valueOf(i.toLong), t)
+      } :+ ((null.asInstanceOf[java.lang.Long], docs.head))
+      val df = rows.toDF("doc_id", "text")
+      val out = graft.ext.TextDedup.exactSubstringDedup(df, "doc_id", "text", n)
+        .collect()
+      // model: gram counts over ALL texts including the keyless doc's
+      val toks = (docs :+ docs.head).map(_.split(" ").toSeq)
+      val counts = toks.flatMap(_.sliding(n).filter(_.size == n).map(_.mkString(" ")))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val keyedOk = docs.indices.forall { i =>
+        val ws = toks(i)
+        val covered = Array.fill(ws.size)(false)
+        ws.sliding(n).zipWithIndex.foreach { case (g, p) =>
+          if (g.size == n && counts(g.mkString(" ")) >= 2)
+            (p until p + n).foreach(covered(_) = true)
+        }
+        val kept = ws.indices.count(!covered(_))
+        val r = out.find(r => !r.isNullAt(0) && r.getLong(0) == i.toLong).get
+        r.getLong(1) == ws.size.toLong && r.getLong(2) == kept.toLong
+      }
+      val nullRow = out.find(_.isNullAt(0)).get
+      val nullOk = nullRow.getLong(1) == toks.last.size.toLong &&
+        (2 until 6).forall(nullRow.isNullAt)
+      Prop(keyedOk && nullOk) :| s"out=${out.toSeq}"
+    }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
