@@ -263,10 +263,17 @@ object Similarity {
     val scored = vecs.crossJoin(broadcast(byBucket))
       .withColumn("__score", nativeDot(vecs.sparkSession, col("embedding"), col("__centroid")))
     // argmax = top-1 per vector through the bounded-heap operator: no
-    // window, no sort of the n×k scored rows
+    // window, no sort of the n×k scored rows.
+    // A NULL embedding scores NULL against every centroid and is
+    // UNASSIGNABLE (assigned = NULL) — the heap's tiebreak would
+    // otherwise silently hand it the lexicographically-first bucket; a
+    // wrong-dimension vector (including an empty array) raises
+    // graft_dot's named length error, the quantizer's dimension contract
     graft.ops.Ops.topKPerKey(scored, Seq("vec_id"),
         Seq(("__score", true), ("__bucket", false)), 1)
-      .select(vecs.columns.toIndexedSeq.map(col) :+ col("__bucket").as("assigned"): _*)
+      .select(vecs.columns.toIndexedSeq.map(col) :+
+        when(col("__score").isNull, lit(null).cast(byBucket.schema("__bucket").dataType))
+          .otherwise(col("__bucket")).as("assigned"): _*)
   }
 
   /** Full Lloyd's k-means for the IVF coarse quantizer: deterministic

@@ -515,10 +515,26 @@ object TextDedup {
     *         i.e. the cluster id; a vertex with no edges keeps its own id.
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
-    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
-      .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
+    // graph hygiene, matching [[connectedComponentsStar]] exactly: a
+    // NULL-endpoint edge is unaddressable and drops (ccStar's canonical
+    // u =!= v filter discards it as UNKNOWN); endpoints NOT in `vertices`
+    // may relay connectivity during propagation but never surface —
+    // without the final restriction the superstep groupBy MINTS output
+    // rows for undeclared endpoints, and a NULL-id vertex absorbed its
+    // NULL-edge neighbor's label (min() skips NULLs)
+    val sym = edges.filter(col("d1").isNotNull && col("d2").isNotNull)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+      .union(edges.filter(col("d1").isNotNull && col("d2").isNotNull)
+        .select(col("d2").as("src"), col("d1").as("dst")))
       .persist()
-    var lab = vertices.select(col("id"), col("id").as("label")).localCheckpoint()
+    // `_declared` rides the superstep aggregate so undeclared edge
+    // endpoints (which the propagation legitimately MINTS as relay
+    // rows, exactly like ccStar's edge-walk) can be filtered from the
+    // output without a final join against `vertices` — one boolean per
+    // row instead of two extra shuffle exchanges
+    var lab = vertices
+      .select(col("id"), col("id").as("label"), lit(true).as("_declared"))
+      .localCheckpoint()
     // labels only ever decrease, so sum(label) strictly decreases until the
     // fixpoint — one scalar aggregate replaces a compare-to-previous join
     // as the convergence check
@@ -527,8 +543,9 @@ object TextDedup {
         .head().getDecimal(0) // decimal: no overflow ambiguity at any id scale
     def propagate(l: DataFrame): DataFrame = {
       val viaNeighbor = sym.join(l, sym("src") === l("id"))
-        .select(col("dst").as("id"), col("label"))
-      l.union(viaNeighbor).groupBy(col("id")).agg(min(col("label")).as("label"))
+        .select(col("dst").as("id"), col("label"), lit(false).as("_declared"))
+      l.union(viaNeighbor).groupBy(col("id"))
+        .agg(min(col("label")).as("label"), max(col("_declared")).as("_declared"))
     }
     var prevSum = labelSum(lab)
     var converged = false
@@ -543,7 +560,10 @@ object TextDedup {
       prevSum = s
     }
     sym.unpersist()
-    lab
+    // only declared vertices surface (relay rows drop); a NULL-id vertex
+    // keeps its own NULL label — min() over its self row only, since the
+    // NULL-edge filter above means it never receives a neighbor label
+    lab.filter(col("_declared")).select(col("id"), col("label"))
   }
 
   /** Connected components by large-star/small-star alternation (Kiveris

@@ -360,6 +360,52 @@ class ExtSpec extends AnyFunSuite {
     assert(probe(None).isNullAt(1) && probe(None).isNullAt(2))
   }
 
+  test("CC variants agree on adversarial graphs: NULL vertices/edges, dangling endpoints, relays") {
+    val verts = Seq(java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L),
+      java.lang.Long.valueOf(3L), java.lang.Long.valueOf(5L),
+      null.asInstanceOf[java.lang.Long]).toDF("id")
+    val edges = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)),
+      (java.lang.Long.valueOf(2L), java.lang.Long.valueOf(1L)), // reverse dup
+      (java.lang.Long.valueOf(3L), java.lang.Long.valueOf(3L)), // self loop
+      (java.lang.Long.valueOf(1L), null.asInstanceOf[java.lang.Long]), // NULL endpoint: drops
+      (java.lang.Long.valueOf(2L), java.lang.Long.valueOf(99L)), // undeclared endpoint
+      (java.lang.Long.valueOf(99L), java.lang.Long.valueOf(5L)) // ...relays 2—5 connectivity
+    ).toDF("d1", "d2")
+    // contract pinned for BOTH algorithms: one row per DECLARED vertex
+    // (the min-label superstep used to MINT rows for undeclared
+    // endpoints), NULL-endpoint edges drop (the NULL vertex used to
+    // absorb its neighbor's label through min()'s null-skip), undeclared
+    // endpoints relay connectivity but never surface
+    val expected = Set[(Option[Long], Option[Long])](
+      (Some(1L), Some(1L)), (Some(2L), Some(1L)), (Some(3L), Some(3L)),
+      (Some(5L), Some(1L)), (None, None))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(rows(TextDedup.connectedComponents(verts, edges)) == expected)
+    assert(rows(TextDedup.connectedComponentsStar(verts, edges)) == expected)
+  }
+
+  test("assignToCentroids: NULL embedding is unassignable, wrong dimension fails loudly") {
+    val cents = Similarity.centroids(
+      Seq((1L, Array(1f, 0f), 0), (2L, Array(0f, 1f), 1)).toDF("vec_id", "embedding", "label"),
+      "label")
+    val out = Similarity.assignToCentroids(
+      Seq((10L, Array(1f, 0.1f)), (11L, null.asInstanceOf[Array[Float]]))
+        .toDF("vec_id", "embedding"), cents, "label")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(10L).getInt(2) == 0, "scoreable vector lands in its bucket")
+    assert(out(11L).isNullAt(2),
+      "NULL embedding must be unassignable, not tiebroken into bucket 0")
+    val e = intercept[Exception] {
+      Similarity.assignToCentroids(
+        Seq((12L, Array.empty[Float])).toDF("vec_id", "embedding"), cents, "label").collect()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(c => c.getMessage != null && c.getMessage.contains("graft_dot: length mismatch")))
+  }
+
   test("approx_count_distinct within 5% of exact; centroid assignment recovers buckets") {
     val ev = graft.schemas.Tables.events(spark, TestSpark.sf0001)
     val (approx, exact) = ev.select(
