@@ -74,10 +74,17 @@ object Graph {
     // teardown in the same JVM) — eviction must never fail the new run
     Option(lastRanks.getAndSet(null)).foreach(p =>
       try p.unpersist() catch { case _: Exception => () })
+    // NULL-endpoint edges drop (the graph family's hygiene rule —
+    // triangleCount's canonical filter and CC's symmetrize do the same).
+    // Without it one dirty edge MINTS a NULL rank sink that receives
+    // mass but never redistributes, distorting every real node's rank
+    // (measured: a 3-node chain's center fell 0.58 → 0.28 from one
+    // NULL-endpoint edge) and surfacing a (null, rank) output row.
     // materialize the input once: both symmetrization branches read it,
     // and an expensive upstream edge derivation (a fact-table join) must
     // not run twice
-    val e = edges.select(col("src"), col("dst")).persist()
+    val e = edges.filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src"), col("dst")).persist()
     // symmetrize, then fold the out-degree into the edge row with ONE
     // window pass (outdeg never changes, so joining it per superstep —
     // or deriving it with a groupBy+join, which recomputes the edge set —
@@ -180,9 +187,16 @@ object Graph {
     val s = edges.sparkSession
     val maxBcast = s.conf
       .get(RankBroadcastMaxNodesKey, RankBroadcastMaxNodesDefault.toString).toLong
-    val adj = edges
+    // graph hygiene (same rule as pageRank/triangleCount/CC): a
+    // NULL-endpoint edge drops, a seed with a NULL node is unaddressable
+    // and a NULL label is not a label — without these filters a NULL
+    // seed label PROPAGATES as the modal "label" of real nodes, and the
+    // left_anti clamp (NULL never equi-matches) re-adopts the NULL node
+    // every round, emitting duplicate (null, …) output rows
+    val cleanEdges = edges.filter(col("src").isNotNull && col("dst").isNotNull)
+    val adj = cleanEdges
       .select(col("src").as("x"), col("dst").as("y"))
-      .unionAll(edges.select(col("dst").as("x"), col("src").as("y")))
+      .unionAll(cleanEdges.select(col("dst").as("x"), col("src").as("y")))
       .distinct()
       .persist()
     // one setup action: the edge count is a conservative gate for the
@@ -192,7 +206,8 @@ object Graph {
     val nAdj = adj.count()
     def gated(df: DataFrame): DataFrame =
       if (nAdj <= maxBcast) broadcast(df) else df
-    var labels = seeds.select(col("node"), col("label")).persist()
+    var labels = seeds.filter(col("node").isNotNull && col("label").isNotNull)
+      .select(col("node"), col("label")).persist()
     var toFree = List.empty[DataFrame]
     (1 to rounds).foreach { r =>
       val lbl = labels.select(col("node").as("y"), col("label"))

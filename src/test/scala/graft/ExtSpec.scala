@@ -387,6 +387,35 @@ class ExtSpec extends AnyFunSuite {
     assert(rows(TextDedup.connectedComponentsStar(verts, edges)) == expected)
   }
 
+  test("pageRank/labelPropagation: NULL-endpoint edges and NULL seeds drop, results match the clean graph") {
+    import graft.ext.Graph
+    // pinned regression: one NULL-endpoint edge used to mint a NULL rank
+    // sink and distort every real rank (chain center 0.58 -> 0.28), and
+    // a NULL seed label PROPAGATED as real nodes' modal label while the
+    // NULL-node seed re-adopted every round (duplicate output rows)
+    val dirtyE = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)),
+      (java.lang.Long.valueOf(2L), java.lang.Long.valueOf(3L)),
+      (java.lang.Long.valueOf(1L), null.asInstanceOf[java.lang.Long])
+    ).toDF("src", "dst")
+    val cleanE = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      Graph.pageRank(df, 3).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks(dirtyE) == ranks(cleanE))
+
+    val dirtySeeds = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(7L)),
+      (java.lang.Long.valueOf(2L), null.asInstanceOf[java.lang.Long]),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(9L))
+    ).toDF("node", "label")
+    val cleanSeeds = Seq((1L, 7L)).toDF("node", "label")
+    def labels(e: org.apache.spark.sql.DataFrame, s: org.apache.spark.sql.DataFrame) =
+      Graph.labelPropagation(e, s, 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(labels(dirtyE, dirtySeeds) == labels(cleanE, cleanSeeds))
+    assert(labels(cleanE, cleanSeeds) == Seq((1L, 7L), (2L, 7L), (3L, 7L)))
+  }
+
   test("assignToCentroids: NULL embedding is unassignable, wrong dimension fails loudly") {
     val cents = Similarity.centroids(
       Seq((1L, Array(1f, 0f), 0), (2L, Array(0f, 1f), 1)).toDF("vec_id", "embedding", "label"),
