@@ -182,12 +182,20 @@ object TextAnalysis {
       .select(col("w"),
         round(-log(col("tf").cast("double") / col("total").cast("double")), 6)
           .cast(DecimalType(18, 6)).as("nll"))
-    words.join(broadcast(nll), Seq("w"))
+    // NULL-key rule (TextDedup object doc): keyless docs' tokens feed the
+    // corpus frequencies above, but the per-doc rollup would merge them
+    // into one chimera row — they surface unassessable instead (real
+    // n_tokens, NULL score); NULL-text docs have no tokens and drop out
+    val unassessable = docs.filter(col(id).isNull && col(text).isNotNull)
+      .select(col(id).as("doc_id"), lit(null).cast("double").as("avg_nll"),
+        size(split(col(text), " ")).cast("long").as("n_tokens"))
+    words.filter(col("doc_id").isNotNull).join(broadcast(nll), Seq("w"))
       .groupBy(col("doc_id"))
       .agg(sum(col("nll")).as("sum_nll"), count(lit(1)).as("n_tokens"))
       .select(col("doc_id"),
         round(col("sum_nll").cast("double") / col("n_tokens"), 6).as("avg_nll"),
         col("n_tokens"))
+      .unionByName(unassessable)
   }
 
   /** Sliding-window document chunking (the context-window prep step:

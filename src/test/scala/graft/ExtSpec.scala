@@ -352,6 +352,15 @@ class ExtSpec extends AnyFunSuite {
     assert(TextDedup.lshCandidatePairs(edge, "doc_id", "text")
       .collect().forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
 
+    // lmScore: keyless docs' tokens feed corpus frequencies (keyed docs'
+    // scores reflect them) but the per-doc rollup surfaces them
+    // unassessable instead of as one merged chimera row
+    val lm = graft.ext.TextAnalysis.lmScore(edge, "doc_id", "text").collect()
+    val lmNulls = lm.filter(_.isNullAt(0))
+    assert(lmNulls.map(_.getLong(2)).sorted.toSeq == Seq(4L, 5L)
+      && lmNulls.forall(_.isNullAt(1)), s"got ${lmNulls.toSeq}")
+    assert(lm.filter(!_.isNullAt(0)).forall(r => !r.isNullAt(1) && r.getLong(2) > 0))
+
     // probe gate: keyless batch docs are unassessable, not "clean"
     val probe = TextDedup.lshProbeIndex(
       Seq((10L, "the quick brown fox")).toDF("doc_id", "text"), edge, "doc_id", "text")
