@@ -216,12 +216,19 @@ object Warehouse {
     * AtomicSink layout instead of path swapping. */
   def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
     val staged = path + "__compacting"
-    spark.read.parquet(path).repartition(targetFiles)
-      .write.mode(SaveMode.Overwrite).parquet(staged)
     val dir = new org.apache.hadoop.fs.Path(path)
     val bak = new org.apache.hadoop.fs.Path(path + "__precompact")
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(bak)) fs.delete(bak, true) // torn prior run
+    // Torn-swap recovery FIRST: a crash between rename(dir->bak) and
+    // rename(staged->dir) leaves the table's ONLY copy at bak — the old
+    // code then failed the initial read (dir missing) and left the table
+    // offline until manual repair. Restore before reading; bak is only
+    // garbage when dir exists (a completed prior swap's leftover).
+    if (!fs.exists(dir) && fs.exists(bak))
+      require(fs.rename(bak, dir), s"compact: recovery rename $bak -> $dir failed")
+    spark.read.parquet(path).repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(staged)
+    if (fs.exists(bak)) fs.delete(bak, true) // completed prior swap's leftover
     // Hadoop FileSystem.rename reports failure by RETURNING FALSE, not by
     // throwing — an unchecked rename(staged→dir) after a successful
     // rename(dir→bak) followed by an unconditional delete(bak) would

@@ -69,6 +69,14 @@ object AvroIo {
     val fs = FileSystem.get(new java.net.URI(dir), conf.value)
     val base = new Path(dir)
     val staging = new Path(dir + "__staging")
+    val bak = new Path(dir + "__old")
+    // Torn-swap recovery (same contract as Warehouse.compact and the
+    // streaming merge sink): a crash between rename(base->bak) and
+    // rename(staging->base) leaves the table's only copy at bak —
+    // restore it before anything destructive. bak is garbage only when
+    // base exists (a completed prior swap's leftover).
+    if (!fs.exists(base) && fs.exists(bak))
+      require(fs.rename(bak, base), s"AvroIo.write: recovery rename $bak -> $base failed")
     if (fs.exists(staging)) fs.delete(staging, true)
     fs.mkdirs(staging)
     val written = df.sparkSession.sparkContext.longAccumulator("avro_files")
@@ -94,15 +102,19 @@ object AvroIo {
         written.add(1L)
       }
     }
-    // job succeeded: swap staging into place (delete-then-rename; rename
-    // is atomic per path on HDFS/local, and the non-atomic window is
-    // delete→rename of committed data, not a partial write)
-    if (fs.exists(base)) fs.delete(base, true)
+    // job succeeded: swap staging into place through a backup rename
+    // (rename is atomic per path on HDFS/local). A crash anywhere in
+    // the swap leaves the old table recoverable at bak, and the
+    // recovery preamble above restores it on the next call — the old
+    // delete-then-rename left a window where the table existed nowhere.
     // FileSystem.rename reports most failures by returning false, not
-    // throwing; a silent false here would lose the old table (already
-    // deleted) AND report success — fail loudly instead.
+    // throwing — fail loudly instead.
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(base))
+      require(fs.rename(base, bak), s"AvroIo.write: rename $base -> $bak failed")
     require(fs.rename(staging, base),
-      s"AvroIo.write: rename $staging -> $base failed")
+      s"AvroIo.write: rename $staging -> $base failed (previous data preserved at $bak)")
+    if (fs.exists(base) && fs.exists(bak)) fs.delete(bak, true)
     written.value
   }
 

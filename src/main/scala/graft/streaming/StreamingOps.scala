@@ -168,6 +168,15 @@ object StreamingOps {
         val spark = batch.sparkSession
         val dir = new org.apache.hadoop.fs.Path(warehouseDir)
         val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+        val bak = new org.apache.hadoop.fs.Path(warehouseDir + "__old")
+        // Torn-swap recovery FIRST: a crash between rename(dir->bak) and
+        // rename(tmp->dir) leaves the table's ONLY copy at bak. Merging
+        // against the missing dir and then deleting bak as "stale" would
+        // silently replace the whole table with the current batch — so
+        // restore before reading, and only treat bak as garbage when dir
+        // exists (then dir is the authoritative post-swap table).
+        if (!fs.exists(dir) && fs.exists(bak))
+          require(fs.rename(bak, dir), s"merge swap: recovery rename $bak -> $dir failed")
         val merged =
           if (fs.exists(dir)) graft.ops.Ops.upsert(spark.read.parquet(warehouseDir), batch.toDF(), keys)
           else batch.toDF()
@@ -177,8 +186,7 @@ object StreamingOps {
         // no-op on remote paths): parquet re-read happens from the new
         // directory; on HDFS the rename is atomic, on object stores use a
         // manifest-committed layout (AtomicSink) instead of path swaps
-        val bak = new org.apache.hadoop.fs.Path(warehouseDir + "__old")
-        if (fs.exists(bak)) fs.delete(bak, true) // torn prior batch
+        if (fs.exists(bak)) fs.delete(bak, true) // completed prior swap's leftover
         // FileSystem.rename signals failure by returning false; an
         // unchecked staged-swap followed by an unconditional backup
         // delete would destroy the only surviving copy. Check both
@@ -231,7 +239,12 @@ object StreamingOps {
       .flatMapGroupsWithState[SessState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[TimedEvent], state: GroupState[SessState]) =>
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          // NULL event-time rows are unassignable to any session — drop
+          // them (the same hygiene rule the graph/dedup families apply to
+          // NULL keys). The watermark operator passes NULL-ts rows
+          // through, so without this one bad row's .getTime would kill
+          // the task and with it the whole streaming query.
+          val sorted = rows.filter(_.ts != null).toSeq.sortBy(_.ts.getTime)
           val closed = Seq.newBuilder[Session]
           var st = state.getOption.orNull
           if (state.hasTimedOut && st != null) {

@@ -61,11 +61,17 @@ class UserProfileProcessor extends StatefulProcessor[Long, TwsEvent, TwsOut] {
     rows.foreach { e =>
       n += 1
       cents += e.cents
-      if (types.containsKey(e.event_type))
-        types.updateValue(e.event_type, types.getValue(e.event_type) + 1L)
-      else {
-        newTypes += 1
-        types.updateValue(e.event_type, 1L)
+      // A NULL event_type counts toward n/cents but never creates a map
+      // entry: SQL count(distinct) skips NULLs (keeps the n_types column
+      // oracle-comparable on dirty data), and a NULL MapState key is not
+      // something the state encoder is contracted to accept.
+      if (e.event_type != null) {
+        if (types.containsKey(e.event_type))
+          types.updateValue(e.event_type, types.getValue(e.event_type) + 1L)
+        else {
+          newTypes += 1
+          types.updateValue(e.event_type, 1L)
+        }
       }
     }
     val prev = if (agg.exists()) agg.get() else TwsAgg(0L, 0L)

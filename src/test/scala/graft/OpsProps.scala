@@ -311,6 +311,37 @@ object OpsProps extends Properties("ops") {
       Prop(keyedOk && nullOk) :| s"out=${out.toSeq}"
     }
 
+  // ---- upsert vs the SQL MERGE model (NULL keys never match) -------------
+
+  private val upsertGen: Gen[(List[(Option[Long], Long)], List[(Option[Long], Long)])] = {
+    val row = for {
+      k <- Gen.frequency(4 -> Gen.choose(0L, 6L).map(Some(_)), 1 -> Gen.const(None))
+      v <- Gen.choose(0L, 99L)
+    } yield (k, v)
+    for {
+      base <- Gen.listOf(row)
+      upd <- Gen.listOf(row)
+    } yield (base, upd)
+  }
+
+  property("upsert == SQL MERGE model: matched keys replaced, NULL keys never match (always insert, always survive)") =
+    Prop.forAll(upsertGen) { case (base, upd) =>
+      import spark.implicits._
+      def df(rows: List[(Option[Long], Long)]) =
+        rows.map { case (k, v) => (k.map(java.lang.Long.valueOf).orNull, v) }
+          .toDF("k", "v")
+      val got = graft.ops.Ops.upsert(df(base), df(upd), Seq("k"))
+        .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(1)))
+        .toSeq.groupBy(identity).view.mapValues(_.size).toMap
+      // MERGE ON base.k = upd.k: equality with NULL is UNKNOWN, so a
+      // NULL-key base row is never replaced and a NULL-key update row is
+      // always inserted — both multisets survive side by side
+      val updKeys = upd.flatMap(_._1).toSet
+      val model = (upd ++ base.filter(b => b._1.isEmpty || !updKeys.contains(b._1.get)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      Prop(got == model) :| s"got=$got model=$model"
+    }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString

@@ -219,6 +219,27 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(before == after, "compaction must not change the data")
   }
 
+  test("compaction torn between the two swap renames (table only at __precompact) " +
+       "is recovered by the next run, not failed or lost") {
+    val loc = java.nio.file.Files.createTempDirectory("graft_compact_torn").toString + "/t"
+    val o = graft.schemas.Tables.orders(spark, TestSpark.sf0001)
+    o.repartition(8).write.parquet(loc)
+    val before = spark.read.parquet(loc)
+      .agg(count(lit(1)), sum($"o_totalprice".cast("decimal(18,2)"))).head()
+    // Simulate a crash between rename(dir->bak) and rename(staged->dir):
+    // the table's only copy sits at __precompact, plus stale staging.
+    val dir = new org.apache.hadoop.fs.Path(loc)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(dir, new org.apache.hadoop.fs.Path(loc + "__precompact")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(loc + "__compacting"))
+    graft.io.Warehouse.compact(spark, loc, targetFiles = 4)
+    val after = spark.read.parquet(loc)
+      .agg(count(lit(1)), sum($"o_totalprice".cast("decimal(18,2)"))).head()
+    assert(before == after, "torn-swap recovery must preserve the table exactly")
+    def files() = new java.io.File(loc).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files() <= 4)
+  }
+
   test("topKPerKey custom operator equals the window form; plans heap, not sort") {
     val ev = graft.schemas.Tables.events(spark, TestSpark.sf0001)
       .select($"event_id", $"user_id", $"value")

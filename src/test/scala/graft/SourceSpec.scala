@@ -325,6 +325,23 @@ class SourceSpec extends AnyFunSuite {
     assert(AvroIo.read(spark, dir, v1.schema).count() == 1)
   }
 
+  test("AvroIo torn swap (table only at __old) is restored by the next call") {
+    import graft.sources.AvroIo
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_t").toString + "/t"
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    assert(AvroIo.write(v1, dir) >= 1)
+    // simulate a crash between rename(base->bak) and rename(staging->base)
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(base, new org.apache.hadoop.fs.Path(dir + "__old")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + "__staging"))
+    // next write restores the old table first (so a failure of THIS write
+    // still leaves v1 served), then swaps in the new data
+    assert(AvroIo.write(Seq((9L, "ok")).toDF("k", "v").coalesce(1), dir) == 1)
+    assert(AvroIo.read(spark, dir, v1.schema).as[(Long, String)].collect().toSeq == Seq((9L, "ok")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__old")))
+  }
+
   test("AvroIo read closes early-exited iterators (limit stops mid-file)") {
     import graft.sources.AvroIo
     val dir = java.nio.file.Files.createTempDirectory("graft_avro_l").toString + "/t"

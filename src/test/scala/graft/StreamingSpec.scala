@@ -313,6 +313,29 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("UserProfileProcessor: NULL event_type counts toward totals but never " +
+       "becomes a MapState key (SQL count-distinct semantics)") {
+    import graft.streaming.{TwsEvent, TwsOut, UserProfileProcessor}
+    val in = tmp("graft_inPN"); val ckpt = tmp("graft_ckptPN"); val out = tmp("graft_twsPN")
+    withRocksDb {
+      stageDF(in, Seq((7L, "a", 100L), (7L, null, 50L), (7L, null, 25L))
+        .toDF("user_id", "event_type", "cents"), "b1")
+      val q = spark.readStream.schema(twsSchema).parquet(in).as[TwsEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new UserProfileProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .writeStream.format("parquet")
+        .option("path", s"$out/t").option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val r = spark.read.parquet(s"$out/t").as[TwsOut].head()
+      assert((r.cum_n, r.n_types, r.sum_cents) == ((3L, 1L, 175L)),
+        s"NULL types must count in n/cents but not in n_types: $r")
+    }
+  }
+
   test("WarmStartProcessor: initial state seeds per key, unseeded keys start from zero") {
     import graft.streaming.{TwsAgg, TwsEvent, TwsTotal, WarmStartProcessor}
     val in = tmp("graft_inW"); val ckpt = tmp("graft_ckptW"); val out = tmp("graft_twsW")
@@ -617,6 +640,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Seq((7L, "2024-01-01 10:00:00", "2024-01-01 10:05:00", 2L, 3.0)))
   }
 
+  test("session windows: a NULL event-time row is dropped, not a query-killing NPE") {
+    val in = tmp("graft_in8n"); val ckpt = tmp("graft_ckpt8n")
+    // one NULL-ts row rides along with two real rows for the same key —
+    // the watermark operator does NOT filter NULL event times, so the
+    // group function must tolerate it
+    stageDF(in,
+      Seq((1L, Some("2024-01-01 10:00:00"), 7L, 1.0),
+          (2L, None, 7L, 2.0),
+          (3L, Some("2024-01-01 12:00:00"), 7L, 4.0))
+        .toDF("event_id", "ts_s", "user_id", "value")
+        .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+        .select($"event_id", $"ts", $"user_id", $"value"),
+      "b1")
+    val src = StreamingOps.fileSource(spark, in, schema)
+      .withWatermark("ts", "0 seconds")
+      .select($"user_id", $"ts", $"value").as[StreamingOps.TimedEvent]
+    val q = StreamingOps.sessionWindows(src, gapMs = 10 * 60 * 1000)
+      .writeStream.format("memory").queryName("sess_null_out").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.sql(
+      "SELECT user_id, CAST(start AS STRING), n, total FROM sess_null_out")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    // the NULL-ts row contributes to no session; the 2h gap still closes
+    // the first single-event session
+    assert(rows == Seq((7L, "2024-01-01 10:00:00", 1L, 1.0)))
+  }
+
   test("ST6 alerting: listener records lifecycle and reports failures") {
     val in = tmp("graft_in9"); val ckpt = tmp("graft_ckpt9")
     stageBatch(in, Seq((1L, "2024-01-01 10:00:00", 1L, 1.0)), "b1")
@@ -655,5 +707,33 @@ class StreamingSpec extends AnyFunSuite {
     val rows = spark.read.parquet(wh).select("event_id", "value")
       .as[(Long, Double)].collect().toMap
     assert(rows == Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0))
+  }
+
+  test("streaming merge sink: a batch torn between the two swap renames " +
+       "(table only at __old) is recovered, not destroyed, by the retry") {
+    val in = tmp("graft_in11"); val wh = tmp("graft_wh11") + "/t"; val ckpt = tmp("graft_ckpt11")
+    stageBatch(in, Seq((1L, "2024-01-01 10:00:00", 1L, 10.0),
+      (2L, "2024-01-01 10:01:00", 2L, 20.0)), "b1")
+    val q1 = StreamingOps.runMergeToWarehouse(
+      StreamingOps.fileSource(spark, in, schema), wh, Seq("event_id"), ckpt)
+    q1.awaitTermination()
+    // Simulate the torn state a crash between rename(dir->bak) and
+    // rename(tmp->dir) leaves behind: the table's ONLY copy sits at
+    // __old; a stale staging dir may also linger.
+    val dir = new org.apache.hadoop.fs.Path(wh)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(dir, new org.apache.hadoop.fs.Path(wh + "__old")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(wh + "__staging"))
+    // The retried/next batch must first restore the table from __old —
+    // the old behavior merged against nothing and DELETED __old (silent
+    // loss of ids 1 and 2).
+    stageBatch(in, Seq((3L, "2024-01-01 10:02:00", 3L, 30.0)), "b2")
+    val q2 = StreamingOps.runMergeToWarehouse(
+      StreamingOps.fileSource(spark, in, schema), wh, Seq("event_id"), ckpt)
+    q2.awaitTermination()
+    val rows = spark.read.parquet(wh).select("event_id", "value")
+      .as[(Long, Double)].collect().toMap
+    assert(rows == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0),
+      s"torn-swap recovery must preserve pre-crash rows, got $rows")
   }
 }
