@@ -470,8 +470,13 @@ object Similarity {
       .join(cand, Seq("nid"))
       .join(q, Seq("qid"))
       .select(col("qid"), col("nid"),
-        round(nd(col("qe"), col("ne")) /
-          (col("qn") * sqrt(nd(col("ne"), col("ne")))), 6).as("cos"))
+        // zero-norm guard (see [[cosine]]): quantized candidate fetches
+        // score by DISTANCE, not cosine, so a zero-norm vector is a
+        // legitimate candidate here even though no cosine retriever
+        // would emit one — the refine divide must not be the one place
+        // a broken-encoder row kills the job (ANSI DIVIDE_BY_ZERO)
+        cosOver(nd(col("qe"), col("ne")),
+          col("qn"), sqrt(nd(col("ne"), col("ne")))).as("cos"))
     rankTopK(scored, k)
   }
 

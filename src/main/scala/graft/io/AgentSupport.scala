@@ -140,6 +140,13 @@ object AgentSupport {
       case x: org.apache.spark.sql.catalyst.plans.logical.ExecutableDuringAnalysis =>
         throw new IllegalArgumentException(
           s"generated SQL executes during analysis (${x.nodeName}): $sql")
+      // Hive-style script transform pipes rows through an ARBITRARY OS
+      // process (`SELECT TRANSFORM(x) USING 'bash -c …' FROM mp_data`) —
+      // it reads only allowed tables, calls no function, and is not a
+      // Command, so nothing else in this walk would stop it
+      case _: org.apache.spark.sql.catalyst.plans.logical.ScriptTransformation =>
+        throw new IllegalArgumentException(
+          s"generated SQL pipes rows through an OS process (TRANSFORM ... USING): $sql")
       // IDENTIFIER('…') defers the RELATION name to analysis time, after
       // this walk has approved the plan — `FROM IDENTIFIER('secrets')`
       // carries no UnresolvedRelation at parse time. Fail closed: the

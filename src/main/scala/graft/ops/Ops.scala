@@ -44,7 +44,11 @@ object Ops {
     *      offset + local running total = the exact group cumsum.
     *
     * Parallelism is groups × live chunks end to end. `ord` must be
-    * numeric and unique within its group (a doc/event id). */
+    * numeric and unique within its group (a doc/event id). NULL inputs
+    * follow the family rule: a NULL group is one ordinary group (SQL
+    * grouping semantics, matching what the plain window form would do),
+    * while a NULL `ord` row has no position in the order — it surfaces
+    * with a NULL cumsum and contributes to no running total. */
   def chunkedCumsum(df: DataFrame, part: String, ord: String, value: String,
                     cumName: String, span: Long = 1024L): DataFrame = {
     // public helper: internal column names must not collide with caller
@@ -57,30 +61,41 @@ object Ops {
     val occupied = df.columns :+ cumName
     val suffix = Iterator.from(0).map(i => if (i == 0) "" else s"_$i")
       .find { t =>
-        val internals = Seq(s"_chunk$t", s"_offset$t", s"_csum$t")
+        val internals =
+          Seq(s"_chunk$t", s"_offset$t", s"_csum$t", s"_p_r$t", s"_c_r$t")
         !occupied.exists(c => internals.exists(_.equalsIgnoreCase(c)))
       }.get
-    val (chunkC, offsetC, csumC) =
-      (s"_chunk$suffix", s"_offset$suffix", s"_csum$suffix")
+    val (chunkC, offsetC, csumC, partR, chunkR) =
+      (s"_chunk$suffix", s"_offset$suffix", s"_csum$suffix",
+        s"_p_r$suffix", s"_c_r$suffix")
     // integral divide, not floor(x/span): double division loses exactness
     // past 2^53 and ids are BIGINT. Truncating division is monotone in
     // ord, which is the only property chunking needs.
     val withChunk = df.withColumn(chunkC, expr(s"$ord div $span"))
-    val offsets = withChunk
+    // NULL-ord rows have no position in the order: they are excluded
+    // from every chunk sum (their chunk is NULL) and surface with a NULL
+    // cumsum via the left join below, rather than being dropped or
+    // folded in at a nondeterministic position (NULLS-FIRST ties)
+    val offsets = withChunk.filter(col(chunkC).isNotNull)
       .groupBy(col(part), col(chunkC))
       .agg(sum(col(value)).as(csumC))
       .withColumn(offsetC, coalesce(
         sum(col(csumC)).over(Window.partitionBy(col(part))
           .orderBy(col(chunkC)).rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-      .select(col(part), col(chunkC), col(offsetC))
+      .select(col(part).as(partR), col(chunkC).as(chunkR), col(offsetC))
     // no broadcast hint: offsets is ~n/span rows — small enough for AQE
-    // to broadcast at any sane scale, shuffled (skew-free key) beyond
-    withChunk.join(offsets, Seq(part, chunkC))
+    // to broadcast at any sane scale, shuffled (skew-free key) beyond.
+    // Null-safe match on the GROUP key: groupBy and the windows treat a
+    // NULL group as one ordinary group (SQL grouping semantics), so the
+    // join-back must too — a plain equi-join here silently DROPPED every
+    // NULL-group row from the output
+    withChunk.join(offsets,
+        col(part) <=> col(partR) && col(chunkC) === col(chunkR), "left")
       .withColumn(cumName, col(offsetC) + sum(col(value)).over(
         Window.partitionBy(col(part), col(chunkC)).orderBy(col(ord))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .drop(chunkC, offsetC)
+      .drop(chunkC, offsetC, partR, chunkR)
   }
 
   /** Token-budget shard assignment for training-data export (K16's

@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.queries.Pack
+
+/** Full-pack partition-count RESULT invariance: every declared query runs
+  * under `spark.sql.shuffle.partitions` 4 and then 7 (coprime, so any
+  * hash-placement-sensitive stage lands rows differently) and the two
+  * results must fingerprint identically. This is the claim behind every
+  * "order-free decimal fold" / "deterministic tiebreak" note in the pack,
+  * checked as one sweep instead of per-family spot tests
+  * (PartitionInvarianceSpec keeps the 33-query standing subset; this tool
+  * is the one-shot exhaustive pass for the round record).
+  *
+  * Fingerprint = (row count, sum of xxhash64(to_json(struct(*)))) — one
+  * order-independent 64-bit fold per result, NULL-faithful through JSON
+  * (concat_ws would silently collapse NULL columns), computed on the
+  * executors so nothing corpus-sized crosses the driver.
+  *
+  * `runMain graft.tools.InvarianceSweep <sfDir> [name...]` — defaults to
+  * the whole pack. Caches are cleared per run so a frame persisted by the
+  * first shape cannot serve the second from cached blocks.
+  */
+object InvarianceSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val names =
+      if (args.length > 1) args.tail.toSeq else Pack.all.map(_.name)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def fingerprint(name: String, partitions: Int): (Long, Long) = {
+      graft.ext.BoundedCache.clear()
+      spark.catalog.clearCache()
+      spark.conf.set("spark.sql.shuffle.partitions", partitions)
+      val df = Pack.byName(name).fn(spark, sfDir)
+      val row = df.select(xxhash64(to_json(struct(df.columns.map(col): _*))).as("h"))
+        .agg(count(lit(1)).as("n"), sum(col("h")).as("s")).head()
+      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+    }
+
+    var failed = List.empty[String]
+    names.foreach { n =>
+      val r = try {
+        val a = fingerprint(n, 4)
+        val b = fingerprint(n, 7)
+        if (a == b) "PASS" else { failed ::= n; s"FAIL p4=$a p7=$b" }
+      } catch {
+        case e: Exception => failed ::= n; s"ERR ${e.getClass.getSimpleName}: ${e.getMessage}"
+      }
+      println(s"INVAR $n $r")
+    }
+    println(s"INVAR SUMMARY ${names.size - failed.size}/${names.size} invariant" +
+      (if (failed.nonEmpty) s"; failed: ${failed.reverse.mkString(",")}" else ""))
+    spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
+  }
+}

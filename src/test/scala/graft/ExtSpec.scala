@@ -300,6 +300,25 @@ class ExtSpec extends AnyFunSuite {
       .exists(c => c.getMessage != null && c.getMessage.contains("graft_dot: length mismatch")))
   }
 
+  test("refineTopK: zero-norm/NULL candidates from a distance-based fetch score NULL, never crash or outrank") {
+    // the quantized fetch scores by DISTANCE, so (unlike every cosine
+    // retriever) a zero-norm vector is a legitimate candidate — the
+    // exact re-rank divide must carry the same zero-norm guard
+    val q = Seq((100L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 0f)), (4L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val cand = Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L))
+      .toDF("qid", "nid")
+    val refined = Similarity.refineTopK(cand, corpus, q, 4)
+      .orderBy($"rank").select("nid", "cos").collect()
+    assert(refined.map(_.getLong(0)).take(2).toSeq == Seq(1L, 2L),
+      "real candidates rank first")
+    assert(refined.drop(2).forall(_.isNullAt(1)),
+      "zero-norm and NULL candidates score NULL, not NaN/crash")
+  }
+
   test("NULL-key rule: unassessable rows, no chimera merge, no fake dup verdicts") {
     val edge = Seq(
       (java.lang.Long.valueOf(0L), "the quick brown fox"),

@@ -171,6 +171,17 @@ class IoSpec extends AnyFunSuite {
       validateSql(spark, "EXECUTE IMMEDIATE 'DROP TABLE carrefour_data'", allowed))
     intercept[IllegalArgumentException](
       validateSql(spark, "CALL system.do_things(1)", allowed))
+    // script transform pipes rows through an ARBITRARY OS process while
+    // reading only allowed tables, calling no function, and not being a
+    // Command — the third non-Command escape shape
+    intercept[IllegalArgumentException](
+      validateSql(spark,
+        "SELECT TRANSFORM(categ) USING 'bash -c cat' AS (c STRING) FROM carrefour_data",
+        allowed))
+    intercept[IllegalArgumentException](
+      validateSql(spark,
+        "WITH t AS (SELECT TRANSFORM(x) USING 'sh' AS (c STRING) FROM mp_data) SELECT * FROM t",
+        allowed))
   }
 
   test("agent SQL validation: CTE exemption is scope-aware (no cross-scope laundering)") {

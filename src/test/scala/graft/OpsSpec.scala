@@ -192,4 +192,38 @@ class OpsSpec extends AnyFunSuite {
       .as[(Int, Long, String, String, java.lang.Long)].collect().toSeq
     assert(tie == Seq((1, 10L, "p", "b", 2L: java.lang.Long)))
   }
+
+  test("chunkedCumsum NULL semantics: NULL group is a group, NULL ord is unassessable, no row loss") {
+    val L = (x: Long) => java.lang.Long.valueOf(x)
+    val nl = null.asInstanceOf[java.lang.Long]
+    // groupBy and the windows treat a NULL group as one group; the
+    // join-back used to be a plain equi-join, which silently DROPPED
+    // every NULL-group row from the output (a NULL `source` document
+    // vanished from text_pack_sequences entirely)
+    val rows = Seq(
+      ("a", L(1L), L(2L)), ("a", L(2L), L(3L)),
+      (null, L(1L), L(5L)), (null, L(7L), L(4L)),   // NULL group
+      ("a", nl, L(9L))                               // NULL ord
+    ).toDF("g", "id", "v")
+    val out = Ops.chunkedCumsum(rows, "g", "id", "v", "cum", span = 4L)
+      .select($"g", $"id", $"cum")
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(out == Set(
+      ("a", Some(1L), Some(2L)), ("a", Some(2L), Some(5L)),
+      (null, Some(1L), Some(5L)), (null, Some(7L), Some(9L)),
+      // a NULL ord has no position in the order: NULL cumsum, excluded
+      // from every running total ("a" still ends at 5, not 14)
+      ("a", None, None)))
+    // tokenShards inherits the rule: the NULL-ord doc gets a NULL shard
+    // and shifts no boundary; NULL-group rows cannot occur (single group)
+    val sh = Ops.tokenShards(
+        Seq((L(1L), 3L), (nl, 100L), (L(2L), 3L)).toDF("doc_id", "n_tok"),
+        "doc_id", "n_tok", budget = 4L)
+      .select($"doc_id", $"shard").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(sh == Set((Some(1L), Some(0L)), (Some(2L), Some(0L)), (None, None)))
+  }
 }
