@@ -129,6 +129,13 @@ object AgentSupport {
       case i: InsertIntoStatement =>
         throw new IllegalArgumentException(
           s"generated SQL writes (${i.nodeName}): $sql")
+      // INSERT OVERWRITE DIRECTORY writes query output to an ARBITRARY
+      // filesystem path and is neither a Command nor an
+      // InsertIntoStatement — the write-shaped sibling of the script-
+      // transform escape below
+      case _: org.apache.spark.sql.catalyst.plans.logical.InsertIntoDir =>
+        throw new IllegalArgumentException(
+          s"generated SQL writes to a directory (INSERT OVERWRITE DIRECTORY): $sql")
       // NOT Commands, found by review: EXECUTE IMMEDIATE nests arbitrary
       // SQL in a string expression this validator cannot see into, and
       // CALL (ExecutableDuringAnalysis) runs procedure side effects at

@@ -13,10 +13,12 @@ import graft.queries.Pack
   * (PartitionInvarianceSpec keeps the 33-query standing subset; this tool
   * is the one-shot exhaustive pass for the round record).
   *
-  * Fingerprint = (row count, sum of xxhash64(to_json(struct(*)))) — one
-  * order-independent 64-bit fold per result, NULL-faithful through JSON
-  * (concat_ws would silently collapse NULL columns), computed on the
-  * executors so nothing corpus-sized crosses the driver.
+  * Fingerprint = (row count, DECIMAL(38,0) sum of
+  * xxhash64(to_json(struct(*)))) — one order-independent fold per result,
+  * NULL-faithful through JSON (concat_ws would silently collapse NULL
+  * columns), computed on the executors so nothing corpus-sized crosses
+  * the driver. The sum is decimal because a LONG sum of 64-bit hashes
+  * overflows within a few rows under ANSI.
   *
   * `runMain graft.tools.InvarianceSweep <sfDir> [name...]` — defaults to
   * the whole pack. Caches are cleared per run so a frame persisted by the
@@ -37,14 +39,15 @@ object InvarianceSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def fingerprint(name: String, partitions: Int): (Long, Long) = {
+    def fingerprint(name: String, partitions: Int): (Long, String) = {
       graft.ext.BoundedCache.clear()
       spark.catalog.clearCache()
       spark.conf.set("spark.sql.shuffle.partitions", partitions)
       val df = Pack.byName(name).fn(spark, sfDir)
-      val row = df.select(xxhash64(to_json(struct(df.columns.map(col): _*))).as("h"))
+      val row = df.select(xxhash64(to_json(struct(df.columns.map(col): _*)))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("h"))
         .agg(count(lit(1)).as("n"), sum(col("h")).as("s")).head()
-      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+      (row.getLong(0), if (row.isNullAt(1)) "0" else row.getDecimal(1).toPlainString)
     }
 
     var failed = List.empty[String]

@@ -182,6 +182,16 @@ class IoSpec extends AnyFunSuite {
       validateSql(spark,
         "WITH t AS (SELECT TRANSFORM(x) USING 'sh' AS (c STRING) FROM mp_data) SELECT * FROM t",
         allowed))
+    // INSERT OVERWRITE DIRECTORY writes to an arbitrary path and is
+    // neither a Command nor an InsertIntoStatement
+    intercept[IllegalArgumentException](
+      validateSql(spark,
+        "INSERT OVERWRITE DIRECTORY '/tmp/exfil' USING parquet SELECT * FROM mp_data",
+        allowed))
+    intercept[IllegalArgumentException](
+      validateSql(spark,
+        "INSERT OVERWRITE LOCAL DIRECTORY '/tmp/exfil' SELECT * FROM carrefour_data",
+        allowed))
   }
 
   test("agent SQL validation: CTE exemption is scope-aware (no cross-scope laundering)") {
