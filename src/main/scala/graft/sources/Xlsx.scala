@@ -195,11 +195,32 @@ object Xlsx {
 
   // --------------------------------------------------------------- write
 
-  private def xmlEscape(s: String): String =
-    s.flatMap {
-      case '&' => "&amp;"; case '<' => "&lt;"; case '>' => "&gt;"
-      case '"' => "&quot;"; case c => c.toString
+  /** Escape markup AND substitute XML-1.0-invalid code points (control
+    * chars below 0x20 except tab/LF/CR, unpaired surrogates, 0xFFFE/F)
+    * with U+FFFD — they are unrepresentable in XML even escaped, so a
+    * single such cell value would otherwise write a workbook every
+    * parser (including this file's own reader) rejects. Code-point-wise
+    * so astral-plane characters (valid in XML) survive intact. */
+  private def xmlEscape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      cp match {
+        case '&' => sb ++= "&amp;"
+        case '<' => sb ++= "&lt;"
+        case '>' => sb ++= "&gt;"
+        case '"' => sb ++= "&quot;"
+        case _ =>
+          val valid = cp == 0x9 || cp == 0xA || cp == 0xD ||
+            (cp >= 0x20 && cp <= 0xD7FF) || (cp >= 0xE000 && cp <= 0xFFFD) ||
+            (cp >= 0x10000 && cp <= 0x10FFFF)
+          if (valid) sb.appendAll(Character.toChars(cp)) else sb += '�'
+      }
+      i += Character.charCount(cp)
     }
+    sb.toString
+  }
 
   private[graft] def colRef(i: Int): String = {
     var n = i + 1; val sb = new StringBuilder

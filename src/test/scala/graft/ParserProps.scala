@@ -70,4 +70,34 @@ object ParserProps extends Properties("parsers") {
     true
   }
 
+  // arbitrary unicode INCLUDING XML-invalid control chars and unpaired
+  // surrogates: the workbook must stay parseable (one bad cell value
+  // must not corrupt the export); invalid code points substitute U+FFFD
+  private val anyStr: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.choose(0, 0xFFFF).map(_.toChar),            // full BMP incl. controls/surrogates
+    Gen.oneOf('&', '<', '>', '"', '\t', '\n', '\r', '', '\uD800'),
+    Gen.alphaNumChar)).map(_.mkString)
+
+  property("xlsx write∘parse is identity modulo U+FFFD substitution of XML-invalid chars") =
+    Prop.forAll(Gen.listOfN(3, anyStr)) { cells =>
+      def expected(s: String): String = {
+        val sb = new StringBuilder; var i = 0
+        while (i < s.length) {
+          val cp = s.codePointAt(i)
+          val valid = cp == 0x9 || cp == 0xA || cp == 0xD ||
+            (cp >= 0x20 && cp <= 0xD7FF) || (cp >= 0xE000 && cp <= 0xFFFD) ||
+            (cp >= 0x10000 && cp <= 0x10FFFF)
+          if (valid) sb.appendAll(Character.toChars(cp)) else sb += '�'
+          i += Character.charCount(cp)
+        }
+        // XML 1.0 §2.11: parsers normalize \r\n and lone \r to \n in
+        // content — inherent to the format, not a writer choice
+        sb.toString.replace("\r\n", "\n").replace('\r', '\n')
+      }
+      val bytes = graft.sources.Xlsx.writeWorkbook(
+        Seq("a", "b", "c"), Seq(cells))
+      val back = graft.sources.Xlsx.parseWorkbook(bytes, nCols = 3, headerRows = 1)
+      back == Seq(cells.map(expected))
+    }
+
 }
