@@ -385,4 +385,35 @@ class SourceSpec extends AnyFunSuite {
     assert(back == Seq((1L, Some("x"), Some(10L)), (2L, None, Some(20L)),
       (3L, Some("z"), None)), s"got: $back")
   }
+
+  test("atomic sink: concurrent appenders never lose each other's commit (lock serializes the merge)") {
+    // the failure this pins: two manifest read-modify-writes interleave
+    // and the second publish drops the first's files — the lost update
+    // the commit lock + owner fence exist to prevent
+    val loc = java.nio.file.Files.createTempDirectory("graft_atomic_cc").toString + "/t"
+    val writers = 4
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = (0 until writers).map { w =>
+      new Thread(() => {
+        try {
+          import spark.implicits._
+          Seq.tabulate(10)(i => (w * 100L + i, s"w$w"))
+            .toDF("id", "src").coalesce(1)
+            .write.format("graft-atomic").option("path", loc)
+            .mode("append").save()
+        } catch { case t: Throwable => errs.add(t); () }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join(120000))
+    assert(errs.isEmpty, s"concurrent commits must all succeed: ${errs.peek()}")
+    val manifest = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(loc, "_MANIFEST")).split("\n").toSeq
+    assert(manifest.length == writers,
+      s"every appender's file must survive the merge, got $manifest")
+    val got = spark.read.format("graft-atomic")
+      .schema("id LONG, src STRING").option("path", loc).load()
+    assert(got.count() == writers * 10L)
+    assert(got.select("src").distinct().count() == writers,
+      "rows from every concurrent writer must be present")
+  }
 }
