@@ -194,6 +194,48 @@ class IoSpec extends AnyFunSuite {
         allowed))
   }
 
+  test("agent SQL validation: every side-effecting grammar family rejects (Spark-upgrade canary)") {
+    import graft.io.AgentSupport.validateSql
+    val allowed = Seq("carrefour_data", "mp_data", "bank_payments")
+    // One statement per side-effecting family of the Spark 4.1 grammar.
+    // Today most parse to Command subtypes and reject through the
+    // Command arm; the point of pinning ALL of them is that a future
+    // Spark upgrade demoting any node from Command (as TRANSFORM,
+    // EXECUTE IMMEDIATE, CALL, and INSERT OVERWRITE DIRECTORY already
+    // are today) fails THIS test instead of silently opening the gate.
+    val sideEffecting = Seq(
+      "CREATE TABLE x (a INT)",
+      "CREATE OR REPLACE TEMPORARY VIEW v AS SELECT * FROM mp_data",
+      "ALTER TABLE mp_data ADD COLUMNS (z INT)",
+      "DROP TABLE mp_data",
+      "TRUNCATE TABLE mp_data",
+      "UPDATE mp_data SET real_amount = 0",
+      "DELETE FROM mp_data WHERE true",
+      "MERGE INTO mp_data USING bank_payments ON false WHEN MATCHED THEN DELETE",
+      "LOAD DATA INPATH '/tmp/x' INTO TABLE mp_data",
+      "ANALYZE TABLE mp_data COMPUTE STATISTICS",
+      "CACHE TABLE c AS SELECT * FROM mp_data",
+      "UNCACHE TABLE mp_data",
+      "REFRESH TABLE mp_data",
+      "SET spark.sql.ansi.enabled=false",
+      "ADD JAR '/tmp/evil.jar'",
+      "ADD FILE '/tmp/evil.sh'",
+      "CREATE FUNCTION f AS 'java.lang.System'",
+      "USE default",
+      "DECLARE VARIABLE v INT",
+      "SET VAR v = (SELECT max(real_amount) FROM mp_data)",
+      "EXPLAIN SELECT * FROM mp_data",
+      "DESCRIBE TABLE mp_data",
+      "SHOW TABLES",
+      "COMMENT ON TABLE mp_data IS 'x'")
+    sideEffecting.foreach { sql =>
+      val thrown =
+        try { validateSql(spark, sql, allowed); None }
+        catch { case e: Exception => Some(e) }
+      assert(thrown.isDefined, s"gate must reject side-effecting SQL: $sql")
+    }
+  }
+
   test("agent SQL validation: CTE exemption is scope-aware (no cross-scope laundering)") {
     import graft.io.AgentSupport.validateSql
     val allowed = Seq("carrefour_data", "mp_data", "bank_payments")
