@@ -120,7 +120,9 @@ object Ops {
     val eff =
       if (maxShards == Int.MaxValue) budget
       else {
-        val totalRow = docs.agg(sum(col(tok))).head()
+        // NULL-ord docs ship in no shard (chunkedCumsum's NULL rule), so
+        // their tokens must not consume the capacity plan either
+        val totalRow = docs.filter(col(ord).isNotNull).agg(sum(col(tok))).head()
         val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
         math.max(budget, (total + maxShards - 1) / maxShards)
       }

@@ -200,7 +200,10 @@ object Xlsx {
     * with U+FFFD — they are unrepresentable in XML even escaped, so a
     * single such cell value would otherwise write a workbook every
     * parser (including this file's own reader) rejects. Code-point-wise
-    * so astral-plane characters (valid in XML) survive intact. */
+    * so astral-plane characters (valid in XML) survive intact. CR is
+    * written as the character reference `&#xD;`: a LITERAL CR in content
+    * is normalized to LF by every conforming parser (XML 1.0 §2.11), so
+    * the reference form is the only one that round-trips the byte. */
   private def xmlEscape(s: String): String = {
     val sb = new StringBuilder
     var i = 0
@@ -211,8 +214,9 @@ object Xlsx {
         case '<' => sb ++= "&lt;"
         case '>' => sb ++= "&gt;"
         case '"' => sb ++= "&quot;"
+        case '\r' => sb ++= "&#xD;"
         case _ =>
-          val valid = cp == 0x9 || cp == 0xA || cp == 0xD ||
+          val valid = cp == 0x9 || cp == 0xA ||
             (cp >= 0x20 && cp <= 0xD7FF) || (cp >= 0xE000 && cp <= 0xFFFD) ||
             (cp >= 0x10000 && cp <= 0x10FFFF)
           if (valid) sb.appendAll(Character.toChars(cp)) else sb += '�'

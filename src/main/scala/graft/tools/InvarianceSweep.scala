@@ -7,11 +7,17 @@ import graft.queries.Pack
 /** Full-pack partition-count RESULT invariance: every declared query runs
   * under `spark.sql.shuffle.partitions` 4 and then 7 (coprime, so any
   * hash-placement-sensitive stage lands rows differently) and the two
-  * results must fingerprint identically. This is the claim behind every
+  * results must fingerprint identically. This is the VALUE side of every
   * "order-free decimal fold" / "deterministic tiebreak" note in the pack,
-  * checked as one sweep instead of per-family spot tests
-  * (PartitionInvarianceSpec keeps the 33-query standing subset; this tool
-  * is the one-shot exhaustive pass for the round record).
+  * checked as one sweep instead of per-family spot tests. Scope limit,
+  * stated plainly: the fingerprint is a MULTISET check — it cannot see
+  * partition-dependent ROW ORDER, so an ordered contract (a final
+  * ORDER BY with non-unique keys whose tie placement shifted) would
+  * still PASS here. Ordered-output invariance is
+  * PartitionInvarianceSpec's job: its 33-query standing subset compares
+  * `collect()` output byte-for-byte IN ORDER. The two are companions —
+  * this tool for breadth (all 305, values), the spec for depth (ordered
+  * contracts on the families where ordering bugs live).
   *
   * Fingerprint = (row count, DECIMAL(38,0) sum of
   * xxhash64(to_json(struct(*)))) — one order-independent fold per result,

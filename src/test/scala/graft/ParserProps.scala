@@ -84,20 +84,44 @@ object ParserProps extends Properties("parsers") {
         val sb = new StringBuilder; var i = 0
         while (i < s.length) {
           val cp = s.codePointAt(i)
+          // CR is NOT in this validity mirror's special set: the writer
+          // emits it as &#xD;, which round-trips exactly (a literal CR
+          // would be normalized to LF by XML 1.0 §2.11)
           val valid = cp == 0x9 || cp == 0xA || cp == 0xD ||
             (cp >= 0x20 && cp <= 0xD7FF) || (cp >= 0xE000 && cp <= 0xFFFD) ||
             (cp >= 0x10000 && cp <= 0x10FFFF)
           if (valid) sb.appendAll(Character.toChars(cp)) else sb += '�'
           i += Character.charCount(cp)
         }
-        // XML 1.0 §2.11: parsers normalize \r\n and lone \r to \n in
-        // content — inherent to the format, not a writer choice
-        sb.toString.replace("\r\n", "\n").replace('\r', '\n')
+        sb.toString
       }
       val bytes = graft.sources.Xlsx.writeWorkbook(
         Seq("a", "b", "c"), Seq(cells))
+      // independent oracle against mirror-testing: a STRICT namespace-
+      // aware DOM parse of the sharedStrings part must accept the bytes
+      // (this is the check that fails on raw control chars / lone
+      // surrogates / literal-CR bugs regardless of what `expected` says)
+      val zin = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      var sst: Array[Byte] = null
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (e.getName == "xl/sharedStrings.xml") sst = zin.readAllBytes()
+        e = zin.getNextEntry
+      }
+      val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      dbf.setNamespaceAware(true)
+      dbf.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(sst))
       val back = graft.sources.Xlsx.parseWorkbook(bytes, nCols = 3, headerRows = 1)
       back == Seq(cells.map(expected))
+    }
+
+  property("xlsx spot fixtures: CR survives via &#xD;, invalid chars substitute, markup escapes") =
+    Prop.secure {
+      val cells = Seq("a\rb\r\nc", "xy\uD800z", "p&<>\"q\tr\ns")
+      val bytes = graft.sources.Xlsx.writeWorkbook(Seq("h1", "h2", "h3"), Seq(cells))
+      val back = graft.sources.Xlsx.parseWorkbook(bytes, nCols = 3, headerRows = 1)
+      back == Seq(Seq("a\rb\r\nc", "x�y�z", "p&<>\"q\tr\ns"))
     }
 
 }

@@ -405,6 +405,8 @@ class SourceSpec extends AnyFunSuite {
       })
     }
     ts.foreach(_.start()); ts.foreach(_.join(120000))
+    assert(ts.forall(!_.isAlive),
+      "a writer hung past the join timeout (commit-lock deadlock?)")
     assert(errs.isEmpty, s"concurrent commits must all succeed: ${errs.peek()}")
     val manifest = java.nio.file.Files
       .readString(java.nio.file.Paths.get(loc, "_MANIFEST")).split("\n").toSeq
