@@ -225,5 +225,15 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
         if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
     assert(sh == Set((Some(1L), Some(0L)), (Some(2L), Some(0L)), (None, None)))
+    // and when maxShards BINDS, the phantom doc's tokens must not consume
+    // the capacity plan: 8 real docs × 1 token, budget 1 → 8 shards,
+    // capped to 4 → eff 2; a NULL-ord doc with 1000 tokens must not widen
+    // eff to 251 (which would collapse every real doc into shard 0)
+    val docs = (1L to 8L).map(i => (L(i), 1L)) :+ ((nl, 1000L))
+    val capped = Ops.tokenShards(docs.toDF("doc_id", "n_tok"),
+        "doc_id", "n_tok", budget = 1L, maxShards = 4)
+      .filter($"doc_id".isNotNull).select($"shard").distinct().count()
+    assert(capped == 4L,
+      "real docs must spread across the capped shard count; phantom tokens must not inflate the budget")
   }
 }
