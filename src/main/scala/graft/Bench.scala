@@ -17,6 +17,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Box-speed calibration (r15 bench protocol): a fixed, data-free,
+    // CPU-bound whole-stage-codegen job timed min-of-3. Round-over-round
+    // query deltas divide by the calib ratio before being read as
+    // regressions — r14's "1.6-1.9x outliers" were exactly this box
+    // running the UNCHANGED r13 tree 1.6x slower than the r13 record day
+    // (bisected in r15: HEAD vs r13 tree back-to-back showed parity).
+    def calibrate(): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1L << 30).selectExpr("sum(id * 2654435761)").head()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    calibrate() // warm codegen before the measured passes
+    val calib = calibrate()
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val broken = scala.collection.mutable.LinkedHashSet[String]()
     ordered.foreach { case (name, fn) =>
@@ -52,7 +65,11 @@ object Bench {
       // shape hardest, so give the whole family the third run rather
       // than leaving phantom regressions for the round-over-round diff
       "graph_triangle_count", "graph_common_neighbors",
-      "dedup_cluster_cc_star", "dedup_cluster_keep_best")
+      "dedup_cluster_cc_star", "dedup_cluster_keep_best",
+      // r14's phantom outliers (judged 1.6-1.9x, bisected in r15 to pure
+      // box drift — NOTES r15): swing-prone under ambient load, so pin
+      // them with the third run too
+      "dedup_simhash_banded", "u1_udtf_ticket_items", "emb_pq_codes")
     // A query that throws is EXCLUDED from total/n_queries — its wall time
     // is time-to-throw, not engine cost, and counting it silently reports a
     // broken engine as a fast one (the r7 failure mode). `errors` in the
@@ -77,7 +94,7 @@ object Bench {
     val qs = headline.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"errors":${broken.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"errors":${broken.size},"calib":${fmt(calib)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

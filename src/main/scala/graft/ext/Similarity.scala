@@ -114,6 +114,78 @@ object Similarity {
       .groupBy(col(bucketCol), (col("pos") + 1).as("i"))
       .agg(round(avg(col("v").cast("double")), 6).as("mean"))
 
+  /** Quantizer-staleness metric for the train-once IVF index — the
+    * re-train trigger the persisted-centroid serving path needs
+    * (nothing else detects that the stored quantizer has gone stale as
+    * the corpus distribution moves). Per stored bucket:
+    *   `base_dist` — mean squared L2 distance of the TRAINING population
+    *     to its trained centroid (assignment = `bucketCol`, the label the
+    *     quantizer was fit on): the reference error frozen at train time;
+    *   `cur_dist` — the same metric for a CURRENT batch assigned by the
+    *     stored SERVING rule (argmax 6dp-rounded centroid dot, smallest
+    *     bucket on ties — identical to [[ivfMultiProbeTopK]]'s probe, so
+    *     the drift monitor measures exactly what serving does);
+    *   `drift_ratio` = cur/base (NULL for a zero-base or unprobed
+    *     bucket); `retrain` = ratio > `threshold`, falling back to
+    *     cur_dist > 0 for a zero-base bucket, false for an unprobed one.
+    * Numerics: per-dim terms quantized to 12dp and summed as
+    * DECIMAL(28,12) (order-free, engine-invariant — the [[pqCodes]]
+    * contract); bucket means divide the exact decimal sum, cast to
+    * double, by the count, rounded to 6dp.
+    * Scale: the centroid table broadcasts twice (long form for the
+    * distance join, one array row per bucket for probe scoring); each
+    * side is a narrow explode + two-level aggregation (per-vector
+    * partial, then per-bucket), so the training corpus never shuffles by
+    * anything but the final bucket-count exchange and the current side
+    * is arrival-sized. */
+  def quantizerDrift(corpus: DataFrame, current: DataFrame, cents: DataFrame,
+                     bucketCol: String, threshold: Double): DataFrame = {
+    val nd = nativeDot(corpus.sparkSession, _, _)
+    val centLong = broadcast(
+      cents.select(col(bucketCol).as("cb"), col("i"), col("mean")))
+    // vecs: (vec_id, b, embedding) → (b, n, d): per-bucket count + mean
+    // 12dp-quantized squared L2 distance to the bucket's stored centroid
+    def meanDist(vecs: DataFrame): DataFrame = {
+      val diff = col("v").cast("double") - col("mean")
+      val perVec = vecs
+        .select(col("vec_id"), col("b"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .join(centLong, col("b") === col("cb") && col("pos") + 1 === col("i"))
+        .select(col("vec_id"), col("b"),
+          (floor(diff * diff * lit(1e12) + lit(0.5)) / lit(1e12))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 12)).as("t"))
+        .groupBy(col("vec_id"), col("b")).agg(sum(col("t")).as("dist"))
+      perVec.groupBy(col("b"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("dist")).cast("double") / count(lit(1)), 6).as("d"))
+    }
+    val trainSide = corpus.select(col("vec_id"), col(bucketCol).as("b"),
+      col("embedding"))
+    // serving assignment of the current batch: stored-probe rule, nprobe=1
+    val byBucket = cents.groupBy(col(bucketCol))
+      .agg(array_sort(collect_list(struct(col("i"), col("mean")))).as("c"))
+      .select(col(bucketCol).as("pb"),
+        transform(col("c"), x => x.getField("mean")).as("cvec"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("pb"))
+    val assigned = current.select(col("vec_id").as("qid"), col("embedding"))
+      .crossJoin(broadcast(byBucket))
+      .withColumn("score", round(nd(col("embedding"), col("cvec")), 6))
+      .withColumn("pr", row_number().over(w)).filter(col("pr") === 1)
+      .select(col("qid").as("vec_id"), col("pb").as("b"), col("embedding"))
+    val base = meanDist(trainSide)
+      .select(col("b"), col("n").as("n_train"), col("d").as("base_dist"))
+    val cur = meanDist(assigned)
+      .select(col("b"), col("n").as("n_cur"), col("d").as("cur_dist"))
+    base.join(cur, Seq("b"), "left")
+      .select(col("b").as(bucketCol), col("n_train"), col("base_dist"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"), col("cur_dist"),
+        round(when(col("base_dist") > 0, col("cur_dist") / col("base_dist")), 6)
+          .as("drift_ratio"),
+        coalesce(
+          when(col("base_dist") > 0, col("cur_dist") / col("base_dist") > threshold),
+          col("cur_dist") > 0, lit(false)).as("retrain"))
+  }
+
   /** Product-quantization code assignment — the memory-compressed ANN
     * path (IVF-PQ): the `dims`-dim space splits into `nSub` contiguous
     * subspaces and each subvector is replaced by the id of its nearest

@@ -190,6 +190,101 @@ object AgentSupport {
         other.expressions.foreach(checkExpr(_, scope))
     }
     check(plan, Set.empty)
+    // Layer 2 (structural, VERDICT r14 missing-#1): the walk above vets
+    // NAMES before resolution; this vets the RESOLVED plan. Safe to invoke
+    // the analyzer only now — Commands, EXECUTE IMMEDIATE and
+    // ExecutableDuringAnalysis (the analysis-time side-effect surface)
+    // were all rejected above, so analysis here is pure resolution.
+    validateAnalyzed(spark, plan, sql, allowed)
+  }
+
+  /** Logical node types a read-only SELECT can legitimately analyze to.
+    * This is an ALLOWLIST, the inverse of layer 1's enumerated denials:
+    * when a Spark upgrade mints a new side-effecting node the parse walk
+    * has never heard of, it fails CLOSED here instead of sailing through
+    * (the TRANSFORM/INSERT OVERWRITE DIRECTORY lesson from r14 — those
+    * were found only by enumerating parser nodes). Matching on nodeName
+    * keeps this readable; an upstream rename also fails closed. */
+  private val allowedAnalyzedNodes: Set[String] = Set(
+    "Project", "Filter", "Aggregate", "Join", "LateralJoin", "Sort",
+    "GlobalLimit", "LocalLimit", "Offset", "Tail", "Distinct", "Deduplicate",
+    "Union", "Intersect", "Except", "SubqueryAlias", "Window", "Expand",
+    "Generate", "Sample", "WithCTE", "CTERelationDef", "ResolvedHint",
+    "Unpivot", "Repartition", "RepartitionByExpression", "RebalancePartitions")
+
+  /** Validate the ANALYZED form of an already parse-vetted plan: every
+    * node must come from [[allowedAnalyzedNodes]], every table-backed leaf
+    * must carry an allowlisted identifier (a leaf with NO identifier —
+    * e.g. a path-based scan — fails closed: the allowlist can only vouch
+    * for names), and no resolved expression may be one of the denied
+    * reflection/identity classes. View boundaries are checked by NAME and
+    * not descended into — a view's body is the catalog's trusted
+    * definition, not the generated query's text. Analysis failure
+    * (unresolved relation/column) is NOT a gate violation: the same
+    * analyzer will refuse to execute that SQL, so there is nothing to
+    * protect — and callers validate against catalogs that may not have
+    * the tables registered. */
+  private[graft] def validateAnalyzed(spark: SparkSession,
+                                   parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                                   sql: String, allowed: Seq[String]): Unit = {
+    val analyzed =
+      try spark.sessionState.executePlan(parsed).analyzed
+      catch { case _: org.apache.spark.sql.AnalysisException => return }
+    validateAnalyzedPlan(analyzed, sql, allowed)
+  }
+
+  private[graft] def validateAnalyzedPlan(
+      analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      sql: String, allowed: Seq[String]): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.HiveTableRelation
+    import org.apache.spark.sql.catalyst.expressions.{CallMethodViaReflection, CurrentCatalog, CurrentDatabase, CurrentUser, Expression, InputFileBlockLength, InputFileBlockStart, InputFileName, PlanExpression, SparkVersion}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    val ok = allowed.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    def allowedName(parts: Seq[String]): Boolean = {
+      val p = parts.map(lc)
+      p.nonEmpty && ok(p.last) && (p.init match {
+        case Seq() | Seq("default") | Seq("spark_catalog", "default") => true
+        case _ => false
+      })
+    }
+    def reject(what: String): Nothing = throw new IllegalArgumentException(
+      s"generated SQL analyzed to a non-query node ($what): $sql")
+    def checkExpr(e: Expression): Unit = e.foreach {
+      case _: CallMethodViaReflection | _: CurrentUser | _: CurrentDatabase |
+          _: CurrentCatalog | _: SparkVersion | _: InputFileName |
+          _: InputFileBlockStart | _: InputFileBlockLength =>
+        throw new IllegalArgumentException(
+          s"generated SQL resolved to a denied expression (${e.getClass.getSimpleName}): $sql")
+      case pe: PlanExpression[_] => pe.plan match {
+        case lp: LogicalPlan => walk(lp)
+        case _ => ()
+      }
+      case _ => ()
+    }
+    def walk(p: LogicalPlan): Unit = p match {
+      case v: View =>
+        if (!allowedName(v.desc.identifier.nameParts)) reject(
+          s"view ${v.desc.identifier}") // body not descended: catalog-owned
+      case l: LogicalRelation =>
+        if (!l.catalogTable.map(_.identifier.nameParts).exists(allowedName))
+          reject(s"relation without an allowlisted identifier (${l.simpleString(40)})")
+      case h: HiveTableRelation =>
+        if (!allowedName(h.tableMeta.identifier.nameParts)) reject(
+          s"table ${h.tableMeta.identifier}")
+      case d: DataSourceV2Relation =>
+        if (!d.identifier.map(id => (id.namespace.toSeq :+ id.name)).exists(allowedName))
+          reject(s"v2 relation ${d.name}")
+      case _: LocalRelation | _: OneRowRelation | _: Range |
+          _: CTERelationRef => ()
+      case n if allowedAnalyzedNodes(n.nodeName) =>
+        n.expressions.foreach(checkExpr)
+        n.children.foreach(walk)
+      case other => reject(other.nodeName)
+    }
+    walk(analyzed)
   }
 
   /** Schema block over an explicit table list — the agent prompt names its

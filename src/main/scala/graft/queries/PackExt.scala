@@ -648,6 +648,57 @@ object PackExt {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // Quantizer-drift monitor (VERDICT r15 #7) — the re-train trigger for
+    // the train-once persisted IVF quantizer: per bucket, the training
+    // population's mean squared distance to its stored centroid (frozen
+    // reference error) vs the same metric for the arrival batch
+    // (vec_id % 10 = 0, the ann_ivf_incremental slice) under the SERVING
+    // assignment rule. retrain fires when the ratio exceeds 1.1 — the
+    // staleness dial an ingestion pipeline checks before trusting the
+    // stored index with a new corpus vintage.
+    QDef("ann_ivf_drift_eval",
+      s"""WITH cents AS (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean
+         |               FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+         |cvec AS (SELECT label AS pb, list(mean ORDER BY i) AS cv FROM cents GROUP BY label),
+         |tr AS (SELECT e.vec_id, e.label AS b,
+         |         sum(CAST(floor((CAST(e.embedding[t.i] AS DOUBLE) - c.mean)
+         |                        * (CAST(e.embedding[t.i] AS DOUBLE) - c.mean) * 1e12 + 0.5) / 1e12
+         |                  AS DECIMAL(28,12))) AS dist
+         |       FROM embeddings e, range(1, 65) t(i)
+         |       JOIN cents c ON c.i = t.i AND c.label = e.label
+         |       GROUP BY e.vec_id, e.label),
+         |base AS (SELECT b, count(*) AS n_train,
+         |           round(CAST(sum(dist) AS DOUBLE) / count(*), 6) AS base_dist
+         |         FROM tr GROUP BY b),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 10 = 0),
+         |qs AS (SELECT qid, pb, row_number() OVER (PARTITION BY qid ORDER BY
+         |         round(list_reduce(list_transform(range(1, 65),
+         |           i -> CAST(qe[i] AS DOUBLE) * cv[i]), (a,b) -> a+b), 6) DESC, pb) AS pr
+         |       FROM q, cvec),
+         |asg AS (SELECT qid, pb FROM qs WHERE pr = 1),
+         |cur0 AS (SELECT e.vec_id, a.pb AS b,
+         |          sum(CAST(floor((CAST(e.embedding[t.i] AS DOUBLE) - c.mean)
+         |                         * (CAST(e.embedding[t.i] AS DOUBLE) - c.mean) * 1e12 + 0.5) / 1e12
+         |                   AS DECIMAL(28,12))) AS dist
+         |        FROM embeddings e JOIN asg a ON a.qid = e.vec_id, range(1, 65) t(i)
+         |        JOIN cents c ON c.i = t.i AND c.label = a.pb
+         |        GROUP BY e.vec_id, a.pb),
+         |cur AS (SELECT b, count(*) AS n_cur,
+         |          round(CAST(sum(dist) AS DOUBLE) / count(*), 6) AS cur_dist
+         |        FROM cur0 GROUP BY b)
+         |SELECT base.b AS label, base.n_train, base.base_dist,
+         |  coalesce(cur.n_cur, 0) AS n_cur, cur.cur_dist,
+         |  round(CASE WHEN base.base_dist > 0 THEN cur.cur_dist / base.base_dist END, 6) AS drift_ratio,
+         |  coalesce(CASE WHEN base.base_dist > 0 THEN cur.cur_dist / base.base_dist > 1.1 END,
+         |           cur.cur_dist > 0, false) AS retrain
+         |FROM base LEFT JOIN cur ON cur.b = base.b
+         |ORDER BY label""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.quantizerDrift(e, e.filter(col("vec_id") % 10 === 0),
+          persistedCentroids(s, d), "label", threshold = 1.1)
+        .orderBy(col("label"))
+    },
+
     // LSH-bucketed ANN: sign-bit buckets from data-derived random
     // hyperplanes (first 4 corpus vectors; the corpus is zero-mean so each
     // splits it ~in half), exact rerank inside the query's bucket. The

@@ -1696,37 +1696,59 @@ object PackPipeline {
         val f = new java.io.File(wh)
         f.isDirectory && f.listFiles().exists(_.getName.endsWith(".parquet"))
       }
-      // the provider's report store is external state: ONE collect of the
-      // bounded slice, grouped by report id driver-side — per-report
-      // `df.filter(rid)` staging would launch a Spark job per workbook
-      // (23 reports × 2 deliveries of them)
-      val reportRows: Map[Long, Seq[Seq[Any]]] = txns.collect().toSeq
-        .map(r => (r.getLong(0), (1 until r.length).map(r.get)))
-        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      // the provider's report store is external state — stage it ONCE to
+      // parquet (a distributed write), the same discipline as the pdf
+      // pipeline's mailbox (r14). Each delivery then writes the per-report
+      // CSV/XLSX files from EXECUTORS (foreachPartition over rid): no
+      // corpus-scale rows ever cross the driver. The inbox dir is a shared
+      // filesystem path by nature (local FS here; a cluster would point it
+      // at the mounted inbox volume, the same contract as any file sink).
+      val corpusDir = java.nio.file.Files
+        .createTempDirectory(s"graft_mpe2e_corpus$run").toString + "/corpus"
+      txns.write.parquet(corpusDir)
       def webhookDelivery(rids: Seq[Long]): Unit = {
         // -- extract: staging gate by parsed report id over the bucket
         // listing (extract_data_mp:115-138), then stage CSV or XLSX
         val staged = listedRids()
-        rids.filterNot(staged).foreach { rid =>
-          val rows = reportRows(rid)
-          if (rid % 2 == 0) {
-            // canonical-dialect `;`-CSV, driver-staged (the webhook
-            // payload is driver-grain by nature)
-            val sb = new StringBuilder(fileSchema.fieldNames.mkString(";"))
-            rows.foreach { r =>
-              sb.append('\n')
-              sb.append(r.map(v => if (v == null) "" else v.toString).mkString(";"))
+        val toStage = rids.filterNot(staged)
+        if (toStage.nonEmpty) {
+          // serializable captures only — naming the QDef closure's locals
+          // (`s`, the schema vals) from inside foreachPartition would drag
+          // the SparkSession into the task closure
+          val rawDir = raw
+          val enNames = fileSchema.fieldNames.toSeq
+          val esNames = enNames.map(enToEs)
+          s.read.parquet(corpusDir)
+            .filter(col("rid").isin(toStage: _*))
+            // one partition per report id (hash collisions just co-locate
+            // two reports in a partition; the per-partition groupBy splits
+            // them back out) — each executor writes its own workbooks
+            .repartition(toStage.size, col("rid"))
+            .foreachPartition { (it: java.util.Iterator[org.apache.spark.sql.Row]) =>
+              import scala.jdk.CollectionConverters._
+              // a report is delivery-grain (bounded by contract: one
+              // webhook payload) — buffering ONE partition's reports is
+              // the executor-side analog of the old per-file string build
+              it.asScala.toSeq.groupBy(_.getLong(0)).foreach { case (rid, rs) =>
+                val date = java.time.LocalDate.of(2024, 1, 1).plusDays(rid)
+                val rows = rs.map(r => (1 until r.length).map(r.get))
+                if (rid % 2 == 0) {
+                  // canonical-dialect `;`-CSV
+                  val sb = new StringBuilder(enNames.mkString(";"))
+                  rows.foreach { r =>
+                    sb.append('\n')
+                    sb.append(r.map(v => if (v == null) "" else v.toString).mkString(";"))
+                  }
+                  java.nio.file.Files.write(
+                    new java.io.File(rawDir, s"Report_${date}_$rid.csv").toPath,
+                    sb.toString.getBytes("UTF-8"))
+                } else {
+                  // Spanish-dialect REAL workbook through the xlsx writer
+                  graft.sources.Xlsx.writeFileRows(esNames, rows,
+                    new java.io.File(rawDir, s"Report_${date}_$rid.xlsx").toString)
+                }
+              }
             }
-            java.nio.file.Files.write(
-              new java.io.File(raw, reportName(rid, "csv")).toPath,
-              sb.toString.getBytes("UTF-8"))
-          } else {
-            // Spanish-dialect REAL workbook through the xlsx writer
-            graft.sources.Xlsx.writeFileRows(
-              fileSchema.fieldNames.toSeq.map(enToEs),
-              rows,
-              new java.io.File(raw, reportName(rid, "xlsx")).toString)
-          }
         }
         // -- transform: distributed scans of BOTH formats, filename →
         // (report_id, report_date), dialect rename + unionByName. A
@@ -1785,7 +1807,10 @@ object PackPipeline {
         }
         if (inboxHas(".csv") || inboxHas(".xlsx")) transformAndLoad()
       }
-      val allRids = reportRows.keySet.toSeq.sorted
+      // delivery manifest: 23 report ids — metadata-grain collect (the
+      // webhook names reports, it doesn't carry rows)
+      val allRids = s.read.parquet(corpusDir).select(col("rid")).distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted
       webhookDelivery(allRids.filter(_ < 12)) // first delivery window
       webhookDelivery(allRids) // full re-delivery — gates must dedup
       graft.io.Warehouse.read(s, wh)

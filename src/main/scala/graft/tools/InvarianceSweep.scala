@@ -50,7 +50,22 @@ object InvarianceSweep {
       spark.catalog.clearCache()
       spark.conf.set("spark.sql.shuffle.partitions", partitions)
       val df = Pack.byName(name).fn(spark, sfDir)
-      val row = df.select(xxhash64(to_json(struct(df.columns.map(col): _*)))
+      // ADVICE r14: (a) ignoreNullFields=false — session-default to_json
+      // drops NULL fields, so (a=NULL,b=1) and (a=1,b=NULL) could collide
+      // if field names ever stopped disambiguating; (b) MAP columns encode
+      // in internal entry order, which is not stable across partitionings
+      // — canonicalize top-level maps via sorted entry lists. Nested maps
+      // (inside struct/array) stay out of scope: none exist in the pack,
+      // and a new one would surface as a FAIL to triage, not a false pass.
+      val canon = df.schema.fields.map { f =>
+        f.dataType match {
+          case _: org.apache.spark.sql.types.MapType =>
+            array_sort(map_entries(col(f.name))).as(f.name)
+          case _ => col(f.name)
+        }
+      }
+      val row = df.select(xxhash64(to_json(struct(canon.toSeq: _*),
+            Map("ignoreNullFields" -> "false")))
           .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("h"))
         .agg(count(lit(1)).as("n"), sum(col("h")).as("s")).head()
       (row.getLong(0), if (row.isNullAt(1)) "0" else row.getDecimal(1).toPlainString)

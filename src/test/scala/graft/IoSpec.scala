@@ -229,11 +229,66 @@ class IoSpec extends AnyFunSuite {
       "SHOW TABLES",
       "COMMENT ON TABLE mp_data IS 'x'")
     sideEffecting.foreach { sql =>
-      val thrown =
-        try { validateSql(spark, sql, allowed); None }
-        catch { case e: Exception => Some(e) }
-      assert(thrown.isDefined, s"gate must reject side-effecting SQL: $sql")
+      // ADVICE r14: accepting ANY exception let a statement that merely
+      // stopped PARSING (typo, or grammar dropped by an upgrade) pass
+      // identically to one the gate rejected. Assert the statement still
+      // parses — a parse failure means the canary itself is stale and must
+      // be updated consciously — and then that the GATE (its
+      // IllegalArgumentException, not some incidental error) rejects it.
+      spark.sessionState.sqlParser.parsePlan(sql)
+      intercept[IllegalArgumentException] { validateSql(spark, sql, allowed) }
     }
+  }
+
+  test("agent SQL validation layer 2: resolved-plan structural gate (VERDICT r14 #1)") {
+    import graft.io.AgentSupport.{validateAnalyzedPlan, validateSql}
+    import org.apache.spark.sql.functions._
+    val allowed = Seq("carrefour_data", "mp_data", "bank_payments")
+    // A table-backed leaf with NO allowlisted identifier fails closed —
+    // the analyzed layer can only vouch for names it can check. This is
+    // the shape a path-based scan (or any future name-deferring parser
+    // node, post-resolution) presents.
+    val pathScan = spark.read.parquet(s"${TestSpark.sf0001}/region.parquet")
+      .queryExecution.analyzed
+    intercept[IllegalArgumentException](
+      validateAnalyzedPlan(pathScan, "<path scan>", allowed))
+    // A node OUTSIDE the structural allowlist rejects even when every leaf
+    // is harmless — the future-parser-node simulation: CollectMetrics is a
+    // legitimate analyzed node that no generated SELECT can produce, i.e.
+    // exactly the "node class the enumeration has never heard of" case.
+    val unlisted = spark.range(3).observe("m", count(lit(1)).as("n"))
+      .queryExecution.analyzed
+    intercept[IllegalArgumentException](
+      validateAnalyzedPlan(unlisted, "<observe>", allowed))
+    // End-to-end through validateSql: a REGISTERED but non-allowlisted
+    // temp view rejects (both layers agree), and an allowlisted one whose
+    // SQL uses the full read-only SELECT surface passes the resolved walk
+    // (CTE + join + window + aggregate + subquery all analyze to
+    // allowlisted nodes).
+    spark.range(5).select(col("id").as("real_amount")).createOrReplaceTempView("l2_secrets")
+    try {
+      intercept[IllegalArgumentException](
+        validateSql(spark, "SELECT * FROM l2_secrets", allowed))
+      spark.range(5)
+        .select(col("id").as("real_amount"), (col("id") % 2).as("k"))
+        .createOrReplaceTempView("mp_data")
+      try {
+        validateSql(spark,
+          """WITH t AS (SELECT k, sum(real_amount) AS s FROM mp_data GROUP BY k)
+            |SELECT a.k, a.s, row_number() OVER (ORDER BY a.s) AS rn
+            |FROM t a JOIN t b ON a.k = b.k
+            |WHERE a.s > (SELECT min(s) - 1 FROM t)
+            |ORDER BY rn LIMIT 10""".stripMargin, allowed)
+        // resolved-expression denylist: the analyzed walk independently
+        // rejects reflection/identity expressions (defense in depth with
+        // layer 1's name-based denylist)
+        val reflectPlan = spark.sessionState.executePlan(
+          spark.sessionState.sqlParser.parsePlan(
+            "SELECT reflect('java.lang.System','lineSeparator') FROM mp_data")).analyzed
+        intercept[IllegalArgumentException](
+          validateAnalyzedPlan(reflectPlan, "<reflect>", allowed))
+      } finally spark.catalog.dropTempView("mp_data")
+    } finally spark.catalog.dropTempView("l2_secrets")
   }
 
   test("agent SQL validation: CTE exemption is scope-aware (no cross-scope laundering)") {
