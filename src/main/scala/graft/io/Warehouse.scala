@@ -20,10 +20,30 @@ import org.apache.spark.sql.functions.col
   * (load_data:32-36, BASELINE.md). */
 object Warehouse {
 
+  /** A partition column read back from a table whose EVERY row sits in
+    * the NULL partition comes back typed VOID — partition discovery has
+    * only `__HIVE_DEFAULT_PARTITION__` directory values to infer from —
+    * and writing a VOID partition column is an AnalysisException
+    * (INVALID_PARTITION_COLUMN_DATA_TYPE). So any read-modify-write
+    * cycle (deleteWhere's survivor rewrite) broke on exactly the table
+    * states the NULL-partition discipline exists for (found by
+    * WarehouseNullProps drawing an all-NULL-partition table — the
+    * "full-suite flake" of VERDICT r14 #3 was this, input-dependent, not
+    * environmental). NULL carries no type: cast such columns to STRING —
+    * the directory name is `__HIVE_DEFAULT_PARTITION__` either way, and
+    * a later mixed-value write re-establishes the real type from data. */
+  private def writablePartitions(df: DataFrame, partitionCols: Seq[String]): DataFrame =
+    partitionCols.foldLeft(df) { (d, c) =>
+      if (d.schema(c).dataType == org.apache.spark.sql.types.NullType)
+        d.withColumn(c, col(c).cast("string"))
+      else d
+    }
+
   /** Append a batch under hive-style partition dirs (raw/processed
     * lifecycle becomes partition values, not prefix renames). */
   def appendPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
-    df.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path)
+    writablePartitions(df, partitionCols)
+      .write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path)
 
   /** Dynamic partition overwrite: replace ONLY the partitions `df`
     * actually contains, leaving every other partition untouched — the
@@ -32,7 +52,8 @@ object Warehouse {
     * files at write time, so a backfill touches exactly the directories
     * it owns regardless of table size. */
   def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
-    df.write.mode(SaveMode.Overwrite)
+    writablePartitions(df, partitionCols)
+      .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(path)
@@ -65,6 +86,11 @@ object Warehouse {
   def deleteWhere(spark: SparkSession, path: String, partitionCol: String,
                   pred: Column): (Long, Long) = {
     import org.apache.spark.sql.functions.{coalesce, lit, max, when}
+    // a table with no data files has nothing to delete — and read() on it
+    // cannot infer a schema, so without this guard an empty table turns a
+    // no-op erasure into UNABLE_TO_INFER_SCHEMA (WarehouseNullProps'
+    // shrunk counterexample)
+    if (!hasDataFiles(spark, path)) return (0L, 0L)
     val all = read(spark, path)
     // ONE column-pruned discovery pass yields both the table's partition
     // count and the affected set (a second distinct scan would double
@@ -122,6 +148,21 @@ object Warehouse {
       }
     }
     (parts.length.toLong, affected.size.toLong)
+  }
+
+  /** True when `path` holds at least one non-hidden data file (recursive,
+    * through the Hadoop FS so it answers correctly on remote stores too).
+    * A freshly-"created" table dir may hold only _SUCCESS markers. */
+  private def hasDataFiles(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val n = it.next().getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) return true
+    }
+    false
   }
 
   /** Recursive delete through the Hadoop FileSystem API — correct on

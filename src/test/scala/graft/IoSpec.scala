@@ -483,6 +483,33 @@ class IoSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).select($"id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("deleteWhere survives an ALL-NULL-partition table and an empty table (r15)") {
+    // regression, found by WarehouseNullProps (the r14 "full-suite flake"
+    // was THIS, input-dependent): a table whose every row sits in the NULL
+    // partition reads back its partition column as VOID (discovery has
+    // only __HIVE_DEFAULT_PARTITION__ to infer from), and the survivor
+    // rewrite then died with INVALID_PARTITION_COLUMN_DATA_TYPE — the
+    // write paths now cast a VOID partition column to STRING. And an
+    // EMPTY table (only _SUCCESS) made deleteWhere throw
+    // UNABLE_TO_INFER_SCHEMA instead of reporting a no-op (0, 0).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delvoid").toString + "/t"
+    val src = Seq((Option.empty[String], 3L, 0L), (Option.empty[String], 9L, 1L))
+      .toDF("p", "x", "id")
+    graft.io.Warehouse.appendPartitioned(src, dir, Seq("p"))
+    // partial delete of the NULL partition: survivor rewritten
+    val (nParts, nAff) = graft.io.Warehouse.deleteWhere(spark, dir, "p", col("x") > 5)
+    assert(nParts == 1 && nAff == 1)
+    val back = spark.read.parquet(dir).select($"id").as[Long].collect().toSet
+    assert(back == Set(0L), "the NULL partition's survivor must be rewritten")
+    // empty table: no-op, not an exception
+    val empty = java.nio.file.Files.createTempDirectory("graft_delempty").toString + "/t"
+    graft.io.Warehouse.appendPartitioned(src.limit(0), empty, Seq("p"))
+    assert(graft.io.Warehouse.deleteWhere(spark, empty, "p", col("x") > 5) == ((0L, 0L)))
+    // nonexistent table dir: same contract
+    assert(graft.io.Warehouse.deleteWhere(spark, empty + "_nope", "p", col("x") > 5) == ((0L, 0L)))
+  }
+
   test("deleteWhere drops fully-emptied partitions whose VALUES need path escaping") {
     // the drop branch resolves partition values to directory names via
     // Spark's own escaping (getPartitionPathString); '/', ':', '=' and

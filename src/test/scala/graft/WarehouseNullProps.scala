@@ -82,8 +82,25 @@ object WarehouseNullProps extends Properties("warehouse-null") {
         }
       }))
 
-  private def freshDir(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_np_$tag").toString + "/t"
+  // Hermeticity (VERDICT r14 #3: one full-suite run errored here while the
+  // suite passes in isolation — unreproduced since, so treat the
+  // environment as hostile): every case gets its own temp dir AND deletes
+  // it when the case passes. A full run otherwise leaks ~30 parquet table
+  // dirs per pass into /tmp on top of every other suite's — inode/space
+  // pressure late in the suite is exactly the kind of shared-resource
+  // contention a property-level flake points at. A case that THROWS keeps
+  // its dir (the error's table stays inspectable); a returned-false case
+  // cleans up like a pass — its :| label carries the diagnostics.
+  private def withDir[A](tag: String)(body: String => A): A = {
+    val root = java.nio.file.Files.createTempDirectory(s"graft_np_$tag")
+    val r = body(root.toString + "/t")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(root.toFile)
+    r
+  }
 
   private def toDf(rows: List[R]): DataFrame = {
     import spark.implicits._
@@ -101,8 +118,8 @@ object WarehouseNullProps extends Properties("warehouse-null") {
 
   property("deleteWhere survivors == rows where pred is NOT TRUE (3VL), any NULL-partition mix") =
     Prop.forAll(rowsGen, predGen, Gen.choose(0L, 9L)) { (rows, mkPred, t) =>
+      withDir("del") { path =>
       val pred = mkPred(t)
-      val path = freshDir("del")
       graft.io.Warehouse.appendPartitioned(toDf(rows), path, Seq("p"))
       val (nParts, nAffected) = graft.io.Warehouse.deleteWhere(spark, path, "p", pred.c)
       val expectedSurvivors = rows.filter(r => pred.eval(r) != Some(true)).toSet
@@ -117,18 +134,20 @@ object WarehouseNullProps extends Properties("warehouse-null") {
         s"parts=($nParts,$nAffected) want=($expectedParts,$affectedParts)"
       Prop(got == expectedSurvivors && nParts == expectedParts &&
         nAffected == affectedParts) :| label
+      }
     }
 
   property("overwritePartitions replaces exactly the incoming partitions, NULL partition included") =
     Prop.forAll(rowsGen, rowsGen) { (base, incomingRaw) =>
       // re-id the incoming batch so rows are distinguishable from base's
       val incoming = incomingRaw.map { case (p, x, v, i) => (p, x, v, 1000L + i) }
-      val path = freshDir("ovw")
-      graft.io.Warehouse.appendPartitioned(toDf(base), path, Seq("p"))
-      graft.io.Warehouse.overwritePartitions(toDf(incoming), path, Seq("p"))
-      val touched = incoming.map(_._1).toSet
-      val expected = (incoming ++ base.filterNot(r => touched(r._1))).toSet
-      readBack(path) == expected
+      withDir("ovw") { path =>
+        graft.io.Warehouse.appendPartitioned(toDf(base), path, Seq("p"))
+        graft.io.Warehouse.overwritePartitions(toDf(incoming), path, Seq("p"))
+        val touched = incoming.map(_._1).toSet
+        val expected = (incoming ++ base.filterNot(r => touched(r._1))).toSet
+        readBack(path) == expected
+      }
     }
 
   property("upsert NULL keys never match (SQL MERGE equality): both sides retained") =
