@@ -23,9 +23,11 @@ object Bench {
     // regressions — r14's "1.6-1.9x outliers" were exactly this box
     // running the UNCHANGED r13 tree 1.6x slower than the r13 record day
     // (bisected in r15: HEAD vs r13 tree back-to-back showed parity).
+    // xxhash64 per row is real codegen'd CPU work; the % bound keeps the
+    // running sum far from long overflow under ANSI arithmetic
     def calibrate(): Double = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
-      spark.range(1L << 30).selectExpr("sum(id * 2654435761)").head()
+      spark.range(1L << 30).selectExpr("sum(xxhash64(id) % 1000)").head()
       (System.nanoTime() - t0) / 1e9
     }.min
     calibrate() // warm codegen before the measured passes

@@ -155,6 +155,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("ann_ivf_drift_eval: centroids broadcast, no unbounded cross join (r15)") {
+    // the drift monitor's scale contract: the long-form centroid table
+    // rides a broadcast hash join into both distance passes, the probe
+    // cross-join's build side is the BOUNDED per-bucket centroid collapse
+    // (one row per bucket), and the corpus explode never cartesians
+    val df = Pack.byName("ann_ivf_drift_eval").fn(spark, TestSpark.sf0001)
+    df.count()
+    val exec = df.queryExecution.executedPlan
+    val p = exec.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(unboundedBnljBuilds(exec).isEmpty,
+      "every BNLJ build side must be a grouped (per-bucket) aggregate")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"centroid table must broadcast:\n$p")
+  }
+
   test("bloom semi join filters the probe before the exact LeftSemi") {
     val p = plan("join_semi_bloom")
     assert(p.contains("LeftSemi"))
