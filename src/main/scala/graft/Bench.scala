@@ -30,7 +30,8 @@ object Bench {
       spark.range(1L << 30).selectExpr("sum(xxhash64(id) % 1000)").head()
       (System.nanoTime() - t0) / 1e9
     }.min
-    calibrate() // warm codegen before the measured passes
+    // one untimed pass warms codegen; min-of-3 measures after it
+    spark.range(1L << 30).selectExpr("sum(xxhash64(id) % 1000)").head()
     val calib = calibrate()
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val broken = scala.collection.mutable.LinkedHashSet[String]()

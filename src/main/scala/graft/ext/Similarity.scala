@@ -138,43 +138,55 @@ object Similarity {
     * partial, then per-bucket), so the training corpus never shuffles by
     * anything but the final bucket-count exchange and the current side
     * is arrival-sized. */
-  def quantizerDrift(corpus: DataFrame, current: DataFrame, cents: DataFrame,
-                     bucketCol: String, threshold: Double): DataFrame = {
-    val nd = nativeDot(corpus.sparkSession, _, _)
+  /** (vec_id, b, embedding) → (b, n, d): per-bucket count + mean
+    * 12dp-quantized squared L2 distance to the bucket's centroid in
+    * `cents`. The decimal sum is order-free (engine-invariant); the
+    * centroid long form broadcasts. Shared by [[quantizerDrift]] and
+    * [[retrainEval]]. */
+  private def bucketMeanDist(vecs: DataFrame, cents: DataFrame,
+                             bucketCol: String): DataFrame = {
     val centLong = broadcast(
       cents.select(col(bucketCol).as("cb"), col("i"), col("mean")))
-    // vecs: (vec_id, b, embedding) → (b, n, d): per-bucket count + mean
-    // 12dp-quantized squared L2 distance to the bucket's stored centroid
-    def meanDist(vecs: DataFrame): DataFrame = {
-      val diff = col("v").cast("double") - col("mean")
-      val perVec = vecs
-        .select(col("vec_id"), col("b"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        .join(centLong, col("b") === col("cb") && col("pos") + 1 === col("i"))
-        .select(col("vec_id"), col("b"),
-          (floor(diff * diff * lit(1e12) + lit(0.5)) / lit(1e12))
-            .cast(org.apache.spark.sql.types.DecimalType(28, 12)).as("t"))
-        .groupBy(col("vec_id"), col("b")).agg(sum(col("t")).as("dist"))
-      perVec.groupBy(col("b"))
-        .agg(count(lit(1)).as("n"),
-          round(sum(col("dist")).cast("double") / count(lit(1)), 6).as("d"))
-    }
-    val trainSide = corpus.select(col("vec_id"), col(bucketCol).as("b"),
-      col("embedding"))
-    // serving assignment of the current batch: stored-probe rule, nprobe=1
+    val diff = col("v").cast("double") - col("mean")
+    val perVec = vecs
+      .select(col("vec_id"), col("b"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .join(centLong, col("b") === col("cb") && col("pos") + 1 === col("i"))
+      .select(col("vec_id"), col("b"),
+        (floor(diff * diff * lit(1e12) + lit(0.5)) / lit(1e12))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12)).as("t"))
+      .groupBy(col("vec_id"), col("b")).agg(sum(col("t")).as("dist"))
+    perVec.groupBy(col("b"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("dist")).cast("double") / count(lit(1)), 6).as("d"))
+  }
+
+  /** Assign `batch` to buckets by the stored SERVING rule (argmax
+    * 6dp-rounded centroid dot, smallest bucket on ties — identical to
+    * [[ivfMultiProbeTopK]]'s probe, nprobe=1): (vec_id, b, embedding). */
+  private def servingAssign(batch: DataFrame, cents: DataFrame,
+                            bucketCol: String): DataFrame = {
+    val nd = nativeDot(batch.sparkSession, _, _)
     val byBucket = cents.groupBy(col(bucketCol))
       .agg(array_sort(collect_list(struct(col("i"), col("mean")))).as("c"))
       .select(col(bucketCol).as("pb"),
         transform(col("c"), x => x.getField("mean")).as("cvec"))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("pb"))
-    val assigned = current.select(col("vec_id").as("qid"), col("embedding"))
+    batch.select(col("vec_id").as("qid"), col("embedding"))
       .crossJoin(broadcast(byBucket))
       .withColumn("score", round(nd(col("embedding"), col("cvec")), 6))
       .withColumn("pr", row_number().over(w)).filter(col("pr") === 1)
       .select(col("qid").as("vec_id"), col("pb").as("b"), col("embedding"))
-    val base = meanDist(trainSide)
+  }
+
+  def quantizerDrift(corpus: DataFrame, current: DataFrame, cents: DataFrame,
+                     bucketCol: String, threshold: Double): DataFrame = {
+    val trainSide = corpus.select(col("vec_id"), col(bucketCol).as("b"),
+      col("embedding"))
+    val assigned = servingAssign(current, cents, bucketCol)
+    val base = bucketMeanDist(trainSide, cents, bucketCol)
       .select(col("b"), col("n").as("n_train"), col("d").as("base_dist"))
-    val cur = meanDist(assigned)
+    val cur = bucketMeanDist(assigned, cents, bucketCol)
       .select(col("b"), col("n").as("n_cur"), col("d").as("cur_dist"))
     base.join(cur, Seq("b"), "left")
       .select(col("b").as(bucketCol), col("n_train"), col("base_dist"),
@@ -184,6 +196,32 @@ object Similarity {
         coalesce(
           when(col("base_dist") > 0, col("cur_dist") / col("base_dist") > threshold),
           col("cur_dist") > 0, lit(false)).as("retrain"))
+  }
+
+  /** The APPLY half of the [[quantizerDrift]] → re-train loop: score the
+    * arrival batch under the STALE quantizer (`oldCents`, trained before
+    * the arrivals existed) and under the RETRAINED one (`newCents`), each
+    * with its own serving assignment — the before/after evidence an
+    * operator reads to decide the retrained index is worth swapping in.
+    * Per bucket: arrival count + mean quantized squared L2 distance under
+    * each quantizer (populations differ per bucket when assignments move
+    * — that IS the operational view: "after retrain, this bucket's
+    * arrivals sit this close"), full-outer joined so buckets that only
+    * receive arrivals under one quantizer still surface. Same broadcast /
+    * order-free-decimal scale shape as the drift monitor. */
+  def retrainEval(batch: DataFrame, oldCents: DataFrame, newCents: DataFrame,
+                  bucketCol: String): DataFrame = {
+    val o = bucketMeanDist(servingAssign(batch, oldCents, bucketCol),
+        oldCents, bucketCol)
+      .select(col("b"), col("n").as("n_old"), col("d").as("dist_old"))
+    val n = bucketMeanDist(servingAssign(batch, newCents, bucketCol),
+        newCents, bucketCol)
+      .select(col("b"), col("n").as("n_new"), col("d").as("dist_new"))
+    o.join(n, Seq("b"), "full_outer")
+      .select(col("b").as(bucketCol),
+        coalesce(col("n_old"), lit(0L)).as("n_old"), col("dist_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"), col("dist_new"),
+        round(col("dist_new") - col("dist_old"), 6).as("delta"))
   }
 
   /** Product-quantization code assignment — the memory-compressed ANN

@@ -114,6 +114,15 @@ object Exprs {
   def regexFilename(c: Column, group: Int): Column =
     regexp_extract(c, reportFilenameRe, group)
 
+  /** The WRITE side of [[reportFilenameRe]] — one definition for the name
+    * the mp pipeline's webhook stages and its parsers re-extract, so the
+    * grammar cannot drift between writer and reader (object method:
+    * callable from executor closures without capturing session state).
+    * The report date is epoch 2024-01-01 + rid days, the fixture's
+    * one-report-per-day convention. */
+  def reportFileName(rid: Long, ext: String): String =
+    s"Report_${java.time.LocalDate.of(2024, 1, 1).plusDays(rid)}_$rid.$ext"
+
   /** F31 — JSON field access (`.get("html_body")`, webhook body fields;
     * transform_data_bank_pay:30-33, webhook_mp_report:15-43). */
   def jsonGet(c: Column, path: String): Column = get_json_object(c, path)

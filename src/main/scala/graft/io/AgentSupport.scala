@@ -208,7 +208,8 @@ object AgentSupport {
   private val allowedAnalyzedNodes: Set[String] = Set(
     "Project", "Filter", "Aggregate", "Join", "LateralJoin", "Sort",
     "GlobalLimit", "LocalLimit", "Offset", "Tail", "Distinct", "Deduplicate",
-    "Union", "Intersect", "Except", "SubqueryAlias", "Window", "Expand",
+    "Union", "Intersect", "Intersect All", "Except", "Except All",
+    "SubqueryAlias", "Window", "Expand",
     "Generate", "Sample", "WithCTE", "CTERelationDef", "ResolvedHint",
     "Unpivot", "Repartition", "RepartitionByExpression", "RebalancePartitions")
 

@@ -86,11 +86,14 @@ object Warehouse {
   def deleteWhere(spark: SparkSession, path: String, partitionCol: String,
                   pred: Column): (Long, Long) = {
     import org.apache.spark.sql.functions.{coalesce, lit, max, when}
-    // a table with no data files has nothing to delete — and read() on it
-    // cannot infer a schema, so without this guard an empty table turns a
-    // no-op erasure into UNABLE_TO_INFER_SCHEMA (WarehouseNullProps'
-    // shrunk counterexample)
-    if (!hasDataFiles(spark, path)) return (0L, 0L)
+    // A table dir that EXISTS but holds no data files has nothing to
+    // delete — and read() on it cannot infer a schema, so without this
+    // guard an empty table turns a no-op erasure into
+    // UNABLE_TO_INFER_SCHEMA (WarehouseNullProps' shrunk counterexample).
+    // A NONEXISTENT path still throws (below, via read): for a
+    // right-to-be-forgotten call, success-on-typo'd-path would record the
+    // erasure as done while the real table's rows survive elsewhere.
+    if (pathExists(spark, path) && !hasDataFiles(spark, path)) return (0L, 0L)
     val all = read(spark, path)
     // ONE column-pruned discovery pass yields both the table's partition
     // count and the affected set (a second distinct scan would double
@@ -150,17 +153,32 @@ object Warehouse {
     (parts.length.toLong, affected.size.toLong)
   }
 
-  /** True when `path` holds at least one non-hidden data file (recursive,
-    * through the Hadoop FS so it answers correctly on remote stores too).
-    * A freshly-"created" table dir may hold only _SUCCESS markers. */
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** True when `path` holds at least one data file the reader would SEE
+    * (recursive, through the Hadoop FS so it answers correctly on remote
+    * stores too). Matches Spark's own listing filter: a file is hidden if
+    * ITS name — or any ancestor directory's name below the table root —
+    * starts with '_' or '.', so a crash-leftover
+    * `_temporary/0/…/part-*.parquet` does NOT count as data (the reader
+    * ignores it, and counting it would resurrect the
+    * UNABLE_TO_INFER_SCHEMA failure this guard exists to prevent). */
   private def hasDataFiles(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return false
+    val rootUri = fs.makeQualified(p).toUri
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
-      val n = it.next().getPath.getName
-      if (!n.startsWith("_") && !n.startsWith(".")) return true
+      val f = it.next().getPath
+      // components of the path RELATIVE to the table root, file included
+      val rel = rootUri.relativize(fs.makeQualified(f).toUri).getPath
+      val visible = rel.split('/')
+        .forall(c => !c.startsWith("_") && !c.startsWith("."))
+      if (visible) return true
     }
     false
   }

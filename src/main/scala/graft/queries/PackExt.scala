@@ -699,6 +699,66 @@ object PackExt {
         .orderBy(col("label"))
     },
 
+    // The APPLY half of the drift→retrain loop (pairs with
+    // ann_ivf_drift_eval): the arrival batch scored under the STALE
+    // quantizer (trained before the arrivals — vec_id % 10 <> 0) vs the
+    // RETRAINED full-corpus quantizer (the SAME persisted table the
+    // serving queries use — retraining IS re-deriving that table), each
+    // under its own serving assignment. The before/after per-bucket
+    // distances are the evidence an operator reads before swapping the
+    // retrained index in.
+    QDef("ann_ivf_retrain_eval",
+      s"""WITH co AS (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean
+         |            FROM embeddings, range(1, 65) t(i) WHERE vec_id % 10 <> 0
+         |            GROUP BY label, i),
+         |cn AS (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean
+         |       FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+         |cvo AS (SELECT label AS pb, list(mean ORDER BY i) AS cv FROM co GROUP BY label),
+         |cvn AS (SELECT label AS pb, list(mean ORDER BY i) AS cv FROM cn GROUP BY label),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 10 = 0),
+         |aso AS (SELECT qid, pb FROM (
+         |        SELECT qid, pb, row_number() OVER (PARTITION BY qid ORDER BY
+         |          round(list_reduce(list_transform(range(1, 65),
+         |            i -> CAST(qe[i] AS DOUBLE) * cv[i]), (a,b) -> a+b), 6) DESC, pb) AS pr
+         |        FROM q, cvo) WHERE pr = 1),
+         |asn AS (SELECT qid, pb FROM (
+         |        SELECT qid, pb, row_number() OVER (PARTITION BY qid ORDER BY
+         |          round(list_reduce(list_transform(range(1, 65),
+         |            i -> CAST(qe[i] AS DOUBLE) * cv[i]), (a,b) -> a+b), 6) DESC, pb) AS pr
+         |        FROM q, cvn) WHERE pr = 1),
+         |vo AS (SELECT a.pb AS b, e.vec_id,
+         |         sum(CAST(floor((CAST(e.embedding[t.i] AS DOUBLE) - c.mean)
+         |                        * (CAST(e.embedding[t.i] AS DOUBLE) - c.mean) * 1e12 + 0.5) / 1e12
+         |                  AS DECIMAL(28,12))) AS dist
+         |       FROM embeddings e JOIN aso a ON a.qid = e.vec_id, range(1, 65) t(i)
+         |       JOIN co c ON c.i = t.i AND c.label = a.pb
+         |       GROUP BY a.pb, e.vec_id),
+         |vn AS (SELECT a.pb AS b, e.vec_id,
+         |         sum(CAST(floor((CAST(e.embedding[t.i] AS DOUBLE) - c.mean)
+         |                        * (CAST(e.embedding[t.i] AS DOUBLE) - c.mean) * 1e12 + 0.5) / 1e12
+         |                  AS DECIMAL(28,12))) AS dist
+         |       FROM embeddings e JOIN asn a ON a.qid = e.vec_id, range(1, 65) t(i)
+         |       JOIN cn c ON c.i = t.i AND c.label = a.pb
+         |       GROUP BY a.pb, e.vec_id),
+         |ro AS (SELECT b, count(*) AS n_old,
+         |         round(CAST(sum(dist) AS DOUBLE) / count(*), 6) AS dist_old
+         |       FROM vo GROUP BY b),
+         |rn AS (SELECT b, count(*) AS n_new,
+         |         round(CAST(sum(dist) AS DOUBLE) / count(*), 6) AS dist_new
+         |       FROM vn GROUP BY b)
+         |SELECT coalesce(ro.b, rn.b) AS label,
+         |  coalesce(ro.n_old, 0) AS n_old, ro.dist_old,
+         |  coalesce(rn.n_new, 0) AS n_new, rn.dist_new,
+         |  round(rn.dist_new - ro.dist_old, 6) AS delta
+         |FROM ro FULL OUTER JOIN rn ON rn.b = ro.b
+         |ORDER BY label""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.retrainEval(e.filter(col("vec_id") % 10 === 0),
+          Similarity.centroids(e.filter(col("vec_id") % 10 =!= 0), "label"),
+          persistedCentroids(s, d), "label")
+        .orderBy(col("label"))
+    },
+
     // LSH-bucketed ANN: sign-bit buckets from data-derived random
     // hyperplanes (first 4 corpus vectors; the corpus is zero-mean so each
     // splits it ~in half), exact rerank inside the query's bucket. The

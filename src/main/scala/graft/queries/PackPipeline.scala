@@ -1688,10 +1688,6 @@ object PackPipeline {
          Option(new java.io.File(procD).listFiles()).getOrElse(Array()))
           .flatMap(f => Exprs.reportFilenameRe.r.findFirstMatchIn(f.getName)
             .map(_.group(3).toLong)).toSet
-      def reportName(rid: Long, ext: String): String = {
-        val date = java.time.LocalDate.of(2024, 1, 1).plusDays(rid)
-        s"Report_${date}_$rid.$ext"
-      }
       def whNonEmpty(): Boolean = {
         val f = new java.io.File(wh)
         f.isDirectory && f.listFiles().exists(_.getName.endsWith(".parquet"))
@@ -1730,7 +1726,6 @@ object PackPipeline {
               // webhook payload) — buffering ONE partition's reports is
               // the executor-side analog of the old per-file string build
               it.asScala.toSeq.groupBy(_.getLong(0)).foreach { case (rid, rs) =>
-                val date = java.time.LocalDate.of(2024, 1, 1).plusDays(rid)
                 val rows = rs.map(r => (1 until r.length).map(r.get))
                 if (rid % 2 == 0) {
                   // canonical-dialect `;`-CSV
@@ -1740,12 +1735,12 @@ object PackPipeline {
                     sb.append(r.map(v => if (v == null) "" else v.toString).mkString(";"))
                   }
                   java.nio.file.Files.write(
-                    new java.io.File(rawDir, s"Report_${date}_$rid.csv").toPath,
+                    new java.io.File(rawDir, Exprs.reportFileName(rid, "csv")).toPath,
                     sb.toString.getBytes("UTF-8"))
                 } else {
                   // Spanish-dialect REAL workbook through the xlsx writer
                   graft.sources.Xlsx.writeFileRows(esNames, rows,
-                    new java.io.File(rawDir, s"Report_${date}_$rid.xlsx").toString)
+                    new java.io.File(rawDir, Exprs.reportFileName(rid, "xlsx")).toString)
                 }
               }
             }
@@ -1813,6 +1808,10 @@ object PackPipeline {
         .collect().map(_.getLong(0)).toSeq.sorted
       webhookDelivery(allRids.filter(_ < 12)) // first delivery window
       webhookDelivery(allRids) // full re-delivery — gates must dedup
+      // the staged corpus served both deliveries; it is the largest
+      // per-run /tmp artifact and nothing downstream reads it (the
+      // returned frame reads the warehouse) — drop it now
+      graft.io.Warehouse.deleteRecursively(s, corpusDir)
       graft.io.Warehouse.read(s, wh)
         .select(col("report_id"), col("report_date"), col("source_id"),
           col("settlement_date").cast("date").as("settlement_date"),

@@ -291,6 +291,53 @@ class IoSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("l2_secrets")
   }
 
+  test("agent SQL validation layer 2: the full read-only SELECT grammar ACCEPTS (no false closure)") {
+    import graft.io.AgentSupport.validateSql
+    import org.apache.spark.sql.functions._
+    // An allowlist's failure mode is the opposite of a denylist's: a
+    // legitimate query shape missing from allowedAnalyzedNodes rejects
+    // VALID agent SQL (found live during r15: `Except All`/`Intersect
+    // All` carry suffixed nodeNames). One statement per analyzed node
+    // family of the SELECT surface; the whole battery must pass with the
+    // table registered, i.e. through BOTH gate layers with real analysis.
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("real_amount", "categ", "p_total")
+      .createOrReplaceTempView("mp_data")
+    val allowed = Seq("carrefour_data", "mp_data", "bank_payments")
+    val battery = Seq(
+      "SELECT DISTINCT categ FROM mp_data",                                       // Deduplicate
+      "SELECT categ, sum(p_total) FROM mp_data GROUP BY CUBE(categ)",             // Expand
+      "SELECT * FROM mp_data TABLESAMPLE (50 PERCENT)",                           // Sample
+      "SELECT * FROM mp_data ORDER BY real_amount LIMIT 3 OFFSET 1",              // Sort/Limit/Offset
+      "SELECT * FROM mp_data DISTRIBUTE BY categ",                                // RepartitionByExpression
+      "SELECT avg(p_total) OVER w FROM mp_data WINDOW w AS (PARTITION BY categ)", // Window
+      "SELECT * FROM range(5)",                                                   // Range
+      "SELECT explode(array(1,2))",                                               // Generate/OneRowRelation
+      "SELECT * FROM VALUES (1,'x'), (2,'y') AS t(a,b)",                          // LocalRelation
+      "SELECT categ, p FROM mp_data LATERAL VIEW explode(array(1,2)) t AS p",     // Generate
+      "SELECT * FROM mp_data a JOIN LATERAL (SELECT max(p_total) m FROM mp_data b WHERE b.categ = a.categ) s ON true", // LateralJoin
+      "SELECT * FROM mp_data PIVOT (sum(p_total) FOR categ IN ('a', 'b'))",       // Pivot→Aggregate
+      "SELECT * FROM (SELECT categ, p_total, real_amount FROM mp_data) UNPIVOT (v FOR k IN (p_total, real_amount))", // Unpivot/Expand
+      "SELECT categ FROM mp_data UNION SELECT categ FROM mp_data",                // Union+Deduplicate
+      "SELECT categ FROM mp_data INTERSECT ALL SELECT categ FROM mp_data",        // Intersect All
+      "SELECT categ FROM mp_data EXCEPT ALL SELECT categ FROM mp_data",           // Except All (the r15 find)
+      "SELECT /*+ BROADCAST(a) */ a.categ FROM mp_data a JOIN mp_data b ON a.categ = b.categ", // ResolvedHint
+      "SELECT categ, count(*) FILTER (WHERE p_total > 2) FROM mp_data GROUP BY categ HAVING count(*) > 0",
+      "SELECT * FROM mp_data WHERE EXISTS (SELECT 1 FROM mp_data m2 WHERE m2.categ = mp_data.categ)", // subquery expr
+      "WITH t AS (SELECT categ FROM mp_data) SELECT t1.categ FROM t t1 JOIN t t2 ON t1.categ = t2.categ", // WithCTE/CTERelationRef
+      "SELECT * FROM mp_data a ANTI JOIN mp_data b ON a.categ = 'zzz' AND a.categ = b.categ",
+      "SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY p_total) FROM mp_data",
+      "SELECT * EXCEPT (categ) FROM mp_data",
+      "(SELECT categ FROM mp_data) ORDER BY categ")
+    try battery.foreach { sql =>
+      try validateSql(spark, sql, allowed)
+      catch { case e: Exception =>
+        fail(s"layer 2 falsely rejected legitimate SQL: $sql\n  -> ${e.getMessage}")
+      }
+    } finally spark.catalog.dropTempView("mp_data")
+  }
+
   test("agent SQL validation: CTE exemption is scope-aware (no cross-scope laundering)") {
     import graft.io.AgentSupport.validateSql
     val allowed = Seq("carrefour_data", "mp_data", "bank_payments")
@@ -506,8 +553,17 @@ class IoSpec extends AnyFunSuite {
     val empty = java.nio.file.Files.createTempDirectory("graft_delempty").toString + "/t"
     graft.io.Warehouse.appendPartitioned(src.limit(0), empty, Seq("p"))
     assert(graft.io.Warehouse.deleteWhere(spark, empty, "p", col("x") > 5) == ((0L, 0L)))
-    // nonexistent table dir: same contract
-    assert(graft.io.Warehouse.deleteWhere(spark, empty + "_nope", "p", col("x") > 5) == ((0L, 0L)))
+    // crash leftovers under hidden dirs (_temporary) are NOT data: the
+    // reader ignores them, so the guard must too (review find r15)
+    val tmpPart = new java.io.File(empty, "_temporary/0")
+    assert(tmpPart.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(tmpPart, "part-00000.parquet").toPath, "not parquet")
+    assert(graft.io.Warehouse.deleteWhere(spark, empty, "p", col("x") > 5) == ((0L, 0L)))
+    // a NONEXISTENT table dir still throws — a typo'd path must not let a
+    // right-to-be-forgotten call report success while the real rows live on
+    intercept[Exception](
+      graft.io.Warehouse.deleteWhere(spark, empty + "_nope", "p", col("x") > 5))
   }
 
   test("deleteWhere drops fully-emptied partitions whose VALUES need path escaping") {
