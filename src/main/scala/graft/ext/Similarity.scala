@@ -148,7 +148,12 @@ object Similarity {
     val centLong = broadcast(
       cents.select(col(bucketCol).as("cb"), col("i"), col("mean")))
     val diff = col("v").cast("double") - col("mean")
-    val perVec = vecs
+    // family NULL-embedding rule (r14, [[assignToCentroids]]): a NULL
+    // embedding is UNASSESSABLE — explicitly excluded from both the count
+    // and the mean rather than implicitly vanishing through the explode
+    // (a wrong-dimension vector still raises no rows only for its missing
+    // dims — the serving path's graft_dot length contract fails it first)
+    val perVec = vecs.filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("b"),
         posexplode(col("embedding")).as(Seq("pos", "v")))
       .join(centLong, col("b") === col("cb") && col("pos") + 1 === col("i"))
@@ -172,7 +177,12 @@ object Similarity {
       .select(col(bucketCol).as("pb"),
         transform(col("c"), x => x.getField("mean")).as("cvec"))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("pb"))
-    batch.select(col("vec_id").as("qid"), col("embedding"))
+    // family NULL-embedding rule: NULL scores NULL against EVERY centroid,
+    // and the (score desc, pb) tiebreak would silently hand the vector the
+    // lexicographically-first bucket — unassignable means excluded here,
+    // exactly as [[assignToCentroids]] NULLs its `assigned`
+    batch.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("qid"), col("embedding"))
       .crossJoin(broadcast(byBucket))
       .withColumn("score", round(nd(col("embedding"), col("cvec")), 6))
       .withColumn("pr", row_number().over(w)).filter(col("pr") === 1)

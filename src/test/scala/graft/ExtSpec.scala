@@ -463,6 +463,35 @@ class ExtSpec extends AnyFunSuite {
       .exists(c => c.getMessage != null && c.getMessage.contains("graft_dot: length mismatch")))
   }
 
+  test("quantizerDrift / retrainEval: NULL embeddings excluded from counts and means (family rule)") {
+    // two clean buckets + one NULL-embedding row on EACH side: the metric
+    // must be identical with or without the degenerate rows — a NULL
+    // embedding is unassessable, never tiebroken into a bucket (the
+    // servingAssign window's (score desc, pb) order would otherwise hand
+    // it bucket 0) and never a silent dent in n/mean
+    val corpus = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0f, 1f), 1), (4L, Array(0.1f, 0.9f), 1)).toDF("vec_id", "embedding", "label")
+    val dirtyCorpus = corpus.unionByName(
+      Seq((99L, null.asInstanceOf[Array[Float]], 0)).toDF("vec_id", "embedding", "label"))
+    val batch = Seq((10L, Array(1f, 0.2f)), (11L, Array(0.2f, 1f))).toDF("vec_id", "embedding")
+    val dirtyBatch = batch.unionByName(
+      Seq((98L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val cents = Similarity.centroids(corpus, "label")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("label")).collect().map(_.toSeq).toSeq
+    assert(rows(Similarity.quantizerDrift(dirtyCorpus, dirtyBatch, cents, "label", 1.1))
+      == rows(Similarity.quantizerDrift(corpus, batch, cents, "label", 1.1)))
+    val oldCents = Similarity.centroids(corpus.filter(col("vec_id") =!= 2L), "label")
+    assert(rows(Similarity.retrainEval(dirtyBatch, oldCents, cents, "label"))
+      == rows(Similarity.retrainEval(batch, oldCents, cents, "label")))
+    // sanity on the clean numbers: every batch vector lands in its bucket
+    val drift = Similarity.quantizerDrift(corpus, batch, cents, "label", 1.1)
+      .orderBy(col("label")).collect()
+    assert(drift.map(_.getLong(1)).toSeq == Seq(2L, 2L)) // n_train per bucket
+    assert(drift.map(_.getLong(3)).toSeq == Seq(1L, 1L)) // n_cur per bucket
+  }
+
   test("approx_count_distinct within 5% of exact; centroid assignment recovers buckets") {
     val ev = graft.schemas.Tables.events(spark, TestSpark.sf0001)
     val (approx, exact) = ev.select(
