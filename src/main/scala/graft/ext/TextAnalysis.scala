@@ -74,6 +74,38 @@ object TextAnalysis {
     size(regexp_extract_all(text, lit("[a-z0-9]+"), lit(0))).cast("long"),
     ceil(length(text) / 4.0).cast("long"))
 
+  /** A small ranked BPE merge vocabulary (classic high-frequency English
+    * merges; later entries compose earlier merged symbols — th+e, in+g —
+    * which is the property that makes the APPLY order matter). A
+    * production vocabulary is a versioned artifact loaded as config, not
+    * derived per query — a plan literal models that honestly, and swapping
+    * in a learned table changes nothing about the plan shape. */
+  val bpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r", "o" -> "n",
+    "r" -> "e", "a" -> "t", "e" -> "s", "o" -> "r", "e" -> "n", "t" -> "i",
+    "an" -> "d", "in" -> "g", "s" -> "t", "l" -> "e")
+
+  /** BPE tokenizer APPLICATION — the serve half whose train half is
+    * text_bpe_merge_candidates: encode text against a fixed ranked merge
+    * list. Classic algorithm on the char-spaced form: lowercase, strip
+    * non-letters, put a space after every letter (word gaps become DOUBLE
+    * spaces, so a single-space merge pattern can never cross a word
+    * boundary), then apply each merge in rank order as one global
+    * `\ba b\b → ab` replace — occurrences are space-separated tokens, so
+    * consecutive matches never overlap and one pass per rule is exact.
+    * Every step is a codegen'd row-local regexp_replace: no UDF, no
+    * shuffle, the narrow-transform shape that runs identically at any
+    * scale; \b and the replace semantics agree between Java regex and
+    * RE2, which is what lets DuckDB run the identical chain as the
+    * oracle. Returns the space-separated token string (NULL text → NULL). */
+  def bpeEncode(text: Column, merges: Seq[(String, String)] = bpeMerges): Column = {
+    val norm = regexp_replace(lower(text), "[^a-z]+", " ")
+    val spaced = regexp_replace(norm, "([a-z])", "$1 ")
+    merges.foldLeft(spaced) { case (c, (a, b)) =>
+      regexp_replace(c, "\\b" + a + " " + b + "\\b", a + b)
+    }
+  }
+
   /** Unicode/punctuation normalization: lowercase, strip non-alphanumerics,
     * collapse whitespace — the canonical pre-tokenization step. */
   def normalize(text: Column): Column =

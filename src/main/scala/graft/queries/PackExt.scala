@@ -1675,6 +1675,38 @@ object PackExt {
         .limit(20)
     },
 
+    // BPE ENCODE — the apply half of the tokenizer story (merge training
+    // above; application here): every document encoded against the fixed
+    // ranked merge vocabulary, per-doc token and unique-token counts. The
+    // whole encode is a chain of row-local codegen'd regexp_replaces
+    // (merge list as plan literals — a production vocab is a versioned
+    // config artifact); the identical chain runs in DuckDB (Java regex
+    // and RE2 agree on \b and global replace), making the token stream
+    // itself the compared value, not just its length.
+    QDef("text_bpe_encode",
+      s"""SELECT doc_id,
+         |  CASE WHEN trim(enc) = '' THEN 0
+         |       ELSE CAST(length(string_split_regex(trim(enc), ' +')) AS BIGINT) END AS n_tokens,
+         |  CASE WHEN trim(enc) = '' THEN 0
+         |       ELSE CAST(length(list_distinct(string_split_regex(trim(enc), ' +'))) AS BIGINT) END AS n_unique,
+         |  md5(trim(enc)) AS enc_md5
+         |FROM (SELECT doc_id, ${graft.ext.TextAnalysis.bpeMerges.foldLeft(
+              """regexp_replace(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), '([a-z])', '\1 ', 'g')""") {
+                case (inner, (a, b)) => s"regexp_replace($inner, '\\b$a $b\\b', '$a$b', 'g')"
+              }} AS enc FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val enc = trim(graft.ext.TextAnalysis.bpeEncode(col("text")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), enc.as("enc"))
+        .select(col("doc_id"),
+          when(length(col("enc")) === 0, lit(0L))
+            .otherwise(size(split(col("enc"), " +")).cast("long")).as("n_tokens"),
+          when(length(col("enc")) === 0, lit(0L))
+            .otherwise(size(array_distinct(split(col("enc"), " +"))).cast("long")).as("n_unique"),
+          md5(col("enc")).as("enc_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // Co-occurrence PMI (phrase mining / word-embedding pretraining):
     // token pairs within a ±2 window, pointwise mutual information from
     // exact global counts. Pair generation is the zip_with-shift trick

@@ -463,6 +463,22 @@ class ExtSpec extends AnyFunSuite {
       .exists(c => c.getMessage != null && c.getMessage.contains("graft_dot: length mismatch")))
   }
 
+  test("bpeEncode: ranked merges compose, never cross words, degenerate docs behave") {
+    import graft.ext.TextAnalysis
+    val out = Seq((1L, "the cat and then"), (2L, "  "), (3L, "123 !?"),
+        (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+      .select(col("id"), trim(TextAnalysis.bpeEncode(col("text"))).as("enc"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    // 'the' needs t+h THEN th+e (rank order composes); 'cat' takes a+t;
+    // 'and' needs a+n then an+d; 'then' consumes its e in th+e so e+n
+    // cannot fire; the double-space word gaps ('e  c', 'd  t') never
+    // merge across words
+    assert(out(1L) == "the  c at  and  the n", s"got '${out(1L)}'")
+    assert(out(2L) == "" && out(3L) == "", "letter-free docs encode to empty")
+    assert(out(4L) == null, "NULL text stays NULL (unassessable, family rule)")
+  }
+
   test("quantizerDrift / retrainEval: NULL embeddings excluded from counts and means (family rule)") {
     // two clean buckets + one NULL-embedding row on EACH side: the metric
     // must be identical with or without the degenerate rows — a NULL
