@@ -99,7 +99,19 @@ object TextAnalysis {
     * RE2, which is what lets DuckDB run the identical chain as the
     * oracle. Returns the space-separated token string (NULL text → NULL). */
   def bpeEncode(text: Column, merges: Seq[(String, String)] = bpeMerges): Column = {
-    val norm = regexp_replace(lower(text), "[^a-z]+", " ")
+    // symbols are interpolated into regex patterns (and, in the declared
+    // query's oracle, into SQL literals) — constrain them to the only
+    // alphabet the normalization can produce, so a learned vocabulary
+    // carrying regex metacharacters or quotes fails loudly here instead
+    // of silently matching the wrong text or breaking the generated SQL
+    require(merges.forall { case (a, b) =>
+      a.matches("[a-z]+") && b.matches("[a-z]+") },
+      "bpeEncode merge symbols must be lowercase ASCII letters")
+    // ASCII-strip BEFORE lower(): Java's full Unicode case mapping and
+    // DuckDB's utf8proc disagree on characters like U+0130 ('İ' lowers to
+    // 'i'+combining-dot in Java, 'i̇'≠'istanbul' split), so case-fold must
+    // only ever see [A-Za-z] — codepoint-class regexes agree exactly
+    val norm = lower(regexp_replace(text, "[^A-Za-z]+", " "))
     val spaced = regexp_replace(norm, "([a-z])", "$1 ")
     merges.foldLeft(spaced) { case (c, (a, b)) =>
       regexp_replace(c, "\\b" + a + " " + b + "\\b", a + b)

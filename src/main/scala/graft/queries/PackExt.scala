@@ -666,11 +666,13 @@ object PackExt {
          |                  AS DECIMAL(28,12))) AS dist
          |       FROM embeddings e, range(1, 65) t(i)
          |       JOIN cents c ON c.i = t.i AND c.label = e.label
+         |       WHERE e.embedding IS NOT NULL
          |       GROUP BY e.vec_id, e.label),
          |base AS (SELECT b, count(*) AS n_train,
          |           round(CAST(sum(dist) AS DOUBLE) / count(*), 6) AS base_dist
          |         FROM tr GROUP BY b),
-         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 10 = 0),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |     WHERE vec_id % 10 = 0 AND embedding IS NOT NULL),
          |qs AS (SELECT qid, pb, row_number() OVER (PARTITION BY qid ORDER BY
          |         round(list_reduce(list_transform(range(1, 65),
          |           i -> CAST(qe[i] AS DOUBLE) * cv[i]), (a,b) -> a+b), 6) DESC, pb) AS pr
@@ -715,7 +717,8 @@ object PackExt {
          |       FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
          |cvo AS (SELECT label AS pb, list(mean ORDER BY i) AS cv FROM co GROUP BY label),
          |cvn AS (SELECT label AS pb, list(mean ORDER BY i) AS cv FROM cn GROUP BY label),
-         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 10 = 0),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |     WHERE vec_id % 10 = 0 AND embedding IS NOT NULL),
          |aso AS (SELECT qid, pb FROM (
          |        SELECT qid, pb, row_number() OVER (PARTITION BY qid ORDER BY
          |          round(list_reduce(list_transform(range(1, 65),
@@ -1691,7 +1694,7 @@ object PackExt {
          |       ELSE CAST(length(list_distinct(string_split_regex(trim(enc), ' +'))) AS BIGINT) END AS n_unique,
          |  md5(trim(enc)) AS enc_md5
          |FROM (SELECT doc_id, ${graft.ext.TextAnalysis.bpeMerges.foldLeft(
-              """regexp_replace(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), '([a-z])', '\1 ', 'g')""") {
+              """regexp_replace(lower(regexp_replace(text, '[^A-Za-z]+', ' ', 'g')), '([a-z])', '\1 ', 'g')""") {
                 case (inner, (a, b)) => s"regexp_replace($inner, '\\b$a $b\\b', '$a$b', 'g')"
               }} AS enc FROM documents)
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
