@@ -125,9 +125,12 @@ object Similarity {
     *     stored SERVING rule (argmax 6dp-rounded centroid dot, smallest
     *     bucket on ties — identical to [[ivfMultiProbeTopK]]'s probe, so
     *     the drift monitor measures exactly what serving does);
-    *   `drift_ratio` = cur/base (NULL for a zero-base or unprobed
-    *     bucket); `retrain` = ratio > `threshold`, falling back to
-    *     cur_dist > 0 for a zero-base bucket, false for an unprobed one.
+    *   `drift_ratio` = cur/base (NULL for a zero-base, no-training-
+    *     population, or unprobed bucket); `retrain` = ratio > `threshold`,
+    *     falling back to cur_dist > 0 for a bucket with no usable
+    *     reference error (base_dist = 0, or base_dist NULL because the
+    *     stored quantizer has a bucket with no assessable training
+    *     population), false for an unprobed one.
     * Numerics: per-dim terms quantized to 12dp and summed as
     * DECIMAL(28,12) (order-free, engine-invariant — the [[pqCodes]]
     * contract); bucket means divide the exact decimal sum, cast to
@@ -198,8 +201,16 @@ object Similarity {
       .select(col("b"), col("n").as("n_train"), col("d").as("base_dist"))
     val cur = bucketMeanDist(assigned, cents, bucketCol)
       .select(col("b"), col("n").as("n_cur"), col("d").as("cur_dist"))
-    base.join(cur, Seq("b"), "left")
-      .select(col("b").as(bucketCol), col("n_train"), col("base_dist"),
+    // FULL outer (r15 advice): a bucket present in the stored centroid
+    // table but with no assessable training population (e.g. all its
+    // training embeddings NULL) still receives current arrivals under the
+    // serving rule — a left join would silently drop its retrain signal
+    // for exactly the degenerate case a drift monitor exists to catch.
+    // Such a bucket surfaces as (n_train=0, base_dist NULL) and its
+    // retrain flag falls through to the cur_dist > 0 arm below.
+    base.join(cur, Seq("b"), "full_outer")
+      .select(col("b").as(bucketCol),
+        coalesce(col("n_train"), lit(0L)).as("n_train"), col("base_dist"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"), col("cur_dist"),
         round(when(col("base_dist") > 0, col("cur_dist") / col("base_dist")), 6)
           .as("drift_ratio"),

@@ -220,18 +220,42 @@ object AgentSupport {
     * for names), and no resolved expression may be one of the denied
     * reflection/identity classes. View boundaries are checked by NAME and
     * not descended into — a view's body is the catalog's trusted
-    * definition, not the generated query's text. Analysis failure
-    * (unresolved relation/column) is NOT a gate violation: the same
-    * analyzer will refuse to execute that SQL, so there is nothing to
-    * protect — and callers validate against catalogs that may not have
-    * the tables registered. */
+    * definition, not the generated query's text. An UNRESOLVED-NAME
+    * analysis failure (table/column/function not found) is NOT a gate
+    * violation: the same analyzer will refuse to execute that SQL, so
+    * there is nothing to protect — callers legitimately validate against
+    * catalogs that don't have the tables registered. That skip is LOGGED
+    * (a validate-here/execute-there split must know layer 2 never ran and
+    * re-validate in the executing session). Any OTHER AnalysisException
+    * propagates: a blanket catch made the entire structural layer vanish
+    * for every analysis-failure class (r15 advice) — fail closed. */
   private[graft] def validateAnalyzed(spark: SparkSession,
                                    parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
                                    sql: String, allowed: Seq[String]): Unit = {
     val analyzed =
       try spark.sessionState.executePlan(parsed).analyzed
-      catch { case _: org.apache.spark.sql.AnalysisException => return }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException if unresolvedName(e) =>
+          log.warn(s"SQL gate layer 2 (resolved-plan walk) SKIPPED — the " +
+            s"validating catalog cannot resolve a name (${e.getCondition}); " +
+            s"the executing session must re-validate: $sql")
+          return
+      }
     validateAnalyzedPlan(analyzed, sql, allowed)
+  }
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** The analysis-failure classes that mean "this catalog doesn't have the
+    * name", not "the plan is malformed" — the only failures layer 2 may
+    * skip on. Matched by error-condition prefix so sub-conditions
+    * (`UNRESOLVED_COLUMN.WITH_SUGGESTION`, …) are covered; an exception
+    * carrying no condition (legacy single-message form) fails closed. */
+  private def unresolvedName(e: org.apache.spark.sql.AnalysisException): Boolean = {
+    val skippable = Seq("TABLE_OR_VIEW_NOT_FOUND", "UNRESOLVED_COLUMN",
+      "UNRESOLVED_FIELD", "UNRESOLVED_MAP_KEY", "UNRESOLVED_USING_COLUMN",
+      "UNRESOLVED_ROUTINE", "UNRESOLVED_VARIABLE")
+    Option(e.getCondition).exists(c => skippable.exists(c.startsWith))
   }
 
   private[graft] def validateAnalyzedPlan(

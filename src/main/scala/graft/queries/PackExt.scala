@@ -688,12 +688,13 @@ object PackExt {
          |cur AS (SELECT b, count(*) AS n_cur,
          |          round(CAST(sum(dist) AS DOUBLE) / count(*), 6) AS cur_dist
          |        FROM cur0 GROUP BY b)
-         |SELECT base.b AS label, base.n_train, base.base_dist,
+         |SELECT coalesce(base.b, cur.b) AS label,
+         |  coalesce(base.n_train, 0) AS n_train, base.base_dist,
          |  coalesce(cur.n_cur, 0) AS n_cur, cur.cur_dist,
          |  round(CASE WHEN base.base_dist > 0 THEN cur.cur_dist / base.base_dist END, 6) AS drift_ratio,
          |  coalesce(CASE WHEN base.base_dist > 0 THEN cur.cur_dist / base.base_dist > 1.1 END,
          |           cur.cur_dist > 0, false) AS retrain
-         |FROM base LEFT JOIN cur ON cur.b = base.b
+         |FROM base FULL OUTER JOIN cur ON cur.b = base.b
          |ORDER BY label""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
       Similarity.quantizerDrift(e, e.filter(col("vec_id") % 10 === 0),

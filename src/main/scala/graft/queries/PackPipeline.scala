@@ -1802,16 +1802,18 @@ object PackPipeline {
         }
         if (inboxHas(".csv") || inboxHas(".xlsx")) transformAndLoad()
       }
-      // delivery manifest: 23 report ids — metadata-grain collect (the
-      // webhook names reports, it doesn't carry rows)
-      val allRids = s.read.parquet(corpusDir).select(col("rid")).distinct()
-        .collect().map(_.getLong(0)).toSeq.sorted
-      webhookDelivery(allRids.filter(_ < 12)) // first delivery window
-      webhookDelivery(allRids) // full re-delivery — gates must dedup
-      // the staged corpus served both deliveries; it is the largest
-      // per-run /tmp artifact and nothing downstream reads it (the
-      // returned frame reads the warehouse) — drop it now
-      graft.io.Warehouse.deleteRecursively(s, corpusDir)
+      // the staged corpus is the largest per-run /tmp artifact and
+      // nothing downstream reads it (the returned frame reads the
+      // warehouse) — drop it in a finally so a failed delivery can't
+      // leak it across runs
+      try {
+        // delivery manifest: 23 report ids — metadata-grain collect (the
+        // webhook names reports, it doesn't carry rows)
+        val allRids = s.read.parquet(corpusDir).select(col("rid")).distinct()
+          .collect().map(_.getLong(0)).toSeq.sorted
+        webhookDelivery(allRids.filter(_ < 12)) // first delivery window
+        webhookDelivery(allRids) // full re-delivery — gates must dedup
+      } finally graft.io.Warehouse.deleteRecursively(s, corpusDir)
       graft.io.Warehouse.read(s, wh)
         .select(col("report_id"), col("report_date"), col("source_id"),
           col("settlement_date").cast("date").as("settlement_date"),

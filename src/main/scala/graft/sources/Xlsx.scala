@@ -314,12 +314,16 @@ object Xlsx {
   }
 
   /** [[writeFile]] from already-collected rows — for callers staging MANY
-    * small workbooks out of one driver-side collect (a per-file
-    * `writeFile(df.filter(...))` would launch one Spark job per
-    * workbook). Same bounded contract. */
+    * small workbooks, on the driver (one collect, many files) or from
+    * executor tasks (foreachPartition per report). The bound here is the
+    * per-WORKBOOK payload contract — one report per webhook delivery,
+    * built in memory before the zip encode — not a driver-memory guard;
+    * the caller chooses where the rows live. */
   def writeFileRows(header: Seq[String], rows: Seq[Seq[Any]], path: String): Unit = {
     require(rows.length <= WriteFileMaxRows,
-      s"Xlsx.writeFileRows is a bounded driver-side export (max $WriteFileMaxRows rows)")
+      s"Xlsx.writeFileRows builds one in-memory workbook (max $WriteFileMaxRows " +
+        "rows per file — the per-report payload contract); split larger " +
+        "exports across files or use df.write.parquet/csv")
     val bytes = writeWorkbook(header, rows)
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(path).getParent)

@@ -508,6 +508,42 @@ class ExtSpec extends AnyFunSuite {
     assert(drift.map(_.getLong(3)).toSeq == Seq(1L, 1L)) // n_cur per bucket
   }
 
+  test("quantizerDrift degenerate buckets: zero-base flags retrain; no-training-population surfaces (r15 verdict #8 / advice)") {
+    // stored quantizer with three buckets; the corpus can assess only two:
+    //   bucket 0 — one training vector AT its centroid (base_dist = 0);
+    //   bucket 1 — normal training mass (base_dist > 0), no arrivals;
+    //   bucket 2 — its only training embedding is NULL, so it has NO
+    //     assessable training population (base row absent entirely).
+    val cents = Seq((0, 1, 1.0), (0, 2, 0.0), (1, 1, 0.0), (1, 2, 1.0),
+        (2, 1, -1.0), (2, 2, 0.0)).toDF("label", "i", "mean")
+    val corpus = Seq(
+      (1L, Array(1f, 0f), 0),
+      (2L, Array(0f, 1f), 1), (3L, Array(0f, 0.6f), 1),
+      (4L, null.asInstanceOf[Array[Float]], 2)).toDF("vec_id", "embedding", "label")
+    // arrivals: one lands in zero-base bucket 0, one in unassessable
+    // bucket 2 (its centroid (-1,0) wins the serving argmax); bucket 1
+    // receives nothing
+    val batch = Seq((10L, Array(1f, 0.1f)), (11L, Array(-1f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizerDrift(corpus, batch, cents, "label", 1.1)
+      .orderBy(col("label")).collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(0, 1, 2),
+      "the no-training-population bucket must SURFACE (full outer), not drop")
+    val b0 = out(0); val b1 = out(1); val b2 = out(2)
+    // bucket 0: base_dist = 0 → ratio undefined, but current mass exists →
+    // the coalesce's middle arm (cur_dist > 0) must flag retrain
+    assert(b0.getLong(1) == 1 && b0.getDouble(2) == 0.0 && b0.getLong(3) == 1)
+    assert(b0.isNullAt(5) && b0.getBoolean(6),
+      "zero-base bucket with current mass must flag retrain (NULL ratio)")
+    // bucket 1: unprobed → retrain false, NULL cur_dist
+    assert(b1.getLong(3) == 0 && b1.isNullAt(4) && !b1.getBoolean(6))
+    // bucket 2: n_train 0, NULL base_dist, arrivals present → retrain
+    assert(b2.getLong(1) == 0 && b2.isNullAt(2) && b2.getLong(3) == 1)
+    assert(b2.isNullAt(5) && b2.getBoolean(6),
+      "a stored bucket with no assessable training population but current " +
+        "arrivals is exactly the staleness signal the monitor exists for")
+  }
+
   test("approx_count_distinct within 5% of exact; centroid assignment recovers buckets") {
     val ev = graft.schemas.Tables.events(spark, TestSpark.sf0001)
     val (approx, exact) = ev.select(

@@ -338,6 +338,30 @@ class IoSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("mp_data")
   }
 
+  test("agent SQL gate layer 2: skips ONLY on unresolved names, fails closed on other analysis errors (r15 advice)") {
+    import graft.io.AgentSupport.validateSql
+    import org.apache.spark.sql.functions._
+    val allowed = Seq("carrefour_data", "mp_data", "bank_payments")
+    // table not registered in the validating catalog: TABLE_OR_VIEW_NOT_FOUND
+    // is a legitimate layer-2 skip (logged) — the executing session's own
+    // analyzer refuses that SQL anyway; validateSql must NOT throw
+    spark.catalog.dropTempView("mp_data"): Unit // defensive vs suite ordering
+    validateSql(spark, "SELECT real_amount FROM mp_data LIMIT 1", allowed)
+    spark.range(5)
+      .select(col("id").as("real_amount"), (col("id") % 2).cast("string").as("categ"))
+      .createOrReplaceTempView("mp_data")
+    try {
+      // unresolved COLUMN with the table registered: still a name skip
+      validateSql(spark, "SELECT no_such_column FROM mp_data", allowed)
+      // a NON-name analysis failure (here MISSING_AGGREGATION) must
+      // PROPAGATE: the old blanket catch silently dropped the entire
+      // structural layer for every AnalysisException class
+      intercept[org.apache.spark.sql.AnalysisException](
+        validateSql(spark,
+          "SELECT categ, real_amount FROM mp_data GROUP BY categ", allowed))
+    } finally spark.catalog.dropTempView("mp_data")
+  }
+
   test("agent SQL validation: CTE exemption is scope-aware (no cross-scope laundering)") {
     import graft.io.AgentSupport.validateSql
     val allowed = Seq("carrefour_data", "mp_data", "bank_payments")
