@@ -763,6 +763,84 @@ object PackExt {
         .orderBy(col("label"))
     },
 
+    // Atomic quantizer SWAP — the promotion step that closes the
+    // drift→retrain loop (ann_ivf_drift_eval flags staleness,
+    // ann_ivf_retrain_eval scores the replacement; nothing promoted it
+    // until now): the STALE quantizer (trained before the vec_id % 10 = 0
+    // arrivals) commits as version 1 of a transactional graft-atomic
+    // table, the RETRAINED full-corpus quantizer then commits as version
+    // 2 — the sink's manifest-pointer flip IS the promotion: readers
+    // planned before it finish on the v1 snapshot, readers planned after
+    // it serve the retrained index, and v1 stays time-travel-readable
+    // (`option("version", 1)`) for audit/rollback until expireVersions.
+    // The declared result serves the SAME query set through BOTH: the
+    // current table must answer with the retrained quantizer and version
+    // 1 with the stale one — a swap that leaked either way (append
+    // instead of truncate, pointer off by one) hash-fails. At 100 TB the
+    // centroid table is KB-sized either version; the swap cost is two
+    // manifest renames, never a corpus touch.
+    QDef("ann_ivf_swap_serve",
+      s"""WITH cn AS (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean
+         |            FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+         |co AS (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean
+         |       FROM embeddings, range(1, 65) t(i) WHERE vec_id % 10 <> 0
+         |       GROUP BY label, i),
+         |cvn AS (SELECT label AS pb, list(mean ORDER BY i) AS cv FROM cn GROUP BY label),
+         |cvo AS (SELECT label AS pb, list(mean ORDER BY i) AS cv FROM co GROUP BY label),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+         |pn AS (SELECT qid, pb FROM (
+         |       SELECT qid, pb, row_number() OVER (PARTITION BY qid ORDER BY
+         |         round(list_reduce(list_transform(range(1, 65),
+         |           i -> CAST(qe[i] AS DOUBLE) * cv[i]), (a,b) -> a+b), 6) DESC, pb) AS pr
+         |       FROM q, cvn) WHERE pr = 1),
+         |po AS (SELECT qid, pb FROM (
+         |       SELECT qid, pb, row_number() OVER (PARTITION BY qid ORDER BY
+         |         round(list_reduce(list_transform(range(1, 65),
+         |           i -> CAST(qe[i] AS DOUBLE) * cv[i]), (a,b) -> a+b), 6) DESC, pb) AS pr
+         |       FROM q, cvo) WHERE pr = 1),
+         |sn AS (SELECT q.qid, e.vec_id AS nid, round(${cosSql("q.qe", "e.embedding")}, 6) AS cos
+         |       FROM q JOIN pn ON pn.qid = q.qid
+         |       JOIN embeddings e ON e.label = pn.pb AND e.vec_id <> q.qid),
+         |so AS (SELECT q.qid, e.vec_id AS nid, round(${cosSql("q.qe", "e.embedding")}, 6) AS cos
+         |       FROM q JOIN po ON po.qid = q.qid
+         |       JOIN embeddings e ON e.label = po.pb AND e.vec_id <> q.qid),
+         |rn AS (SELECT qid, nid, cos,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
+         |       FROM sn),
+         |ro AS (SELECT qid, nid, cos,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
+         |       FROM so)
+         |SELECT 'retrained' AS quantizer, qid, nid, cos, rank FROM rn WHERE rank <= 3
+         |UNION ALL
+         |SELECT 'stale' AS quantizer, qid, nid, cos, rank FROM ro WHERE rank <= 3
+         |ORDER BY quantizer, qid, rank""".stripMargin) { (s, d) =>
+      val loc = s"${sys.props("java.io.tmpdir")}/graft_${new java.io.File(d).getName}/ann_swap"
+      graft.io.Warehouse.deleteRecursively(s, loc)
+      val e = Tables.embeddings(s, d)
+      val retrained = Similarity.centroids(e, "label")
+      // version 1: the quantizer trained before the arrival slice existed
+      Similarity.centroids(e.filter(col("vec_id") % 10 =!= 0), "label")
+        .write.format("graft-atomic").option("path", loc).mode("overwrite").save()
+      // the SWAP: retrained quantizer commits as version 2 (truncate —
+      // promotion REPLACES the serving table, it doesn't append to it)
+      retrained.write.format("graft-atomic").option("path", loc)
+        .mode("overwrite").save()
+      val vs = graft.sources.AtomicSink.versions(loc)
+      require(vs.size == 2,
+        s"swap must retain exactly the stale and retrained versions, got $vs")
+      val cur = s.read.schema(retrained.schema).format("graft-atomic").load(loc)
+      val old = s.read.schema(retrained.schema).format("graft-atomic")
+        .option("version", vs.min).load(loc)
+      val q = e.filter(col("vec_id") < 20)
+      Similarity.ivfMultiProbeTopK(e, q, cur, "label", k = 3, nprobe = 1)
+        .withColumn("quantizer", lit("retrained"))
+        .unionByName(
+          Similarity.ivfMultiProbeTopK(e, q, old, "label", k = 3, nprobe = 1)
+            .withColumn("quantizer", lit("stale")))
+        .select(col("quantizer"), col("qid"), col("nid"), col("cos"), col("rank"))
+        .orderBy(col("quantizer"), col("qid"), col("rank"))
+    },
+
     // LSH-bucketed ANN: sign-bit buckets from data-derived random
     // hyperplanes (first 4 corpus vectors; the corpus is zero-mean so each
     // splits it ~in half), exact rerank inside the query's bucket. The
