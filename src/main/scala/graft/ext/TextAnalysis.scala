@@ -118,6 +118,58 @@ object TextAnalysis {
     }
   }
 
+  /** Iterative BPE TRAINER — the loop that LEARNS the ranked merge list
+    * [[bpeEncode]] applies (text_bpe_merge_candidates scores one round;
+    * this is the full train loop, the tokenizer sibling of
+    * Similarity.kmeansFit's Lloyd iteration). Classic algorithm over the
+    * char-spaced vocabulary: count adjacent symbol pairs weighted by word
+    * frequency, merge the top pair (count desc, then lexical on both
+    * symbols — fully deterministic), re-count; later rounds' pairs
+    * compose earlier rounds' merged symbols.
+    *
+    * Distribution shape: the corpus collapses to (word, freq) ONCE — the
+    * classic BPE trick: pair statistics live on the VOCABULARY weighted
+    * by frequency, so after the first aggregation the per-round jobs
+    * never touch the corpus again. The cached vocabulary is re-scanned
+    * per round with the merges learned so far applied as a codegen'd
+    * regexp_replace chain (same one-pass-exact argument as
+    * [[bpeEncode]]: symbols are space-separated, matches can't overlap),
+    * and only the single winning pair crosses the driver per round —
+    * the same metadata grain as kmeansFit's k centroids. Learned symbols
+    * are lowercase ASCII by construction (the normalization's alphabet),
+    * so they satisfy [[bpeEncode]]'s symbol validation and can feed it
+    * directly as a served vocabulary. Returns (lhs, rhs, weighted count)
+    * in merge-rank order. */
+  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int): Seq[(String, String, Long)] = {
+    val vocab = BoundedCache.persist("TextAnalysis.bpeTrain.vocab",
+      docs.select(explode(split(lower(regexp_replace(col(textCol),
+          "[^A-Za-z]+", " ")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .select(trim(regexp_replace(col("w"), "([a-z])", "$1 ")).as("sp"),
+          col("freq")))
+    var merges = Vector.empty[(String, String, Long)]
+    for (_ <- 1 to rounds) {
+      val spaced = merges.foldLeft(col("sp")) { case (c, (a, b, _)) =>
+        regexp_replace(c, "\\b" + a + " " + b + "\\b", a + b)
+      }
+      val top = vocab
+        .select(split(spaced, " ").as("s"), col("freq"))
+        // single-symbol words have no pairs (and sequence(1,0) would run
+        // DESCENDING in Spark rather than empty — filter, don't rely on it)
+        .filter(size(col("s")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("s")) - 1),
+          i => struct(element_at(col("s"), i).as("a"),
+            element_at(col("s"), i + 1).as("b")))).as("p"), col("freq"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()(0)
+      merges = merges :+ ((top.getString(0), top.getString(1), top.getLong(2)))
+    }
+    merges
+  }
+
   /** Unicode/punctuation normalization: lowercase, strip non-alphanumerics,
     * collapse whitespace — the canonical pre-tokenization step. */
   def normalize(text: Column): Column =

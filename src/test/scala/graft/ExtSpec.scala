@@ -479,6 +479,29 @@ class ExtSpec extends AnyFunSuite {
     assert(out(4L) == null, "NULL text stays NULL (unassessable, family rule)")
   }
 
+  test("bpeTrain: learns the ranked merges and feeds bpeEncode (r16 verdict #2)") {
+    import graft.ext.TextAnalysis
+    val docs = Seq((1L, "the theme then"), (2L, "that, the!"), (3L, "in inn thin"))
+      .toDF("doc_id", "text")
+    // hand-derived: freq = {the:2, theme:1, then:1, that:1, in:1, inn:1,
+    // thin:1}; round 1 pair counts: (t,h)=6 > (h,e)=4 > (i,n)=3 > rest;
+    // round 2 composes round 1's symbol: (th,e)=4; round 3: (i,n)=3
+    val merges = TextAnalysis.bpeTrain(docs, "text", rounds = 3)
+    assert(merges == Seq(("t", "h", 6L), ("th", "e", 4L), ("i", "n", 3L)),
+      s"got $merges")
+    // the learned vocabulary feeds bpeEncode directly and reproduces the
+    // literal merge-chain encoding (rank order applied, merges composing,
+    // never crossing word gaps)
+    val enc = docs
+      .select(col("doc_id"),
+        trim(TextAnalysis.bpeEncode(col("text"),
+          merges.map { case (a, b, _) => (a, b) })).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(enc(1L) == "the  the m e  the n", s"got '${enc(1L)}'")
+    assert(enc(2L) == "th a t  the", s"got '${enc(2L)}'")
+    assert(enc(3L) == "in  in n  th in", s"got '${enc(3L)}'")
+  }
+
   test("quantizerDrift / retrainEval: NULL embeddings excluded from counts and means (family rule)") {
     // two clean buckets + one NULL-embedding row on EACH side: the metric
     // must be identical with or without the degenerate rows — a NULL
