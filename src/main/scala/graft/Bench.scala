@@ -72,7 +72,11 @@ object Bench {
       // r14's phantom outliers (judged 1.6-1.9x, bisected in r15 to pure
       // box drift — NOTES r15): swing-prone under ambient load, so pin
       // them with the third run too
-      "dedup_simhash_banded", "u1_udtf_ticket_items", "emb_pq_codes")
+      "dedup_simhash_banded", "u1_udtf_ticket_items", "emb_pq_codes",
+      // r16 additions: many small scheduler-bound jobs per run (8
+      // train rounds + a driver collect each; 2 sink commits + 2
+      // versioned scans) — same driver-contention profile as pagerank
+      "text_bpe_train", "ann_ivf_swap_serve")
     // A query that throws is EXCLUDED from total/n_queries — its wall time
     // is time-to-throw, not engine cost, and counting it silently reports a
     // broken engine as a fast one (the r7 failure mode). `errors` in the
@@ -97,7 +101,12 @@ object Bench {
     val qs = headline.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"errors":${broken.size},"calib":${fmt(calib)},"queries":$qs,"sf":"$sfDir"}""")
+    // total_per_calib makes the record SELF-normalizing (r16 task 4):
+    // totals across rounds compare as calib multiples — unit-free box
+    // speed cancels out; per-query normalization is queries[q]/calib
+    // (tools/benchdiff.py applies it and flags >1.2x normalized deltas)
+    val norm = if (calib > 0) total / calib else 0.0
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"errors":${broken.size},"calib":${fmt(calib)},"total_per_calib":${fmt(norm)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
