@@ -76,7 +76,7 @@ object Bench {
       // r16 additions: many small scheduler-bound jobs per run (8
       // train rounds + a driver collect each; 2 sink commits + 2
       // versioned scans) — same driver-contention profile as pagerank
-      "text_bpe_train", "ann_ivf_swap_serve")
+      "text_bpe_train", "text_bpe_train_encode", "ann_ivf_swap_serve")
     // A query that throws is EXCLUDED from total/n_queries — its wall time
     // is time-to-throw, not engine cost, and counting it silently reports a
     // broken engine as a fast one (the r7 failure mode). `errors` in the

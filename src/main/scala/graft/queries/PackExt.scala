@@ -17,6 +17,30 @@ import graft.ext.{Multimodal, Similarity, TextAnalysis, TextDedup}
   * the part that must scale — see the Scaladoc in graft.ext. */
 object PackExt {
 
+  /** DuckDB CTE block deriving `rounds` learned BPE merges relationally —
+    * words → char-spaced v0, then per round r: pair counts p$r over
+    * v${r-1}, winning merge m$r (count desc + lexical tiebreak), merged
+    * vocabulary v$r. Shared by text_bpe_train (which SELECTs the m$r
+    * rows) and text_bpe_train_encode (which applies them to documents),
+    * so the training arithmetic is stated once. */
+  private def bpeTrainCtes(rounds: Int): String = {
+    val perRound = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT p[1] AS a, p[2] AS b, sum(freq) AS n
+         |        FROM (SELECT unnest(list_transform(range(1, length(s)),
+         |                       i -> [s[i], s[i+1]])) AS p, freq
+         |              FROM (SELECT string_split(sp, ' ') AS s, freq FROM v${r - 1}))
+         |        GROUP BY 1, 2),
+         |m$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+         |v$r AS (SELECT regexp_replace(sp, '\\b' || a || ' ' || b || '\\b', a || b, 'g') AS sp, freq
+         |        FROM v${r - 1}, m$r)""".stripMargin
+    }.mkString(",\n")
+    s"""words AS (SELECT w, count(*) AS freq FROM (
+       |  SELECT unnest(string_split(lower(regexp_replace(text, '[^A-Za-z]+', ' ', 'g')), ' ')) AS w
+       |  FROM documents) WHERE w <> '' GROUP BY w),
+       |v0 AS (SELECT trim(regexp_replace(w, '([a-z])', '\\1 ', 'g')) AS sp, freq FROM words),
+       |$perRound""".stripMargin
+  }
+
   /** DuckDB-side sequential-double dot product matching Similarity.dot. */
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, length($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc,x) -> acc + x)"
@@ -1802,24 +1826,10 @@ object PackExt {
     // on the cached vocabulary only; one row crosses the driver per
     // round (kmeansFit's metadata grain).
     QDef("text_bpe_train", {
-      val rounds = (1 to 8).map { r =>
-        s"""p$r AS (SELECT p[1] AS a, p[2] AS b, sum(freq) AS n
-           |        FROM (SELECT unnest(list_transform(range(1, length(s)),
-           |                       i -> [s[i], s[i+1]])) AS p, freq
-           |              FROM (SELECT string_split(sp, ' ') AS s, freq FROM v${r - 1}))
-           |        GROUP BY 1, 2),
-           |m$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
-           |v$r AS (SELECT regexp_replace(sp, '\\b' || a || ' ' || b || '\\b', a || b, 'g') AS sp, freq
-           |        FROM v${r - 1}, m$r)""".stripMargin
-      }.mkString(",\n")
       val union = (1 to 8).map(r =>
         s"SELECT CAST($r AS INTEGER) AS rank, a AS lhs, b AS rhs, CAST(n AS BIGINT) AS n FROM m$r")
         .mkString("\nUNION ALL\n")
-      s"""WITH words AS (SELECT w, count(*) AS freq FROM (
-         |  SELECT unnest(string_split(lower(regexp_replace(text, '[^A-Za-z]+', ' ', 'g')), ' ')) AS w
-         |  FROM documents) WHERE w <> '' GROUP BY w),
-         |v0 AS (SELECT trim(regexp_replace(w, '([a-z])', '\\1 ', 'g')) AS sp, freq FROM words),
-         |$rounds
+      s"""WITH ${bpeTrainCtes(8)}
          |$union
          |ORDER BY rank""".stripMargin
     }) { (s, d) =>
@@ -1829,6 +1839,50 @@ object PackExt {
         .map { case ((a, b, n), i) => (i + 1, a, b, n) }
         .toDF("rank", "lhs", "rhs", "n")
         .orderBy(col("rank"))
+    },
+
+    // BPE train→serve COMPOSITION — the tokenizer loop closed end to end
+    // (the text sibling of ann_ivf_swap_serve's quantizer loop): the
+    // corpus is encoded against the vocabulary text_bpe_train just
+    // LEARNED, not the fixed config literal text_bpe_encode serves. Both
+    // engines derive the 8 merges from the data AND apply them — a
+    // training divergence that happened to keep counts plausible, or an
+    // application order bug, lands in the token-stream md5. Spark side:
+    // the learned pairs come back as plan literals (one driver row per
+    // round, the trained-artifact grain) and the encode stays the same
+    // codegen'd row-local regexp chain — corpus never shuffles.
+    QDef("text_bpe_train_encode", {
+      val applied = (1 to 8).map { r =>
+        s"""enc$r AS (SELECT doc_id,
+           |  regexp_replace(e, '\\b' || a || ' ' || b || '\\b', a || b, 'g') AS e
+           |  FROM enc${r - 1}, m$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${bpeTrainCtes(8)},
+         |enc0 AS (SELECT doc_id,
+         |  regexp_replace(lower(regexp_replace(text, '[^A-Za-z]+', ' ', 'g')), '([a-z])', '\\1 ', 'g') AS e
+         |  FROM documents),
+         |$applied
+         |SELECT doc_id,
+         |  CASE WHEN trim(e) = '' THEN 0
+         |       ELSE CAST(length(string_split_regex(trim(e), ' +')) AS BIGINT) END AS n_tokens,
+         |  CASE WHEN trim(e) = '' THEN 0
+         |       ELSE CAST(length(list_distinct(string_split_regex(trim(e), ' +'))) AS BIGINT) END AS n_unique,
+         |  md5(trim(e)) AS enc_md5
+         |FROM enc8
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val learned = TextAnalysis.bpeTrain(docs, "text", rounds = 8)
+        .map { case (a, b, _) => (a, b) }
+      val enc = trim(TextAnalysis.bpeEncode(col("text"), learned))
+      docs.select(col("doc_id"), enc.as("enc"))
+        .select(col("doc_id"),
+          when(length(col("enc")) === 0, lit(0L))
+            .otherwise(size(split(col("enc"), " +")).cast("long")).as("n_tokens"),
+          when(length(col("enc")) === 0, lit(0L))
+            .otherwise(size(array_distinct(split(col("enc"), " +"))).cast("long")).as("n_unique"),
+          md5(col("enc")).as("enc_md5"))
+        .orderBy(col("doc_id"))
     },
 
     // Co-occurrence PMI (phrase mining / word-embedding pretraining):
