@@ -76,7 +76,18 @@ object Bench {
       // r16 additions: many small scheduler-bound jobs per run (8
       // train rounds + a driver collect each; 2 sink commits + 2
       // versioned scans) — same driver-contention profile as pagerank
-      "text_bpe_train", "text_bpe_train_encode", "ann_ivf_swap_serve")
+      "text_bpe_train", "text_bpe_train_encode", "ann_ivf_swap_serve",
+      // r16 benchdiff adjudication: the queries that flagged >1.2x
+      // calib-normalized on a slow box (calib 0.70-0.89 vs the 0.517
+      // record day) but re-timed at parity standalone — broadcast-heavy
+      // self-joins and file-commit-bound sinks swing hardest under
+      // ambient load because the CPU-probe calib under-corrects IO
+      // degradation; min-of-3 damps the phantom instead of leaving it
+      // for every future round's diff
+      "text_tfidf_sim_topk", "k15_sink_backfill_overwrite",
+      "k16_sink_training_shards", "join_bucketed_smb",
+      "k17_sink_scd2_apply", "k3_sink_warehouse_append",
+      "pipeline_bank_e2e", "pipeline_mp_e2e", "pipeline_pdf_e2e")
     // A query that throws is EXCLUDED from total/n_queries — its wall time
     // is time-to-throw, not engine cost, and counting it silently reports a
     // broken engine as a fast one (the r7 failure mode). `errors` in the
@@ -93,6 +104,12 @@ object Bench {
       }
       if (broken(name)) None else Some(name -> times.min)
     }
+    // calib drifts DURING a ~20-min run (measured r16: 0.43-0.89 within
+    // one session) — a start-only probe mis-normalizes queries that ran
+    // under a different ambient load. Sample it again after the pack and
+    // report both; readers treat [calib, calib_end] as the run's
+    // box-speed envelope rather than a point.
+    val calibEnd = calibrate()
     // The consumer captures only the last ~2000 chars of output, so the
     // JSON line must stay well under that: per-query ms precision and only
     // the slowest headline queries in the dict (total still covers ALL).
@@ -103,10 +120,12 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // total_per_calib makes the record SELF-normalizing (r16 task 4):
     // totals across rounds compare as calib multiples — unit-free box
-    // speed cancels out; per-query normalization is queries[q]/calib
-    // (tools/benchdiff.py applies it and flags >1.2x normalized deltas)
-    val norm = if (calib > 0) total / calib else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"errors":${broken.size},"calib":${fmt(calib)},"total_per_calib":${fmt(norm)},"queries":$qs,"sf":"$sfDir"}""")
+    // speed cancels out. Normalized by the (calib, calib_end) MIDPOINT,
+    // the same denominator tools/benchdiff.py uses, so the record field
+    // and the tool can never disagree about the same run.
+    val calibMid = (calib + calibEnd) / 2
+    val norm = if (calibMid > 0) total / calibMid else 0.0
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"errors":${broken.size},"calib":${fmt(calib)},"calib_end":${fmt(calibEnd)},"total_per_calib":${fmt(norm)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

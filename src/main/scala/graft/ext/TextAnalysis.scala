@@ -149,7 +149,8 @@ object TextAnalysis {
         .select(trim(regexp_replace(col("w"), "([a-z])", "$1 ")).as("sp"),
           col("freq")))
     var merges = Vector.empty[(String, String, Long)]
-    for (_ <- 1 to rounds) {
+    var exhausted = false
+    for (_ <- 1 to rounds if !exhausted) {
       val spaced = merges.foldLeft(col("sp")) { case (c, (a, b, _)) =>
         regexp_replace(c, "\\b" + a + " " + b + "\\b", a + b)
       }
@@ -164,8 +165,15 @@ object TextAnalysis {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("n"))
         .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(1).collect()(0)
-      merges = merges :+ ((top.getString(0), top.getString(1), top.getLong(2)))
+        .limit(1).collect().headOption
+      top match {
+        case Some(t) => merges = merges :+ ((t.getString(0), t.getString(1), t.getLong(2)))
+        // vocabulary fully merged (every word one symbol) before `rounds`
+        // rounds: return the merges that exist — the relational form (the
+        // oracle's per-round LIMIT 1 over an empty pair table) degrades
+        // the same way, and a tiny corpus must not crash the trainer
+        case None => exhausted = true
+      }
     }
     merges
   }

@@ -1227,17 +1227,31 @@ object PackCore {
     * drain itself. Entries only ever match within their own live session
     * (a new session re-encodes from scratch). */
   private[queries] def stageArrival(dir: String, df: DataFrame, part: String): Unit = {
-    val cached = stagedCache.synchronized {
+    def lookup(): Option[String] = stagedCache.synchronized {
+      // evict dead-session entries while here: they can never match again
+      // and would otherwise pin their logical plans (and cost a
+      // canonicalized compare per lookup) for the JVM's life — the
+      // BoundedCache eviction discipline (the orphaned /tmp dirs are the
+      // OS tempdir's to reap, as with every other staging dir here)
+      stagedCache.filterInPlace { case (p, _) =>
+        !p.sparkSession.sparkContext.isStopped }
       stagedCache.find { case (p, _) =>
         p.sparkSession.eq(df.sparkSession) &&
-          (try p.sameSemantics(df) catch { case _: Throwable => false })
-      } match {
-        case Some((_, c)) => c
-        case None =>
-          val staging = java.nio.file.Files.createTempDirectory("graft_stage").toString
-          df.coalesce(1).write.mode("overwrite").parquet(staging)
-          stagedCache += ((df, staging))
-          staging
+          (try p.sameSemantics(df)
+           catch { case scala.util.control.NonFatal(_) => false })
+      }.map(_._2)
+    }
+    val cached = lookup().getOrElse {
+      // encode OUTSIDE the lock — a Spark job under a global mutex would
+      // serialize concurrent suites' staging; a racing duplicate encode
+      // just leaves one unused tempdir and the re-lookup wins
+      val staging = java.nio.file.Files.createTempDirectory("graft_stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      stagedCache.synchronized {
+        lookup() match {
+          case Some(winner) => winner
+          case None => stagedCache += ((df, staging)); staging
+        }
       }
     }
     new java.io.File(cached).listFiles()

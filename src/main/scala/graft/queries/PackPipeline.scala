@@ -1701,7 +1701,6 @@ object PackPipeline {
       // at the mounted inbox volume, the same contract as any file sink).
       val corpusDir = java.nio.file.Files
         .createTempDirectory(s"graft_mpe2e_corpus$run").toString + "/corpus"
-      txns.write.parquet(corpusDir)
       def webhookDelivery(rids: Seq[Long]): Unit = {
         // -- extract: staging gate by parsed report id over the bucket
         // listing (extract_data_mp:115-138), then stage CSV or XLSX
@@ -1807,6 +1806,10 @@ object PackPipeline {
       // warehouse) — drop it in a finally so a failed delivery can't
       // leak it across runs
       try {
+        // the corpus WRITE sits inside the try too: a disk-full abort
+        // mid-write is exactly the condition under which a leaked
+        // partial corpus hurts most
+        txns.write.parquet(corpusDir)
         // delivery manifest: 23 report ids — metadata-grain collect (the
         // webhook names reports, it doesn't carry rows)
         val allRids = s.read.parquet(corpusDir).select(col("rid")).distinct()

@@ -500,6 +500,13 @@ class ExtSpec extends AnyFunSuite {
     assert(enc(1L) == "the  the m e  the n", s"got '${enc(1L)}'")
     assert(enc(2L) == "th a t  the", s"got '${enc(2L)}'")
     assert(enc(3L) == "in  in n  th in", s"got '${enc(3L)}'")
+    // vocabulary exhaustion: a corpus whose words fully merge before
+    // `rounds` rounds returns the merges that exist (the oracle's
+    // per-round LIMIT 1 over an empty pair table degrades the same way)
+    // instead of crashing on the empty top-pair collect
+    val tiny = Seq((1L, "ab ab!")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrain(tiny, "text", rounds = 5)
+      == Seq(("a", "b", 2L)))
   }
 
   test("quantizerDrift / retrainEval: NULL embeddings excluded from counts and means (family rule)") {

@@ -41,7 +41,16 @@ def load(path):
 def main():
     old, new = load(sys.argv[1]), load(sys.argv[2])
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.2
-    co, cn = old.get("calib"), new.get("calib")
+
+    # r16+ records carry calib_end too: the box drifts DURING a run, so
+    # normalize by the midpoint of the run's box-speed envelope when
+    # available (a start-only probe mis-normalizes late-running queries)
+    def calib_of(d):
+        c = d.get("calib")
+        e = d.get("calib_end")
+        return (c + e) / 2 if c and e else c
+
+    co, cn = calib_of(old), calib_of(new)
     if not co or not cn:
         raise SystemExit("both records need a calib field (r15+)")
     rows = []
