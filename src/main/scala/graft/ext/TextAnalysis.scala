@@ -113,10 +113,17 @@ object TextAnalysis {
     // only ever see [A-Za-z] — codepoint-class regexes agree exactly
     val norm = lower(regexp_replace(text, "[^A-Za-z]+", " "))
     val spaced = regexp_replace(norm, "([a-z])", "$1 ")
+    applyMerges(spaced, merges)
+  }
+
+  /** The one statement of the merge-application rule — a global
+    * `\ba b\b → ab` replace per ranked pair — shared by the encoder
+    * ([[bpeEncode]]) and the trainer's per-round re-count ([[bpeTrain]]):
+    * the rule IS the train/serve contract, so it must not exist twice. */
+  private def applyMerges(spaced: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(spaced) { case (c, (a, b)) =>
       regexp_replace(c, "\\b" + a + " " + b + "\\b", a + b)
     }
-  }
 
   /** Iterative BPE TRAINER — the loop that LEARNS the ranked merge list
     * [[bpeEncode]] applies (text_bpe_merge_candidates scores one round;
@@ -151,9 +158,7 @@ object TextAnalysis {
     var merges = Vector.empty[(String, String, Long)]
     var exhausted = false
     for (_ <- 1 to rounds if !exhausted) {
-      val spaced = merges.foldLeft(col("sp")) { case (c, (a, b, _)) =>
-        regexp_replace(c, "\\b" + a + " " + b + "\\b", a + b)
-      }
+      val spaced = applyMerges(col("sp"), merges.map { case (a, b, _) => (a, b) })
       val top = vocab
         .select(split(spaced, " ").as("s"), col("freq"))
         // single-symbol words have no pairs (and sequence(1,0) would run

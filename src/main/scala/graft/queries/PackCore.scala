@@ -1216,6 +1216,25 @@ object PackCore {
   private val stagedCache =
     new scala.collection.mutable.ArrayBuffer[(DataFrame, String)]()
 
+  // the cached staging dirs hold real parquet copies (unlike the old
+  // move-out-of-staging flow, which left only metadata): reclaim them
+  // when their session dies and at JVM exit, so long-lived boxes never
+  // accumulate one corpus copy per staged plan per session
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      stagedCache.synchronized {
+        stagedCache.foreach { case (_, dir) => deleteStagingDir(dir) }
+      }))
+  }
+
+  private def deleteStagingDir(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(dir))
+  }
+
   /** Write `df` as parquet files directly inside `dir` — one arrival
     * batch per call (the streaming file source lists only the top level,
     * so nested write directories would be invisible). The FIRST staging
@@ -1231,10 +1250,13 @@ object PackCore {
       // evict dead-session entries while here: they can never match again
       // and would otherwise pin their logical plans (and cost a
       // canonicalized compare per lookup) for the JVM's life — the
-      // BoundedCache eviction discipline (the orphaned /tmp dirs are the
-      // OS tempdir's to reap, as with every other staging dir here)
-      stagedCache.filterInPlace { case (p, _) =>
-        !p.sparkSession.sparkContext.isStopped }
+      // BoundedCache eviction discipline; their staging dirs are deleted
+      // with them (real parquet copies, not the OS tempdir's problem)
+      stagedCache.filterInPlace { case (p, d) =>
+        val live = !p.sparkSession.sparkContext.isStopped
+        if (!live) deleteStagingDir(d)
+        live
+      }
       stagedCache.find { case (p, _) =>
         p.sparkSession.eq(df.sparkSession) &&
           (try p.sameSemantics(df)

@@ -803,7 +803,22 @@ object PackExt {
     // instead of truncate, pointer off by one) hash-fails. At 100 TB the
     // centroid table is KB-sized either version; the swap cost is two
     // manifest renames, never a corpus touch.
-    QDef("ann_ivf_swap_serve",
+    QDef("ann_ivf_swap_serve", {
+      // one serve chain (probe → bucket-restricted score → rank), emitted
+      // per quantizer from a single definition — the two branches of the
+      // swap comparison must never be edited out of lockstep
+      def serve(tag: String, cvec: String) =
+        s"""p$tag AS (SELECT qid, pb FROM (
+           |       SELECT qid, pb, row_number() OVER (PARTITION BY qid ORDER BY
+           |         round(list_reduce(list_transform(range(1, 65),
+           |           i -> CAST(qe[i] AS DOUBLE) * cv[i]), (a,b) -> a+b), 6) DESC, pb) AS pr
+           |       FROM q, $cvec) WHERE pr = 1),
+           |s$tag AS (SELECT q.qid, e.vec_id AS nid, round(${cosSql("q.qe", "e.embedding")}, 6) AS cos
+           |       FROM q JOIN p$tag ON p$tag.qid = q.qid
+           |       JOIN embeddings e ON e.label = p$tag.pb AND e.vec_id <> q.qid),
+           |r$tag AS (SELECT qid, nid, cos,
+           |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
+           |       FROM s$tag)""".stripMargin
       s"""WITH cn AS (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean
          |            FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
          |co AS (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean
@@ -812,32 +827,13 @@ object PackExt {
          |cvn AS (SELECT label AS pb, list(mean ORDER BY i) AS cv FROM cn GROUP BY label),
          |cvo AS (SELECT label AS pb, list(mean ORDER BY i) AS cv FROM co GROUP BY label),
          |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
-         |pn AS (SELECT qid, pb FROM (
-         |       SELECT qid, pb, row_number() OVER (PARTITION BY qid ORDER BY
-         |         round(list_reduce(list_transform(range(1, 65),
-         |           i -> CAST(qe[i] AS DOUBLE) * cv[i]), (a,b) -> a+b), 6) DESC, pb) AS pr
-         |       FROM q, cvn) WHERE pr = 1),
-         |po AS (SELECT qid, pb FROM (
-         |       SELECT qid, pb, row_number() OVER (PARTITION BY qid ORDER BY
-         |         round(list_reduce(list_transform(range(1, 65),
-         |           i -> CAST(qe[i] AS DOUBLE) * cv[i]), (a,b) -> a+b), 6) DESC, pb) AS pr
-         |       FROM q, cvo) WHERE pr = 1),
-         |sn AS (SELECT q.qid, e.vec_id AS nid, round(${cosSql("q.qe", "e.embedding")}, 6) AS cos
-         |       FROM q JOIN pn ON pn.qid = q.qid
-         |       JOIN embeddings e ON e.label = pn.pb AND e.vec_id <> q.qid),
-         |so AS (SELECT q.qid, e.vec_id AS nid, round(${cosSql("q.qe", "e.embedding")}, 6) AS cos
-         |       FROM q JOIN po ON po.qid = q.qid
-         |       JOIN embeddings e ON e.label = po.pb AND e.vec_id <> q.qid),
-         |rn AS (SELECT qid, nid, cos,
-         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
-         |       FROM sn),
-         |ro AS (SELECT qid, nid, cos,
-         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
-         |       FROM so)
+         |${serve("n", "cvn")},
+         |${serve("o", "cvo")}
          |SELECT 'retrained' AS quantizer, qid, nid, cos, rank FROM rn WHERE rank <= 3
          |UNION ALL
          |SELECT 'stale' AS quantizer, qid, nid, cos, rank FROM ro WHERE rank <= 3
-         |ORDER BY quantizer, qid, rank""".stripMargin) { (s, d) =>
+         |ORDER BY quantizer, qid, rank""".stripMargin
+    }) { (s, d) =>
       val loc = s"${sys.props("java.io.tmpdir")}/graft_${new java.io.File(d).getName}/ann_swap"
       graft.io.Warehouse.deleteRecursively(s, loc)
       val e = Tables.embeddings(s, d)
@@ -1852,10 +1848,17 @@ object PackExt {
     // round, the trained-artifact grain) and the encode stays the same
     // codegen'd row-local regexp chain — corpus never shuffles.
     QDef("text_bpe_train_encode", {
+      // LEFT JOIN ON true + coalesce, NOT a cross join: if the vocabulary
+      // exhausts before round r (m$r empty), a cross join would empty
+      // enc$r — and every round after it — while the Spark side (bpeTrain
+      // stops early, bpeEncode still encodes every doc) keeps one row per
+      // document. The left join keeps the rows and the NULL-pattern
+      // regexp_replace coalesces to the unmerged text: a no-op round,
+      // exactly Spark's early-stop semantics.
       val applied = (1 to 8).map { r =>
         s"""enc$r AS (SELECT doc_id,
-           |  regexp_replace(e, '\\b' || a || ' ' || b || '\\b', a || b, 'g') AS e
-           |  FROM enc${r - 1}, m$r)""".stripMargin
+           |  coalesce(regexp_replace(e, '\\b' || a || ' ' || b || '\\b', a || b, 'g'), e) AS e
+           |  FROM enc${r - 1} LEFT JOIN m$r ON true)""".stripMargin
       }.mkString(",\n")
       s"""WITH ${bpeTrainCtes(8)},
          |enc0 AS (SELECT doc_id,
