@@ -77,6 +77,7 @@ object Bench {
       // train rounds + a driver collect each; 2 sink commits + 2
       // versioned scans) — same driver-contention profile as pagerank
       "text_bpe_train", "text_bpe_train_encode", "ann_ivf_swap_serve",
+      "ann_ivf_swap_expire",
       // r16 benchdiff adjudication: the queries that flagged >1.2x
       // calib-normalized on a slow box (calib 0.70-0.89 vs the 0.517
       // record day) but re-timed at parity standalone — broadcast-heavy

@@ -41,6 +41,24 @@ object PackExt {
        |$perRound""".stripMargin
   }
 
+  /** One IVF serve chain (probe → bucket-restricted score → rank) for the
+    * swap/lifecycle oracles, emitted per quantizer from a single
+    * definition — branches compared against each other must never be
+    * edited out of lockstep. Emits CTEs p$tag/s$tag/r$tag reading the
+    * `q` (qid, qe) CTE and the `$cvec` (pb, cv) centroid CTE. */
+  private def ivfServeCtes(tag: String, cvec: String): String =
+    s"""p$tag AS (SELECT qid, pb FROM (
+       |       SELECT qid, pb, row_number() OVER (PARTITION BY qid ORDER BY
+       |         round(list_reduce(list_transform(range(1, 65),
+       |           i -> CAST(qe[i] AS DOUBLE) * cv[i]), (a,b) -> a+b), 6) DESC, pb) AS pr
+       |       FROM q, $cvec) WHERE pr = 1),
+       |s$tag AS (SELECT q.qid, e.vec_id AS nid, round(${cosSql("q.qe", "e.embedding")}, 6) AS cos
+       |       FROM q JOIN p$tag ON p$tag.qid = q.qid
+       |       JOIN embeddings e ON e.label = p$tag.pb AND e.vec_id <> q.qid),
+       |r$tag AS (SELECT qid, nid, cos,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
+       |       FROM s$tag)""".stripMargin
+
   /** DuckDB-side sequential-double dot product matching Similarity.dot. */
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, length($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc,x) -> acc + x)"
@@ -804,21 +822,6 @@ object PackExt {
     // centroid table is KB-sized either version; the swap cost is two
     // manifest renames, never a corpus touch.
     QDef("ann_ivf_swap_serve", {
-      // one serve chain (probe → bucket-restricted score → rank), emitted
-      // per quantizer from a single definition — the two branches of the
-      // swap comparison must never be edited out of lockstep
-      def serve(tag: String, cvec: String) =
-        s"""p$tag AS (SELECT qid, pb FROM (
-           |       SELECT qid, pb, row_number() OVER (PARTITION BY qid ORDER BY
-           |         round(list_reduce(list_transform(range(1, 65),
-           |           i -> CAST(qe[i] AS DOUBLE) * cv[i]), (a,b) -> a+b), 6) DESC, pb) AS pr
-           |       FROM q, $cvec) WHERE pr = 1),
-           |s$tag AS (SELECT q.qid, e.vec_id AS nid, round(${cosSql("q.qe", "e.embedding")}, 6) AS cos
-           |       FROM q JOIN p$tag ON p$tag.qid = q.qid
-           |       JOIN embeddings e ON e.label = p$tag.pb AND e.vec_id <> q.qid),
-           |r$tag AS (SELECT qid, nid, cos,
-           |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
-           |       FROM s$tag)""".stripMargin
       s"""WITH cn AS (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean
          |            FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
          |co AS (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean
@@ -827,8 +830,8 @@ object PackExt {
          |cvn AS (SELECT label AS pb, list(mean ORDER BY i) AS cv FROM cn GROUP BY label),
          |cvo AS (SELECT label AS pb, list(mean ORDER BY i) AS cv FROM co GROUP BY label),
          |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
-         |${serve("n", "cvn")},
-         |${serve("o", "cvo")}
+         |${ivfServeCtes("n", "cvn")},
+         |${ivfServeCtes("o", "cvo")}
          |SELECT 'retrained' AS quantizer, qid, nid, cos, rank FROM rn WHERE rank <= 3
          |UNION ALL
          |SELECT 'stale' AS quantizer, qid, nid, cos, rank FROM ro WHERE rank <= 3
@@ -859,6 +862,66 @@ object PackExt {
             .withColumn("quantizer", lit("stale")))
         .select(col("quantizer"), col("qid"), col("nid"), col("cos"), col("rank"))
         .orderBy(col("quantizer"), col("qid"), col("rank"))
+    },
+
+    // Quantizer RETENTION lifecycle — the step after the swap: once the
+    // retrained index has served long enough that no reader can still
+    // hold the v1 snapshot, the operator RETIRES it (expireVersions) and
+    // reclaims its storage (vacuum). The declared result pins the whole
+    // lifecycle around an unchanged serving surface: the current-table
+    // serve must be identical before and after retirement (retention is
+    // metadata-only for the live version), exactly one version expires
+    // (2 → 1 retained), the expired snapshot is no longer readable, and
+    // vacuum reclaimed at least one physical file (v1's data files were
+    // orphaned by the truncate swap, retained only by its snapshot
+    // manifest). At 100 TB this is the storage-cost half of index
+    // versioning: without expire+vacuum every retrain doubles the stored
+    // quantizer footprint forever.
+    QDef("ann_ivf_swap_expire", {
+      s"""WITH cn AS (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean
+         |            FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+         |cvn AS (SELECT label AS pb, list(mean ORDER BY i) AS cv FROM cn GROUP BY label),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+         |${ivfServeCtes("n", "cvn")}
+         |SELECT qid, nid, cos, rank,
+         |  CAST(2 AS INTEGER) AS n_versions_before,
+         |  CAST(1 AS INTEGER) AS n_versions_after,
+         |  CAST(1 AS INTEGER) AS n_expired,
+         |  false AS v1_readable,
+         |  true AS vacuum_reclaimed
+         |FROM rn WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin
+    }) { (s, d) =>
+      val loc = s"${sys.props("java.io.tmpdir")}/graft_${new java.io.File(d).getName}/ann_swap_exp"
+      graft.io.Warehouse.deleteRecursively(s, loc)
+      val e = Tables.embeddings(s, d)
+      val retrained = Similarity.centroids(e, "label")
+      // the swap (as ann_ivf_swap_serve): v1 stale, v2 retrained
+      Similarity.centroids(e.filter(col("vec_id") % 10 =!= 0), "label")
+        .write.format("graft-atomic").option("path", loc).mode("overwrite").save()
+      retrained.write.format("graft-atomic").option("path", loc)
+        .mode("overwrite").save()
+      val before = graft.sources.AtomicSink.versions(loc).size
+      // retirement: keep only the serving version, then physical cleanup
+      val expired = graft.sources.AtomicSink.expireVersions(loc, keepLast = 1)
+      val reclaimed = graft.sources.AtomicSink.vacuum(loc)
+      val after = graft.sources.AtomicSink.versions(loc).size
+      val v1Readable =
+        try {
+          s.read.schema(retrained.schema).format("graft-atomic")
+            .option("version", expired.head).load(loc).count()
+          true
+        } catch { case scala.util.control.NonFatal(_) => false }
+      val cur = s.read.schema(retrained.schema).format("graft-atomic").load(loc)
+      Similarity.ivfMultiProbeTopK(e, e.filter(col("vec_id") < 20), cur,
+          "label", k = 3, nprobe = 1)
+        .select(col("qid"), col("nid"), col("cos"), col("rank"),
+          lit(before).as("n_versions_before"),
+          lit(after).as("n_versions_after"),
+          lit(expired.size).as("n_expired"),
+          lit(v1Readable).as("v1_readable"),
+          lit(reclaimed > 0).as("vacuum_reclaimed"))
+        .orderBy(col("qid"), col("rank"))
     },
 
     // LSH-bucketed ANN: sign-bit buckets from data-derived random
