@@ -6,6 +6,36 @@ import org.apache.spark.sql.SparkSession
   * index warmup) and once timed, in name order, so numbers reflect
   * steady-state engine cost rather than first-touch JIT noise. */
 object Bench {
+
+  /** IO-floor probe (r16): the CPU calib cannot see ambient IO load —
+    * one r16 bench run read a FAST CPU probe while checkpoint-bound
+    * queries ran 1.9-2.1× slow (an IO surge), producing 24 phantom
+    * normalized flags. This times the pattern the streaming floor
+    * actually pays: small synced file creates + renames (the
+    * offset/commit-log shape), min-of-3 over 100 files each. Guarded to
+    * 0.0 on ANY failure — a diagnostics field must never break the
+    * bench record. */
+  def ioProbe(): Double =
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ioprobe")
+      def pass(tag: Int): Double = {
+        val t0 = System.nanoTime()
+        (0 until 100).foreach { i =>
+          val f = dir.resolve(s"p$tag-$i.tmp")
+          val out = new java.io.FileOutputStream(f.toFile)
+          try { out.write(new Array[Byte](512)); out.getFD.sync() }
+          finally out.close()
+          java.nio.file.Files.move(f, dir.resolve(s"p$tag-$i.log")): Unit
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      pass(-1) // warmup
+      val t = (0 to 2).map(pass).min
+      Option(dir.toFile.listFiles()).foreach(_.foreach(_.delete()))
+      java.nio.file.Files.deleteIfExists(dir): Unit
+      t
+    } catch { case scala.util.control.NonFatal(_) => 0.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -33,6 +63,7 @@ object Bench {
     // one untimed pass warms codegen; min-of-3 measures after it
     spark.range(1L << 30).selectExpr("sum(xxhash64(id) % 1000)").head()
     val calib = calibrate()
+    val calibIo = Bench.ioProbe()
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val broken = scala.collection.mutable.LinkedHashSet[String]()
     ordered.foreach { case (name, fn) =>
@@ -111,6 +142,7 @@ object Bench {
     // report both; readers treat [calib, calib_end] as the run's
     // box-speed envelope rather than a point.
     val calibEnd = calibrate()
+    val calibIoEnd = Bench.ioProbe()
     // The consumer captures only the last ~2000 chars of output, so the
     // JSON line must stay well under that: per-query ms precision and only
     // the slowest headline queries in the dict (total still covers ALL).
@@ -126,7 +158,7 @@ object Bench {
     // and the tool can never disagree about the same run.
     val calibMid = (calib + calibEnd) / 2
     val norm = if (calibMid > 0) total / calibMid else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"errors":${broken.size},"calib":${fmt(calib)},"calib_end":${fmt(calibEnd)},"total_per_calib":${fmt(norm)},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"errors":${broken.size},"calib":${fmt(calib)},"calib_end":${fmt(calibEnd)},"calib_io":${fmt(calibIo)},"calib_io_end":${fmt(calibIoEnd)},"total_per_calib":${fmt(norm)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
