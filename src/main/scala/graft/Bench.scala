@@ -29,11 +29,16 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      pass(-1) // warmup
-      val t = (0 to 2).map(pass).min
-      Option(dir.toFile.listFiles()).foreach(_.foreach(_.delete()))
-      java.nio.file.Files.deleteIfExists(dir): Unit
-      t
+      try {
+        pass(-1) // warmup
+        (0 to 2).map(pass).min
+      } finally {
+        // cleanup must run even when a pass throws mid-way (disk-full,
+        // permission flip): a failed probe must not leave ~400 files in
+        // the shared tmpdir
+        Option(dir.toFile.listFiles()).foreach(_.foreach(_.delete()))
+        java.nio.file.Files.deleteIfExists(dir): Unit
+      }
     } catch { case scala.util.control.NonFatal(_) => 0.0 }
 
   def main(args: Array[String]): Unit = {

@@ -1263,25 +1263,41 @@ object PackCore {
            catch { case scala.util.control.NonFatal(_) => false })
       }.map(_._2)
     }
-    val cached = lookup().getOrElse {
+    def encode(): String = {
       // encode OUTSIDE the lock — a Spark job under a global mutex would
       // serialize concurrent suites' staging; a racing duplicate encode
-      // just leaves one unused tempdir and the re-lookup wins
+      // loses the re-lookup and its tempdir (a full parquet copy no
+      // eviction or shutdown hook would ever see) is reclaimed here
       val staging = java.nio.file.Files.createTempDirectory("graft_stage").toString
       df.coalesce(1).write.mode("overwrite").parquet(staging)
       stagedCache.synchronized {
         lookup() match {
-          case Some(winner) => winner
+          case Some(winner) => deleteStagingDir(staging); winner
           case None => stagedCache += ((df, staging)); staging
         }
       }
     }
-    new java.io.File(cached).listFiles()
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).zipWithIndex
-      .foreach { case (f, i) =>
+    // a session-lifetime cached dir can be removed out from under us (OS
+    // /tmp reaper on a long-lived JVM) — treat a missing/empty dir as a
+    // cache miss: evict the entry and re-encode, never NPE
+    def copyOut(cached: String): Boolean = {
+      val files = Option(new java.io.File(cached).listFiles())
+        .getOrElse(Array()).filter(_.getName.endsWith(".parquet"))
+      files.sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
         java.nio.file.Files.copy(f.toPath,
           java.nio.file.Paths.get(dir, s"${part}_$i.parquet")); ()
       }
+      files.nonEmpty
+    }
+    if (!copyOut(lookup().getOrElse(encode()))) {
+      stagedCache.synchronized {
+        stagedCache.filterInPlace { case (_, d) =>
+          new java.io.File(d).isDirectory
+        }
+      }
+      require(copyOut(encode()),
+        "stageArrival: staged dir vanished immediately after encode")
+    }
   }
 
   // sugar for $"col" inside this object

@@ -41,4 +41,26 @@ class StageCacheSpec extends AnyFunSuite {
     val back = s.read.parquet(d3).as[(Long, Long)].collect().toSet
     assert(back == (0L until 101L).map(i => (i, i % 7)).toSet)
   }
+
+  test("externally reaped staging dir is a cache miss, not an NPE") {
+    val s = spark
+    import s.implicits._
+    val d1 = java.nio.file.Files.createTempDirectory("graft_scs4").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft_scs5").toString
+    def frame() = s.range(50).select(col("id"), (col("id") * 3).as("v"))
+    PackCore.stageArrival(d1, frame(), "b1")
+    // simulate an OS /tmp reaper removing every live graft_stage dir the
+    // cache could be serving (the cache is private; sweeping the tmpdir
+    // hits the one holding this plan's encode without reaching into it)
+    Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
+      .getOrElse(Array()).filter(_.getName.startsWith("graft_stage"))
+      .foreach { d =>
+        Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
+      }
+    // pre-fix this NPE'd on listFiles()=null; now it must re-encode
+    PackCore.stageArrival(d2, frame(), "b1")
+    val back = s.read.parquet(d2).as[(Long, Long)].collect().toSet
+    assert(back == (0L until 50L).map(i => (i, i * 3)).toSet,
+      "re-encode after external reap must serve the same rows")
+  }
 }

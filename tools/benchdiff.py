@@ -56,8 +56,14 @@ def main():
     rows = []
     for q, tn in new["queries"].items():
         if q in old["queries"]:
-            no, nn = old["queries"][q] / co, tn / cn
-            rows.append((nn / no, q, old["queries"][q], tn, no, nn))
+            to = old["queries"][q]
+            # Bench prints 3-decimal seconds: a sub-ms query rounds to 0.0,
+            # and a zero on either side makes the ratio meaningless (a zero
+            # OLD time would divide by zero and abort the whole diff)
+            if to <= 0 or tn <= 0:
+                continue
+            no, nn = to / co, tn / cn
+            rows.append((nn / no, q, to, tn, no, nn))
     rows.sort(reverse=True)
     print(f"calib: old={co:.3f} new={cn:.3f} (box ratio {cn / co:.2f}x)")
     if "value" in old and "value" in new:
