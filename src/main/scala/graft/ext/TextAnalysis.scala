@@ -99,22 +99,52 @@ object TextAnalysis {
     * RE2, which is what lets DuckDB run the identical chain as the
     * oracle. Returns the space-separated token string (NULL text → NULL). */
   def bpeEncode(text: Column, merges: Seq[(String, String)] = bpeMerges): Column = {
-    // symbols are interpolated into regex patterns (and, in the declared
-    // query's oracle, into SQL literals) — constrain them to the only
-    // alphabet the normalization can produce, so a learned vocabulary
-    // carrying regex metacharacters or quotes fails loudly here instead
-    // of silently matching the wrong text or breaking the generated SQL
+    validateMerges(merges)
+    // the regex-chain depth IS the expression-tree depth: right for a
+    // config vocabulary, wrong for a trained one (a 32k-merge chain blows
+    // whole-stage codegen's method limit and pays a regex scan per merge)
+    // — trained vocabularies serve through [[bpeEncodeTrained]]'s
+    // single-expression pass instead
+    require(merges.size <= 64,
+      s"bpeEncode: a ${merges.size}-merge vocabulary would fold a ${merges.size}-deep " +
+        "regexp_replace chain into the plan — serve trained vocabularies via bpeEncodeTrained")
+    applyMerges(charSpaced(text), merges)
+  }
+
+  /** [[bpeEncode]] for TRAINED vocabularies of any size: the same
+    * normalization and the same ranked-merge grammar, but the whole merge
+    * table travels as ONE plan literal into the native
+    * graft.plans.BpeApplyMerges expression (one compiled adjacent-token
+    * scan per merge — chain depth constant in vocabulary size). The two
+    * paths are pinned equal by TextAnalysisSpec's equivalence property;
+    * applyMerges stays the single statement of the train/serve rule. */
+  def bpeEncodeTrained(spark: org.apache.spark.sql.SparkSession, text: Column,
+      merges: Seq[(String, String)]): Column = {
+    validateMerges(merges)
+    graft.plans.BpeApplyMerges.register(spark)
+    call_function("graft_bpe_apply", charSpaced(text),
+      lit(merges.map { case (a, b) => s"$a $b" }.mkString(",")))
+  }
+
+  /** Symbols are interpolated into regex patterns (and, in the declared
+    * queries' oracles, into SQL literals) — constrain them to the only
+    * alphabet the normalization can produce, so a learned vocabulary
+    * carrying regex metacharacters or quotes fails loudly here instead
+    * of silently matching the wrong text or breaking the generated SQL. */
+  private def validateMerges(merges: Seq[(String, String)]): Unit =
     require(merges.forall { case (a, b) =>
       a.matches("[a-z]+") && b.matches("[a-z]+") },
-      "bpeEncode merge symbols must be lowercase ASCII letters")
-    // ASCII-strip BEFORE lower(): Java's full Unicode case mapping and
-    // DuckDB's utf8proc disagree on characters like U+0130 ('İ' lowers to
-    // 'i'+combining-dot in Java, 'i̇'≠'istanbul' split), so case-fold must
-    // only ever see [A-Za-z] — codepoint-class regexes agree exactly
-    val norm = lower(regexp_replace(text, "[^A-Za-z]+", " "))
-    val spaced = regexp_replace(norm, "([a-z])", "$1 ")
-    applyMerges(spaced, merges)
-  }
+      "BPE merge symbols must be lowercase ASCII letters")
+
+  /** The shared pre-tokenization: lowercase, strip non-letters, space
+    * after every letter (word gaps become DOUBLE spaces, so a
+    * single-space merge pattern can never cross a word boundary).
+    * ASCII-strip BEFORE lower(): Java's full Unicode case mapping and
+    * DuckDB's utf8proc disagree on characters like U+0130 ('İ' lowers to
+    * 'i'+combining-dot in Java, 'i̇'≠'istanbul' split), so case-fold must
+    * only ever see [A-Za-z] — codepoint-class regexes agree exactly. */
+  private def charSpaced(text: Column): Column =
+    regexp_replace(lower(regexp_replace(text, "[^A-Za-z]+", " ")), "([a-z])", "$1 ")
 
   /** The one statement of the merge-application rule — a global
     * `\ba b\b → ab` replace per ranked pair — shared by the encoder
@@ -126,61 +156,121 @@ object TextAnalysis {
     }
 
   /** Iterative BPE TRAINER — the loop that LEARNS the ranked merge list
-    * [[bpeEncode]] applies (text_bpe_merge_candidates scores one round;
-    * this is the full train loop, the tokenizer sibling of
+    * the encoder serves (text_bpe_merge_candidates scores one round; this
+    * is the full train loop, the tokenizer sibling of
     * Similarity.kmeansFit's Lloyd iteration). Classic algorithm over the
     * char-spaced vocabulary: count adjacent symbol pairs weighted by word
     * frequency, merge the top pair (count desc, then lexical on both
     * symbols — fully deterministic), re-count; later rounds' pairs
     * compose earlier rounds' merged symbols.
     *
-    * Distribution shape: the corpus collapses to (word, freq) ONCE — the
-    * classic BPE trick: pair statistics live on the VOCABULARY weighted
-    * by frequency, so after the first aggregation the per-round jobs
-    * never touch the corpus again. The cached vocabulary is re-scanned
-    * per round with the merges learned so far applied as a codegen'd
-    * regexp_replace chain (same one-pass-exact argument as
-    * [[bpeEncode]]: symbols are space-separated, matches can't overlap),
-    * and only the single winning pair crosses the driver per round —
-    * the same metadata grain as kmeansFit's k centroids. Learned symbols
-    * are lowercase ASCII by construction (the normalization's alphabet),
-    * so they satisfy [[bpeEncode]]'s symbol validation and can feed it
-    * directly as a served vocabulary. Returns (lhs, rhs, weighted count)
-    * in merge-rank order. */
+    * Distribution shape: Spark runs exactly ONE corpus aggregation — the
+    * (word, freq) vocabulary collapse, whose output Heaps' law bounds far
+    * below corpus size — and the merge loop runs DRIVER-LOCAL on the
+    * collected vocabulary with incremental pair statistics (the classic
+    * BPE trick: a merge only disturbs the counts of words it touches, so
+    * each round retracts and re-admits the AFFECTED words' pair
+    * contributions instead of rescanning the vocabulary, and the next
+    * argmax comes off a sorted mirror in O(log P)). A realistic 32k-merge
+    * training run is therefore one Spark job plus a driver loop whose
+    * total work is bounded by merge applications — NOT 32k sequential
+    * Spark jobs with an ever-deepening re-count plan, which is what the
+    * r16 per-round relational form cost (one aggregation and one driver
+    * round-trip per merge). The vocabulary guard makes the
+    * collected-artifact contract loud instead of OOMing the driver.
+    * Learned symbols are lowercase ASCII by construction (the
+    * normalization's alphabet), so they satisfy the encoders' symbol
+    * validation and feed [[bpeEncodeTrained]] directly as a served
+    * vocabulary. Returns (lhs, rhs, weighted count) in merge-rank order. */
   def bpeTrain(docs: DataFrame, textCol: String, rounds: Int): Seq[(String, String, Long)] = {
-    val vocab = BoundedCache.persist("TextAnalysis.bpeTrain.vocab",
-      docs.select(explode(split(lower(regexp_replace(col(textCol),
-          "[^A-Za-z]+", " ")), " ")).as("w"))
-        .filter(col("w") =!= "")
-        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-        .select(trim(regexp_replace(col("w"), "([a-z])", "$1 ")).as("sp"),
-          col("freq")))
-    var merges = Vector.empty[(String, String, Long)]
-    var exhausted = false
-    for (_ <- 1 to rounds if !exhausted) {
-      val spaced = applyMerges(col("sp"), merges.map { case (a, b, _) => (a, b) })
-      val top = vocab
-        .select(split(spaced, " ").as("s"), col("freq"))
-        // single-symbol words have no pairs (and sequence(1,0) would run
-        // DESCENDING in Spark rather than empty — filter, don't rely on it)
-        .filter(size(col("s")) >= 2)
-        .select(explode(transform(sequence(lit(1), size(col("s")) - 1),
-          i => struct(element_at(col("s"), i).as("a"),
-            element_at(col("s"), i + 1).as("b")))).as("p"), col("freq"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("freq")).as("n"))
-        .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(1).collect().headOption
-      top match {
-        case Some(t) => merges = merges :+ ((t.getString(0), t.getString(1), t.getLong(2)))
-        // vocabulary fully merged (every word one symbol) before `rounds`
-        // rounds: return the merges that exist — the relational form (the
-        // oracle's per-round LIMIT 1 over an empty pair table) degrades
-        // the same way, and a tiny corpus must not crash the trainer
-        case None => exhausted = true
+    val vocab = docs.select(explode(split(lower(regexp_replace(col(textCol),
+        "[^A-Za-z]+", " ")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(vocab.length <= 4000000,
+      s"bpeTrain: ${vocab.length} distinct words exceeds the driver-local vocabulary " +
+        "bound (4M) — pre-filter the corpus (min-frequency cut) before training")
+    bpeTrainLocal(vocab.toSeq, rounds)
+  }
+
+  /** The driver-local merge loop on an already-collected (word, freq)
+    * vocabulary. Semantics are exactly the relational form's: per round,
+    * the argmax over frequency-weighted adjacent-pair counts (sliding
+    * window — overlapping occurrences each count) with the (count desc,
+    * lhs, rhs) tiebreak, then one global left-to-right non-overlapping
+    * merge of that pair (== applyMerges' `\ba b\b` regex pass). Stops
+    * early when every word is a single symbol — a tiny corpus must not
+    * crash the trainer, and the declared query's recursive oracle
+    * terminates the same way (its pair table empties). */
+  private[graft] def bpeTrainLocal(vocab: Seq[(String, Long)],
+      rounds: Int): Seq[(String, String, Long)] = {
+    import scala.collection.mutable
+    val freq = vocab.map(_._2).toArray
+    val words: Array[Array[String]] =
+      vocab.map(_._1.map(_.toString).toArray).toArray
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    // word indices currently containing each pair — the incremental
+    // update's work list (only these words' stats move on a merge)
+    val where = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // argmax mirror of `counts`: ordered (count desc, lhs, rhs) so each
+    // round's winner is head(), and every count change is two O(log P)
+    // tree updates — no per-round scan of the pair space
+    val order = mutable.TreeSet.empty[(Long, String, String)](
+      Ordering.Tuple3(Ordering[Long].reverse, Ordering[String], Ordering[String]))
+    def bump(p: (String, String), by: Long): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      if (old != 0L) order.remove((old, p._1, p._2))
+      val now = old + by
+      if (now == 0L) counts.remove(p)
+      else { counts(p) = now; order.add((now, p._1, p._2)) }
+      ()
+    }
+    def retract(i: Int): Unit = {
+      val w = words(i)
+      var j = 0
+      while (j < w.length - 1) {
+        val p = (w(j), w(j + 1))
+        bump(p, -freq(i))
+        where.get(p).foreach(_ -= i) // idempotent across repeated pairs
+        j += 1
       }
     }
-    merges
+    def admit(i: Int): Unit = {
+      val w = words(i)
+      var j = 0
+      while (j < w.length - 1) {
+        val p = (w(j), w(j + 1))
+        bump(p, freq(i))
+        where.getOrElseUpdate(p, mutable.BitSet.empty) += i
+        j += 1
+      }
+    }
+    def mergeOnce(w: Array[String], a: String, b: String): Array[String] = {
+      val out = new Array[String](w.length)
+      var i = 0; var j = 0
+      while (i < w.length) {
+        if (i + 1 < w.length && w(i) == a && w(i + 1) == b) {
+          out(j) = a + b; i += 2
+        } else { out(j) = w(i); i += 1 }
+        j += 1
+      }
+      java.util.Arrays.copyOf(out, j)
+    }
+    words.indices.foreach(admit)
+    val merges = mutable.ArrayBuffer.empty[(String, String, Long)]
+    var r = 0
+    while (r < rounds && order.nonEmpty) {
+      val (n, a, b) = order.head
+      merges += ((a, b, n))
+      where.getOrElse((a, b), mutable.BitSet.empty).toArray.foreach { i =>
+        retract(i)
+        words(i) = mergeOnce(words(i), a, b)
+        admit(i)
+      }
+      r += 1
+    }
+    merges.toSeq
   }
 
   /** Unicode/punctuation normalization: lowercase, strip non-alphanumerics,

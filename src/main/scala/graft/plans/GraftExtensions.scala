@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShingleArray].getName, "graft_shingles"),
       (exprs: Seq[Expression]) => ShingleArray.build(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_bpe_apply"),
+      new ExpressionInfo(classOf[BpeApplyMerges].getName, "graft_bpe_apply"),
+      (exprs: Seq[Expression]) => BpeApplyMerges(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => LevenshteinPrefilter)
     e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }

@@ -17,29 +17,40 @@ import graft.ext.{Multimodal, Similarity, TextAnalysis, TextDedup}
   * the part that must scale — see the Scaladoc in graft.ext. */
 object PackExt {
 
-  /** DuckDB CTE block deriving `rounds` learned BPE merges relationally —
-    * words → char-spaced v0, then per round r: pair counts p$r over
-    * v${r-1}, winning merge m$r (count desc + lexical tiebreak), merged
-    * vocabulary v$r. Shared by text_bpe_train (which SELECTs the m$r
-    * rows) and text_bpe_train_encode (which applies them to documents),
-    * so the training arithmetic is stated once. */
-  private def bpeTrainCtes(rounds: Int): String = {
-    val perRound = (1 to rounds).map { r =>
-      s"""p$r AS (SELECT p[1] AS a, p[2] AS b, sum(freq) AS n
-         |        FROM (SELECT unnest(list_transform(range(1, length(s)),
-         |                       i -> [s[i], s[i+1]])) AS p, freq
-         |              FROM (SELECT string_split(sp, ' ') AS s, freq FROM v${r - 1}))
-         |        GROUP BY 1, 2),
-         |m$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
-         |v$r AS (SELECT regexp_replace(sp, '\\b' || a || ' ' || b || '\\b', a || b, 'g') AS sp, freq
-         |        FROM v${r - 1}, m$r)""".stripMargin
-    }.mkString(",\n")
-    s"""words AS (SELECT w, count(*) AS freq FROM (
-       |  SELECT unnest(string_split(lower(regexp_replace(text, '[^A-Za-z]+', ' ', 'g')), ' ')) AS w
-       |  FROM documents) WHERE w <> '' GROUP BY w),
-       |v0 AS (SELECT trim(regexp_replace(w, '([a-z])', '\\1 ', 'g')) AS sp, freq FROM words),
-       |$perRound""".stripMargin
-  }
+  /** DuckDB RECURSIVE derivation of the learned BPE merges — the
+    * fixed-point restatement of the whole train loop (the
+    * pageRank/CC-oracle precedent), replacing r16's per-round unrolled
+    * CTE chain, which could not scale past single-digit round counts
+    * (each unrolled round referenced the previous vocabulary twice).
+    * Each iteration carries the entire frequency-weighted char-spaced
+    * vocabulary one merge forward and tags every row with the merge it
+    * applied (count-desc + lexical-tiebreak argmax, then the global
+    * single-space boundary-checked replace); the recursion ends when the
+    * pair table empties (every word one symbol) or at `rounds`. Must be
+    * prefixed `WITH RECURSIVE`. Exposes `bpe(r, sp, freq, a, b, n)`;
+    * round r's merge is the (a,b,n) on its vocabulary rows. Shared by
+    * text_bpe_train (which SELECTs the distinct per-round merges) and
+    * text_bpe_train_encode (which re-applies them to documents), so the
+    * training arithmetic is stated once. */
+  private def bpeTrainRecursiveCte(rounds: Int): String =
+    s"""bpe(r, sp, freq, a, b, n) AS (
+       |  SELECT 0, trim(regexp_replace(w, '([a-z])', '\\1 ', 'g')), freq,
+       |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+       |  FROM (SELECT w, count(*) AS freq FROM (
+       |          SELECT unnest(string_split(lower(regexp_replace(text, '[^A-Za-z]+', ' ', 'g')), ' ')) AS w
+       |          FROM documents) WHERE w <> '' GROUP BY w)
+       |  UNION ALL
+       |  SELECT r + 1,
+       |         regexp_replace(sp, '\\b' || w.wa || ' ' || w.wb || '\\b', w.wa || w.wb, 'g'),
+       |         freq, w.wa, w.wb, w.wn
+       |  FROM bpe, (SELECT wa, wb, wn FROM (
+       |         SELECT p[1] AS wa, p[2] AS wb, CAST(sum(freq) AS BIGINT) AS wn,
+       |                row_number() OVER (ORDER BY sum(freq) DESC, p[1], p[2]) AS rn
+       |         FROM (SELECT unnest(list_transform(range(1, length(s)), i -> [s[i], s[i+1]])) AS p, freq
+       |               FROM (SELECT string_split(sp, ' ') AS s, freq FROM bpe))
+       |         GROUP BY p[1], p[2]) WHERE rn = 1) w
+       |  WHERE r < $rounds
+       |)""".stripMargin
 
   /** One IVF serve chain (probe → bucket-restricted score → rank) for the
     * swap/lifecycle oracles, emitted per quantizer from a single
@@ -1872,28 +1883,29 @@ object PackExt {
         .orderBy(col("doc_id"))
     },
 
-    // BPE TRAINER (VERDICT r16 task 2) — the loop that LEARNS the ranked
-    // merge list the encoder serves (merge_candidates scores one round;
-    // encode applies a fixed vocabulary; this is the train loop between
-    // them): 8 rounds of top-pair → merge → re-count over the
+    // BPE TRAINER (VERDICT r16 task 2; scaled past toy round counts in
+    // r17 per VERDICT task 1) — the loop that LEARNS the ranked merge
+    // list the encoder serves (merge_candidates scores one round; encode
+    // applies a fixed vocabulary; this is the train loop between them):
+    // rounds=256 of top-pair → merge → re-count over the
     // frequency-weighted char-spaced vocabulary, deterministic tiebreak
-    // (count desc, then both symbols lexically). The oracle unrolls the
-    // rounds as CTEs — each round's merge is RE-DERIVED relationally in
-    // DuckDB (the pageRank/CC fixed-point precedent), so a wrong pair
-    // pick, a wrong weight, or a merge applied out of order all
-    // hash-fail. Scale: corpus → (word, freq) once; per-round jobs run
-    // on the cached vocabulary only; one row crosses the driver per
-    // round (kmeansFit's metadata grain).
-    QDef("text_bpe_train", {
-      val union = (1 to 8).map(r =>
-        s"SELECT CAST($r AS INTEGER) AS rank, a AS lhs, b AS rhs, CAST(n AS BIGINT) AS n FROM m$r")
-        .mkString("\nUNION ALL\n")
-      s"""WITH ${bpeTrainCtes(8)}
-         |$union
-         |ORDER BY rank""".stripMargin
-    }) { (s, d) =>
+    // (count desc, then both symbols lexically); on this corpus the
+    // vocabulary exhausts first (every word one symbol), so the full
+    // learnable merge table comes back and BOTH engines terminate on the
+    // same data-derived fixed point. Spark side: ONE corpus aggregation
+    // (the (word,freq) collapse), then the merge loop runs driver-local
+    // with incremental pair statistics — not one Spark job per round.
+    // The oracle RE-DERIVES every round in one recursive CTE (the
+    // pageRank/CC fixed-point precedent), so a wrong pair pick, a wrong
+    // weight, a merge applied out of order, or a wrong stopping point
+    // all hash-fail.
+    QDef("text_bpe_train",
+      s"""WITH RECURSIVE ${bpeTrainRecursiveCte(256)}
+         |SELECT CAST(r AS INTEGER) AS rank, a AS lhs, b AS rhs, n
+         |FROM bpe WHERE r >= 1 GROUP BY ALL
+         |ORDER BY rank""".stripMargin) { (s, d) =>
       import s.implicits._
-      TextAnalysis.bpeTrain(Tables.documents(s, d), "text", rounds = 8)
+      TextAnalysis.bpeTrain(Tables.documents(s, d), "text", rounds = 256)
         .zipWithIndex
         .map { case ((a, b, n), i) => (i + 1, a, b, n) }
         .toDF("rank", "lhs", "rhs", "n")
@@ -1902,45 +1914,46 @@ object PackExt {
 
     // BPE train→serve COMPOSITION — the tokenizer loop closed end to end
     // (the text sibling of ann_ivf_swap_serve's quantizer loop): the
-    // corpus is encoded against the vocabulary text_bpe_train just
-    // LEARNED, not the fixed config literal text_bpe_encode serves. Both
-    // engines derive the 8 merges from the data AND apply them — a
-    // training divergence that happened to keep counts plausible, or an
-    // application order bug, lands in the token-stream md5. Spark side:
-    // the learned pairs come back as plan literals (one driver row per
-    // round, the trained-artifact grain) and the encode stays the same
-    // codegen'd row-local regexp chain — corpus never shuffles.
-    QDef("text_bpe_train_encode", {
-      // LEFT JOIN ON true + coalesce, NOT a cross join: if the vocabulary
-      // exhausts before round r (m$r empty), a cross join would empty
-      // enc$r — and every round after it — while the Spark side (bpeTrain
-      // stops early, bpeEncode still encodes every doc) keeps one row per
-      // document. The left join keeps the rows and the NULL-pattern
-      // regexp_replace coalesces to the unmerged text: a no-op round,
-      // exactly Spark's early-stop semantics.
-      val applied = (1 to 8).map { r =>
-        s"""enc$r AS (SELECT doc_id,
-           |  coalesce(regexp_replace(e, '\\b' || a || ' ' || b || '\\b', a || b, 'g'), e) AS e
-           |  FROM enc${r - 1} LEFT JOIN m$r ON true)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH ${bpeTrainCtes(8)},
-         |enc0 AS (SELECT doc_id,
-         |  regexp_replace(lower(regexp_replace(text, '[^A-Za-z]+', ' ', 'g')), '([a-z])', '\\1 ', 'g') AS e
-         |  FROM documents),
-         |$applied
+    // corpus is encoded against the FULL trained vocabulary (rounds=256
+    // → every learnable merge on this corpus), not the fixed config
+    // literal text_bpe_encode serves. Both engines derive all merges
+    // from the data AND apply them — a training divergence that happened
+    // to keep counts plausible, or an application order bug, lands in
+    // the token-stream md5. Spark side: the learned table travels as ONE
+    // plan literal into the native graft_bpe_apply expression (bounded
+    // chain depth at any vocabulary size — the r17 serving path for
+    // trained vocabularies); corpus never shuffles. Oracle side: the
+    // recursive trainer feeds a second recursive CTE that re-applies the
+    // merges rank by rank; `merges` is MATERIALIZED because the encode
+    // recursion references it every iteration — inlined, each iteration
+    // would re-run the whole training recursion (measured 125 s → 2 s).
+    QDef("text_bpe_train_encode",
+      s"""WITH RECURSIVE ${bpeTrainRecursiveCte(256)},
+         |merges AS MATERIALIZED (SELECT CAST(r AS INTEGER) AS rank, a, b
+         |                        FROM bpe WHERE r >= 1 GROUP BY ALL),
+         |enc(doc_id, e, er) AS (
+         |  SELECT doc_id,
+         |    regexp_replace(lower(regexp_replace(text, '[^A-Za-z]+', ' ', 'g')), '([a-z])', '\\1 ', 'g'),
+         |    0
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT enc.doc_id,
+         |    regexp_replace(e, '\\b' || m.a || ' ' || m.b || '\\b', m.a || m.b, 'g'),
+         |    er + 1
+         |  FROM enc JOIN merges m ON m.rank = enc.er + 1
+         |)
          |SELECT doc_id,
          |  CASE WHEN trim(e) = '' THEN 0
          |       ELSE CAST(length(string_split_regex(trim(e), ' +')) AS BIGINT) END AS n_tokens,
          |  CASE WHEN trim(e) = '' THEN 0
          |       ELSE CAST(length(list_distinct(string_split_regex(trim(e), ' +'))) AS BIGINT) END AS n_unique,
          |  md5(trim(e)) AS enc_md5
-         |FROM enc8
-         |ORDER BY doc_id""".stripMargin
-    }) { (s, d) =>
+         |FROM enc WHERE er = (SELECT max(er) FROM enc)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val learned = TextAnalysis.bpeTrain(docs, "text", rounds = 8)
+      val learned = TextAnalysis.bpeTrain(docs, "text", rounds = 256)
         .map { case (a, b, _) => (a, b) }
-      val enc = trim(TextAnalysis.bpeEncode(col("text"), learned))
+      val enc = trim(TextAnalysis.bpeEncodeTrained(s, col("text"), learned))
       docs.select(col("doc_id"), enc.as("enc"))
         .select(col("doc_id"),
           when(length(col("enc")) === 0, lit(0L))

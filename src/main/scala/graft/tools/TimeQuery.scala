@@ -4,7 +4,16 @@ import org.apache.spark.sql.SparkSession
 
 /** Time individual pack queries: `runMain graft.tools.TimeQuery <sfDir>
   * <name> [name...]` — three runs each, all times printed (the bench's
-  * min-of-N hides warmup effects this tool exists to expose). */
+  * min-of-N hides warmup effects this tool exists to expose).
+  *
+  * SPARK_GRAFT_MATERIALIZE=1 switches the per-run action from `count()`
+  * to a noop-sink write: `count()` lets Catalyst PRUNE every unprojected
+  * column, so a query whose cost lives in a projection chain (the
+  * trained-BPE encode, any pure per-row transform) times as a near-empty
+  * scan — SCALE.md §4k had to mark text_bpe_train_encode n/a for exactly
+  * this. The built-in `noop` DataSourceV2 sink consumes every row with
+  * all projected columns evaluated and writes nothing, so the measured
+  * time is the real compute cost, still with zero IO on the way out. */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
@@ -22,14 +31,18 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val materialize = sys.env.get("SPARK_GRAFT_MATERIALIZE").contains("1")
     names.foreach { name =>
       val fn = graft.queries.Pack.byName(name).fn
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        val df = fn(spark, sfDir)
+        if (materialize) df.write.format("noop").mode("overwrite").save()
+        else df.count(): Unit
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"[time] $name: ${times.map(t => f"$t%.2f").mkString(" ")} s")
+      val tag = if (materialize) " (materialized)" else ""
+      println(f"[time] $name$tag: ${times.map(t => f"$t%.2f").mkString(" ")} s")
     }
     spark.stop()
   }
