@@ -114,6 +114,10 @@ object Bench {
       // versioned scans) — same driver-contention profile as pagerank
       "text_bpe_train", "text_bpe_train_encode", "ann_ivf_swap_serve",
       "ann_ivf_swap_expire",
+      // r17: the composed maintenance loop — 4 sink commits + 3 gate
+      // collects + expire/vacuum per run, the same scheduler-bound
+      // profile as its swap/pipeline siblings
+      "pipeline_ann_maintenance_e2e",
       // r16 benchdiff adjudication: the queries that flagged >1.2x
       // calib-normalized on a slow box (calib 0.70-0.89 vs the 0.517
       // record day) but re-timed at parity standalone — broadcast-heavy

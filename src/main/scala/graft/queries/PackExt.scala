@@ -70,6 +70,34 @@ object PackExt {
        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
        |       FROM s$tag)""".stripMargin
 
+  /** One arrival-batch quantization-error chain (serving assignment →
+    * per-vector 12dp-decimal squared distance → per-bucket 6dp mean →
+    * exact DECIMAL(18,6)×n total) for the maintenance-e2e promotion
+    * gate, emitted per candidate quantizer from a single definition so
+    * the gate's arithmetic can never drift between candidates. Reads
+    * the `qa` (qid, qe) arrival CTE and the `$cents` (label, i, mean) /
+    * `$cvec` (pb, cv) centroid CTEs; exposes `tot$tag(err)`. The total
+    * is a DECIMAL sum of 6dp-rounded bucket means — order-free and
+    * engine-invariant, so both engines reach the same promote/reject
+    * decision by construction. */
+  private def quantErrCtes(tag: String, cents: String, cvec: String): String =
+    s"""asg$tag AS (SELECT qid, pb FROM (
+       |        SELECT qa.qid, c.pb, row_number() OVER (PARTITION BY qa.qid ORDER BY
+       |          round(list_reduce(list_transform(range(1, 65),
+       |            i -> CAST(qa.qe[i] AS DOUBLE) * c.cv[i]), (a,b) -> a+b), 6) DESC, c.pb) AS pr
+       |        FROM qa, $cvec c) WHERE pr = 1),
+       |vd$tag AS (SELECT a.pb AS b, e.vec_id,
+       |         sum(CAST(floor((CAST(e.embedding[t.i] AS DOUBLE) - c.mean)
+       |                        * (CAST(e.embedding[t.i] AS DOUBLE) - c.mean) * 1e12 + 0.5) / 1e12
+       |                  AS DECIMAL(28,12))) AS dist
+       |       FROM embeddings e JOIN asg$tag a ON a.qid = e.vec_id, range(1, 65) t(i)
+       |       JOIN $cents c ON c.i = t.i AND c.label = a.pb
+       |       GROUP BY a.pb, e.vec_id),
+       |bt$tag AS (SELECT b, count(*) AS n,
+       |         round(CAST(sum(dist) AS DOUBLE) / count(*), 6) AS d
+       |       FROM vd$tag GROUP BY b),
+       |tot$tag AS (SELECT sum(CAST(d AS DECIMAL(18,6)) * n) AS err FROM bt$tag)""".stripMargin
+
   /** DuckDB-side sequential-double dot product matching Similarity.dot. */
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, length($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc,x) -> acc + x)"
@@ -932,6 +960,142 @@ object PackExt {
           lit(expired.size).as("n_expired"),
           lit(v1Readable).as("v1_readable"),
           lit(reclaimed > 0).as("vacuum_reclaimed"))
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // INDEX-MAINTENANCE E2E (VERDICT r16 task 6) — the whole lifecycle
+    // the four pieces prove individually (ann_ivf_drift_eval →
+    // ann_ivf_retrain_eval → ann_ivf_swap_serve → ann_ivf_swap_expire),
+    // run as ONE program so the COMPOSITION is pinned: the drift monitor
+    // reads the serving artifact back from the versioned table and flags
+    // staleness (threshold 1.0 — the fixture's drift is real but mild);
+    // TWO retrain candidates then face the promotion gate in order
+    // against whatever is currently serving — a MIS-SPECIFIED candidate
+    // (quantizer trained on the wrong bucketing column, vec_id % 3: the
+    // believable pipeline bug) and the true full-corpus retrain. The
+    // gate is total arrival quantization error as an exact DECIMAL sum
+    // of 6dp bucket means — engine-invariant, so the oracle re-derives
+    // every decision from the data: the bad candidate must LOSE and NOT
+    // swap (versions unchanged), the good one must win, promote via
+    // truncate-swap, and retention must expire+vacuum exactly the
+    // superseded snapshots. A gate that promotes a losing candidate, a
+    // swap that fires without drift, or retention that counts wrong all
+    // hash-fail. The declared rows serve the 20-query set through the
+    // FINAL serving table plus every decision and lifecycle fact.
+    QDef("pipeline_ann_maintenance_e2e", {
+      s"""WITH co AS (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean
+         |            FROM embeddings, range(1, 65) t(i) WHERE vec_id % 10 <> 0
+         |            GROUP BY label, i),
+         |cn AS (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean
+         |       FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+         |cb AS (SELECT CAST(vec_id % 3 AS INTEGER) AS label, i,
+         |         round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean
+         |       FROM embeddings, range(1, 65) t(i) GROUP BY 1, i),
+         |cvo AS (SELECT label AS pb, list(mean ORDER BY i) AS cv FROM co GROUP BY label),
+         |cvn AS (SELECT label AS pb, list(mean ORDER BY i) AS cv FROM cn GROUP BY label),
+         |cvb AS (SELECT label AS pb, list(mean ORDER BY i) AS cv FROM cb GROUP BY label),
+         |qa AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |      WHERE vec_id % 10 = 0 AND embedding IS NOT NULL),
+         |${quantErrCtes("o", "co", "cvo")},
+         |${quantErrCtes("b", "cb", "cvb")},
+         |${quantErrCtes("n", "cn", "cvn")},
+         |vdt AS (SELECT e.label AS b, e.vec_id,
+         |          sum(CAST(floor((CAST(e.embedding[t.i] AS DOUBLE) - c.mean)
+         |                         * (CAST(e.embedding[t.i] AS DOUBLE) - c.mean) * 1e12 + 0.5) / 1e12
+         |                   AS DECIMAL(28,12))) AS dist
+         |        FROM embeddings e, range(1, 65) t(i)
+         |        JOIN co c ON c.i = t.i AND c.label = e.label
+         |        WHERE e.vec_id % 10 <> 0 AND e.embedding IS NOT NULL
+         |        GROUP BY e.label, e.vec_id),
+         |base AS (SELECT b, round(CAST(sum(dist) AS DOUBLE) / count(*), 6) AS d
+         |         FROM vdt GROUP BY b),
+         |drift AS (SELECT coalesce(bool_or(
+         |            coalesce(CASE WHEN base.d > 0 THEN cur.d / base.d > 1.0 END,
+         |                     cur.d > 0, false)), false) AS flagged
+         |          FROM base FULL OUTER JOIN bto cur ON cur.b = base.b),
+         |dec AS (SELECT d.flagged AS drift_flagged,
+         |          (SELECT err FROM totb) < (SELECT err FROM toto) AS bad_won,
+         |          d.flagged AND (SELECT err FROM totb) < (SELECT err FROM toto) AS bad_promoted
+         |        FROM drift d),
+         |dec2 AS (SELECT dec.*,
+         |           (SELECT err FROM totn) <
+         |             (CASE WHEN bad_promoted THEN (SELECT err FROM totb)
+         |                   ELSE (SELECT err FROM toto) END) AS good_won
+         |         FROM dec),
+         |dec3 AS (SELECT dec2.*, drift_flagged AND good_won AS good_promoted FROM dec2),
+         |cvf AS (SELECT * FROM cvn WHERE (SELECT good_promoted FROM dec3)
+         |        UNION ALL
+         |        SELECT * FROM cvb WHERE (SELECT bad_promoted AND NOT good_promoted FROM dec3)
+         |        UNION ALL
+         |        SELECT * FROM cvo WHERE (SELECT NOT bad_promoted AND NOT good_promoted FROM dec3)),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+         |${ivfServeCtes("f", "cvf")}
+         |SELECT qid, nid, cos, rank,
+         |  (SELECT drift_flagged FROM dec3) AS drift_flagged,
+         |  (SELECT bad_won FROM dec3) AS bad_won,
+         |  (SELECT good_won FROM dec3) AS good_won,
+         |  (SELECT bad_promoted FROM dec3) AS bad_promoted,
+         |  (SELECT good_promoted FROM dec3) AS good_promoted,
+         |  CAST(1 + (SELECT CAST(bad_promoted AS INT) + CAST(good_promoted AS INT) FROM dec3)
+         |       AS INTEGER) AS n_versions_before_expire,
+         |  CAST((SELECT CAST(bad_promoted AS INT) + CAST(good_promoted AS INT) FROM dec3)
+         |       AS INTEGER) AS n_expired,
+         |  (SELECT bad_promoted OR good_promoted FROM dec3) AS vacuum_reclaimed,
+         |  CAST(1 AS INTEGER) AS n_versions_after
+         |FROM rf WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin
+    }) { (s, d) =>
+      val loc = s"${sys.props("java.io.tmpdir")}/graft_${new java.io.File(d).getName}/ann_maint"
+      graft.io.Warehouse.deleteRecursively(s, loc)
+      val e = Tables.embeddings(s, d)
+      val arrivals = e.filter(col("vec_id") % 10 === 0)
+      val trainPop = e.filter(col("vec_id") % 10 =!= 0)
+      val stale = Similarity.centroids(trainPop, "label")
+      stale.write.format("graft-atomic").option("path", loc).mode("overwrite").save()
+      val schema = stale.schema
+      def serving() = s.read.schema(schema).format("graft-atomic").load(loc)
+      // 1. DRIFT — monitored against the serving artifact READ BACK from
+      // the versioned table (the artifact serving uses, not a recompute)
+      val driftFlagged = Similarity.quantizerDrift(trainPop, arrivals,
+          serving(), "label", threshold = 1.0)
+        .filter(col("retrain")).limit(1).count() > 0
+      // 2. the promotion gate: each candidate evaluated against whatever
+      // is CURRENTLY serving; exact-decimal total arrival quantization
+      // error decides; a win under a flagged drift promotes via
+      // truncate-swap. One decision row crosses the driver per candidate
+      // (trained-artifact grain).
+      def gate(candidate: org.apache.spark.sql.DataFrame): (Boolean, Boolean) = {
+        val t = Similarity.retrainEval(arrivals, serving(), candidate, "label")
+          .agg(sum(col("dist_new").cast("decimal(18,6)") * col("n_new")).as("en"),
+            sum(col("dist_old").cast("decimal(18,6)") * col("n_old")).as("eo"))
+          .head()
+        val won = t.getDecimal(0).compareTo(t.getDecimal(1)) < 0
+        val promoted = driftFlagged && won
+        if (promoted) candidate.write.format("graft-atomic").option("path", loc)
+          .mode("overwrite").save()
+        (won, promoted)
+      }
+      val badCand = Similarity.centroids(
+        e.select((col("vec_id") % 3).cast("int").as("label"),
+          col("vec_id"), col("embedding")), "label")
+      val goodCand = Similarity.centroids(e, "label")
+      val (badWon, badPromoted) = gate(badCand)
+      val (goodWon, goodPromoted) = gate(goodCand)
+      // 3. retention: keep only the serving version, reclaim the rest
+      val before = graft.sources.AtomicSink.versions(loc).size
+      val expired = graft.sources.AtomicSink.expireVersions(loc, keepLast = 1)
+      val reclaimed = graft.sources.AtomicSink.vacuum(loc)
+      val after = graft.sources.AtomicSink.versions(loc).size
+      Similarity.ivfMultiProbeTopK(e, e.filter(col("vec_id") < 20),
+          serving(), "label", k = 3, nprobe = 1)
+        .select(col("qid"), col("nid"), col("cos"), col("rank"),
+          lit(driftFlagged).as("drift_flagged"),
+          lit(badWon).as("bad_won"), lit(goodWon).as("good_won"),
+          lit(badPromoted).as("bad_promoted"), lit(goodPromoted).as("good_promoted"),
+          lit(before).as("n_versions_before_expire"),
+          lit(expired.size).as("n_expired"),
+          lit(reclaimed > 0).as("vacuum_reclaimed"),
+          lit(after).as("n_versions_after"))
         .orderBy(col("qid"), col("rank"))
     },
 

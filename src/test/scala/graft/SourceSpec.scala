@@ -386,6 +386,74 @@ class SourceSpec extends AnyFunSuite {
       (3L, Some("z"), None)), s"got: $back")
   }
 
+  test("atomic sink: a reader pinned to v1 racing truncate-swap + expire + vacuum sees v1 bytes or a clean failure, never a mix") {
+    // the index-maintenance serve contract (ann_ivf_swap_serve/_expire)
+    // under real concurrency: while a retrain truncate-SWAPs the table
+    // and retention expires+vacuums the old snapshot, a reader that
+    // pinned option("version", 1) must get either (a) exactly the v1
+    // rows — the scan captures its file list from the v1 manifest at
+    // plan time, and truncate only orphans files, never rewrites them —
+    // or (b) after retirement, a loud failure (the sink's own
+    // expired-version error, or a missing-file error if vacuum collects
+    // mid-scan, the documented run-vacuum-when-no-readers caveat).
+    // What must NEVER happen: a mix of v1 and v2 rows, or a silent
+    // fallback to the new version.
+    import graft.sources.AtomicSink
+    val loc = java.nio.file.Files.createTempDirectory("graft_atomic_rv").toString + "/t"
+    val rowsV1 = (0L until 20L).map(i => (i, "v1"))
+    val rowsV2 = (100L until 120L).map(i => (i, "v2"))
+    rowsV1.toDF("id", "src").coalesce(2).write.format("graft-atomic")
+      .option("path", loc).mode("append").save()                      // v1
+    val expired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val good = new java.util.concurrent.atomic.AtomicInteger(0)
+    val cleanFail = new java.util.concurrent.atomic.AtomicInteger(0)
+    val torn = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val got = spark.read.schema("id LONG, src STRING")
+            .format("graft-atomic").option("version", "1").load(loc)
+            .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+          if (got == rowsV1) good.incrementAndGet()
+          else torn.add(s"torn read: ${got.take(5)}... (${got.length} rows)")
+        } catch {
+          case e: Throwable =>
+            // failures are legitimate ONLY once retirement has begun,
+            // and must be loud (expired-version or missing-file), which
+            // any non-v1-bytes outcome here is — but never before expire
+            if (expired.get()) cleanFail.incrementAndGet()
+            else torn.add(s"failure before expire: ${e.getMessage}")
+        }
+      }
+    })
+    reader.start()
+    Thread.sleep(500)                                                 // v1 reads in flight
+    rowsV2.toDF("id", "src").coalesce(2).write.format("graft-atomic")
+      .option("path", loc).mode("overwrite").save()                   // truncate-SWAP to v2
+    Thread.sleep(500)                                                 // pinned reads race the swap
+    val goodBeforeExpire = good.get()
+    expired.set(true)
+    assert(AtomicSink.expireVersions(loc, keepLast = 1) == Seq(1L))
+    assert(AtomicSink.vacuum(loc) > 0, "v1's exclusive files reclaimed")
+    Thread.sleep(500)                                                 // post-retirement reads
+    stop.set(true); reader.join(60000)
+    assert(!reader.isAlive, "reader hung")
+    assert(torn.isEmpty, s"non-clean outcome: ${torn.peek()}")
+    assert(goodBeforeExpire > 0, "no v1 read ever landed while racing the swap — test proved nothing")
+    // post-expire, a pinned read must fail the loud way, not succeed
+    // against ghost state: current serve is v2, v1 is gone
+    val err = intercept[Exception] {
+      spark.read.schema("id LONG, src STRING").format("graft-atomic")
+        .option("version", "1").load(loc).collect()
+    }
+    assert(err.getMessage.contains("does not exist or was expired"))
+    val current = spark.read.schema("id LONG, src STRING")
+      .format("graft-atomic").load(loc)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(current == rowsV2, "current serve must be exactly the swapped v2")
+  }
+
   test("atomic sink: concurrent appenders never lose each other's commit (lock serializes the merge)") {
     // the failure this pins: two manifest read-modify-writes interleave
     // and the second publish drops the first's files — the lost update
