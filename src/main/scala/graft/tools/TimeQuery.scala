@@ -32,6 +32,16 @@ object TimeQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val materialize = sys.env.get("SPARK_GRAFT_MATERIALIZE").contains("1")
+    // the same box-speed probe the bench records carry — without it a
+    // standalone re-time can't be compared against a BENCH_r{N} number
+    // (the adjudication this tool exists for)
+    spark.range(1L << 30).selectExpr("sum(xxhash64(id) % 1000)").head()
+    val calib = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1L << 30).selectExpr("sum(xxhash64(id) % 1000)").head()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    println(f"[time] calib: $calib%.3f s")
     names.foreach { name =>
       val fn = graft.queries.Pack.byName(name).fn
       val times = (1 to 3).map { _ =>
