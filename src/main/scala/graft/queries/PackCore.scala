@@ -308,7 +308,7 @@ object PackCore {
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
       val name = s"st4_live_run_${streamRun.incrementAndGet()}"
-      withStreamPartitions(s, 8) {
+      withStreamPartitions(s, 4) {
         val q = eventsStream(s, d, sch)
           .withColumn("ts", graft.schemas.Tables.eventsStreamTs(rawTs))
           .groupBy(window($"ts", "1 hour"), $"event_type").count()
@@ -419,7 +419,7 @@ object PackCore {
           .start().awaitTermination()
       }
       withRocksDb(s) {
-        withStreamPartitions(s, 8) {
+        withStreamPartitions(s, 4) {
           stageArrival(in, base.filter($"event_id" % 2 === 0), "b1")
           drain()
           stageArrival(in, base.filter($"event_id" % 2 =!= 0), "b2")
@@ -473,7 +473,7 @@ object PackCore {
       def drain(): Unit = graft.streaming.StreamingOps.runGatedToWarehouse(
         graft.streaming.StreamingOps.fileSource(s, in, sch), idx,
         "doc_id", "text", wh, ckpt).awaitTermination()
-      withStreamPartitions(s, 8) {
+      withStreamPartitions(s, 4) {
         stageArrival(in, newDocs.filter($"doc_id" % 20 === 0), "b1")
         drain()
         // second arrival: the shared checkpoint processes ONLY the new
@@ -549,7 +549,7 @@ object PackCore {
       def drain(): Unit = graft.streaming.StreamingOps.runGatedToWarehouseGrowing(
         graft.streaming.StreamingOps.fileSource(s, in, sch), idxDir,
         "doc_id", "text", wh, ckpt).awaitTermination()
-      withStreamPartitions(s, 8) {
+      withStreamPartitions(s, 4) {
         stageArrival(in, newDocs.filter($"doc_id" % 20 === 0), "b1")
         drain()
         stageArrival(in, newDocs.filter($"doc_id" % 20 =!= 0), "b2")
@@ -589,7 +589,7 @@ object PackCore {
       val views = sideStream("view", "user_id", "view_id", "vts")
       val clicks = sideStream("click", "cuser", "click_id", "cts")
       val name = s"st10_live_run_${streamRun.incrementAndGet()}"
-      withStreamPartitions(s, 8) {
+      withStreamPartitions(s, 4) {
         val q = views.join(clicks,
             $"user_id" === $"cuser" &&
               $"cts" >= $"vts" &&
@@ -1169,6 +1169,13 @@ object PackCore {
     * partitions) vs 2.2 s (8) on identical data; the batch-equivalent
     * join is 0.45 s. Restores the previous value on exit; results are
     * partition-count invariant (pinned by PartitionInvarianceSpec). */
+  /** Scoped shuffle-partition override for the streaming drains. The
+    * fixture dial is 4 (was 8 through r16): DrainFloor measured the
+    * stateful drain floor as per-state-partition RocksDB machinery
+    * (2.04 s at 8 → 1.58 s at 4 for an identical 100-row drain), and
+    * the declared results are partition-count-invariant by hash check.
+    * At deployment scale this same dial goes to thousands — SCALE.md
+    * §4l/§4m are the measurements behind both directions. */
   private[queries] def withStreamPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)

@@ -45,7 +45,7 @@ object PackPipeline {
                               b1: org.apache.spark.sql.DataFrame,
                               b2: org.apache.spark.sql.DataFrame)(drain: () => Unit): Unit =
     PackCore.withRocksDb(s) {
-      PackCore.withStreamPartitions(s, 8) {
+      PackCore.withStreamPartitions(s, 4) {
         PackCore.stageArrival(in, b1, "b1")
         drain()
         PackCore.stageArrival(in, b2, "b2")
@@ -408,7 +408,7 @@ object PackPipeline {
           .start()
         q.awaitTermination()
       }
-      PackCore.withStreamPartitions(s, 8) {
+      PackCore.withStreamPartitions(s, 4) {
         PackCore.stageArrival(in, base, "b1")
         drain()
         PackCore.stageArrival(in, sentinel, "b2")
@@ -447,7 +447,7 @@ object PackPipeline {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("user_id",
           org.apache.spark.sql.types.LongType)))
-      PackCore.withStreamPartitions(s, 8) {
+      PackCore.withStreamPartitions(s, 4) {
         val q = s.readStream.schema(sch).parquet(in)
           .withColumn("ck", col("user_id") % nCust)
           .join(broadcast(cust), col("ck") === col("c_custkey"))
@@ -919,7 +919,7 @@ object PackPipeline {
         org.apache.spark.sql.types.StructField("ts",
           org.apache.spark.sql.types.TimestampType)))
       val name = s"st15_live_run_$run"
-      PackCore.withStreamPartitions(s, 8) {
+      PackCore.withStreamPartitions(s, 4) {
         val q = s.readStream.schema(sch).parquet(in)
           .withWatermark("ts", "90 days")
           .dropDuplicatesWithinWatermark("user_id", "event_type")
@@ -1135,7 +1135,7 @@ object PackPipeline {
           .start()
         q.awaitTermination()
       }
-      PackCore.withStreamPartitions(s, 8) {
+      PackCore.withStreamPartitions(s, 4) {
         drain()
         drain() // fresh checkpoint ⇒ batch 0 REDELIVERED ⇒ must be skipped
       }
@@ -1330,7 +1330,7 @@ object PackPipeline {
           s.readStream.schema(sch).parquet(in), wh, Seq("event_id"), ckpt)
         q.awaitTermination()
       }
-      PackCore.withStreamPartitions(s, 8) {
+      PackCore.withStreamPartitions(s, 4) {
         PackCore.stageArrival(in, base, "b1")
         drain()
         PackCore.stageArrival(in,
@@ -2129,7 +2129,7 @@ object PackPipeline {
         .as[(Long, Long, Long)]
         .groupByKey(_._1).mapValues(t => TwsAgg(t._2, t._3))
       PackCore.withRocksDb(s) {
-        PackCore.withStreamPartitions(s, 8) {
+        PackCore.withStreamPartitions(s, 4) {
           PackCore.stageArrival(in,
             base.filter(col("event_id") % 3 =!= 0).drop("event_id"), "b1")
           val q = s.readStream.schema(twsSchema).parquet(in)
