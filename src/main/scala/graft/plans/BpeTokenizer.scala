@@ -51,6 +51,15 @@ case class BpeApplyMerges(left: Expression, right: Expression)
     else if (!right.foldable)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         "graft_bpe_apply: the merge table must be a constant (trained vocabularies are plan config)")
+    // a NULL table is a caller bug (no vocabulary), not "no merges" — and
+    // it must fail the SAME way in both execution paths: interpreted eval
+    // would silently 3VL-null every row while whole-stage codegen would
+    // NPE forcing the reference object at plan build. Analysis time is
+    // the one place both share. An empty string is the explicit spelling
+    // for zero merges.
+    else if (right.eval(null) == null)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_bpe_apply: merge table literal is NULL — pass '' for an empty vocabulary")
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
   }
 

@@ -92,4 +92,35 @@ object BpeProps extends Properties("bpe") {
         .collect()
       both.forall(r => r.getString(0) == r.getString(1))
     }
+
+  property("graft_bpe_apply edge contracts: SQL surface, NULL text, NULL/empty/malformed table") =
+    Prop.secure {
+      val s = spark
+      import s.implicits._
+      graft.plans.BpeApplyMerges.register(s)
+      val viaSql = s.sql(
+        "SELECT graft_bpe_apply('t h e ', 't h,th e') AS e").head.getString(0)
+      val nullText = s.sql(
+        "SELECT graft_bpe_apply(CAST(NULL AS STRING), 't h') AS e").head.isNullAt(0)
+      val emptyTable = s.sql(
+        "SELECT graft_bpe_apply('a b ', '') AS e").head.getString(0)
+      val nullTable = scala.util.Try(
+        s.sql("SELECT graft_bpe_apply('a b ', CAST(NULL AS STRING))").head).failed
+        .toOption.exists(e => Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .exists(c => c.getMessage != null && c.getMessage.contains("merge table literal is NULL")))
+      val malformed = scala.util.Try(
+        s.sql("SELECT graft_bpe_apply('a b ', 'A b')").head).failed
+        .toOption.exists(e => Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .exists(c => c.getMessage != null && c.getMessage.contains("malformed merge entry")))
+      val nonConst = scala.util.Try(
+        s.range(1).selectExpr("graft_bpe_apply('a b ', CAST(id AS STRING))").head).isFailure
+      import org.scalacheck.Prop.propBoolean
+      Prop.all(
+        (viaSql == "the ") :| s"sql merge chain: '$viaSql'",
+        nullText :| "NULL text must stay NULL",
+        (emptyTable == "a b ") :| "empty table = identity",
+        nullTable :| "NULL table must fail loudly at plan init",
+        malformed :| "malformed entry must name the grammar",
+        nonConst :| "non-foldable table must be rejected")
+    }
 }
