@@ -183,14 +183,25 @@ object TextAnalysis {
     * validation and feed [[bpeEncodeTrained]] directly as a served
     * vocabulary. Returns (lhs, rhs, weighted count) in merge-rank order. */
   def bpeTrain(docs: DataFrame, textCol: String, rounds: Int): Seq[(String, String, Long)] = {
-    val vocab = docs.select(explode(split(lower(regexp_replace(col(textCol),
+    val vocabDf = docs.select(explode(split(lower(regexp_replace(col(textCol),
         "[^A-Za-z]+", " ")), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    require(vocab.length <= 4000000,
-      s"bpeTrain: ${vocab.length} distinct words exceeds the driver-local vocabulary " +
-        "bound (4M) — pre-filter the corpus (min-frequency cut) before training")
+    // stream the vocabulary to the driver and BAIL at the bound — a
+    // guard placed after collect() cannot prevent the OOM it exists to
+    // make loud (a 100M-word corpus would kill the driver inside the
+    // collect, before any require ran). toLocalIterator holds one
+    // partition plus the buffer, so the 4M-and-one-th word aborts with
+    // the contract named while the heap is still fine.
+    val it = vocabDf.toLocalIterator()
+    val vocab = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (it.hasNext) {
+      require(vocab.length < 4000000,
+        "bpeTrain: over 4M distinct words exceeds the driver-local vocabulary " +
+          "bound — pre-filter the corpus (min-frequency cut) before training")
+      val r = it.next()
+      vocab += ((r.getString(0), r.getLong(1)))
+    }
     bpeTrainLocal(vocab.toSeq, rounds)
   }
 

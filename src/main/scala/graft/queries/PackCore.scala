@@ -1287,19 +1287,32 @@ object PackCore {
     // a session-lifetime cached dir can be removed out from under us (OS
     // /tmp reaper on a long-lived JVM) — treat a missing/empty dir as a
     // cache miss: evict the entry and re-encode, never NPE
-    def copyOut(cached: String): Boolean = {
-      val files = Option(new java.io.File(cached).listFiles())
-        .getOrElse(Array()).filter(_.getName.endsWith(".parquet"))
-      files.sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
-        java.nio.file.Files.copy(f.toPath,
-          java.nio.file.Paths.get(dir, s"${part}_$i.parquet")); ()
-      }
-      files.nonEmpty
-    }
+    // REPLACE_EXISTING + NonFatal-to-false make the copy retryable: a
+    // reaper deleting a source file MID-copy (after listFiles) must read
+    // as the same cache miss as an already-empty dir, and the retry's
+    // re-copy must overwrite any partial first attempt
+    def copyOut(cached: String): Boolean =
+      try {
+        val files = Option(new java.io.File(cached).listFiles())
+          .getOrElse(Array()).filter(_.getName.endsWith(".parquet"))
+        files.sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(dir, s"${part}_$i.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+        }
+        files.nonEmpty
+      } catch { case scala.util.control.NonFatal(_) => false }
     if (!copyOut(lookup().getOrElse(encode()))) {
+      // evict by the SAME predicate the miss used — "has parquet files",
+      // not "is a directory": a partially-reaped dir (files gone, dir
+      // alive) would otherwise survive eviction, win the retry's lookup,
+      // and turn the recovery path into a crash
       stagedCache.synchronized {
         stagedCache.filterInPlace { case (_, d) =>
-          new java.io.File(d).isDirectory
+          val alive = Option(new java.io.File(d).listFiles())
+            .exists(_.exists(_.getName.endsWith(".parquet")))
+          if (!alive) deleteStagingDir(d)
+          alive
         }
       }
       require(copyOut(encode()),

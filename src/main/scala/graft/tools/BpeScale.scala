@@ -46,11 +46,15 @@ object BpeScale {
     // 12-letter alphabet, Zipf-ish frequencies — driver loop only
     val rnd = new scala.util.Random(17)
     val alpha = "abcdefghijkl"
+    // dedupe by WORD and sum colliding frequencies — (w, f).distinct
+    // would keep the same short word twice under different Zipf draws,
+    // violating the (distinct word, freq) contract bpeTrain's
+    // groupBy-collect always satisfies
     val vocab = (0 until 100000).map { i =>
       val len = 3 + rnd.nextInt(10)
       val w = (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
       (w, (100000L / (i + 1)).max(1L))
-    }.distinct
+    }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq.sortBy(_._1)
     println(s"[bpescale] synthetic vocab: ${vocab.size} distinct words")
     Seq(1000, 8000, 32000).foreach { r =>
       val t0 = System.nanoTime()

@@ -433,6 +433,14 @@ class SourceSpec extends AnyFunSuite {
       .option("path", loc).mode("overwrite").save()                   // truncate-SWAP to v2
     Thread.sleep(500)                                                 // pinned reads race the swap
     val goodBeforeExpire = good.get()
+    // flag flips BEFORE expireVersions, deliberately: a read planned
+    // pre-expire can legitimately fail DURING retirement (manifest gone
+    // mid-plan, vacuum collecting mid-scan — the documented races), and
+    // classifying by failure-time flag accepts those without a flake
+    // window. The cost — a read that was going to fail anyway for a
+    // pre-existing bug landing in the microseconds after the flip — is
+    // covered statistically by the full pre-swap/post-swap seconds where
+    // the flag is false and any failure is fatal to the test.
     expired.set(true)
     assert(AtomicSink.expireVersions(loc, keepLast = 1) == Seq(1L))
     assert(AtomicSink.vacuum(loc) > 0, "v1's exclusive files reclaimed")

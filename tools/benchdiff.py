@@ -54,13 +54,20 @@ def main():
     if not co or not cn:
         raise SystemExit("both records need a calib field (r15+)")
     rows = []
+    zero_regressed = []
     for q, tn in new["queries"].items():
         if q in old["queries"]:
             to = old["queries"][q]
             # Bench prints 3-decimal seconds: a sub-ms query rounds to 0.0,
             # and a zero on either side makes the ratio meaningless (a zero
-            # OLD time would divide by zero and abort the whole diff)
+            # OLD time would divide by zero and abort the whole diff).
+            # Never skip SILENTLY though — a sub-ms query blowing up to
+            # real seconds is exactly a regression this tool exists for.
             if to <= 0 or tn <= 0:
+                if to <= 0 and tn >= 0.1:
+                    zero_regressed.append((q, to, tn))
+                else:
+                    print(f"  skipped (0.0s record)  {q:<40} {to:.3f} -> {tn:.3f}")
                 continue
             no, nn = to / co, tn / cn
             rows.append((nn / no, q, to, tn, no, nn))
@@ -72,6 +79,9 @@ def main():
               f"calib-units ({new['value'] / cn / (old['value'] / co):.2f}x)")
     print(f"{'norm-ratio':>10}  {'query':<40} {'old(s)':>8} {'new(s)':>8}  flag")
     flagged = 0
+    for q, to, tn in zero_regressed:
+        flagged += 1
+        print(f"{'n/a':>10}  {q:<40} {to:>8.3f} {tn:>8.3f}  REGRESSION (sub-ms record grew real)")
     for r, q, to, tn, _, _ in rows:
         flag = "REGRESSION" if r > thr else ("improved" if r < 1 / thr else "")
         if r > thr:

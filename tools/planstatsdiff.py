@@ -62,12 +62,20 @@ CHECKS = [
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    allow = set()
+    # one pass: --allow consumes its value (so the value is never taken
+    # as a positional file path); a trailing bare --allow errors cleanly
+    args, allow = [], set()
     it = iter(sys.argv[1:])
     for a in it:
         if a == "--allow":
-            allow.add(next(it))
+            try:
+                allow.add(next(it))
+            except StopIteration:
+                raise SystemExit("--allow needs a query name")
+        else:
+            args.append(a)
+    if len(args) != 2:
+        raise SystemExit(f"usage: planstatsdiff.py OLD.md NEW.md [--allow query ...] (got {args})")
     old, new = parse(args[0]), parse(args[1])
     common = sorted(set(old) & set(new))
     added = sorted(set(new) - set(old))
