@@ -116,8 +116,9 @@ object Bench {
       "ann_ivf_swap_expire",
       // r17: the composed maintenance loop — 4 sink commits + 3 gate
       // collects + expire/vacuum per run, the same scheduler-bound
-      // profile as its swap/pipeline siblings
-      "pipeline_ann_maintenance_e2e",
+      // profile as its swap/pipeline siblings; the vocabulary swap has
+      // the same shape (2 trains + 2 commits + 2 artifact reads)
+      "pipeline_ann_maintenance_e2e", "text_bpe_vocab_swap_serve",
       // r16 benchdiff adjudication: the queries that flagged >1.2x
       // calib-normalized on a slow box (calib 0.70-0.89 vs the 0.517
       // record day) but re-timed at parity standalone — broadcast-heavy

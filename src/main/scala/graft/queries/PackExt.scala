@@ -29,25 +29,29 @@ object PackExt {
     * pair table empties (every word one symbol) or at `rounds`. Must be
     * prefixed `WITH RECURSIVE`. Exposes `bpe(r, sp, freq, a, b, n)`;
     * round r's merge is the (a,b,n) on its vocabulary rows. Shared by
-    * text_bpe_train (which SELECTs the distinct per-round merges) and
-    * text_bpe_train_encode (which re-applies them to documents), so the
-    * training arithmetic is stated once. */
-  private def bpeTrainRecursiveCte(rounds: Int): String =
-    s"""bpe(r, sp, freq, a, b, n) AS (
+    * text_bpe_train (which SELECTs the distinct per-round merges),
+    * text_bpe_train_encode (which re-applies them to documents), and
+    * text_bpe_vocab_swap_serve (which derives TWO vocabularies — corpus
+    * slices select via `where`, and `cte` names the recursion so two
+    * instances coexist in one WITH RECURSIVE), so the training
+    * arithmetic is stated once. */
+  private def bpeTrainRecursiveCte(rounds: Int, where: String = "",
+      cte: String = "bpe"): String =
+    s"""$cte(r, sp, freq, a, b, n) AS (
        |  SELECT 0, trim(regexp_replace(w, '([a-z])', '\\1 ', 'g')), freq,
        |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
        |  FROM (SELECT w, count(*) AS freq FROM (
        |          SELECT unnest(string_split(lower(regexp_replace(text, '[^A-Za-z]+', ' ', 'g')), ' ')) AS w
-       |          FROM documents) WHERE w <> '' GROUP BY w)
+       |          FROM documents $where) WHERE w <> '' GROUP BY w)
        |  UNION ALL
        |  SELECT r + 1,
        |         regexp_replace(sp, '\\b' || w.wa || ' ' || w.wb || '\\b', w.wa || w.wb, 'g'),
        |         freq, w.wa, w.wb, w.wn
-       |  FROM bpe, (SELECT wa, wb, wn FROM (
+       |  FROM $cte, (SELECT wa, wb, wn FROM (
        |         SELECT p[1] AS wa, p[2] AS wb, CAST(sum(freq) AS BIGINT) AS wn,
        |                row_number() OVER (ORDER BY sum(freq) DESC, p[1], p[2]) AS rn
        |         FROM (SELECT unnest(list_transform(range(1, length(s)), i -> [s[i], s[i+1]])) AS p, freq
-       |               FROM (SELECT string_split(sp, ' ') AS s, freq FROM bpe))
+       |               FROM (SELECT string_split(sp, ' ') AS s, freq FROM $cte))
        |         GROUP BY p[1], p[2]) WHERE rn = 1) w
        |  WHERE r < $rounds
        |)""".stripMargin
@@ -2126,6 +2130,103 @@ object PackExt {
             .otherwise(size(array_distinct(split(col("enc"), " +"))).cast("long")).as("n_unique"),
           md5(col("enc")).as("enc_md5"))
         .orderBy(col("doc_id"))
+    },
+
+    // VERSIONED-VOCABULARY tokenizer serve (r17) — the tokenizer
+    // sibling of ann_ivf_swap_serve, closing the one gap left in the
+    // BPE story: train_encode derives merges in-process, but a
+    // production tokenizer is a STORED versioned artifact (retrain the
+    // vocabulary and every consumer must re-tokenize consistently, or
+    // your token ids silently shift mid-corpus). The vocabulary trained
+    // before the arrival slice commits as version 1 of a transactional
+    // graft-atomic table; the full-corpus retrain commits as version 2
+    // (truncate — promotion replaces); the encoder then serves the
+    // arrival documents from BOTH the read-back current artifact and
+    // the read-back v1 snapshot, through the bounded graft_bpe_apply
+    // path. Both engines derive both vocabularies from the data AND
+    // apply them — an append-shaped swap, an off-by-one version
+    // pointer, or a rank scramble in the stored table lands in the
+    // token-stream md5 of the corresponding branch. The artifact is
+    // KB-sized at any corpus scale (Heaps-bounded merges), so the
+    // swap stays two manifest renames and the serve reads rows at the
+    // trained-artifact grain.
+    QDef("text_bpe_vocab_swap_serve", {
+      def encCte(cte: String, merges: String): String =
+        s"""$cte(doc_id, e, er) AS (
+           |  SELECT doc_id,
+           |    regexp_replace(lower(regexp_replace(text, '[^A-Za-z]+', ' ', 'g')), '([a-z])', '\\1 ', 'g'),
+           |    0
+           |  FROM documents WHERE doc_id % 10 = 0
+           |  UNION ALL
+           |  SELECT $cte.doc_id,
+           |    regexp_replace(e, '\\b' || m.a || ' ' || m.b || '\\b', m.a || m.b, 'g'),
+           |    er + 1
+           |  FROM $cte JOIN $merges m ON m.rank = $cte.er + 1
+           |)""".stripMargin
+      def finalSel(tag: String, cte: String): String =
+        s"""SELECT '$tag' AS vocab, doc_id,
+           |  CASE WHEN trim(e) = '' THEN 0
+           |       ELSE CAST(length(string_split_regex(trim(e), ' +')) AS BIGINT) END AS n_tokens,
+           |  CASE WHEN trim(e) = '' THEN 0
+           |       ELSE CAST(length(list_distinct(string_split_regex(trim(e), ' +'))) AS BIGINT) END AS n_unique,
+           |  md5(trim(e)) AS enc_md5
+           |FROM $cte WHERE er = (SELECT max(er) FROM $cte)""".stripMargin
+      s"""WITH RECURSIVE ${bpeTrainRecursiveCte(256, "", "bpn")},
+         |${bpeTrainRecursiveCte(256, "WHERE doc_id % 10 <> 0", "bpo")},
+         |mn AS MATERIALIZED (SELECT CAST(r AS INTEGER) AS rank, a, b
+         |                    FROM bpn WHERE r >= 1 GROUP BY ALL),
+         |mo AS MATERIALIZED (SELECT CAST(r AS INTEGER) AS rank, a, b
+         |                    FROM bpo WHERE r >= 1 GROUP BY ALL),
+         |${encCte("encn", "mn")},
+         |${encCte("enco", "mo")}
+         |${finalSel("retrained", "encn")}
+         |UNION ALL
+         |${finalSel("stale", "enco")}
+         |ORDER BY vocab, doc_id""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val loc = s"${sys.props("java.io.tmpdir")}/graft_${new java.io.File(d).getName}/bpe_vocab_swap"
+      graft.io.Warehouse.deleteRecursively(s, loc)
+      val docs = Tables.documents(s, d)
+      def trained(df: org.apache.spark.sql.DataFrame) =
+        TextAnalysis.bpeTrain(df, "text", rounds = 256).zipWithIndex
+          .map { case ((a, b, n), i) => (i + 1, a, b, n) }
+          .toDF("rank", "lhs", "rhs", "n")
+      // v1: the vocabulary trained before the arrival slice existed
+      trained(docs.filter(col("doc_id") % 10 =!= 0)).write
+        .format("graft-atomic").option("path", loc).mode("overwrite").save()
+      // the SWAP: full-corpus retrain commits as version 2 (truncate)
+      trained(docs).write
+        .format("graft-atomic").option("path", loc).mode("overwrite").save()
+      val vs = graft.sources.AtomicSink.versions(loc)
+      require(vs.size == 2,
+        s"vocabulary swap must retain exactly the stale and retrained versions, got $vs")
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("rank", IntegerType),
+        StructField("lhs", StringType), StructField("rhs", StringType),
+        StructField("n", LongType)))
+      // serve from the STORED artifact (rank order restored from the
+      // table — the collect is merge-table-grain, KB at any corpus size)
+      def served(version: Option[Long]): Seq[(String, String)] = {
+        val r = s.read.schema(schema).format("graft-atomic")
+        version.fold(r)(v => r.option("version", v.toString)).load(loc)
+          .orderBy(col("rank")).collect()
+          .map(row => (row.getString(1), row.getString(2))).toSeq
+      }
+      val arrivals = docs.filter(col("doc_id") % 10 === 0)
+      def encoded(tag: String, merges: Seq[(String, String)]) = {
+        val enc = trim(TextAnalysis.bpeEncodeTrained(s, col("text"), merges))
+        arrivals.select(col("doc_id"), enc.as("enc"))
+          .select(lit(tag).as("vocab"), col("doc_id"),
+            when(length(col("enc")) === 0, lit(0L))
+              .otherwise(size(split(col("enc"), " +")).cast("long")).as("n_tokens"),
+            when(length(col("enc")) === 0, lit(0L))
+              .otherwise(size(array_distinct(split(col("enc"), " +"))).cast("long")).as("n_unique"),
+            md5(col("enc")).as("enc_md5"))
+      }
+      encoded("retrained", served(None))
+        .unionByName(encoded("stale", served(Some(vs.min))))
+        .orderBy(col("vocab"), col("doc_id"))
     },
 
     // Co-occurrence PMI (phrase mining / word-embedding pretraining):
