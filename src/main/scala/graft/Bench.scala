@@ -119,6 +119,8 @@ object Bench {
       // profile as its swap/pipeline siblings; the vocabulary swap has
       // the same shape (2 trains + 2 commits + 2 artifact reads)
       "pipeline_ann_maintenance_e2e", "text_bpe_vocab_swap_serve",
+      // r17: two checkpointed drains + two trains + two artifact commits
+      "st23_stream_vocab_version_pickup",
       // r16 benchdiff adjudication: the queries that flagged >1.2x
       // calib-normalized on a slow box (calib 0.70-0.89 vs the 0.517
       // record day) but re-timed at parity standalone — broadcast-heavy

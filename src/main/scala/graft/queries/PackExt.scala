@@ -102,6 +102,40 @@ object PackExt {
        |       FROM vd$tag GROUP BY b),
        |tot$tag AS (SELECT sum(CAST(d AS DECIMAL(18,6)) * n) AS err FROM bt$tag)""".stripMargin
 
+  /** Recursive per-rank merge application over a document slice — the
+    * DuckDB encode half shared by text_bpe_vocab_swap_serve and the
+    * streaming version-pickup query: documents selected by `docWhere`
+    * char-space at er=0, then each iteration applies the `merges` CTE's
+    * rank er+1 entry globally; the join itself ends the recursion when
+    * ranks run out. `merges` must be MATERIALIZED by the caller (an
+    * inlined reference re-runs its whole derivation per iteration). */
+  private def bpeEncRecursiveCte(cte: String, merges: String,
+      docWhere: String): String =
+    s"""$cte(doc_id, e, er) AS (
+       |  SELECT doc_id,
+       |    regexp_replace(lower(regexp_replace(text, '[^A-Za-z]+', ' ', 'g')), '([a-z])', '\\1 ', 'g'),
+       |    0
+       |  FROM documents $docWhere
+       |  UNION ALL
+       |  SELECT $cte.doc_id,
+       |    regexp_replace(e, '\\b' || m.a || ' ' || m.b || '\\b', m.a || m.b, 'g'),
+       |    er + 1
+       |  FROM $cte JOIN $merges m ON m.rank = $cte.er + 1
+       |)""".stripMargin
+
+  /** The token-stats projection over a finished encode recursion
+    * (tokens / distinct tokens / stream md5 at the deepest round),
+    * tagged by `tagExpr` — shared so the two consumers' compared
+    * values can never drift. */
+  private def bpeEncFinal(tagExpr: String, cte: String): String =
+    s"""SELECT $tagExpr, doc_id,
+       |  CASE WHEN trim(e) = '' THEN 0
+       |       ELSE CAST(length(string_split_regex(trim(e), ' +')) AS BIGINT) END AS n_tokens,
+       |  CASE WHEN trim(e) = '' THEN 0
+       |       ELSE CAST(length(list_distinct(string_split_regex(trim(e), ' +'))) AS BIGINT) END AS n_unique,
+       |  md5(trim(e)) AS enc_md5
+       |FROM $cte WHERE er = (SELECT max(er) FROM $cte)""".stripMargin
+
   /** DuckDB-side sequential-double dot product matching Similarity.dot. */
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, length($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc,x) -> acc + x)"
@@ -2152,25 +2186,9 @@ object PackExt {
     // trained-artifact grain.
     QDef("text_bpe_vocab_swap_serve", {
       def encCte(cte: String, merges: String): String =
-        s"""$cte(doc_id, e, er) AS (
-           |  SELECT doc_id,
-           |    regexp_replace(lower(regexp_replace(text, '[^A-Za-z]+', ' ', 'g')), '([a-z])', '\\1 ', 'g'),
-           |    0
-           |  FROM documents WHERE doc_id % 10 = 0
-           |  UNION ALL
-           |  SELECT $cte.doc_id,
-           |    regexp_replace(e, '\\b' || m.a || ' ' || m.b || '\\b', m.a || m.b, 'g'),
-           |    er + 1
-           |  FROM $cte JOIN $merges m ON m.rank = $cte.er + 1
-           |)""".stripMargin
+        bpeEncRecursiveCte(cte, merges, "WHERE doc_id % 10 = 0")
       def finalSel(tag: String, cte: String): String =
-        s"""SELECT '$tag' AS vocab, doc_id,
-           |  CASE WHEN trim(e) = '' THEN 0
-           |       ELSE CAST(length(string_split_regex(trim(e), ' +')) AS BIGINT) END AS n_tokens,
-           |  CASE WHEN trim(e) = '' THEN 0
-           |       ELSE CAST(length(list_distinct(string_split_regex(trim(e), ' +'))) AS BIGINT) END AS n_unique,
-           |  md5(trim(e)) AS enc_md5
-           |FROM $cte WHERE er = (SELECT max(er) FROM $cte)""".stripMargin
+        bpeEncFinal(s"'$tag' AS vocab", cte)
       s"""WITH RECURSIVE ${bpeTrainRecursiveCte(256, "", "bpn")},
          |${bpeTrainRecursiveCte(256, "WHERE doc_id % 10 <> 0", "bpo")},
          |mn AS MATERIALIZED (SELECT CAST(r AS INTEGER) AS rank, a, b
@@ -2227,6 +2245,100 @@ object PackExt {
       encoded("retrained", served(None))
         .unionByName(encoded("stale", served(Some(vs.min))))
         .orderBy(col("vocab"), col("doc_id"))
+    },
+
+    // STREAMING artifact-version pickup (r17) — the question every
+    // pipeline with a hot-swappable tokenizer must answer: which
+    // vocabulary version encoded which micro-batch? A running
+    // tokenization stream resolves the serving artifact PER BATCH
+    // (foreachBatch reads the versioned table at batch-processing
+    // time — the per-micro-batch config-lookup pattern): batch 1
+    // drains while v1 (the pre-arrival vocabulary) serves, the
+    // truncate-swap promotes the full-corpus retrain, batch 2 drains
+    // under v2. Each output row carries the version that encoded it,
+    // so the declared result pins BOTH the tokenization under each
+    // vocabulary AND the swap landing exactly on the batch boundary —
+    // a drain that read a stale artifact after the swap (cached frame,
+    // missed manifest flip) or re-encoded batch 1 under v2 (broken
+    // checkpoint) shifts rows across the version tag and hash-fails.
+    // Scale: the artifact read is merge-table-grain per batch; the
+    // encode is the same bounded row-local expression; arrivals ride
+    // the streaming file source exactly as st8's gate.
+    QDef("st23_stream_vocab_version_pickup", {
+      s"""WITH RECURSIVE ${bpeTrainRecursiveCte(256, "", "bpn")},
+         |${bpeTrainRecursiveCte(256, "WHERE doc_id % 10 <> 0", "bpo")},
+         |mn AS MATERIALIZED (SELECT CAST(r AS INTEGER) AS rank, a, b
+         |                    FROM bpn WHERE r >= 1 GROUP BY ALL),
+         |mo AS MATERIALIZED (SELECT CAST(r AS INTEGER) AS rank, a, b
+         |                    FROM bpo WHERE r >= 1 GROUP BY ALL),
+         |${bpeEncRecursiveCte("enc1", "mo", "WHERE doc_id % 20 = 0")},
+         |${bpeEncRecursiveCte("enc2", "mn", "WHERE doc_id % 10 = 0 AND doc_id % 20 <> 0")}
+         |${bpeEncFinal("CAST(1 AS INTEGER) AS vocab_version", "enc1")}
+         |UNION ALL
+         |${bpeEncFinal("CAST(2 AS INTEGER) AS vocab_version", "enc2")}
+         |ORDER BY vocab_version, doc_id""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val run = PackCore.streamRun.incrementAndGet()
+      val base = s"${sys.props("java.io.tmpdir")}/graft_${new java.io.File(d).getName}"
+      val vocLoc = s"$base/bpe_stream_vocab"
+      graft.io.Warehouse.deleteRecursively(s, vocLoc)
+      val in = java.nio.file.Files.createTempDirectory(s"graft_st23_in$run").toString
+      val out = java.nio.file.Files.createTempDirectory(s"graft_st23_out$run").toString + "/t"
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_st23_ck$run").toString
+      val docs = Tables.documents(s, d)
+      def trained(df: org.apache.spark.sql.DataFrame) =
+        TextAnalysis.bpeTrain(df, "text", rounds = 256).zipWithIndex
+          .map { case ((a, b, n), i) => (i + 1, a, b, n) }
+          .toDF("rank", "lhs", "rhs", "n")
+      def commit(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("graft-atomic").option("path", vocLoc)
+          .mode("overwrite").save()
+      val vocSchema = StructType(Seq(StructField("rank", IntegerType),
+        StructField("lhs", StringType), StructField("rhs", StringType),
+        StructField("n", LongType)))
+      val docSchema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      def drain(): Unit = {
+        val q = s.readStream.schema(docSchema).parquet(in)
+          .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            // the artifact resolves AT BATCH TIME: current manifest +
+            // current version number, then the bounded encode — the
+            // whole lookup is merge-table-grain however big the batch
+            val ver = graft.sources.AtomicSink.versions(vocLoc).max
+            val merges = s.read.schema(vocSchema).format("graft-atomic")
+              .load(vocLoc).orderBy(col("rank")).collect()
+              .map(r => (r.getString(1), r.getString(2))).toSeq
+            // register against the BATCH's session: foreachBatch hands a
+            // micro-batch-cloned session whose function registry does
+            // not share the outer session's temp functions
+            val enc = trim(TextAnalysis.bpeEncodeTrained(
+              batch.sparkSession, col("text"), merges))
+            batch.select(col("doc_id"), enc.as("enc"))
+              .select(lit(ver.toInt).as("vocab_version"), col("doc_id"),
+                when(length(col("enc")) === 0, lit(0L))
+                  .otherwise(size(split(col("enc"), " +")).cast("long")).as("n_tokens"),
+                when(length(col("enc")) === 0, lit(0L))
+                  .otherwise(size(array_distinct(split(col("enc"), " +"))).cast("long")).as("n_unique"),
+                md5(col("enc")).as("enc_md5"))
+              .write.mode("append").parquet(out)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      commit(trained(docs.filter(col("doc_id") % 10 =!= 0)))      // v1 serves
+      PackCore.stageArrival(in,
+        docs.filter(col("doc_id") % 20 === 0).select(col("doc_id"), col("text")), "b1")
+      drain()                                                     // batch 1 under v1
+      commit(trained(docs))                                       // the SWAP → v2
+      PackCore.stageArrival(in,
+        docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 20 =!= 0)
+          .select(col("doc_id"), col("text")), "b2")
+      drain()                                                     // batch 2 under v2
+      s.read.parquet(out).orderBy(col("vocab_version"), col("doc_id"))
     },
 
     // Co-occurrence PMI (phrase mining / word-embedding pretraining):
