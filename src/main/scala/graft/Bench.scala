@@ -159,6 +159,11 @@ object Bench {
     // JSON line must stay well under that: per-query ms precision and only
     // the slowest headline queries in the dict (total still covers ALL).
     def fmt(v: Double): String = f"$v%.3f"
+    // full per-query dump to STDERR for local optimization work — the
+    // consumer reads only the stdout JSON line, which is unchanged
+    results.sortBy(-_._2).foreach { case (k, v) =>
+      System.err.println(f"BENCHQ $v%8.3f $k")
+    }
     val headline = results.sortBy(-_._2).take(40).sortBy(_._1)
     val qs = headline.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

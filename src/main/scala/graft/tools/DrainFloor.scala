@@ -39,9 +39,15 @@ object DrainFloor {
         (col("id") % 100).as("cents"))
       .coalesce(1).write.parquet(in)
 
-    def drain(parts: Int, tag: String): Unit = {
+    def drain(parts: Int, tag: String, changelog: Boolean): Unit = {
       val ckpt = java.nio.file.Files.createTempDirectory(s"graft_df_ck$tag").toString
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      // changelog checkpointing is the PRODUCTION RocksDB discipline
+      // (upload per-batch changelogs instead of full snapshots); measure
+      // whether the local drain floor is snapshot-bound too
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        changelog.toString)
       val q = spark.readStream.schema(twsSchema).parquet(in)
         .as[graft.streaming.TwsEvent]
         .groupByKey(_.user_id)
@@ -53,14 +59,14 @@ object DrainFloor {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    drain(8, "warm") // JVM/codegen warmup
-    Seq(8, 4, 2, 1).foreach { p =>
+    drain(8, "warm", changelog = false) // JVM/codegen warmup
+    for (cl <- Seq(false, true); p <- Seq(8, 4, 2, 1)) {
       val t = (0 to 2).map { i =>
         val t0 = System.nanoTime()
-        drain(p, s"p$p-$i")
+        drain(p, s"p$p-cl$cl-$i", cl)
         (System.nanoTime() - t0) / 1e9
       }.min
-      println(f"[drainfloor] partitions=$p%-2d fresh tws drain: $t%.2f s")
+      println(f"[drainfloor] partitions=$p%-2d changelog=$cl%-5s fresh tws drain: $t%.2f s")
     }
     spark.stop()
   }

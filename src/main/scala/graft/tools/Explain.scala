@@ -21,12 +21,28 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_PLAN_DIR=<dir> + SPARK_GRAFT_PLAN_TAG=<before|after>:
+    // additionally write `<dir>/<query>_<tag>.txt` with the
+    // explain("formatted") output (the optimization-round evidence format)
+    // — formatted shows PushedFilters/ReadSchema/codegen spans that
+    // executedPlan.toString abbreviates. Captured AFTER count() so AQE's
+    // final plan is what lands in the file.
+    val planDir = sys.env.get("SPARK_GRAFT_PLAN_DIR")
+    val planTag = sys.env.getOrElse("SPARK_GRAFT_PLAN_TAG", "before")
+    planDir.foreach(d => { new java.io.File(d).mkdirs(); () })
     names.foreach { n =>
       println(s"#PLAN# $n")
       try {
         val df = Pack.byName(n).fn(spark, sfDir)
         df.count() // materialize so AQE shows the final plan
         println(df.queryExecution.executedPlan.toString)
+        planDir.foreach { dir =>
+          val formatted = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(dir, s"${n}_$planTag.txt"), formatted)
+          ()
+        }
       } catch { case e: Exception => println(s"  failed: ${e.getMessage}") }
     }
     spark.stop()
