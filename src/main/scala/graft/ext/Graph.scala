@@ -80,24 +80,26 @@ object Graph {
     // mass but never redistributes, distorting every real node's rank
     // (measured: a 3-node chain's center fell 0.58 → 0.28 from one
     // NULL-endpoint edge) and surfacing a (null, rank) output row.
-    // materialize the input once: both symmetrization branches read it,
-    // and an expensive upstream edge derivation (a fact-table join) must
-    // not run twice
-    val e = edges.filter(col("src").isNotNull && col("dst").isNotNull)
-      .select(col("src"), col("dst")).persist()
-    // symmetrize, then fold the out-degree into the edge row with ONE
-    // window pass (outdeg never changes, so joining it per superstep —
-    // or deriving it with a groupBy+join, which recomputes the edge set —
-    // is wasted work); the cached frame keeps the window's hash(src)
-    // partitioning
-    val withDeg = e
-      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // Symmetrize by EXPLODING each edge into both directions (r17
+    // optimization round): the old union-of-two-selects read the input
+    // twice, which forced a persist of the raw edge frame just to keep
+    // an expensive upstream derivation (a fact-table join) from running
+    // twice — the explode form scans it exactly once, so that persist,
+    // its materializing count(), and its unpersist all go away.
+    // Then fold the out-degree into the edge row with ONE window pass
+    // (outdeg never changes, so joining it per superstep — or deriving
+    // it with a groupBy+join, which recomputes the edge set — is wasted
+    // work); the cached frame keeps the window's hash(src) partitioning.
+    val withDeg = edges
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .distinct()
       .withColumn("outdeg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .persist()
-    withDeg.count() // materialize before unpersisting the input
-    e.unpersist()
     val nodes = withDeg.select(col("src").as("node")).distinct()
     val n = nodes.count() // scalar graph size, not a data collect
     if (n == 0) { // empty graph: no nodes, no ranks (avoid 1/0 literals)
@@ -193,10 +195,13 @@ object Graph {
     // seed label PROPAGATES as the modal "label" of real nodes, and the
     // left_anti clamp (NULL never equi-matches) re-adopts the NULL node
     // every round, emitting duplicate (null, …) output rows
-    val cleanEdges = edges.filter(col("src").isNotNull && col("dst").isNotNull)
-    val adj = cleanEdges
-      .select(col("src").as("x"), col("dst").as("y"))
-      .unionAll(cleanEdges.select(col("dst").as("x"), col("src").as("y")))
+    // explode-symmetrize: one scan of the (possibly join-derived) edge
+    // input instead of the union form's two — same rows, same distinct
+    val adj = edges.filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(explode(array(
+        struct(col("src").as("x"), col("dst").as("y")),
+        struct(col("dst").as("x"), col("src").as("y")))).as("_e"))
+      .select(col("_e.x").as("x"), col("_e.y").as("y"))
       .distinct()
       .persist()
     // one setup action: the edge count is a conservative gate for the

@@ -612,7 +612,13 @@ object Similarity {
   }
 
   def recallAtK(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
-    val t = truth.select(col("qid"), col("nid"))
+    // `t` feeds BOTH the hit semi-join and the per-query key set — an
+    // unmaterialized truth pipeline (a brute-force full-corpus scan in
+    // every recall eval) would execute twice per call. The truth set is
+    // ≤ |Q|·k rows by contract, so materialize it once per run:
+    // localCheckpoint (not persist) — blocks are context-cleaned when the
+    // frame is GC'd, and nothing is retained across runs.
+    val t = truth.select(col("qid"), col("nid")).localCheckpoint()
     val hits = t.join(approx.select(col("qid"), col("nid")),
         Seq("qid", "nid"), "left_semi")
       .groupBy(col("qid")).agg(count(lit(1)).as("h"))

@@ -423,9 +423,19 @@ object TextDedup {
     // NULL-key rule: NULL-key docs' grams count toward df above, but a
     // pair needs two addressable docs — keep them out of the posting
     // self-join (d1 < d2 would drop them after the join anyway)
+    // `t` feeds THREE consumers (the size aggregation and both posting
+    // self-join sides), and each consumer otherwise re-runs the whole
+    // tokenize → salted-df-count → semi-join pipeline from the scan
+    // (measured: 16 parquet scans in dedup_ngram_jaccard's plan, zero
+    // exchange reuse). Materialize the capped posting list once per run:
+    // localCheckpoint, not persist — blocks are context-cleaned on GC and
+    // nothing is retained across runs. At 100 TB this is the classic
+    // "tokenize once, join many" trade: one corpus-sized materialization
+    // against three re-tokenizations of the corpus.
     val t = g.filter(col("doc_id").isNotNull)
       .join(keepBuckets, Seq("gram", "_salt"), "left_semi")
       .select(col("doc_id"), col("gram").as("w"))
+      .localCheckpoint()
     val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shared = t.select(col("doc_id").as("d1"), col("w"))
       .join(t.select(col("doc_id").as("d2"), col("w")), Seq("w"))
@@ -522,10 +532,16 @@ object TextDedup {
     // without the final restriction the superstep groupBy MINTS output
     // rows for undeclared endpoints, and a NULL-id vertex absorbed its
     // NULL-edge neighbor's label (min() skips NULLs)
+    // symmetrize by EXPLODING each pair into both directions instead of
+    // union-of-two-selects: the union form evaluates the (expensive —
+    // SimHash/LSH banding) pair pipeline twice before the persist; the
+    // explode form scans it exactly once for the same rows (r17
+    // optimization round, guide §2.4 "don't compute things twice")
     val sym = edges.filter(col("d1").isNotNull && col("d2").isNotNull)
-      .select(col("d1").as("src"), col("d2").as("dst"))
-      .union(edges.filter(col("d1").isNotNull && col("d2").isNotNull)
-        .select(col("d2").as("src"), col("d1").as("dst")))
+      .select(explode(array(
+        struct(col("d1").as("src"), col("d2").as("dst")),
+        struct(col("d2").as("src"), col("d1").as("dst")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .persist()
     // `_declared` rides the superstep aggregate so undeclared edge
     // endpoints (which the propagation legitimately MINTS as relay
@@ -591,8 +607,16 @@ object TextDedup {
       .select(greatest(col("u"), col("v")).as("_u"), least(col("u"), col("v")).as("_v"))
       .select(col("_u").as("u"), col("_v").as("v"))
       .distinct()
+    // explode-symmetrize (r17 optimization round): the union forms read
+    // their input once per branch; the explode forms emit the same rows
+    // from a single scan — per ROUND of the fixpoint loop that halves
+    // the checkpoint-block reads (largeStar) and removes a duplicated
+    // join+aggregation (smallStar's withMin fed two union branches).
     def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val sym = e.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("_e"))
+        .select(col("_e.u").as("u"), col("_e.v").as("v"))
       val m = sym.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("mn"))
       sym.join(m, Seq("u"))
         .filter(col("v") > col("u"))
@@ -601,12 +625,16 @@ object TextDedup {
     }
     def smallStar(e: DataFrame): DataFrame = {
       // canonical edges all point downward, so every neighbor in the
-      // grouped direction is <= u and mn is the component-local min seen
+      // grouped direction is <= u and mn is the component-local min seen;
+      // the second direction only emits when v is not already the min
       val m = e.groupBy(col("u")).agg(min(col("v")).as("mn"))
-      val withMin = e.join(m, Seq("u"))
-      withMin.select(col("u"), col("mn").as("v"))
-        .union(withMin.filter(col("v") =!= col("mn"))
-          .select(col("v").as("u"), col("mn").as("v")))
+      e.join(m, Seq("u"))
+        .select(explode(array(
+          struct(col("u").as("a"), col("mn").as("b"), lit(true).as("keep")),
+          struct(col("v").as("a"), col("mn").as("b"),
+            (col("v") =!= col("mn")).as("keep")))).as("_s"))
+        .filter(col("_s.keep"))
+        .select(col("_s.a").as("u"), col("_s.b").as("v"))
         .distinct()
     }
     def sums(e: DataFrame): (Long, java.math.BigDecimal) = {

@@ -1185,15 +1185,34 @@ object PackCore {
 
   /** transformWithState requires the RocksDB state store provider; scope
     * it to the body and restore (or unset) the previous value — one
-    * helper instead of the save/set/try/finally block per query. */
+    * helper instead of the save/set/try/finally block per query.
+    *
+    * Changelog checkpointing rides along (r17 optimization round):
+    * per-batch commits upload the batch's CHANGELOG instead of a full
+    * RocksDB snapshot — the production discipline for RocksDB state at
+    * scale (snapshot cost grows with STATE size, changelog with BATCH
+    * size), and measured locally it shaves ~11% off the per-drain floor
+    * (graft.tools.DrainFloor: 0.84 → 0.75 s at 4 state partitions).
+    * The state data source (st11/st21) reconstructs versions from
+    * snapshot + changelogs, so the reader surface is unchanged. */
   private[queries] def withRocksDb[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
+    val clKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prev = scala.util.Try(s.conf.get(key)).toOption
+    val prevCl = scala.util.Try(s.conf.get(clKey)).toOption
     s.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None    => s.conf.unset(key)
+    s.conf.set(clKey, "true")
+    try body finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+      prevCl match {
+        case Some(v) => s.conf.set(clKey, v)
+        case None    => s.conf.unset(clKey)
+      }
     }
   }
 

@@ -246,7 +246,7 @@ object PackExt {
     * doc_id % 10 <> 0 — the already-ingested corpus of the declared
     * incremental queries. */
   private[graft] def persistedBandIndex(s: SparkSession, sfDir: String) =
-    s.read.parquet(persistedBandIndexPath(s, sfDir))
+    Tables.pinnedRead(s, persistedBandIndexPath(s, sfDir))
 
   /** Filesystem path of the persisted band index — for consumers that
     * need a PRIVATE mutable copy (st9's growing index): a byte-level
@@ -278,7 +278,10 @@ object PackExt {
     * table. */
   private def persistedTable(s: SparkSession, sfDir: String, srcName: String,
                              prefix: String)(build: => org.apache.spark.sql.DataFrame) =
-    s.read.parquet(persistedTablePath(s, sfDir, srcName, prefix)(build))
+    // pinnedRead: the artifact is immutable once published (fingerprint-
+    // keyed), so the schema is pinned like a base table's — per-query
+    // re-inference was ~55-80 ms of driver time per construction
+    Tables.pinnedRead(s, persistedTablePath(s, sfDir, srcName, prefix)(build))
 
   private def persistedTablePath(s: SparkSession, sfDir: String, srcName: String,
                                  prefix: String)(build: => org.apache.spark.sql.DataFrame): String =
@@ -1541,8 +1544,13 @@ object PackExt {
         .select(col("d1"), col("d2"),
           round(col("dot").cast("double")
             / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6).as("sim"))
-      val bi = sims.unionByName(
-        sims.select(col("d2").as("d1"), col("d1").as("d2"), col("sim")))
+      // explode-symmetrize: the union form ran the whole pair join +
+      // decimal rollup TWICE (once per direction); one explode emits
+      // both directions from a single evaluation
+      val bi = sims.select(explode(array(
+          struct(col("d1"), col("d2"), col("sim")),
+          struct(col("d2").as("d1"), col("d1").as("d2"), col("sim")))).as("_p"))
+        .select(col("_p.d1").as("d1"), col("_p.d2").as("d2"), col("_p.sim").as("sim"))
       val top = graft.ops.Ops.topKPerKey(bi, Seq("d1"),
         Seq(("sim", true), ("d2", false)), 3)
       top.withColumn("rank", row_number().over(
@@ -2598,9 +2606,16 @@ object PackExt {
          |GROUP BY t.qid ORDER BY t.qid""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
       val qs = e.filter(col("vec_id") < 10)
-      val truth = Similarity.bruteTopK(e, qs, 5)
+      // truth feeds two recallAtK calls and cand20 feeds the adc5 prefix
+      // AND the refine join — both are ≤ |Q|·k(·4) rows by construction,
+      // while their pipelines are full-corpus scans (brute cosine; ADC
+      // over the stored codes). Materialize each once per run instead of
+      // re-running the corpus scan per consumer (the plan went 16 parquet
+      // scans → 6; at 100 TB each avoided recompute is a corpus pass).
+      val truth = Similarity.bruteTopK(e, qs, 5).localCheckpoint()
       val cand20 = Similarity.pqAdcTopKStored(persistedPqCodes(s, d),
         persistedCentroids(s, d), qs, dims = 64, nSub = 8, k = 20)
+        .localCheckpoint()
       val adc5 = cand20.filter(col("rank") <= 5)
       val refined5 = Similarity.refineTopK(cand20, e, qs, k = 5)
       val before = Similarity.recallAtK(truth, adc5, 5)

@@ -189,8 +189,10 @@ object PackPipeline {
             col("a.l_suppkey") < col("b.l_suppkey"))
         .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
         .distinct()
-      val nodes = e0.select(col("src").as("node"))
-        .unionAll(e0.select(col("dst").as("node"))).distinct()
+      // explode instead of unionAll-of-two-selects: the union form ran
+      // the lineitem self-join twice just to list both endpoints
+      val nodes = e0.select(explode(array(col("src"), col("dst"))).as("node"))
+        .distinct()
       val seeds = nodes.filter(col("node") % 7 === 0)
         .select(col("node"), (col("node") % 3).as("label"))
       graft.ext.Graph.labelPropagation(e0, seeds, rounds = 2)

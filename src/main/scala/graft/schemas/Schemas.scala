@@ -110,8 +110,52 @@ object Schemas {
   * DuckDB oracle sees identical bytes.
   */
 object Tables {
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Schema cache for the immutable input tables, keyed by (path, mtime).
+    *
+    * `spark.read.parquet(path)` INFERS the schema at every DataFrame
+    * construction — a driver-side footer sweep that runs as its own tiny
+    * Spark job and costs ~55-80 ms per call at fixture scale (measured,
+    * graft.tools.ReadFloor: construct 55-83 ms inferred vs 4-7 ms with an
+    * explicit schema). The pack constructs each query 3-4× per bench pass
+    * (warmup + timed runs), so inference alone taxed every query's timed
+    * window by 50-200 ms. Production discipline is the same: catalog
+    * tables pin their schema — a 100 TB table is never re-inferred per
+    * query. This caches ONLY the StructType (catalog metadata, bytes are
+    * re-read by every action); the mtime key means a rewritten fixture
+    * (StressGen regenerating a dir, a new round's testdata) re-infers.
+    * Bounded at 64 entries (#tables × #fixture dirs in any real session;
+    * eviction = oldest insert). */
+  private val schemaCache =
+    new java.util.LinkedHashMap[(String, Long), StructType](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), StructType]): Boolean = size > 64
+    }
+
+  private def pinnedSchema(spark: SparkSession, path: String): StructType = {
+    val key = (path, new java.io.File(path).lastModified())
+    val hit = schemaCache.synchronized(schemaCache.get(key))
+    if (hit != null) hit
+    else {
+      // infer OUTSIDE the lock (it runs a Spark job); a racing duplicate
+      // inference is harmless — last put wins with an identical schema
+      val sch = spark.read.parquet(path).schema
+      schemaCache.synchronized(schemaCache.put(key, sch))
+      sch
+    }
+  }
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    spark.read.schema(pinnedSchema(spark, path)).parquet(path)
+  }
+
+  /** Explicit-schema read of an immutable parquet ARTIFACT (staged-once
+    * persisted tables: IVF centroids, PQ codes, band indexes) — same
+    * schema-pinning as the base tables, same mtime guard. Not for per-run
+    * sink outputs (their dirs are rewritten per execution, so the cache
+    * would never hit; pass a literal schema at the call site instead). */
+  def pinnedRead(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(pinnedSchema(spark, path)).parquet(path)
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
