@@ -349,7 +349,7 @@ object PackCore {
       graft.streaming.StreamingOps.runToWarehouse(
         graft.streaming.StreamingOps.fileSource(s, in, sch), wh, err, ckpt)
         .awaitTermination()
-      s.read.parquet(wh).groupBy($"user_id")
+      Tables.siteRead(s, "PackCore:352", wh).groupBy($"user_id")
         .agg(count(lit(1)).as("n")).orderBy($"user_id")
     },
 
@@ -380,7 +380,7 @@ object PackCore {
         graft.streaming.StreamingOps.fileSource(s, in, sch),
         "/proc/graft_forbidden_wh", err, ckpt)
         .awaitTermination()
-      s.read.parquet(err)
+      Tables.siteRead(s, "PackCore:383", err)
         .groupBy($"batch_id",
           ($"error_class".isNotNull && length($"error_class") > 0)
             .as("has_error_class"))
@@ -427,7 +427,7 @@ object PackCore {
         }
       }
       // n is monotone per user, so the latest update is max(n)
-      s.read.parquet(out).groupBy($"user_id")
+      Tables.siteRead(s, "PackCore:430", out).groupBy($"user_id")
         .agg(max($"n").as("n")).orderBy($"user_id")
     },
 
@@ -481,7 +481,7 @@ object PackCore {
         stageArrival(in, newDocs.filter($"doc_id" % 20 =!= 0), "b2")
         drain()
       }
-      s.read.parquet(wh).select($"doc_id").orderBy($"doc_id")
+      Tables.siteRead(s, "PackCore:484", wh).select($"doc_id").orderBy($"doc_id")
     },
 
     // ST8's GROWING-index form — the full analog of the reference's
@@ -555,7 +555,7 @@ object PackCore {
         stageArrival(in, newDocs.filter($"doc_id" % 20 =!= 0), "b2")
         drain()
       }
-      s.read.parquet(wh).select($"doc_id").orderBy($"doc_id")
+      Tables.siteRead(s, "PackCore:558", wh).select($"doc_id").orderBy($"doc_id")
     },
 
     // ST10 (live) — watermarked STREAM-STREAM interval join: view events
@@ -668,7 +668,7 @@ object PackCore {
       val deadline = System.currentTimeMillis() + 30000
       while (parquetCount(arch) < 1 && System.currentTimeMillis() < deadline)
         Thread.sleep(200)
-      s.read.parquet(wh).agg(count(lit(1)).as("n_rows"),
+      Tables.siteRead(s, "PackCore:671", wh).agg(count(lit(1)).as("n_rows"),
         lit(parquetCount(arch)).cast("long").as("n_archived"),
         lit(parquetCount(in)).cast("long").as("n_remaining"))
     },
@@ -819,7 +819,7 @@ object PackCore {
         StructField("o_orderdate", DateType), StructField("o_orderpriority", StringType)))
       Exprs.conformTo(Tables.orders(s, d), target)
         .write.mode("overwrite").parquet(out)
-      s.read.parquet(out)
+      Tables.siteRead(s, "PackCore:822", out)
         .withColumn("o_totalprice", $"o_totalprice".cast("double"))
         .orderBy($"o_orderkey")
     },
@@ -883,13 +883,13 @@ object PackCore {
       val out = tmpBase(d) + "/wh_orders"
       val o = Tables.orders(s, d)
       o.filter($"o_orderkey" % 2 === 0).write.mode("overwrite").parquet(out)
-      val loaded0 = s.read.parquet(out)
+      val loaded0 = Tables.siteRead(s, "PackCore:886", out)
       Ops.antiJoin(o.filter($"o_orderkey" % 2 === 1), loaded0, Seq("o_orderkey"))
         .write.mode("append").parquet(out)
       // second attempt: fully deduped away → append writes zero rows
-      val loaded1 = s.read.parquet(out)
+      val loaded1 = Tables.siteRead(s, "PackCore:890", out)
       Ops.antiJoin(o, loaded1, Seq("o_orderkey")).write.mode("append").parquet(out)
-      s.read.parquet(out).orderBy($"o_orderkey")
+      Tables.siteRead(s, "PackCore:892", out).orderBy($"o_orderkey")
     },
 
     // S10/K3'' — partition-pruned scan over a hive-layout warehouse: the
@@ -905,7 +905,7 @@ object PackCore {
       val out = tmpBase(d) + "/wh_orders_by_status"
       Tables.orders(s, d).write.mode("overwrite")
         .partitionBy("o_orderstatus").parquet(out)
-      s.read.parquet(out).filter($"o_orderstatus" === "F")
+      Tables.siteRead(s, "PackCore:908", out).filter($"o_orderstatus" === "F")
         .groupBy($"o_orderpriority")
         .agg(count(lit(1)).as("n"),
           sum($"o_totalprice".cast(DecimalType(18, 2))).cast("double").as("total"))

@@ -2346,7 +2346,7 @@ object PackExt {
         docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 20 =!= 0)
           .select(col("doc_id"), col("text")), "b2")
       drain()                                                     // batch 2 under v2
-      s.read.parquet(out).orderBy(col("vocab_version"), col("doc_id"))
+      Tables.siteRead(s, "PackExt:2349", out).orderBy(col("vocab_version"), col("doc_id"))
     },
 
     // Co-occurrence PMI (phrase mining / word-embedding pretraining):

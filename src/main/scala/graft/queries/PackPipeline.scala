@@ -416,7 +416,7 @@ object PackPipeline {
         PackCore.stageArrival(in, sentinel, "b2")
         drain() // sentinel pushes the watermark past every real session
       }
-      s.read.parquet(out).filter(col("user_id") >= 0)
+      Tables.siteRead(s, "PackPipeline:419", out).filter(col("user_id") >= 0)
         .orderBy(col("user_id"), col("session_start"))
     },
 
@@ -461,7 +461,7 @@ object PackPipeline {
           .start()
         q.awaitTermination()
       }
-      s.read.parquet(out).orderBy(col("event_id"))
+      Tables.siteRead(s, "PackPipeline:464", out).orderBy(col("event_id"))
     },
 
     // K12/S11 (live) — Avro container ROUNDTRIP on avro-core alone (the
@@ -547,7 +547,7 @@ object PackPipeline {
       graft.io.Warehouse.appendPartitioned(src, dir, Seq("band"))
       val (nParts, nRewritten) = graft.io.Warehouse.deleteWhere(
         s, dir, "band", col("band") === 0 && col("user_id") % 3 === 0)
-      graft.io.Warehouse.read(s, dir)
+      Tables.siteRead(s, "PackPipeline:550", dir)
         .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("sum_event_id"),
           lit(nParts).as("n_partitions"), lit(nRewritten).as("n_rewritten"))
     },
@@ -603,7 +603,7 @@ object PackPipeline {
         Option(new java.io.File(dir).listFiles()).map(
           _.count(f => f.getName.endsWith(".parquet")).toLong).getOrElse(0L)
       val nBefore = parquetFiles(frag)
-      val fragDf = s.read.parquet(frag)
+      val fragDf = Tables.siteRead(s, "PackPipeline:606", frag)
       // clamp to [1, nBefore]: coalesce only NARROWS (a target above the
       // input file count is a no-op, and past it compaction has nothing
       // to do anyway — the oracle mirrors the clamp), and an empty slice
@@ -612,7 +612,7 @@ object PackPipeline {
         math.max(1L, math.ceil(fragDf.count() / 50000.0).toLong))
       fragDf.coalesce(bins.toInt).write.mode("overwrite").parquet(comp)
       val nAfter = parquetFiles(comp)
-      s.read.parquet(comp)
+      Tables.siteRead(s, "PackPipeline:615", comp)
         .agg(count(lit(1)).as("n_rows"),
           lit(nBefore).as("n_files_before"),
           lit(nAfter).as("n_files_after"),
@@ -656,7 +656,7 @@ object PackPipeline {
           col("month"))
       graft.io.Warehouse.overwritePartitions(
         fix.repartition(col("month")), dir, Seq("month"))
-      graft.io.Warehouse.read(s, dir)
+      Tables.siteRead(s, "PackPipeline:659", dir)
         .select(col("o_orderkey"), col("o_custkey"), col("month"))
         .orderBy(col("o_orderkey"))
     },
@@ -736,7 +736,7 @@ object PackPipeline {
           lit(-1L).as("click_id"), col("far").as("cts")), "b2")
         drain() // watermark passes every real view's window → nulls flush
       }
-      s.read.parquet(out).filter(col("user_id") >= 0)
+      Tables.siteRead(s, "PackPipeline:739", out).filter(col("user_id") >= 0)
         .orderBy(col("user_id"), col("view_id"), col("click_id"))
     },
 
@@ -958,7 +958,7 @@ object PackPipeline {
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
         .write.mode("overwrite").parquet(dir)
       // query half: union the STORED sketches across days, estimate
-      val est = s.read.parquet(dir)
+      val est = Tables.siteRead(s, "PackPipeline:961", dir)
         .groupBy(col("event_type"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
       val exact = ev.groupBy(col("event_type"))
@@ -1341,7 +1341,7 @@ object PackPipeline {
               (col("value") + 1000).as("value")), "b2")
         drain() // corrections must overwrite, not duplicate
       }
-      s.read.parquet(wh)
+      Tables.siteRead(s, "PackPipeline:1344", wh)
         .select(col("event_id"), col("user_id"), col("value"))
         .orderBy(col("event_id"))
     },
@@ -1561,14 +1561,14 @@ object PackPipeline {
         // empty warehouse → the reference's fallback branch (no cut)
         val wmOpt: Option[java.sql.Date] =
           if (whFiles().nonEmpty)
-            Some(graft.io.Warehouse.read(s, wh)
+            Some(Tables.siteRead(s, "PackPipeline:1564", wh)
               .agg(date_add(max(to_date(col("fecha"), "dd/MM/yyyy")), 1).as("wm"))
               .head.getDate(0))
           else None
         val listed = Seq(
           mailboxCutoff.map(cut => col("fd") < lit(cut)),
           wmOpt.map(wm => col("fd") >= lit(wm)))
-          .flatten.foldLeft(s.read.parquet(mailboxDir))(_.filter(_))
+          .flatten.foldLeft(Tables.siteRead(s, "PackPipeline:1571", mailboxDir))(_.filter(_))
         val rawDir = raw // serializable capture, not the QDef closure
         listed.select(col("nro"), col("text")).foreachPartition {
           (rows: Iterator[org.apache.spark.sql.Row]) =>
@@ -1596,7 +1596,7 @@ object PackPipeline {
         val gated =
           if (whFiles().nonEmpty)
             graft.ops.Ops.antiJoin(staged,
-              graft.io.Warehouse.read(s, wh).select(col("nro_ticket")),
+              Tables.siteRead(s, "PackPipeline:1599", wh).select(col("nro_ticket")),
               Seq("nro_ticket"))
           else staged
         val batch = gated.withColumn("flujo", lit("TICKET")).persist() // F6 const enrich
@@ -1608,7 +1608,7 @@ object PackPipeline {
       fireCron(Some(java.sql.Date.valueOf("2095-01-01"))) // old mail only
       fireCron(None) // full mailbox — watermark cuts to the new tickets
       fireCron(None) // nothing new — provable no-op
-      graft.io.Warehouse.read(s, wh)
+      Tables.siteRead(s, "PackPipeline:1611", wh)
         .select(col("nro_ticket"), to_date(col("fecha"), "dd/MM/yyyy").as("fecha"),
           col("categ"), col("prod"), col("cant"), col("peso"), col("p_unit"),
           col("p_total"), col("total_ticket_bruto"), col("total_ticket_meli"),
@@ -1715,7 +1715,7 @@ object PackPipeline {
           val rawDir = raw
           val enNames = fileSchema.fieldNames.toSeq
           val esNames = enNames.map(enToEs)
-          s.read.parquet(corpusDir)
+          Tables.siteRead(s, "PackPipeline:1718", corpusDir)
             .filter(col("rid").isin(toStage: _*))
             // one partition per report id (hash collisions just co-locate
             // two reports in a partition; the per-partition groupBy splits
@@ -1787,11 +1787,11 @@ object PackPipeline {
               java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           }
         // -- load: report-grain gate vs loaded REPORT_IDs (load_data:40-73)
-        val converted = s.read.parquet(procD + "/_batch")
+        val converted = Tables.siteRead(s, "PackPipeline:1790", procD + "/_batch")
         val gated = (
           if (whNonEmpty())
             graft.ops.Ops.antiJoin(converted,
-              graft.io.Warehouse.read(s, wh).select(col("report_id")).distinct(),
+              Tables.siteRead(s, "PackPipeline:1794", wh).select(col("report_id")).distinct(),
               Seq("report_id"))
           else converted).persist() // one gate execution for probe + append
         try { if (!gated.isEmpty) gated.write.mode("append").parquet(wh) }
@@ -1814,12 +1814,12 @@ object PackPipeline {
         txns.write.parquet(corpusDir)
         // delivery manifest: 23 report ids — metadata-grain collect (the
         // webhook names reports, it doesn't carry rows)
-        val allRids = s.read.parquet(corpusDir).select(col("rid")).distinct()
+        val allRids = Tables.siteRead(s, "PackPipeline:1817", corpusDir).select(col("rid")).distinct()
           .collect().map(_.getLong(0)).toSeq.sorted
         webhookDelivery(allRids.filter(_ < 12)) // first delivery window
         webhookDelivery(allRids) // full re-delivery — gates must dedup
       } finally graft.io.Warehouse.deleteRecursively(s, corpusDir)
-      graft.io.Warehouse.read(s, wh)
+      Tables.siteRead(s, "PackPipeline:1822", wh)
         .select(col("report_id"), col("report_date"), col("source_id"),
           col("settlement_date").cast("date").as("settlement_date"),
           col("transaction_type"), col("monto").cast("double").as("monto"),
@@ -1895,7 +1895,7 @@ object PackPipeline {
         // -- extract: watermark cut + already-loaded staging gate
         val afterWm: Column =
           if (whNonEmpty()) {
-            val wm = graft.io.Warehouse.read(s, wh)
+            val wm = Tables.siteRead(s, "PackPipeline:1898", wh)
               .agg(date_add(max(col("fecha_pago")), 1)).head.getDate(0)
             mailDate >= lit(wm)
           } else lit(true) // empty-table fallback branch
@@ -1904,7 +1904,7 @@ object PackPipeline {
         val fresh = (
           if (whNonEmpty())
             graft.ops.Ops.antiJoin(candidates,
-              graft.io.Warehouse.read(s, wh).select(col("message_id")).distinct(),
+              Tables.siteRead(s, "PackPipeline:1907", wh).select(col("message_id")).distinct(),
               Seq("message_id"))
           else candidates).persist() // probe + JSON staging share one run
         try if (!fresh.isEmpty) {
@@ -1930,7 +1930,7 @@ object PackPipeline {
           val gated = (
             if (whNonEmpty())
               graft.ops.Ops.antiJoin(conformed,
-                graft.io.Warehouse.read(s, wh).select(col("id")).distinct(),
+                Tables.siteRead(s, "PackPipeline:1933", wh).select(col("id")).distinct(),
                 Seq("id"))
             else conformed).persist() // probe + append share one parse run
           try { if (!gated.isEmpty) gated.write.mode("append").parquet(wh) }
@@ -1943,7 +1943,7 @@ object PackPipeline {
       fireCron(lit(true)) // full mailbox — watermark cuts to the new mails
       fireCron(lit(true)) // nothing new — provable no-op
       if (whNonEmpty())
-        graft.io.Warehouse.read(s, wh).orderBy(col("message_id"))
+        Tables.siteRead(s, "PackPipeline:1946", wh).orderBy(col("message_id"))
       else
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(Seq.empty))
@@ -2089,7 +2089,7 @@ object PackPipeline {
         .select(col("event_id"), col("user_id"), col("event_type"),
           round(coalesce(col("value"), lit(0.0)) * 100).cast("long").as("cents"))
       userProfileDrive(s, base, in, out, ckpt)
-      s.read.parquet(out).orderBy(col("user_id"), col("cum_n"))
+      Tables.siteRead(s, "PackPipeline:2092", out).orderBy(col("user_id"), col("cum_n"))
     },
 
     // ST19 (live) — the v2 API's batch WARM-START surface
@@ -2150,7 +2150,7 @@ object PackPipeline {
           q.awaitTermination()
         }
       }
-      s.read.parquet(out).orderBy(col("user_id"))
+      Tables.siteRead(s, "PackPipeline:2153", out).orderBy(col("user_id"))
     },
 
     // ST20 (live) — EVENT-TIME TIMERS on the v2 API
@@ -2219,7 +2219,7 @@ object PackPipeline {
           }
           // b2 sentinel: its watermark advance fires every real key's timer
           stagedTwoDrains(s, in, base, sentinel)(drain _)
-          s.read.parquet(out).filter(col("user_id") >= 0)
+          Tables.siteRead(s, "PackPipeline:2222", out).filter(col("user_id") >= 0)
             .orderBy(col("user_id"), col("start_ms"))
       }
     },
@@ -2393,7 +2393,7 @@ object PackPipeline {
           // b2 flush closes every tail and clears the flushed keys'
           // state; the downstream windows then close
           stagedTwoDrains(s, in, base, flush)(drain _)
-          s.read.parquet(out).orderBy(col("w"))
+          Tables.siteRead(s, "PackPipeline:2396", out).orderBy(col("w"))
         case (None, None) => // empty slice: nothing to sessionize
           Seq.empty[(java.sql.Timestamp, Long, Long)]
             .toDF("w", "n_sessions", "n_events")

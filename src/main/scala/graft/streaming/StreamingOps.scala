@@ -134,7 +134,11 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val idx = spark.read.parquet(indexDir)
+        // site-pinned schema: the index is appended per batch but its
+        // schema is the invariant (doc_id, band, bkey) — skip per-batch
+        // footer re-inference
+        val idx = graft.schemas.Tables.siteRead(spark,
+          "StreamingOps.growingIndex", indexDir)
         val clean = graft.ext.TextDedup
           .lshProbeBands(idx, batch.toDF(), id, text,
             maxBucketSize = maxBucketSize)
@@ -178,7 +182,12 @@ object StreamingOps {
         if (!fs.exists(dir) && fs.exists(bak))
           require(fs.rename(bak, dir), s"merge swap: recovery rename $bak -> $dir failed")
         val merged =
-          if (fs.exists(dir)) graft.ops.Ops.upsert(spark.read.parquet(warehouseDir), batch.toDF(), keys)
+          if (fs.exists(dir)) graft.ops.Ops.upsert(
+            // keyed by the target dir: same stream, same schema across
+            // batches — the whole-table rewrite can't use an mtime key
+            graft.schemas.Tables.siteRead(spark,
+              s"StreamingOps.merge:$warehouseDir", warehouseDir),
+            batch.toDF(), keys)
           else batch.toDF()
         val tmp = warehouseDir + "__staging"
         merged.write.mode("overwrite").parquet(tmp)
