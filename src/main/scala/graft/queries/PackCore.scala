@@ -1203,7 +1203,8 @@ object PackCore {
     val prevCl = scala.util.Try(s.conf.get(clKey)).toOption
     s.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    s.conf.set(clKey, "true")
+    // env-togglable for controlled A/B timing (default on)
+    s.conf.set(clKey, sys.env.getOrElse("SPARK_GRAFT_CHANGELOG", "true"))
     try body finally {
       prev match {
         case Some(v) => s.conf.set(key, v)
