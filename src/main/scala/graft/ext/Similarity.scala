@@ -611,14 +611,17 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** NOTE (r17 optimization round): `t` feeds BOTH the hit semi-join and
+    * the per-query key set, so an unmaterialized truth pipeline (a
+    * brute-force full-corpus scan in every recall eval) executes twice
+    * per call — callers pass `truth.localCheckpoint()` (see
+    * ann_recall_eval / ann_recall_refine_eval). The checkpoint lives at
+    * the CALLER, not here: refine_eval shares one checkpointed truth
+    * across two recallAtK calls, and an internal re-checkpoint of
+    * already-checkpointed data measured as two extra scheduler-
+    * serialized jobs per eval at the 10× fixture. */
   def recallAtK(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
-    // `t` feeds BOTH the hit semi-join and the per-query key set — an
-    // unmaterialized truth pipeline (a brute-force full-corpus scan in
-    // every recall eval) would execute twice per call. The truth set is
-    // ≤ |Q|·k rows by contract, so materialize it once per run:
-    // localCheckpoint (not persist) — blocks are context-cleaned when the
-    // frame is GC'd, and nothing is retained across runs.
-    val t = truth.select(col("qid"), col("nid")).localCheckpoint()
+    val t = truth.select(col("qid"), col("nid"))
     val hits = t.join(approx.select(col("qid"), col("nid")),
         Seq("qid", "nid"), "left_semi")
       .groupBy(col("qid")).agg(count(lit(1)).as("h"))

@@ -435,7 +435,7 @@ object TextDedup {
     val t = g.filter(col("doc_id").isNotNull)
       .join(keepBuckets, Seq("gram", "_salt"), "left_semi")
       .select(col("doc_id"), col("gram").as("w"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shared = t.select(col("doc_id").as("d1"), col("w"))
       .join(t.select(col("doc_id").as("d2"), col("w")), Seq("w"))
