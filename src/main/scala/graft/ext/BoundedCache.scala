@@ -47,6 +47,29 @@ object BoundedCache {
         df.persist()
       })
 
+  /** Per-run materialization of a multi-consumed subtree — the CLUSTER-SAFE
+    * replacement for the r17 `localCheckpoint(false)` sites (VERDICT r17
+    * item 4): `localCheckpoint` truncates lineage and stores blocks
+    * UNREPLICATED on executors, so on a real cluster losing one executor
+    * mid-query makes the result unrecoverable. `persist(MEMORY_AND_DISK)`
+    * gives the identical plan collapse (consumers share one
+    * InMemoryRelation; the subtree executes once, lazily, inside the first
+    * consuming job) while keeping the lineage — a lost block recomputes
+    * instead of failing the query.
+    *
+    * Unlike [[persist]], the site's PREVIOUS frame is always evicted first
+    * — even for a semantically identical plan — so every run recomputes
+    * from the inputs and nothing is retained across runs (the
+    * no-result-caching discipline these eval/posting-list sites had under
+    * localCheckpoint). Eviction-before-persist also means the fresh
+    * persist can never alias the evicted CacheManager entry. Bounded at
+    * one frame per site, exactly like [[persist]]. */
+  def perRun(key: String, df: DataFrame): DataFrame =
+    retained.compute(key, (_, prev) => {
+      if (prev != null) try prev.unpersist() catch { case _: Exception => () }
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** Evict every retained frame. Test hygiene: the plan-budget suite
     * clears retention so exchange counts are measured COLD — a warm
     * cached frame hides its upstream exchanges and makes the pinned

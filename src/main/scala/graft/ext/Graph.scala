@@ -111,6 +111,25 @@ object Graph {
     var ranks = nodes.select(col("node"), q12(lit(1.0) / n).as("rank"))
     val maxBcastNodes = edges.sparkSession.conf
       .get(RankBroadcastMaxNodesKey, RankBroadcastMaxNodesDefault.toString).toLong
+    // Under the broadcast gate the superstep's ONLY exchange is the
+    // dst-keyed contribution aggregation (the rank join broadcasts, the
+    // edge side streams) — pre-partition the cached edge frame by dst
+    // ONCE so hash(dst) satisfies every superstep agg's distribution and
+    // the whole loop runs exchange-free (guide §2.4: operations keyed the
+    // same way share one exchange; r18 optimization round). One edge-set
+    // shuffle at setup replaces `iters` edge-set shuffles. Past the gate
+    // the rank join itself is src-keyed and shuffled, so dst partitioning
+    // would buy nothing there — the window's hash(src) frame stays.
+    // Lazy persist (no eager count — the blocks build from the cached
+    // parent inside the first superstep's own job), and withDeg STAYS
+    // cached until loop exit: the initial rank frame derives from it and
+    // is first evaluated inside the first materialized superstep's cache
+    // build — unpersisting withDeg here would replan that subtree as a
+    // silent full edge-derivation recompute (fact join + distinct +
+    // window) under the broadcast build.
+    val edgeFrame =
+      if (n <= maxBcastNodes) withDeg.repartition(col("dst")).persist()
+      else withDeg
     // Materialize every SECOND superstep: ranks feed exactly one
     // consumer (the next contribution join), so chaining two supersteps
     // into one plan evaluates each exactly once — half the actions and
@@ -123,7 +142,7 @@ object Graph {
     var lastMat = ranks // most recently PERSISTED frame (init frame is not)
     var sinceMat = 0
     for (i <- 1 to iters) {
-      val next = superstep(withDeg, ranks, n, damping, teleport, maxBcastNodes)
+      val next = superstep(edgeFrame, ranks, n, damping, teleport, maxBcastNodes)
       sinceMat += 1
       if (sinceMat == 2 || i == iters) {
         val mat = next.persist()
@@ -134,7 +153,8 @@ object Graph {
         sinceMat = 0
       } else ranks = next
     }
-    withDeg.unpersist()
+    edgeFrame.unpersist()
+    if (!edgeFrame.eq(withDeg)) withDeg.unpersist()
     // same race guard as labelPropagationLoop's exit: a concurrent run's
     // retained frame must not leak, but a same-semantics frame shares
     // this run's cache entry and must not be evicted
@@ -211,6 +231,20 @@ object Graph {
     val nAdj = adj.count()
     def gated(df: DataFrame): DataFrame =
       if (nAdj <= maxBcast) broadcast(df) else df
+    // Under the gate both per-round joins broadcast their label side, so
+    // the round's only exchanges are the (x, label) vote count and the
+    // per-x argmax — and hash(x) satisfies BOTH distributions (x is a
+    // prefix of (x, label)). Pre-partition the cached adjacency by x ONCE
+    // and every round runs exchange-free (guide §2.4; r18 optimization
+    // round — same lever as pageRank's dst pre-partition). Past the gate
+    // the neighbor-label join shuffles by y and destroys any x
+    // partitioning, so the plain distinct frame stays there.
+    // Lazy persist — blocks build from the cached parent inside round 1's
+    // own jobs; adj stays cached until exit (same discipline as
+    // pageRank's withDeg).
+    val adjFrame =
+      if (nAdj <= maxBcast) adj.repartition(col("x")).persist()
+      else adj
     var labels = seeds.filter(col("node").isNotNull && col("label").isNotNull)
       .select(col("node"), col("label")).persist()
     var toFree = List.empty[DataFrame]
@@ -219,7 +253,7 @@ object Graph {
       // the anti side rides the same gate: without it the EDGE-sized
       // neighbor-label stream would shuffle just to subtract the
       // node-sized labeled set
-      val counts = adj.join(gated(lbl), Seq("y"))
+      val counts = adjFrame.join(gated(lbl), Seq("y"))
         .join(gated(labels.select(col("node").as("x"))), Seq("x"), "left_anti")
         .groupBy(col("x"), col("label")).agg(count(lit(1)).as("c"))
       // argmax by (count desc, label asc): max of (c, -label) needs no
@@ -237,7 +271,8 @@ object Graph {
     }
     labels.count(): Unit // materialize before freeing parents
     toFree.foreach(df => try df.unpersist() catch { case _: Exception => () })
-    adj.unpersist()
+    adjFrame.unpersist()
+    if (!adjFrame.eq(adj)) adj.unpersist()
     // same retention discipline as pageRank's lastRanks: the result stays
     // persisted for the caller; the PREVIOUS run's result was evicted at
     // loop entry (see above — never after the re-persist). getAndSet

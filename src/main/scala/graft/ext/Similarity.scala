@@ -611,15 +611,15 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** NOTE (r17 optimization round): `t` feeds BOTH the hit semi-join and
-    * the per-query key set, so an unmaterialized truth pipeline (a
-    * brute-force full-corpus scan in every recall eval) executes twice
-    * per call — callers pass `truth.localCheckpoint()` (see
-    * ann_recall_eval / ann_recall_refine_eval). The checkpoint lives at
-    * the CALLER, not here: refine_eval shares one checkpointed truth
-    * across two recallAtK calls, and an internal re-checkpoint of
-    * already-checkpointed data measured as two extra scheduler-
-    * serialized jobs per eval at the 10× fixture. */
+  /** NOTE (r17 optimization round, mechanism updated r18): `t` feeds BOTH
+    * the hit semi-join and the per-query key set, so an unmaterialized
+    * truth pipeline (a brute-force full-corpus scan in every recall eval)
+    * executes twice per call — callers materialize truth via
+    * `BoundedCache.perRun` (see ann_recall_eval / ann_recall_refine_eval).
+    * The materialization lives at the CALLER, not here: refine_eval shares
+    * one materialized truth across two recallAtK calls, and an internal
+    * re-materialization of already-materialized data measured as two extra
+    * scheduler-serialized jobs per eval at the 10× fixture. */
   def recallAtK(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     val t = truth.select(col("qid"), col("nid"))
     val hits = t.join(approx.select(col("qid"), col("nid")),

@@ -427,15 +427,18 @@ object TextDedup {
     // self-join sides), and each consumer otherwise re-runs the whole
     // tokenize → salted-df-count → semi-join pipeline from the scan
     // (measured: 16 parquet scans in dedup_ngram_jaccard's plan, zero
-    // exchange reuse). Materialize the capped posting list once per run:
-    // localCheckpoint, not persist — blocks are context-cleaned on GC and
-    // nothing is retained across runs. At 100 TB this is the classic
-    // "tokenize once, join many" trade: one corpus-sized materialization
-    // against three re-tokenizations of the corpus.
-    val t = g.filter(col("doc_id").isNotNull)
-      .join(keepBuckets, Seq("gram", "_salt"), "left_semi")
-      .select(col("doc_id"), col("gram").as("w"))
-      .localCheckpoint(false)
+    // exchange reuse). Materialize the capped posting list once per run
+    // via BoundedCache.perRun (r18: cluster-safe persist with lineage,
+    // previous run's frame evicted so nothing is retained across runs —
+    // replaces the r17 localCheckpoint(false), whose unreplicated
+    // lineage-free blocks would make an executor loss unrecoverable at
+    // cluster scale). At 100 TB this is the classic "tokenize once, join
+    // many" trade: one corpus-sized materialization against three
+    // re-tokenizations of the corpus.
+    val t = BoundedCache.perRun("TextDedup.cappedIntersections",
+      g.filter(col("doc_id").isNotNull)
+        .join(keepBuckets, Seq("gram", "_salt"), "left_semi")
+        .select(col("doc_id"), col("gram").as("w")))
     val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shared = t.select(col("doc_id").as("d1"), col("w"))
       .join(t.select(col("doc_id").as("d2"), col("w")), Seq("w"))

@@ -2512,8 +2512,10 @@ object PackExt {
       val q = e.filter(col("vec_id") < 20)
       // truth feeds recallAtK's two consumers; materialize the ≤ |Q|·k
       // row set once instead of running the brute corpus scan twice
+      // (perRun: cluster-safe persist, evicted next run — see BoundedCache)
       Similarity.recallAtK(
-          Similarity.bruteTopK(e, q, 10).localCheckpoint(false),
+          graft.ext.BoundedCache.perRun("PackExt:ann_recall_eval.truth",
+            Similarity.bruteTopK(e, q, 10)),
           Similarity.ivfTopK(e, q, "label", 10), k = 10)
         .orderBy(col("qid"))
     },
@@ -2614,10 +2616,13 @@ object PackExt {
       // over the stored codes). Materialize each once per run instead of
       // re-running the corpus scan per consumer (the plan went 16 parquet
       // scans → 6; at 100 TB each avoided recompute is a corpus pass).
-      val truth = Similarity.bruteTopK(e, qs, 5).localCheckpoint(false)
-      val cand20 = Similarity.pqAdcTopKStored(persistedPqCodes(s, d),
-        persistedCentroids(s, d), qs, dims = 64, nSub = 8, k = 20)
-        .localCheckpoint(false)
+      // perRun: cluster-safe persist, evicted next run — see BoundedCache.
+      val truth = graft.ext.BoundedCache.perRun(
+        "PackExt:ann_recall_refine_eval.truth", Similarity.bruteTopK(e, qs, 5))
+      val cand20 = graft.ext.BoundedCache.perRun(
+        "PackExt:ann_recall_refine_eval.cand20",
+        Similarity.pqAdcTopKStored(persistedPqCodes(s, d),
+          persistedCentroids(s, d), qs, dims = 64, nSub = 8, k = 20))
       val adc5 = cand20.filter(col("rank") <= 5)
       val refined5 = Similarity.refineTopK(cand20, e, qs, k = 5)
       val before = Similarity.recallAtK(truth, adc5, 5)
