@@ -17,6 +17,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // correctness runs re-validate every site-pinned schema against the
+    // files actually read (ADVICE r17 hardening) — Verify is untimed, so
+    // the extra inference per hit is free insurance against a future
+    // write-plan edit silently null-filling under a stale pinned schema
+    System.setProperty(graft.schemas.Tables.ValidateSitesProp, "true")
     // clear stale results from renamed/removed queries so the compare
     // only ever sees dirs that match oracle_sql.json
     val outRoot = new java.io.File(outDir)

@@ -306,11 +306,33 @@ object TextDedup {
     * on the probe side). */
   def lshProbeBands(idxBands: DataFrame, batch: DataFrame, id: String,
                     text: String, numHashes: Int = 16, rowsPerBand: Int = 4,
-                    maxBucketSize: Int = 64): DataFrame = {
+                    maxBucketSize: Int = 64): DataFrame =
+    lshProbePruned(pruneBands(idxBands, maxBucketSize), batch, id, text,
+      numHashes, rowsPerBand)
+
+  /** The bucket-size guard of [[lshProbeBands]] as a standalone frame:
+    * drop every (band, bkey) bucket holding more than `maxBucketSize`
+    * index docs. A STATIC index's pruned form is an invariant of the
+    * index content, so a multi-batch gate (st8's two drains) materializes
+    * it once per run and probes every batch against the shared frame
+    * instead of re-aggregating the full index per micro-batch (r18
+    * optimization round, guide §2.4 — at 100 TB the guard is a full
+    * index-table aggregation per arriving batch; production prunes once
+    * per index VERSION). A growing index must keep recomputing per batch
+    * (the guard is defined over the CURRENT index — st9's declared
+    * semantics), which is why the probe stays split from the prune. */
+  def pruneBands(idxBands: DataFrame, maxBucketSize: Int = 64): DataFrame = {
     val oversized = idxBands.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucketSize)
       .select(col("band"), col("bkey"))
-    val pruned = idxBands.join(broadcast(oversized), Seq("band", "bkey"), "left_anti")
+    idxBands.join(broadcast(oversized), Seq("band", "bkey"), "left_anti")
+  }
+
+  /** Probe half of [[lshProbeBands]] against an ALREADY-PRUNED band
+    * index (same row contract: (doc_id, band, bkey)). */
+  def lshProbePruned(pruned: DataFrame, batch: DataFrame, id: String,
+                     text: String, numHashes: Int = 16,
+                     rowsPerBand: Int = 4): DataFrame = {
     val newBands = bandRows(minhashSignatures(batch, id, text, numHashes),
       numHashes, rowsPerBand)
     val cand = newBands.select(col("doc_id").as("new_id"), col("band"), col("bkey"))
@@ -323,7 +345,7 @@ object TextDedup {
     // they surface unassessable instead
     val unassessable = batch.filter(col(id).isNull)
       .select(col(id).as("new_id"), lit(null).cast("long").as("n_cand"),
-        lit(null).cast(idxBands.schema("doc_id").dataType).as("dup_of"))
+        lit(null).cast(pruned.schema("doc_id").dataType).as("dup_of"))
     batch.filter(col(id).isNotNull).select(col(id).as("new_id"))
       .join(cand, Seq("new_id"), "left")
       .groupBy(col("new_id"))

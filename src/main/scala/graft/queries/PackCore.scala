@@ -469,7 +469,12 @@ object PackCore {
         .select($"doc_id", $"text")
       val sch = StructType(Seq(StructField("doc_id", LongType),
         StructField("text", StringType)))
-      val idx = PackExt.persistedBandIndex(s, d)
+      // prune the static index's oversized buckets ONCE per run and share
+      // the materialized frame across both drains' probes (r18: the guard
+      // was re-aggregating the full index per micro-batch; the pruned
+      // form is an invariant of the stored index — see pruneBands)
+      val idx = graft.ext.BoundedCache.perRun("PackCore:st8.prunedIdx",
+        graft.ext.TextDedup.pruneBands(PackExt.persistedBandIndex(s, d)))
       def drain(): Unit = graft.streaming.StreamingOps.runGatedToWarehouse(
         graft.streaming.StreamingOps.fileSource(s, in, sch), idx,
         "doc_id", "text", wh, ckpt).awaitTermination()
@@ -1203,8 +1208,15 @@ object PackCore {
     val prevCl = scala.util.Try(s.conf.get(clKey)).toOption
     s.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    // env-togglable for controlled A/B timing (default on)
-    s.conf.set(clKey, sys.env.getOrElse("SPARK_GRAFT_CHANGELOG", "true"))
+    // The r17 SPARK_GRAFT_CHANGELOG A/B dial is GONE (r18): the deferred
+    // two-drain A/B ran on a calib-stable window (0.43-0.51 across four
+    // interleaved TimeQuery sessions, min-of-min over both pass orders —
+    // plans/r18/ab_changelog.txt) and changelog checkpointing WON: off
+    // read 1.07-1.15x slower on st19/st20/st21/st22 and at parity
+    // (0.94-0.97) on st11/st18. Together with the production rationale
+    // (snapshot cost grows with STATE size, changelog with BATCH size)
+    // the setting is now unconditional.
+    s.conf.set(clKey, "true")
     try body finally {
       prev match {
         case Some(v) => s.conf.set(key, v)

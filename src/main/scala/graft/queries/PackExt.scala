@@ -2384,14 +2384,24 @@ object PackExt {
         .filter(col("p.a") =!= col("p.b"))
         .select(col("p.a").as("a"), col("p.b").as("b"))
       val uni = docs.select(explode(words).as("tok"))
-      val ca = uni.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      val cab = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
-        .filter(col("c_ab") >= 100)
+      // r18 (guide §2.4): the plan ran FIVE full tokenize+explode corpus
+      // passes — pairs twice (co-occurrence counts + the np total), uni
+      // three times (both unigram join sides + the nt total). The two
+      // GROUP frames are vocabulary-grain (ca ~ |V|, cab ~ distinct
+      // skip-bigrams ≪ corpus), so materialize each once per run and
+      // DERIVE the totals from them: np = Σ c_ab over all pairs (count
+      // of pair rows = sum of group counts, exact longs), nt = Σ c.
+      // Two corpus passes remain — one per explode shape, the minimum.
+      val ca = graft.ext.BoundedCache.perRun("PackExt:text_pmi_cooccur.ca",
+        uni.groupBy(col("tok")).agg(count(lit(1)).as("c")))
+      val cabAll = graft.ext.BoundedCache.perRun("PackExt:text_pmi_cooccur.cab",
+        pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab")))
+      val cab = cabAll.filter(col("c_ab") >= 100)
       cab
         .join(broadcast(ca.select(col("tok").as("a"), col("c").as("c_a"))), Seq("a"))
         .join(broadcast(ca.select(col("tok").as("b"), col("c").as("c_b"))), Seq("b"))
-        .crossJoin(broadcast(pairs.agg(count(lit(1)).as("np"))))
-        .crossJoin(broadcast(uni.agg(count(lit(1)).as("nt"))))
+        .crossJoin(broadcast(cabAll.agg(sum(col("c_ab")).as("np"))))
+        .crossJoin(broadcast(ca.agg(sum(col("c")).as("nt"))))
         .select(col("a"), col("b"), col("c_ab"),
           round(log((col("c_ab").cast("double") / col("np"))
             / ((col("c_a").cast("double") / col("nt"))
@@ -2760,8 +2770,16 @@ object PackExt {
         |  CASE WHEN j.avg_nll <= p.p35 THEN 'head'
         |       WHEN j.avg_nll <= p.p70 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM j JOIN p USING (source) ORDER BY j.doc_id""".stripMargin) { (s, d) =>
-      val sc = TextAnalysis.lmScore(Tables.documents(s, d), "doc_id", "text")
-        .join(Tables.documents(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+      // r18 (guide §2.4): sc feeds BOTH the per-source percentile frame
+      // and the final bucket join, and each execution of sc is the whole
+      // lmScore pipeline (two corpus explodes + the vocabulary join) —
+      // the plan held 10 parquet scans. sc is doc-grain (doc_id, source,
+      // avg_nll); materialize it once per run and both consumers read the
+      // shared frame: one lmScore execution instead of two.
+      val sc = graft.ext.BoundedCache.perRun("PackExt:text_ccnet_buckets.sc",
+        TextAnalysis.lmScore(Tables.documents(s, d), "doc_id", "text")
+          .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+            Seq("doc_id")))
       val byS = Window.partitionBy(col("source"))
       val p = sc
         .withColumn("rn", row_number().over(byS.orderBy(col("avg_nll"), col("doc_id"))))

@@ -110,7 +110,8 @@ object Schemas {
   * DuckDB oracle sees identical bytes.
   */
 object Tables {
-  /** Schema cache for the immutable input tables, keyed by (path, mtime).
+  /** Schema cache for the immutable input tables, keyed by
+    * (path, listing-fingerprint).
     *
     * `spark.read.parquet(path)` INFERS the schema at every DataFrame
     * construction — a driver-side footer sweep that runs as its own tiny
@@ -121,18 +122,37 @@ object Tables {
     * window by 50-200 ms. Production discipline is the same: catalog
     * tables pin their schema — a 100 TB table is never re-inferred per
     * query. This caches ONLY the StructType (catalog metadata, bytes are
-    * re-read by every action); the mtime key means a rewritten fixture
-    * (StressGen regenerating a dir, a new round's testdata) re-infers.
+    * re-read by every action); the fingerprint key means a rewritten
+    * fixture (StressGen regenerating a dir, a new round's testdata)
+    * re-infers.
     * Bounded at 64 entries (#tables × #fixture dirs in any real session;
     * eviction = oldest insert). */
   private val schemaCache =
-    new java.util.LinkedHashMap[(String, Long), StructType](16, 0.75f, false) {
+    new java.util.LinkedHashMap[(String, String), StructType](16, 0.75f, false) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long), StructType]): Boolean = size > 64
+          e: java.util.Map.Entry[(String, String), StructType]): Boolean = size > 64
     }
 
+  /** Content fingerprint of a dataset path, replacing the bare
+    * lastModified() key (ADVICE r17): mtime granularity is
+    * filesystem-dependent (can be a full second), so a rewrite landing
+    * within the same timestamp could serve a stale schema, and a missing
+    * path read as mtime 0 collapsed all missing-path keys into one. The
+    * fingerprint folds the directory listing (sorted child names +
+    * lengths + mtimes) — any rewrite changes at least one part-file name
+    * or length — and distinguishes missing paths explicitly. Pure local
+    * metadata: one listing, no Spark job, no data read. */
+  private def fingerprint(path: String): String = {
+    val f = new java.io.File(path)
+    if (!f.exists()) s"missing:$path"
+    else if (f.isFile) s"f:${f.length()}:${f.lastModified()}"
+    else Option(f.listFiles()).map(_.sortBy(_.getName).map(c =>
+      s"${c.getName}:${c.length()}:${c.lastModified()}").mkString("|"))
+      .getOrElse(s"unlistable:${f.lastModified()}")
+  }
+
   private def pinnedSchema(spark: SparkSession, path: String): StructType = {
-    val key = (path, new java.io.File(path).lastModified())
+    val key = (path, fingerprint(path))
     val hit = schemaCache.synchronized(schemaCache.get(key))
     if (hit != null) hit
     else {
@@ -151,7 +171,7 @@ object Tables {
 
   /** Explicit-schema read of an immutable parquet ARTIFACT (staged-once
     * persisted tables: IVF centroids, PQ codes, band indexes) — same
-    * schema-pinning as the base tables, same mtime guard. Not for per-run
+    * schema-pinning as the base tables, same fingerprint guard. Not for per-run
     * sink outputs (their dirs are rewritten per execution, so the cache
     * would never hit; use [[siteRead]] there). */
   def pinnedRead(spark: SparkSession, path: String): DataFrame =
@@ -170,11 +190,26 @@ object Tables {
           e: java.util.Map.Entry[String, StructType]): Boolean = size > 256
     }
 
+  /** Correctness-run validation dial for the site cache (ADVICE r17): the
+    * cache ASSUMES a site's write plan emits an invariant schema forever —
+    * true today and pinned by SchemaPinSpec, but a future edit that makes
+    * a sink's schema run-dependent would silently null-fill on the stale
+    * explicit schema instead of failing. With this property set (Verify
+    * sets it — correctness runs are not timed), every cache HIT re-infers
+    * and asserts the pinned field names/types still match the files. */
+  private[graft] val ValidateSitesProp = "graft.validateSiteSchemas"
+
   def siteRead(spark: SparkSession, site: String, path: String): DataFrame = {
     val hit = siteSchemaCache.synchronized(siteSchemaCache.get(site))
     val sch =
-      if (hit != null) hit
-      else {
+      if (hit != null) {
+        if (java.lang.Boolean.getBoolean(ValidateSitesProp)) {
+          val fresh = spark.read.parquet(path).schema
+          require(fresh == hit,
+            s"siteRead[$site]: pinned schema drifted at $path\n  pinned: $hit\n  actual: $fresh")
+        }
+        hit
+      } else {
         val inferred = spark.read.parquet(path).schema
         siteSchemaCache.synchronized(siteSchemaCache.put(site, inferred))
         inferred

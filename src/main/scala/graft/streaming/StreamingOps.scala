@@ -84,17 +84,25 @@ object StreamingOps {
     * ingestion). In production, append accepted docs' band rows back to
     * the index table after the write so later batches also dedup against
     * this batch's survivors. */
-  def runGatedToWarehouse(stream: DataFrame, indexBands: DataFrame,
+  /** `prunedBands` is the index AFTER its bucket-size guard
+    * ([[graft.ext.TextDedup.pruneBands]]) — the guard over a STATIC index
+    * is an invariant of the index content, so the caller prunes ONCE (and
+    * a multi-drain gate like st8 materializes the pruned frame once per
+    * run) instead of this function re-aggregating the full index table in
+    * every micro-batch of every drain (r18 optimization round; at 100 TB
+    * that aggregation is a full index pass per arriving batch —
+    * production prunes once per index VERSION). The growing-index form
+    * below cannot hoist this: its guard is declared over the CURRENT
+    * index, which a batch's own survivors mutate. */
+  def runGatedToWarehouse(stream: DataFrame, prunedBands: DataFrame,
                           id: String, text: String, warehouseDir: String,
-                          checkpointDir: String,
-                          maxBucketSize: Int = 64): StreamingQuery =
+                          checkpointDir: String): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val clean = graft.ext.TextDedup
-          .lshProbeBands(indexBands, batch.toDF(), id, text,
-            maxBucketSize = maxBucketSize)
+          .lshProbePruned(prunedBands, batch.toDF(), id, text)
           .filter(col("n_cand") === 0)
           .select(col("new_id").as(id))
         batch.toDF().join(clean, Seq(id), "left_semi")
@@ -136,9 +144,13 @@ object StreamingOps {
         val spark = batch.sparkSession
         // site-pinned schema: the index is appended per batch but its
         // schema is the invariant (doc_id, band, bkey) — skip per-batch
-        // footer re-inference
+        // footer re-inference. Keyed by indexDir (ADVICE r17): a global
+        // key would be shared across every growing-index stream in the
+        // JVM, whose id types could differ; per-dir keying infers once
+        // per run (the dir is fresh per run) and hits on every later
+        // batch of the same run.
         val idx = graft.schemas.Tables.siteRead(spark,
-          "StreamingOps.growingIndex", indexDir)
+          s"StreamingOps.growingIndex:$indexDir", indexDir)
         val clean = graft.ext.TextDedup
           .lshProbeBands(idx, batch.toDF(), id, text,
             maxBucketSize = maxBucketSize)

@@ -5,10 +5,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins the r17-optimization schema-pinned readers (Tables.apply /
   * pinnedRead / siteRead): pinned reads must be value-identical to
-  * inferring reads, the (path, mtime) cache must re-infer when a fixture
-  * is REWRITTEN in place (never serve a stale schema), and siteRead must
-  * serve later runs of the same call site from the pinned schema even
-  * though the path changes per run. */
+  * inferring reads, the (path, listing-fingerprint) cache must re-infer
+  * when a fixture is REWRITTEN in place (never serve a stale schema), and
+  * siteRead must serve later runs of the same call site from the pinned
+  * schema even though the path changes per run. */
 class SchemaPinSpec extends AnyFunSuite {
   lazy val spark = graft.TestSpark.spark
 
@@ -28,12 +28,13 @@ class SchemaPinSpec extends AnyFunSuite {
     Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(path)
     val first = Tables(s, dir, "t").schema
     assert(first.fieldNames.toSeq === Seq("id", "v"))
-    // rewrite with a DIFFERENT schema at the same path; ensure the dir
-    // mtime moves even on a coarse-granularity filesystem clock
-    Thread.sleep(1100)
+    // rewrite with a DIFFERENT schema at the same path — no manual mtime
+    // bump (ADVICE r17: the test must exercise the production
+    // invalidation, not hand-feed it); the cache keys on the directory
+    // LISTING fingerprint (names + lengths + mtimes), which any real
+    // overwrite changes even within one coarse filesystem-clock tick
     Seq((1L, 2.5, true)).toDF("id", "x", "flag")
       .write.mode("overwrite").parquet(path)
-    new java.io.File(path).setLastModified(System.currentTimeMillis())
     val second = Tables(s, dir, "t").schema
     assert(second.fieldNames.toSeq === Seq("id", "x", "flag"),
       "a rewritten fixture must re-infer, never serve the stale schema")

@@ -100,7 +100,8 @@ class StreamingSpec extends AnyFunSuite {
       (0L, "the quick brown fox jumps over the lazy dog tonight"),
       (1L, "completely unrelated corpus document about databases and storage"))
       .toDF("doc_id", "text")
-    val idx = graft.ext.TextDedup.bandIndex(indexed, "doc_id", "text")
+    val idx = graft.ext.TextDedup.pruneBands(
+      graft.ext.TextDedup.bandIndex(indexed, "doc_id", "text"))
     val in = tmp("graft_gate_in"); val wh = tmp("graft_gate_wh") + "/t"
     val ckpt = tmp("graft_gate_ck")
     // batch 1: one exact dup of doc 0 (must be dropped), one clean doc
